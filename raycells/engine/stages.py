@@ -1,0 +1,210 @@
+"""Per-batch stage functions and actor-pool classes for the Ray pipelines.
+
+Every function here is ``batch_format="pyarrow"``: Arrow table in, Arrow
+table out, vectorized numpy/pyarrow.compute bodies, no per-row Python in
+hot paths. Stateful stages are callable CLASSES (actor pools): setup in
+``__init__`` once per actor, work in ``__call__`` per batch.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from raycells.cells import kernels
+from raycells.cells.ctype import CELL_TYPES, CellType
+from raycells.geo import cellid
+from raycells.geo.pip import bbox_intersects, points_in_polygon, polygon_bbox
+from raycells.io import tilestore
+
+__all__ = [
+    "TileDecoder",
+    "BandDecoder",
+    "tile_stats",
+    "add_cell_ids",
+    "PIPJoiner",
+]
+
+
+class TileDecoder:
+    """Actor-pool stage: (doc_id, span_idx, media_ref) → decoded erased tile.
+
+    Plays the role of the reference's ``RasterBandEx::read_cells_masked``
+    (rasterband.rs:72-126): resolve ref → typed cell payload + validity
+    mask derived from the per-type nodata sentinel. Holds the per-cell-type
+    dispatch tables (the once-per-worker cost that justifies an actor pool,
+    like a GDAL dataset handle)."""
+
+    def __init__(self):
+        # per-cell-type dispatch table: name → (numpy dtype, sentinel)
+        self.dispatch = {
+            ct.name: (ct.dtype, ct.default_nodata()) for ct in CELL_TYPES
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        seeds = tilestore.seed_of_refs(batch["media_ref"])
+        cols = tilestore.synth_tiles(seeds)
+        out = pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "span_idx": batch["span_idx"],
+                "media_ref": batch["media_ref"],
+                "data": pa.array(cols["data"], pa.large_binary()),
+                "mask": pa.array(cols["mask"], pa.large_binary()),
+                "cell_type": pa.array(cols["cell_type"], pa.string()),
+                "nrows": pa.array(cols["nrows"], pa.int32()),
+                "ncols": pa.array(cols["ncols"], pa.int32()),
+                "nodata": pa.array(cols["nodata"], pa.float64()),
+                "lon": pa.array(cols["lon"], pa.float64()),
+                "lat": pa.array(cols["lat"], pa.float64()),
+                "minx": pa.array(cols["minx"], pa.float64()),
+                "miny": pa.array(cols["miny"], pa.float64()),
+                "maxx": pa.array(cols["maxx"], pa.float64()),
+                "maxy": pa.array(cols["maxy"], pa.float64()),
+            }
+        )
+        return out
+
+
+class BandDecoder:
+    """Actor-pool stage for fixed-uint16 band tiles (the SQL-checkable
+    family): emits two bands per tile for NDVI-style band math."""
+
+    def __init__(self, bands=(4, 5)):
+        self.bands = bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        seeds = tilestore.seed_of_refs(batch["media_ref"])
+        cols = {name: batch[name] for name in batch.column_names}
+        for b in self.bands:
+            v = tilestore.synth_band_values(seeds, b)
+            nrows, ncells = v.shape
+            offsets = pa.array(np.arange(nrows + 1, dtype=np.int32) * ncells)
+            flat = pa.array(v.reshape(-1))
+            cols[f"band{b}"] = pa.ListArray.from_arrays(offsets, flat)
+        return pa.table(cols)
+
+
+def _tiles_as_arrays(batch: pa.Table):
+    """Zero-copy-decode the erased tile payloads of one batch, grouped by
+    (cell_type, length) so each group is one (G, n) matrix."""
+    data = batch["data"].combine_chunks() if isinstance(batch["data"], pa.ChunkedArray) else batch["data"]
+    masks = batch["mask"].combine_chunks() if isinstance(batch["mask"], pa.ChunkedArray) else batch["mask"]
+    cts = batch["cell_type"].to_pylist()
+    nrows = batch["nrows"].to_numpy(zero_copy_only=False)
+    ncols = batch["ncols"].to_numpy(zero_copy_only=False)
+    for k in range(batch.num_rows):
+        ct = CellType.from_str(cts[k])
+        n = int(nrows[k]) * int(ncols[k])
+        buf = data[k].as_buffer()
+        arr = np.frombuffer(buf, dtype=ct.dtype, count=n)
+        m = kernels.unpack_mask(masks[k].as_buffer(), n)
+        yield k, ct, arr, m
+
+
+def tile_stats(batch: pa.Table) -> pa.Table:
+    """Erased-cell stats per tile: masked min/max (reference fold semantics,
+    inverted sentinels when fully masked), mean of valid cells converted to
+    Float64 (the reference arithmetic type), valid/nodata counts.
+
+    Grouped-vectorized: tiles of the same (cell_type, size) in the batch
+    are reduced as one matrix; the per-tile loop only touches group
+    boundaries."""
+    n = batch.num_rows
+    min_v = np.empty(n, dtype=np.float64)
+    max_v = np.empty(n, dtype=np.float64)
+    mean_v = np.full(n, np.nan, dtype=np.float64)
+    valid_c = np.zeros(n, dtype=np.int64)
+    nodata_c = np.zeros(n, dtype=np.int64)
+
+    for k, ct, arr, m in _tiles_as_arrays(batch):
+        lo, hi = kernels.min_max(arr, m)
+        min_v[k] = lo.to_f64()
+        max_v[k] = hi.to_f64()
+        nv = int(m.sum())
+        valid_c[k] = nv
+        nodata_c[k] = arr.shape[0] - nv
+        if nv:
+            mean_v[k] = arr[m].astype(np.float64).mean()
+
+    keep = [
+        c
+        for c in (
+            "doc_id", "span_idx", "media_ref", "cell_type",
+            "nrows", "ncols", "lon", "lat", "minx", "miny", "maxx", "maxy",
+        )
+        if c in batch.column_names
+    ]
+    out = {c: batch[c] for c in keep}
+    out.update(
+        {
+            "min_val": pa.array(min_v),
+            "max_val": pa.array(max_v),
+            "mean_val": pa.array(mean_v),
+            "valid_count": pa.array(valid_c),
+            "nodata_count": pa.array(nodata_c),
+        }
+    )
+    return pa.table(out)
+
+
+def add_cell_ids(batch: pa.Table, level: int = 8) -> pa.Table:
+    """Tile centroid → hierarchical Hilbert cell id (+ SQL-parity grid id)."""
+    lon = batch["lon"].to_numpy(zero_copy_only=False)
+    lat = batch["lat"].to_numpy(zero_copy_only=False)
+    cells = cellid.encode(lon, lat, level)
+    batch = batch.append_column("cell_id", pa.array(cells, pa.uint64()))
+    return batch.append_column("grid_cell", pa.array(cellid.grid_cell(lon, lat), pa.int64()))
+
+
+class PIPJoiner:
+    """Actor-pool stage: broadcast point-in-polygon join.
+
+    The polygon side (small: ~200 footprints, << 100 MB) is broadcast ONCE
+    via ``ray.put`` on the driver; each actor fetches it in ``__init__``
+    (one object-store read per actor, NOT per batch) and precomputes
+    bboxes. Per batch: bbox prefilter, then exact vectorized ray-cast of
+    tile centroids per surviving polygon; emits one row per (tile,
+    footprint) hit. The large-large fallback (both sides big) goes through
+    ``polygon_cell_cover`` + co-partitioned groupby instead
+    (engine/shuffle.py)."""
+
+    def __init__(self, footprints_ref):
+        import ray
+
+        fps = ray.get(footprints_ref) if not isinstance(footprints_ref, list) else footprints_ref
+        # fps: list of (footprint_id, category, ring ndarray)
+        self.fps = fps
+        self.bboxes = np.array([polygon_bbox(r) for _, _, r in fps])  # (F, 4)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        take_idx = []
+        fp_ids = []
+        fp_cats = []
+        if len(lon):
+            for f, (fid, cat, ring) in enumerate(self.fps):
+                bb = self.bboxes[f]
+                cand = np.nonzero(
+                    (lon >= bb[0]) & (lon <= bb[2]) & (lat >= bb[1]) & (lat <= bb[3])
+                )[0]
+                if cand.size == 0:
+                    continue
+                hit = points_in_polygon(lon[cand], lat[cand], ring)
+                hits = cand[hit]
+                if hits.size:
+                    take_idx.append(hits)
+                    fp_ids.extend([fid] * hits.size)
+                    fp_cats.extend([cat] * hits.size)
+        if not take_idx:
+            empty = batch.slice(0, 0)
+            empty = empty.append_column("footprint_id", pa.array([], pa.string()))
+            return empty.append_column("category", pa.array([], pa.string()))
+        idx = np.concatenate(take_idx)
+        out = batch.take(pa.array(idx))
+        out = out.append_column("footprint_id", pa.array(fp_ids, pa.string()))
+        return out.append_column("category", pa.array(fp_cats, pa.string()))

@@ -1,0 +1,190 @@
+"""Interleaved text+media document source.
+
+The engine's primary input (BASELINE.json ``input_hint``) is a Lance table
+
+    doc_id: string
+    spans:  list<struct<kind: string, text: string, media_ref: string, offset: int32>>
+
+``lance`` is not importable in this environment, so the format adapter
+falls back to a directory of Parquet fragments with the identical logical
+schema (SURVEY.md preamble). Fragmented layout (``fragment=K.parquet``)
+is what makes runs checkpoint-resumable: the checkpoint manifest tracks
+completed fragments (engine/checkpoint.py).
+
+Per-row invariant: **span-sequence equality** — the ordered tuple sequence
+``(kind, text, media_ref)`` of every document must survive the pipeline
+byte-identically. ``span_digests`` computes the per-doc blake2b digest
+used to verify it at the sink.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from raycells.io.tilestore import REF_PREFIX
+
+WORDS = (
+    "the quick brown fox jumps over lazy dog a span of text about rasters "
+    "tiles cells masks nodata joins polygons rings levels hilbert curves "
+    "streams batches arrows buffers shuffles actors lineage manifests"
+).split()
+
+SPANS_TYPE = pa.list_(
+    pa.struct(
+        [
+            ("kind", pa.string()),
+            ("text", pa.string()),
+            ("media_ref", pa.string()),
+            ("offset", pa.int32()),
+        ]
+    )
+)
+DOC_SCHEMA = pa.schema([("doc_id", pa.string()), ("spans", SPANS_TYPE)])
+
+
+def _doc_spans(doc_index: int) -> List[dict]:
+    """Deterministic spans for one document (seeded by the doc index alone,
+    so any fragmenting of the generation reproduces identical rows)."""
+    h = hashlib.blake2b(str(doc_index).encode(), digest_size=16).digest()
+    n_spans = 1 + h[0] % 8
+    spans = []
+    offset = 0
+    for j in range(n_spans):
+        b = h[(j + 1) % 16]
+        is_media = (b % 10) < 3  # ~30% media spans
+        if is_media:
+            k = doc_index * 16 + j
+            # ~20% of media spans point at shared "hot" tiles (dedup fixture)
+            seed = (k % 997) if (b % 5 == 0) else k
+            spans.append(
+                {
+                    "kind": "media",
+                    "text": "",
+                    "media_ref": f"{REF_PREFIX}{seed}",
+                    "offset": offset,
+                }
+            )
+            offset += 1
+        else:
+            nw = 3 + (b % 10)
+            words = [WORDS[(doc_index + j * 7 + w * 13) % len(WORDS)] for w in range(nw)]
+            text = " ".join(words)
+            spans.append(
+                {"kind": "text", "text": text, "media_ref": "", "offset": offset}
+            )
+            offset += len(text) + 1
+    return spans
+
+
+def generate_interleaved_docs(
+    out_dir: str, n_docs: int, n_fragments: int = 4, force: bool = False
+) -> str:
+    """Write the interleaved-document table as Parquet fragments (idempotent:
+    skips fragments that already exist unless ``force``)."""
+    os.makedirs(out_dir, exist_ok=True)
+    per = (n_docs + n_fragments - 1) // n_fragments
+    for f in range(n_fragments):
+        path = os.path.join(out_dir, f"fragment={f}.parquet")
+        if os.path.exists(path) and not force:
+            continue
+        lo, hi = f * per, min((f + 1) * per, n_docs)
+        doc_ids = [f"doc-{i:012d}" for i in range(lo, hi)]
+        spans = [_doc_spans(i) for i in range(lo, hi)]
+        tbl = pa.table(
+            {"doc_id": doc_ids, "spans": pa.array(spans, type=SPANS_TYPE)},
+            schema=DOC_SCHEMA,
+        )
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)  # atomic publish
+    return out_dir
+
+
+def read_documents(path: str, **kwargs):
+    """Documents directory/file → ray Dataset (Lance when importable, else
+    the Parquet-fragment adapter with the identical logical schema)."""
+    import ray.data as rd
+
+    try:  # pragma: no cover - lance absent in this sandbox
+        import lance  # noqa: F401
+
+        return rd.read_lance(path, **kwargs)
+    except ImportError:
+        return rd.read_parquet(path, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# span utilities (vectorized over Arrow list<struct> columns)
+# ---------------------------------------------------------------------------
+
+def _spans_parts(spans: pa.ChunkedArray):
+    """Flatten a spans column → (parent_indices, kind, text, media_ref, offset)."""
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+    flat = spans.flatten()
+    return (
+        parent,
+        flat.field("kind"),
+        flat.field("text"),
+        flat.field("media_ref"),
+        flat.field("offset"),
+    )
+
+
+def span_digests(batch: pa.Table) -> pa.Table:
+    """Per-doc blake2b digest over the ordered (kind, text, media_ref)
+    sequence — the span-sequence-equality invariant snapshot."""
+    parent, kind, text, ref, _ = _spans_parts(batch["spans"])
+    # one bytes blob per span, vectorized join via Arrow
+    blobs = pc.binary_join_element_wise(kind, text, ref, "\x1f")
+    blobs = blobs.to_pylist()
+    n = batch.num_rows
+    digests = []
+    start = 0
+    counts = np.bincount(parent, minlength=n)
+    for d in range(n):
+        h = hashlib.blake2b(digest_size=16)
+        for j in range(start, start + counts[d]):
+            h.update(blobs[j].encode())
+            h.update(b"\x1e")
+        digests.append(h.hexdigest())
+        start += counts[d]
+    return pa.table(
+        {"doc_id": batch["doc_id"], "span_digest": pa.array(digests, pa.string())}
+    )
+
+
+def explode_media_spans(batch: pa.Table) -> pa.Table:
+    """spans list<struct> → one row per media span: (doc_id, span_idx,
+    media_ref). Pure Arrow kernels; span order is preserved via span_idx so
+    the sequence invariant can be re-verified downstream."""
+    spans = batch["spans"]
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    parent = pc.list_parent_indices(spans)
+    flat = spans.flatten()
+    # span index within each doc = global flat position − doc's list offset
+    parent_np = parent.to_numpy(zero_copy_only=False)
+    offsets = np.asarray(spans.offsets)
+    span_idx = np.arange(len(parent_np), dtype=np.int32) - offsets[parent_np].astype(
+        np.int32
+    )
+    doc_ids = pc.take(batch["doc_id"], parent)
+    tbl = pa.table(
+        {
+            "doc_id": doc_ids,
+            "span_idx": pa.array(span_idx, pa.int32()),
+            "media_ref": flat.field("media_ref"),
+            "kind": flat.field("kind"),
+        }
+    )
+    tbl = tbl.filter(pc.equal(tbl["kind"], "media"))
+    return tbl.drop_columns(["kind"])

@@ -1,0 +1,65 @@
+"""Synthetic vector footprint polygons (spatial-join small side).
+
+~200 deterministic polygons (FIXTURES.md §3): tiny sub-tile ones,
+tile-sized ones, and large multi-cell ones; several concentrated in the
+dense city boxes; degenerate cases included (polygon containing no tile,
+tiles containing whole polygons). Closed simple CCW rings, 4–12 vertices.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from raycells.io.tilestore import CITY_CENTERS
+
+RING_TYPE = pa.list_(pa.struct([("x", pa.float64()), ("y", pa.float64())]))
+SCHEMA = pa.schema(
+    [("footprint_id", pa.string()), ("ring", RING_TYPE), ("category", pa.string())]
+)
+
+CATEGORIES = ("park", "industrial", "residential", "water")
+
+
+def _convex_ring(rng: np.random.Generator, cx: float, cy: float, radius: float):
+    """Simple CCW polygon: sorted random angles around a center."""
+    n = int(rng.integers(4, 13))
+    ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+    r = radius * rng.uniform(0.5, 1.0, n)
+    xs = cx + r * np.cos(ang)
+    ys = np.clip(cy + r * np.sin(ang), -89.9, 89.9)
+    return np.stack([xs, ys], axis=1)
+
+
+def generate_footprints(n: int = 200, seed: int = 42) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    ids, rings, cats = [], [], []
+    for i in range(n):
+        kind = i % 4
+        if kind < 2:  # concentrated in the dense city boxes
+            cx, cy = CITY_CENTERS[i % 3]
+            cx += rng.uniform(-1, 1)
+            cy += rng.uniform(-1, 1)
+        else:  # global
+            cx = rng.uniform(-179, 179)
+            cy = rng.uniform(-84, 84)
+        if i % 5 == 0:
+            radius = 0.002  # tiny: smaller than one tile
+        elif i % 5 in (1, 2):
+            radius = 0.05  # tile-sized
+        else:
+            radius = rng.uniform(0.5, 3.0)  # large: covers many cells
+        ring = _convex_ring(rng, cx, cy, radius)
+        ids.append(f"fp-{i:05d}")
+        rings.append([{"x": float(x), "y": float(y)} for x, y in ring])
+        cats.append(CATEGORIES[i % len(CATEGORIES)])
+    return pa.table({"footprint_id": ids, "ring": rings, "category": cats}, schema=SCHEMA)
+
+
+def rings_as_numpy(tbl: pa.Table):
+    """→ list of (V, 2) float64 arrays plus ids/categories (broadcast form)."""
+    out = []
+    for row in tbl.to_pylist():
+        ring = np.array([[p["x"], p["y"]] for p in row["ring"]], dtype=np.float64)
+        out.append((row["footprint_id"], row["category"], ring))
+    return out

@@ -1,0 +1,264 @@
+"""Deterministic synthetic tile store: ``media_ref`` → raster tile.
+
+Plays the role of the reference's GDAL raster-band reader
+(`/root/reference/src/gdal/rasterband.rs:37-126` — ``read_cells`` /
+``read_cells_masked``): resolve a reference to a typed cell buffer plus a
+validity mask derived from a nodata sentinel. There is no GDAL in this
+environment, so tiles are synthesized deterministically from the
+``media_ref`` alone — the same ref always yields the same tile, on any
+worker, after any retry (idempotence under Ray task retries).
+
+Two tile families:
+
+- **Band tiles** (``synth_band``): fixed uint16, nodata sentinel 0, values
+  from *pure int64 arithmetic* (LCG mod 65520) — deliberately expressible
+  in ANSI SQL so DuckDB oracles can verify the whole decode→kernel→agg
+  pipeline value-for-value (see ``__ray_entry__.oracle_sql``).
+- **Erased tiles** (``synth_tiles``): cell type drawn per-seed from a
+  weighted distribution over all 10 cell types (UInt16/Float32-heavy,
+  FIXTURES.md §2), default nodata sentinel per type (MIN for ints, NaN
+  for floats — nodata.rs:27-38), ~3% masked cells, one 186×169 shape
+  fixture per 101 seeds mirroring the bundled Landsat chips.
+
+Geo extents use integer arithmetic too: 60% of tiles land inside 3 dense
+"city" boxes (skew for salting tests), the rest spread globally.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from raycells.cells.ctype import CELL_TYPES, CellType
+
+# ---- tile geometry constants (shared with the SQL oracles) ----
+TILE_W = 64
+TILE_H = 64
+TILE_N = TILE_W * TILE_H  # 4096
+BIG_SHAPE = (186, 169)  # Landsat-chip fixture shape (rasterband.rs:180-183)
+
+# value LCG constants — int64-safe for any seed < ~3.4e9
+MUL_A = 2654435761
+MUL_I = 40503
+VAL_MOD = 65520  # band values in 1..65520, nodata sentinel 0
+MASK_MOD = 33  # ~3% of cells masked: (seed + i*7) % 33 == 0
+MASK_MUL = 7
+
+# extent constants
+CITY_CENTERS = ((-74.0, 40.7), (2.35, 48.85), (139.7, 35.7))  # NYC, Paris, Tokyo
+CITY_FRAC_MOD = 10  # seed % 10 < 6 → in a city (60% skew)
+CITY_CUT = 6
+TILE_HALF_DEG = 0.005  # tile extent is centroid ± 0.005°
+
+# weighted cell-type distribution for erased tiles (UInt16/Float32 heavy)
+TYPE_WHEEL = (1, 8, 1, 8, 0, 1, 8, 5, 2, 9)  # indices into CellType declaration order
+
+REF_PREFIX = "tile://"
+
+
+def seed_of_refs(refs: pa.Array) -> np.ndarray:
+    """Vectorized ``media_ref`` → int64 seed.
+
+    ``tile://<n>`` parses the integer directly (the fast path and the
+    SQL-checkable one); any other string hashes via blake2b-64.
+    """
+    if isinstance(refs, pa.ChunkedArray):
+        refs = refs.combine_chunks()
+    tails = pc.utf8_slice_codeunits(refs, len(REF_PREFIX))
+    try:
+        return pc.cast(tails, pa.int64()).to_numpy(zero_copy_only=False)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        out = np.empty(len(refs), dtype=np.int64)
+        for k, r in enumerate(refs.to_pylist()):
+            t = r[len(REF_PREFIX):] if r.startswith(REF_PREFIX) else r
+            if t.isdigit():
+                out[k] = int(t)
+            else:
+                out[k] = int.from_bytes(
+                    hashlib.blake2b(r.encode(), digest_size=8).digest(), "big"
+                ) >> 1
+        return out
+
+
+# ---------------------------------------------------------------------------
+# band tiles (uint16, SQL-reproducible)
+# ---------------------------------------------------------------------------
+
+def synth_band_values(seeds: np.ndarray, band: int, n: int = TILE_N) -> np.ndarray:
+    """(len(seeds), n) uint16 band values; 0 = nodata sentinel.
+
+    SQL equivalent per (seed s, cell i):
+        v = CASE WHEN (s + i*7) % 33 = 0 THEN 0
+            ELSE 1 + (s*2654435761 + (i + band*101)*40503) % 65520 END
+    """
+    s = np.asarray(seeds, dtype=np.int64)[:, None]
+    i = np.arange(n, dtype=np.int64)[None, :]
+    v = 1 + (s * MUL_A + (i + band * 101) * MUL_I) % VAL_MOD
+    v[(s + i * MASK_MUL) % MASK_MOD == 0] = 0
+    return v.astype(np.uint16)
+
+
+def synth_band(seeds: np.ndarray, band: int) -> Dict[str, np.ndarray]:
+    """Decode a batch of band tiles → columns of data bytes + mask bytes."""
+    v = synth_band_values(seeds, band)
+    mask = v != 0
+    return {"values": v, "mask": mask}
+
+
+# ---------------------------------------------------------------------------
+# extents (SQL-reproducible integer arithmetic)
+# ---------------------------------------------------------------------------
+
+def centroids(seeds: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Tile centroid (lon, lat) per seed; 60% inside 3 dense city boxes.
+
+    SQL equivalent:
+      lon = CASE WHEN s % 10 < 6 THEN clon(s%3) + ((s*31) % 2000 - 1000)/1000.0
+                 ELSE ((s*9973) % 360000)/1000.0 - 180.0 END
+      (lat analogous with 57 / 7919 / 170000 and -85.)
+    """
+    s = np.asarray(seeds, dtype=np.int64)
+    in_city = (s % CITY_FRAC_MOD) < CITY_CUT
+    c = s % 3
+    clon = np.array([cc[0] for cc in CITY_CENTERS])[c]
+    clat = np.array([cc[1] for cc in CITY_CENTERS])[c]
+    city_lon = clon + ((s * 31) % 2000 - 1000) / 1000.0
+    city_lat = clat + ((s * 57) % 2000 - 1000) / 1000.0
+    glob_lon = ((s * 9973) % 360000) / 1000.0 - 180.0
+    glob_lat = ((s * 7919) % 170000) / 1000.0 - 85.0
+    lon = np.where(in_city, city_lon, glob_lon)
+    lat = np.where(in_city, city_lat, glob_lat)
+    return lon, lat
+
+
+def extents(seeds: np.ndarray):
+    lon, lat = centroids(seeds)
+    return {
+        "lon": lon,
+        "lat": lat,
+        "minx": lon - TILE_HALF_DEG,
+        "miny": lat - TILE_HALF_DEG,
+        "maxx": lon + TILE_HALF_DEG,
+        "maxy": lat + TILE_HALF_DEG,
+    }
+
+
+# ---------------------------------------------------------------------------
+# erased tiles (all 10 cell types, runtime-dynamic)
+# ---------------------------------------------------------------------------
+
+def tile_cell_types(seeds: np.ndarray) -> np.ndarray:
+    """Cell-type index per seed (weighted wheel)."""
+    wheel = np.array(TYPE_WHEEL, dtype=np.int64)
+    return wheel[np.asarray(seeds, dtype=np.int64) % len(wheel)]
+
+
+def tile_shapes(seeds: np.ndarray) -> np.ndarray:
+    """(len, 2) int32 shapes; 1-in-101 tiles use the 186×169 fixture shape."""
+    s = np.asarray(seeds, dtype=np.int64)
+    big = (s % 101) == 0
+    shapes = np.empty((len(s), 2), dtype=np.int32)
+    shapes[:, 0] = np.where(big, BIG_SHAPE[0], TILE_H)
+    shapes[:, 1] = np.where(big, BIG_SHAPE[1], TILE_W)
+    return shapes
+
+
+def _typed_values(raw: np.ndarray, ct: CellType) -> np.ndarray:
+    """Map raw LCG values (int64, 0..65520) into the target cell type's range."""
+    if ct is CellType.UInt8:
+        return (raw % 251).astype(np.uint8) + 1  # 1..251, sentinel 0 free
+    if ct is CellType.Int8:
+        return (raw % 200 - 100).astype(np.int8)  # −100..99, sentinel −128 free
+    if ct is CellType.UInt16:
+        return (raw % VAL_MOD).astype(np.uint16) + 1
+    if ct is CellType.Int16:
+        return (raw % 60000 - 30000).astype(np.int16)
+    if ct is CellType.UInt32 or ct is CellType.UInt64:
+        return (raw * 65537 + 1).astype(ct.dtype)
+    if ct is CellType.Int32 or ct is CellType.Int64:
+        return ((raw - 32760) * 65537).astype(ct.dtype)
+    # floats: fractional values in (0, 1]
+    return ((raw + 1) / 65521.0).astype(ct.dtype)
+
+
+def synth_tiles(seeds: np.ndarray) -> Dict[str, list]:
+    """Decode a batch of erased tiles.
+
+    Returns equal-length columns: ``data`` (bytes, native little-endian
+    C-order payload — the moral equivalent of the reference's type-erased
+    ``CellBuffer`` memory), ``mask`` (bit-packed validity bytes),
+    ``cell_type`` (reference spelling), ``nrows``/``ncols``, ``nodata``
+    (float64 sentinel or None for NaN-default floats), plus extent columns.
+    """
+    s = np.asarray(seeds, dtype=np.int64)
+    ct_idx = tile_cell_types(s)
+    shapes = tile_shapes(s)
+    ext = extents(s)
+
+    data = [None] * len(s)
+    masks = [None] * len(s)
+    cts = [None] * len(s)
+    nodatas = [None] * len(s)
+    # vectorize per (cell_type, shape) group — at most 20 groups per batch
+    big = (shapes[:, 0] != TILE_H)
+    for ci in np.unique(ct_idx):
+        ct = CELL_TYPES[ci]
+        sentinel = ct.default_nodata()
+        nd = float(sentinel) if ct.is_integral else None
+        for is_big in (False, True):
+            sel = np.nonzero((ct_idx == ci) & (big == is_big))[0]
+            if sel.size == 0:
+                continue
+            n = (BIG_SHAPE[0] * BIG_SHAPE[1]) if is_big else TILE_N
+            ss = s[sel][:, None]
+            i = np.arange(n, dtype=np.int64)[None, :]
+            raw = (ss * MUL_A + i * MUL_I) % 65521
+            vals = _typed_values(raw, ct)
+            invalid = (ss + i * MASK_MUL) % MASK_MOD == 0
+            vals[invalid] = sentinel
+            valid = ~invalid
+            packed = np.packbits(valid, axis=1, bitorder="little")
+            for g, k in enumerate(sel):
+                data[k] = vals[g].tobytes()
+                masks[k] = packed[g].tobytes()
+                cts[k] = ct.name
+                nodatas[k] = nd
+
+    return {
+        "data": data,
+        "mask": masks,
+        "cell_type": cts,
+        "nrows": shapes[:, 0],
+        "ncols": shapes[:, 1],
+        "nodata": nodatas,
+        **ext,
+    }
+
+
+def tile_schema() -> pa.Schema:
+    """Arrow schema for decoded erased tiles crossing stage boundaries
+    (SURVEY.md §7.3: binary payload + dtype tag + shape keeps the buffer in
+    its native encoding; numpy views it zero-copy via ``.view(dtype)``)."""
+    return pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("span_idx", pa.int32()),
+            ("media_ref", pa.string()),
+            ("data", pa.large_binary()),
+            ("mask", pa.large_binary()),
+            ("cell_type", pa.string()),
+            ("nrows", pa.int32()),
+            ("ncols", pa.int32()),
+            ("nodata", pa.float64()),
+            ("lon", pa.float64()),
+            ("lat", pa.float64()),
+            ("minx", pa.float64()),
+            ("miny", pa.float64()),
+            ("maxx", pa.float64()),
+            ("maxy", pa.float64()),
+        ]
+    )

@@ -1,0 +1,180 @@
+"""Engine tests (one shared Ray session): flagship pipeline end-to-end,
+spatial join vs brute-force oracle, salted aggregation vs plain pandas
+oracle, checkpoint/resume equivalence."""
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from raycells.engine import checkpoint, pipeline, shuffle, stages
+from raycells.geo import cellid
+from raycells.geo.pip import points_in_polygon
+from raycells.io import docsource, tilestore
+from raycells.io.footprints import generate_footprints, rings_as_numpy
+
+
+@pytest.fixture(scope="module")
+def docs_dir(tmp_path_factory, ray_session):
+    d = str(tmp_path_factory.mktemp("docs"))
+    docsource.generate_interleaved_docs(d, 300, n_fragments=3)
+    return d
+
+
+def _oracle_tiles(docs_dir):
+    """Brute-force single-process oracle: explode + decode + stats."""
+    rows = []
+    for f in checkpoint.fragment_paths(docs_dir):
+        for row in pq.read_table(f).to_pylist():
+            for j, sp in enumerate(row["spans"]):
+                if sp["kind"] == "media":
+                    rows.append((row["doc_id"], j, sp["media_ref"]))
+    import pyarrow as pa
+
+    seeds = tilestore.seed_of_refs(pa.array([r[2] for r in rows]))
+    lon, lat = tilestore.centroids(seeds)
+    return pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "media_ref": [r[2] for r in rows],
+            "seed": seeds,
+            "lon": lon,
+            "lat": lat,
+        }
+    )
+
+
+def test_flagship_agg_matches_oracle(docs_dir, ray_session):
+    agg = pipeline.flagship(docs_dir, with_join=False).to_pandas()
+    oracle = _oracle_tiles(docs_dir)
+    cells = cellid.encode(oracle["lon"].values, oracle["lat"].values, pipeline.DEFAULT_LEVEL)
+    expect_tiles = pd.Series(cells).value_counts()
+    got = agg.set_index("cell_id")["n_tiles"]
+    assert got.sort_index().to_dict() == expect_tiles.sort_index().to_dict()
+    # total tile count conserved
+    assert agg["n_tiles"].sum() == len(oracle)
+
+
+def test_spatial_join_matches_bruteforce(docs_dir, ray_session):
+    fps = generate_footprints(60)
+    # 4-CPU test session: 1 decode actor + 1 join actor leaves CPUs for tasks
+    ds = pipeline.cellid_stage(
+        pipeline.stats_stage(
+            pipeline.decode_stage(
+                pipeline.explode_stage(pipeline.read_docs(docs_dir)), concurrency=1
+            )
+        )
+    )
+    joined = pipeline.join_stage(ds, footprints_table=fps, concurrency=1).to_pandas()
+    got = set(zip(joined["media_ref"], joined["doc_id"], joined["footprint_id"]))
+
+    oracle = _oracle_tiles(docs_dir)
+    expect = set()
+    for fid, cat, ring in rings_as_numpy(fps):
+        hit = points_in_polygon(oracle["lon"].values, oracle["lat"].values, ring)
+        for _, r in oracle[hit].iterrows():
+            expect.add((r["media_ref"], r["doc_id"], fid))
+    assert got == expect
+    assert len(expect) > 0  # fixture actually exercises the join
+
+
+def test_salted_agg_matches_unsalted(docs_dir, ray_session):
+    stats = pipeline.cellid_stage(
+        pipeline.stats_stage(
+            pipeline.decode_stage(
+                pipeline.explode_stage(pipeline.read_docs(docs_dir)), concurrency=2
+            )
+        )
+    )
+    df = stats.to_pandas()
+    expect = (
+        df.groupby("cell_id")
+        .agg(
+            n_tiles=("mean_val", "size"),
+            valid_count=("valid_count", "sum"),
+            min_val=("min_val", "min"),
+            max_val=("max_val", "max"),
+            avg_tile_mean=("mean_val", "mean"),
+        )
+        .reset_index()
+    )
+    got = (
+        shuffle.salted_cell_aggregate(stats, key="cell_id")
+        .to_pandas()
+        .sort_values("cell_id")
+        .reset_index(drop=True)
+    )
+    expect = expect.sort_values("cell_id").reset_index(drop=True)
+    assert np.array_equal(got["cell_id"].values, expect["cell_id"].values)
+    assert np.array_equal(got["n_tiles"].values, expect["n_tiles"].values)
+    assert np.array_equal(got["valid_count"].values, expect["valid_count"].values)
+    assert np.allclose(got["avg_tile_mean"].values, expect["avg_tile_mean"].values)
+    assert np.array_equal(got["min_val"].values, expect["min_val"].values)
+
+
+def test_checkpoint_resume_byte_identical(docs_dir, ray_session, tmp_path):
+    """Kill-between-fragments / restart: output set must be identical."""
+    out_a = str(tmp_path / "run_a")
+    out_b = str(tmp_path / "run_b")
+
+    def process(frag, frag_out):
+        ds = pipeline.stats_stage(
+            pipeline.decode_stage(
+                pipeline.explode_stage(pipeline.read_docs(frag)), concurrency=2
+            )
+        )
+        df = ds.to_pandas().sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+        os.makedirs(frag_out, exist_ok=True)
+        df.to_parquet(os.path.join(frag_out, "part-0.parquet"))
+        return {"tiles": len(df)}
+
+    # run A: all fragments in one go
+    res_a = checkpoint.run_fragments(docs_dir, out_a, process)
+    assert len(res_a["done"]) == 3
+
+    # run B: same thing, then verify resume is a no-op
+    checkpoint.run_fragments(docs_dir, out_b, process)
+    res_b2 = checkpoint.run_fragments(docs_dir, out_b, process)
+    assert res_b2["done"] == [] and len(res_b2["skipped"]) == 3
+
+    for k in range(3):
+        a = pq.read_table(os.path.join(out_a, f"fragment={k}", "part-0.parquet"))
+        b = pq.read_table(os.path.join(out_b, f"fragment={k}", "part-0.parquet"))
+        assert a.equals(b)
+
+
+def test_partial_resume_skips_done(docs_dir, tmp_path, ray_session):
+    out = str(tmp_path / "run_c")
+    frags = checkpoint.fragment_paths(docs_dir)
+    calls = []
+
+    def proc_fail_after_first(frag, frag_out):
+        calls.append(frag)
+        if len(calls) == 2:
+            raise RuntimeError("simulated crash")
+        os.makedirs(frag_out, exist_ok=True)
+        with open(os.path.join(frag_out, "out.txt"), "w") as f:
+            f.write("x")
+        return {}
+
+    with pytest.raises(RuntimeError):
+        checkpoint.run_fragments(docs_dir, out, proc_fail_after_first)
+    assert checkpoint.pending_fragments(docs_dir, out) == frags[1:]
+
+    def proc_ok(frag, frag_out):
+        calls.append(frag)
+        os.makedirs(frag_out, exist_ok=True)
+        with open(os.path.join(frag_out, "out.txt"), "w") as f:
+            f.write("x")
+        return {}
+
+    res = checkpoint.run_fragments(docs_dir, out, proc_ok)
+    assert res["skipped"] == [os.path.basename(frags[0])]
+    assert checkpoint.pending_fragments(docs_dir, out) == []
+
+
+def test_verify_span_invariant(docs_dir, ray_session):
+    assert pipeline.verify_span_invariant(docs_dir)

@@ -1,0 +1,219 @@
+"""Geo-kernel tests: Hilbert cell-id round trips/hierarchy, PIP vs
+brute-force oracle, kNN ring expansion vs exact all-pairs, rasterize ↔
+vectorize round trip (FIXTURES.md §6)."""
+
+import numpy as np
+import pytest
+
+from raycells.geo import cellid, knn, pip, raster
+
+
+# ---- Hilbert curve ----
+
+def test_hilbert_round_trip():
+    rng = np.random.default_rng(42)
+    for level in (1, 2, 5, 12, 30):
+        n = 1 << level
+        x = rng.integers(0, n, 200).astype(np.uint64)
+        y = rng.integers(0, n, 200).astype(np.uint64)
+        d = cellid.xy2d(level, x, y)
+        x2, y2 = cellid.d2xy(level, d)
+        assert np.array_equal(x, x2) and np.array_equal(y, y2)
+
+
+def test_hilbert_level1_order():
+    # canonical level-1 Hilbert: (0,0)=0, (0,1)=1, (1,1)=2, (1,0)=3
+    x = np.array([0, 0, 1, 1], dtype=np.uint64)
+    y = np.array([0, 1, 1, 0], dtype=np.uint64)
+    assert list(cellid.xy2d(1, x, y)) == [0, 1, 2, 3]
+
+
+def test_hilbert_locality():
+    # consecutive d values are grid-adjacent (the whole point of Hilbert)
+    level = 6
+    d = np.arange(4**level, dtype=np.uint64)
+    x, y = cellid.d2xy(level, d)
+    dist = np.abs(np.diff(x.astype(np.int64))) + np.abs(np.diff(y.astype(np.int64)))
+    assert dist.max() == 1
+
+
+# ---- cell ids ----
+
+def test_encode_level_round_trip():
+    lon = np.array([-74.0, 2.35, 139.7, 0.0, -179.9, 179.9])
+    lat = np.array([40.7, 48.85, 35.7, 0.0, -89.9, 89.9])
+    for level in (0, 3, 12, 30):
+        ids = cellid.encode(lon, lat, level)
+        assert np.all(cellid.level_of(ids) == level)
+        dlon, dlat, dlev = cellid.decode(ids)
+        # decoded center within one cell of the input
+        assert np.all(np.abs(dlon - lon) <= 360.0 / (1 << level) if level else True)
+        assert np.all(dlev == level)
+
+
+def test_parent_child():
+    ids = cellid.encode(np.array([-74.0]), np.array([40.7]), 12)
+    p = cellid.parent(ids)
+    assert cellid.level_of(p)[0] == 11
+    # encoding at level 11 directly gives the same parent
+    direct = cellid.encode(np.array([-74.0]), np.array([40.7]), 11)
+    assert p[0] == direct[0]
+    # children of parent include the original
+    kids = cellid.children(int(p[0]))
+    assert np.all(cellid.level_of(kids) == 12)
+    assert int(ids[0]) in set(int(k) for k in kids)
+    # parent is a prefix relation: containment via range
+    assert cellid.parent(ids, 12 - 5)[0] == cellid.encode(np.array([-74.0]), np.array([40.7]), 5)[0]
+
+
+def test_ring():
+    c = cellid.encode(np.array([10.0]), np.array([20.0]), 8)[0]
+    r0 = cellid.ring(int(c), 0, 8)
+    assert list(r0) == [int(c)]
+    r1 = cellid.ring(int(c), 1, 8)
+    assert len(r1) == 8
+    r2 = cellid.ring(int(c), 2, 8)
+    assert len(r2) == 16
+    # all ring-1 cells decode to adjacent grid coords
+    x, y = cellid._xy_of(np.array([c], dtype=np.uint64), 8)
+    rx, ry = cellid._xy_of(r1, 8)
+    assert np.max(np.abs(rx.astype(int) - int(x[0]))) == 1
+    assert np.max(np.abs(ry.astype(int) - int(y[0]))) == 1
+
+
+def test_ring_wraps_longitude():
+    # cell at the antimeridian: ring must wrap x, not fall off
+    c = cellid.encode(np.array([-179.95]), np.array([0.0]), 8)[0]
+    r1 = cellid.ring(int(c), 1, 8)
+    assert len(r1) == 8
+
+
+def test_grid_cell_sql_parity():
+    lon = np.array([-74.0, 2.35])
+    lat = np.array([40.7, 48.85])
+    g = cellid.grid_cell(lon, lat)
+    expect = np.floor((lat + 90) / 0.25).astype(int) * 1440 + np.floor(
+        (lon + 180) / 0.25
+    ).astype(int)
+    assert np.array_equal(g, expect)
+
+
+# ---- PIP ----
+
+def test_pip_square():
+    ring = np.array([[0, 0], [10, 0], [10, 10], [0, 10]])
+    px = np.array([5.0, 15.0, -1.0, 9.99, 0.5])
+    py = np.array([5.0, 5.0, 5.0, 9.99, 0.5])
+    assert list(pip.points_in_polygon(px, py, ring)) == [True, False, False, True, True]
+
+
+def test_pip_concave_vs_oracle():
+    # concave "C" shape; oracle = matplotlib-free slow scalar ray cast
+    ring = np.array([[0, 0], [10, 0], [10, 3], [3, 3], [3, 7], [10, 7], [10, 10], [0, 10]])
+    rng = np.random.default_rng(7)
+    px = rng.uniform(-2, 12, 500)
+    py = rng.uniform(-2, 12, 500)
+
+    def slow_pip(x, y):
+        inside = False
+        v = ring
+        n = len(v)
+        for i in range(n):
+            x1, y1 = v[i]
+            x2, y2 = v[(i + 1) % n]
+            if (y1 > y) != (y2 > y):
+                xi = x1 + (y - y1) / (y2 - y1) * (x2 - x1)
+                if x < xi:
+                    inside = not inside
+        return inside
+
+    got = pip.points_in_polygon(px, py, ring)
+    expect = np.array([slow_pip(x, y) for x, y in zip(px, py)])
+    assert np.array_equal(got, expect)
+
+
+def test_pip_closed_ring_same_as_open():
+    ring_open = np.array([[0, 0], [4, 0], [4, 4], [0, 4]])
+    ring_closed = np.vstack([ring_open, ring_open[:1]])
+    px, py = np.array([2.0]), np.array([2.0])
+    assert pip.points_in_polygon(px, py, ring_open)[0]
+    assert pip.points_in_polygon(px, py, ring_closed)[0]
+
+
+def test_polygon_cell_cover_contains_centroid_cell():
+    ring = np.array([[-74.5, 40.2], [-73.5, 40.2], [-73.5, 41.2], [-74.5, 41.2]])
+    cover = pip.polygon_cell_cover(ring, 8)
+    c = cellid.encode(np.array([-74.0]), np.array([40.7]), 8)[0]
+    assert int(c) in set(int(v) for v in cover)
+
+
+# ---- kNN ----
+
+def test_knn_matches_brute_force():
+    rng = np.random.default_rng(42)
+    n = 2000
+    # skewed: half clustered, half global (mirrors tile extents)
+    lon = np.concatenate([rng.normal(-74, 0.5, n // 2), rng.uniform(-180, 180, n // 2)])
+    lat = np.concatenate([rng.normal(40.7, 0.5, n // 2), rng.uniform(-85, 85, n // 2)])
+    keys = np.arange(n)
+    index = knn.KnnIndex(lon, lat, keys, level=7)
+    qlon = np.array([-74.0, 0.0, 170.0, -73.8])
+    qlat = np.array([40.7, 0.0, -60.0, 40.5])
+    for k in (1, 3, 5):
+        bf_idx, bf_d = knn.brute_force_knn(qlon, qlat, lon, lat, k)
+        got_idx, got_d = index.query(qlon, qlat, k)
+        for q in range(len(qlon)):
+            assert list(got_idx[q]) == list(bf_idx[q]), (q, k)
+
+
+def test_knn_fewer_points_than_k():
+    lon, lat = np.array([1.0, 2.0]), np.array([1.0, 2.0])
+    index = knn.KnnIndex(lon, lat, np.arange(2), level=5)
+    idx, d = index.query_one(0.0, 0.0, 5)
+    assert len(idx) == 2
+
+
+# ---- rasterize / vectorize ----
+
+def test_rasterize_square():
+    ring = np.array([[2.0, 2.0], [6.0, 2.0], [6.0, 6.0], [2.0, 6.0]])
+    m = raster.rasterize(ring, (0, 0, 8, 8), (8, 8))
+    assert m.sum() == 16  # cell centers 2.5..5.5 in both axes
+    assert m[2:6, 2:6].all()
+
+
+def test_connected_components():
+    m = np.zeros((6, 6), dtype=bool)
+    m[0:2, 0:2] = True
+    m[4:6, 4:6] = True
+    m[0, 5] = True
+    labels, n = connected = raster.connected_components(m)
+    assert n == 3
+    assert labels[0, 0] == labels[1, 1]
+    assert labels[4, 4] == labels[5, 5]
+    assert labels[0, 0] != labels[4, 4] != labels[0, 5]
+
+
+def test_vectorize_rasterize_round_trip():
+    vals = np.zeros((10, 10), dtype=np.uint8)
+    vals[2:5, 3:8] = 7
+    vals[6:9, 1:3] = 9
+    regions = raster.vectorize(vals)
+    by_val = {r["value"]: r for r in regions if r["value"] != 0}
+    assert by_val[7]["cell_count"] == 15
+    assert by_val[9]["cell_count"] == 6
+    # round trip: rasterizing each region's ring over the same grid
+    # reproduces the region mask exactly
+    for v, r in by_val.items():
+        ring = r["ring"].astype(np.float64)  # cell-edge coords == grid coords
+        m = raster.rasterize(ring, (0, 0, 10, 10), (10, 10))
+        assert np.array_equal(m, vals == v), v
+
+
+def test_vectorize_respects_mask():
+    vals = np.ones((4, 4), dtype=np.uint8)
+    mask = np.zeros((4, 4), dtype=bool)
+    mask[0:2, 0:2] = True
+    regions = raster.vectorize(vals, mask)
+    assert len(regions) == 1
+    assert regions[0]["cell_count"] == 4

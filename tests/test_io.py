@@ -1,0 +1,127 @@
+"""IO-layer tests: deterministic tile store, interleaved-doc generation,
+span explode vs a brute-force oracle, digest stability."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from raycells.cells import kernels
+from raycells.cells.ctype import CellType
+from raycells.io import docsource, tilestore
+from raycells.io.footprints import generate_footprints, rings_as_numpy
+
+
+def test_seed_of_refs_numeric_and_hashed():
+    refs = pa.array(["tile://5", "tile://123456"])
+    s = tilestore.seed_of_refs(refs)
+    assert list(s) == [5, 123456]
+    refs2 = pa.array(["tile://abc", "tile://5"])
+    s2 = tilestore.seed_of_refs(refs2)
+    assert s2[1] == 5 and s2[0] != 5  # hashed fallback, deterministic
+    s3 = tilestore.seed_of_refs(refs2)
+    assert np.array_equal(s2, s3)
+
+
+def test_band_values_deterministic_and_sql_formula():
+    seeds = np.array([0, 1, 997, 123456])
+    v = tilestore.synth_band_values(seeds, band=4)
+    assert v.shape == (4, tilestore.TILE_N)
+    # SQL-parity formula check, scalar
+    for si, s in enumerate(seeds):
+        for i in (0, 1, 63, 4095):
+            if (s + i * 7) % 33 == 0:
+                expect = 0
+            else:
+                expect = 1 + (s * 2654435761 + (i + 4 * 101) * 40503) % 65520
+            assert v[si, i] == expect, (s, i)
+    # deterministic across calls
+    assert np.array_equal(v, tilestore.synth_band_values(seeds, band=4))
+
+
+def test_centroid_skew():
+    seeds = np.arange(10000)
+    lon, lat = tilestore.centroids(seeds)
+    in_city = np.zeros(len(seeds), dtype=bool)
+    for clon, clat in tilestore.CITY_CENTERS:
+        in_city |= (np.abs(lon - clon) <= 1.0) & (np.abs(lat - clat) <= 1.0)
+    assert in_city.mean() > 0.55  # 60% skew into the dense boxes
+
+
+def test_synth_tiles_erased_types():
+    seeds = np.arange(64)
+    t = tilestore.synth_tiles(seeds)
+    # weighted wheel: UInt16 and Float32 dominate
+    from collections import Counter
+
+    c = Counter(t["cell_type"])
+    assert c["UInt16"] >= 18 and c["Float32"] >= 18
+    # payload round-trips through the declared dtype and shape
+    for k in range(len(seeds)):
+        ct = CellType.from_str(t["cell_type"][k])
+        n = int(t["nrows"][k]) * int(t["ncols"][k])
+        arr = np.frombuffer(t["data"][k], dtype=ct.dtype, count=n)
+        mask = kernels.unpack_mask(t["mask"][k], n)
+        assert arr.shape[0] == n == mask.shape[0]
+        # masked slots hold the sentinel
+        if (~mask).any():
+            sent = ct.default_nodata()
+            vals = arr[~mask]
+            if ct.is_integral:
+                assert np.all(vals == sent)
+            else:
+                assert np.all(np.isnan(vals))
+        # ~3% masked
+    # the 186×169 fixture appears for seed 0
+    assert (int(t["nrows"][0]), int(t["ncols"][0])) == tilestore.BIG_SHAPE
+
+
+def test_generate_docs_idempotent(tmp_path):
+    d = str(tmp_path / "docs")
+    docsource.generate_interleaved_docs(d, 100, n_fragments=4)
+    t1 = pq.read_table(d + "/fragment=0.parquet")
+    docsource.generate_interleaved_docs(d, 100, n_fragments=4)  # no-op
+    t2 = pq.read_table(d + "/fragment=0.parquet")
+    assert t1.equals(t2)
+    # regeneration with force gives identical bytes (determinism)
+    docsource.generate_interleaved_docs(d, 100, n_fragments=4, force=True)
+    t3 = pq.read_table(d + "/fragment=0.parquet")
+    assert t1.equals(t3)
+
+
+def test_explode_matches_python_oracle(tmp_path):
+    d = str(tmp_path / "docs")
+    docsource.generate_interleaved_docs(d, 200, n_fragments=2)
+    tbl = pq.read_table(d + "/fragment=0.parquet")
+    got = docsource.explode_media_spans(tbl).to_pylist()
+    expect = []
+    for row in tbl.to_pylist():
+        for j, sp in enumerate(row["spans"]):
+            if sp["kind"] == "media":
+                expect.append(
+                    {"doc_id": row["doc_id"], "span_idx": j, "media_ref": sp["media_ref"]}
+                )
+    assert got == expect
+    assert len(expect) > 0
+
+
+def test_span_digests_stable_across_batching(tmp_path):
+    d = str(tmp_path / "docs")
+    docsource.generate_interleaved_docs(d, 50, n_fragments=1)
+    tbl = pq.read_table(d + "/fragment=0.parquet")
+    whole = docsource.span_digests(tbl).to_pylist()
+    halves = (
+        docsource.span_digests(tbl.slice(0, 25)).to_pylist()
+        + docsource.span_digests(tbl.slice(25)).to_pylist()
+    )
+    assert whole == halves
+
+
+def test_footprints_deterministic():
+    a = generate_footprints(50)
+    b = generate_footprints(50)
+    assert a.equals(b)
+    rings = rings_as_numpy(a)
+    assert len(rings) == 50
+    fid, cat, ring = rings[0]
+    assert ring.shape[1] == 2 and ring.shape[0] >= 4
