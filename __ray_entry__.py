@@ -4,13 +4,25 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (nor in the raycells library) calls ``ray.init()`` /
+``ray.shutdown()``.
+
+Query inventory (SURVEY.md §2; impls in raycells/pipelines/queries.py,
+oracles in raycells/pipelines/oracles.py):
+
+- geospatial / flagship family over the synthesized interleaved-doc
+  table (BASELINE.json input_hint):  explode_media, span_digest,
+  band_tile_stats, cell_agg_band, knn_tiles  — all oracle-checked
+  (the tile store is pure int64 LCG arithmetic, reproducible in SQL);
+  flagship_cells, pip_join_counts — rows-only (10-type erased tiles and
+  PIP rings aren't SQL-expressible; value parity pinned in tests/).
+- tabular family over the driver's parquet views:  lineitem_pricing,
+  orders_by_segment, dedup_exact, token_stats, lang_id, events_daily,
+  knn_embeddings  — oracle-checked;  minhash_pairs, simhash_pairs,
+  embedding_dups, media_features — rows-only (near-dup + multimodal).
 """
 
 from __future__ import annotations
@@ -19,26 +31,55 @@ from collections.abc import Callable
 from typing import Any
 
 
+def _ensure_docs() -> None:
+    """Synthesize the interleaved-doc tables the geospatial oracles read
+    (idempotent; /tmp/raycells_docs/sf{0.001,0.01})."""
+    from raycells.engine.pipeline import docs_dir_for_sf
+
+    for sf in ("0.001", "0.01"):
+        docs_dir_for_sf(f"sf{sf}")
+
+
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: interleaved docs →
+    explode media spans → erased-cell tile decode (actor pool) → masked
+    stats → Hilbert cell ids → salted per-cell aggregate."""
+    from raycells.engine.pipeline import docs_dir_for_sf, flagship
+
+    return flagship(docs_dir_for_sf("/root/testdata/sf0.001"), with_join=False)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from raycells.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    _ensure_docs()
+    return {
+        # geospatial / flagship family (interleaved-doc table)
+        "explode_media": q.q_explode_media,
+        "span_digest": q.q_span_digest,
+        "band_tile_stats": q.q_band_tile_stats,
+        "cell_agg_band": q.q_cell_agg_band,
+        "knn_tiles": q.q_knn_tiles,
+        "flagship_cells": q.q_flagship_cells,
+        "pip_join_counts": q.q_pip_join_counts,
+        # tabular family (driver testdata views)
+        "lineitem_pricing": q.q_lineitem_pricing,
+        "orders_by_segment": q.q_orders_by_segment,
+        "dedup_exact": q.q_dedup_exact,
+        "token_stats": q.q_token_stats,
+        "lang_id": q.q_lang_id,
+        "events_daily": q.q_events_daily,
+        "knn_embeddings": q.q_knn_embeddings,
+        # near-dup + multimodal (rows-only checks)
+        "minhash_pairs": q.q_minhash_pairs,
+        "simhash_pairs": q.q_simhash_pairs,
+        "embedding_dups": q.q_embedding_dups,
+        "media_features": q.q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from raycells.pipelines import oracles
+
+    _ensure_docs()
+    return oracles.build()

@@ -1,0 +1,173 @@
+"""Benchmark harness (driver contract + scaling evidence).
+
+Default mode: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32)`` and print ONE JSON line::
+
+    {"metric": "flagship e2e sec", "value": N, "unit": "sec",
+     "queries": {...per-pipeline sec...}, "sf": 0.1, "num_cpus": N,
+     "tiles": T, "tiles_per_sec": R}
+
+``--scaling``: run the flagship pipeline twice in FRESH processes at 8
+and 32 CPUs on the same input (the sandbox proxy for the north rule's
+N-vs-4N-node criterion — SURVEY.md §4.2) and print both throughputs plus
+``scaling_efficiency = (thr_hi / thr_lo) / (hi / lo)``; paste into
+BASELINE.md.
+
+``--one <name>`` (internal): run one pipeline in this process and print
+its JSON (used by --scaling's subprocesses).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+
+
+def _consume(res) -> int:
+    """Materialize a result without collecting payloads driver-side."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(res, pa.Table):
+        return res.num_rows
+    if isinstance(res, pd.DataFrame):
+        return len(res)
+    return res.count()
+
+
+def run_flagship(sf_dir: str) -> dict:
+    """Headline: interleaved docs → explode → erased-cell decode (actor
+    pool) → masked stats → Hilbert cells → salted per-cell aggregate."""
+    from raycells.engine import pipeline as pl
+
+    docs_dir = pl.docs_dir_for_sf(sf_dir)  # synthesis excluded from timing
+    t0 = time.perf_counter()
+    agg = pl.flagship(docs_dir, with_join=False)
+    n_cells = agg.count()
+    wall = time.perf_counter() - t0
+    ds = pl.explode_stage(pl.read_docs(docs_dir))
+    tiles = ds.count()
+    return {"sec": wall, "tiles": tiles, "cells": n_cells}
+
+
+PIPELINES = {
+    "cell_agg_band": "q_cell_agg_band",
+    "pip_join_counts": "q_pip_join_counts",
+    "knn_tiles": "q_knn_tiles",
+    "lineitem_pricing": "q_lineitem_pricing",
+    "orders_by_segment": "q_orders_by_segment",
+    "token_stats": "q_token_stats",
+    "dedup_exact": "q_dedup_exact",
+    "knn_embeddings": "q_knn_embeddings",
+    "minhash_pairs": "q_minhash_pairs",
+    "media_features": "q_media_features",
+}
+
+
+def run_all(sf_dir: str, num_cpus: int) -> dict:
+    _init_ray(num_cpus)
+    from raycells.pipelines import queries as q
+
+    flag = run_flagship(sf_dir)
+    timings = {"flagship": round(flag["sec"], 3)}
+    for name, fn_name in PIPELINES.items():
+        fn = getattr(q, fn_name)
+        t0 = time.perf_counter()
+        _consume(fn(sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    return {
+        "metric": "flagship e2e sec (erased-cell decode + stats + cell-id + salted agg)",
+        "value": round(flag["sec"], 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "num_cpus": num_cpus,
+        "tiles": flag["tiles"],
+        "tiles_per_sec": round(flag["tiles"] / flag["sec"], 1),
+    }
+
+
+def run_one(sf_dir: str, num_cpus: int) -> dict:
+    _init_ray(num_cpus)
+    flag = run_flagship(sf_dir)
+    return {
+        "num_cpus": num_cpus,
+        "sec": round(flag["sec"], 3),
+        "tiles": flag["tiles"],
+        "tiles_per_sec": round(flag["tiles"] / flag["sec"], 1),
+    }
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    """Fresh process per parallelism level (clean Ray session each)."""
+    out = {}
+    for cpus in (lo, hi):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", "flagship",
+             "--cpus", str(cpus), "--sf-dir", sf_dir],
+            capture_output=True, text=True, check=True,
+        )
+        out[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+    thr_lo, thr_hi = out[lo]["tiles_per_sec"], out[hi]["tiles_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (flagship tiles/sec, fresh sessions)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf_dir": sf_dir,
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "tiles_per_sec_lo": thr_lo,
+        "tiles_per_sec_hi": thr_hi,
+        "sec_lo": out[lo]["sec"],
+        "sec_hi": out[hi]["sec"],
+        "tiles": out[hi]["tiles"],
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--one", default=None)
+    ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    args = ap.parse_args()
+
+    import ray
+
+    if args.one:
+        print(json.dumps(run_one(args.sf_dir, args.cpus)))
+        ray.shutdown()
+    elif args.scaling:
+        print(json.dumps(run_scaling(args.sf_dir)))
+    else:
+        print(json.dumps(run_all(args.sf_dir, args.cpus)))
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -98,6 +98,7 @@ class CellBuffer:
         self.data[i] = v.value
 
     def convert(self, ct: CellType) -> "CellBuffer":
+        ct = CellType.of(ct)
         if ct is self.cell_type:
             return CellBuffer(self.data.copy())
         return CellBuffer(kernels.convert(self.data, ct))
@@ -106,6 +107,7 @@ class CellBuffer:
         return kernels.min_max(self.data)
 
     def to_vec(self, ct: CellType) -> np.ndarray:
+        ct = CellType.of(ct)
         return kernels.convert(self.data, ct)
 
     def extend(self, values: Iterable) -> None:
@@ -314,15 +316,18 @@ class MaskedCellBuffer:
 
     # ---- ops ----
     def convert(self, ct: CellType) -> "MaskedCellBuffer":
+        ct = CellType.of(ct)
         return MaskedCellBuffer(self.buffer.convert(ct), Mask(self.mask.data.copy()))
 
     def min_max(self) -> Tuple[CellValue, CellValue]:
         return kernels.min_max(self.buffer.data, self.mask.data)
 
     def to_vec(self, ct: CellType) -> np.ndarray:
+        ct = CellType.of(ct)
         return self.buffer.to_vec(ct)  # mask ignored (masked_buffer.rs:219-224)
 
     def to_vec_with_nodata(self, ct: CellType, nodata: NoData) -> np.ndarray:
+        ct = CellType.of(ct)
         return kernels.to_nodata(self.buffer.data, self.mask.data, nodata, ct)
 
     def _binop(self, other, op) -> "MaskedCellBuffer":

@@ -100,6 +100,16 @@ class CellType(enum.Enum):
             raise CellTypeParseError(f"Unsupported dtype {dt!r} for CellType")
         return ct
 
+    @staticmethod
+    def of(x) -> "CellType":
+        """Coerce a CellType-like: CellType, reference spelling ("UInt8"),
+        numpy dtype, or numpy scalar type."""
+        if isinstance(x, CellType):
+            return x
+        if isinstance(x, str):
+            return CellType.from_str(x)
+        return CellType.from_dtype(x)
+
     # ---- the union lattice (ctype.rs:99-131) ----
     def union(self, other: "CellType") -> "CellType":
         return UNION_TABLE[self.value][other.value]

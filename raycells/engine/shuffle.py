@@ -22,7 +22,12 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["partial_cell_agg", "merge_cell_agg", "salted_cell_aggregate"]
+__all__ = [
+    "partial_cell_agg",
+    "merge_cell_agg",
+    "salted_cell_aggregate",
+    "salted_aggregate",
+]
 
 DEFAULT_SALT = 8
 
@@ -87,6 +92,61 @@ def merge_cell_agg(ds, key: str = "key", key_out: str = "cell_id"):
         return t
 
     return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def salted_aggregate(
+    ds,
+    key: str,
+    sums: Sequence[str] = (),
+    mins: Sequence[str] = (),
+    maxs: Sequence[str] = (),
+    count_alias: str = "n_rows",
+    salt: int = DEFAULT_SALT,
+    salt_col: str = "doc_id",
+):
+    """Generic two-stage salted aggregate: map-side partials on
+    (key, hash(salt_col) % salt) → shuffle the partials → final merge per
+    key. Column names survive verbatim (oracle parity); the count column
+    is named ``count_alias``."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    sums, mins, maxs = list(sums), list(mins), list(maxs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {"key": batch[key].to_numpy(zero_copy_only=False)}
+        if salt_col in batch.column_names and salt > 1:
+            cols["salt"] = (
+                pd.util.hash_array(
+                    np.asarray(batch[salt_col].to_numpy(zero_copy_only=False))
+                )
+                % salt
+            )
+        else:
+            cols["salt"] = np.zeros(batch.num_rows, dtype=np.int64)
+        for c in set(sums + mins + maxs):
+            cols[c] = batch[c].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(cols)
+        spec = {count_alias: ("key", "size")}
+        for c in sums:
+            spec[f"sum_{c}"] = (c, "sum")
+        for c in mins:
+            spec[f"min_{c}"] = (c, "min")
+        for c in maxs:
+            spec[f"max_{c}"] = (c, "max")
+        out = df.groupby(["key", "salt"], sort=False).agg(**spec).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    aggs = [Sum(count_alias, alias_name=count_alias)]
+    aggs += [Sum(f"sum_{c}", alias_name=f"sum_{c}") for c in sums]
+    aggs += [Min(f"min_{c}", alias_name=f"min_{c}") for c in mins]
+    aggs += [Max(f"max_{c}", alias_name=f"max_{c}") for c in maxs]
+    merged = partials.groupby("key").aggregate(*aggs)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns([key if c == "key" else c for c in t.column_names])
+
+    return merged.map_batches(rename, batch_format="pyarrow")
 
 
 def salted_cell_aggregate(ds, key: str = "cell_id", salt: int = DEFAULT_SALT):

@@ -24,6 +24,7 @@ __all__ = [
     "TileDecoder",
     "BandDecoder",
     "tile_stats",
+    "band_stats",
     "add_cell_ids",
     "PIPJoiner",
 ]
@@ -149,6 +150,39 @@ def tile_stats(batch: pa.Table) -> pa.Table:
         }
     )
     return pa.table(out)
+
+
+def band_stats(batch: pa.Table, band: int = 4) -> pa.Table:
+    """Decode band tiles (uint16, nodata sentinel 0 — tilestore LCG) and
+    reduce each to integer stats in ONE (B, 4096) matrix pass: masked
+    min/max (reference fold semantics over valid cells), exact int64 sum,
+    valid/nodata counts, plus centroid + SQL-parity grid cell.
+
+    Every output column is integer or an exact double, so the DuckDB
+    oracle reproduces it bit-for-bit (tilestore.synth_band_values SQL)."""
+    seeds = tilestore.seed_of_refs(batch["media_ref"])
+    v = tilestore.synth_band_values(seeds, band).astype(np.int64)
+    valid = v != 0
+    valid_count = valid.sum(axis=1)
+    sum_val = (v * valid).sum(axis=1)
+    min_val = np.where(valid, v, np.int64(1 << 40)).min(axis=1)
+    max_val = np.where(valid, v, np.int64(-1)).max(axis=1)
+    lon, lat = tilestore.centroids(seeds)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "span_idx": batch["span_idx"],
+            "seed": pa.array(seeds, pa.int64()),
+            "valid_count": pa.array(valid_count, pa.int64()),
+            "nodata_count": pa.array(v.shape[1] - valid_count, pa.int64()),
+            "min_val": pa.array(min_val, pa.int64()),
+            "max_val": pa.array(max_val, pa.int64()),
+            "sum_val": pa.array(sum_val, pa.int64()),
+            "lon": pa.array(lon, pa.float64()),
+            "lat": pa.array(lat, pa.float64()),
+            "grid_cell": pa.array(cellid.grid_cell(lon, lat), pa.int64()),
+        }
+    )
 
 
 def add_cell_ids(batch: pa.Table, level: int = 8) -> pa.Table:

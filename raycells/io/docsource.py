@@ -162,6 +162,26 @@ def span_digests(batch: pa.Table) -> pa.Table:
     )
 
 
+def span_digests_md5(batch: pa.Table) -> pa.Table:
+    """Per-doc MD5 digest over the ordered span sequence, with a DuckDB
+    mirror: md5(string_agg(kind || chr(31) || text || chr(31) || media_ref,
+    chr(30) ORDER BY span_idx)) — the oracle-checkable form of the
+    span-sequence-equality invariant."""
+    parent, kind, text, ref, _ = _spans_parts(batch["spans"])
+    blobs = pc.binary_join_element_wise(kind, text, ref, "\x1f").to_pylist()
+    n = batch.num_rows
+    counts = np.bincount(parent, minlength=n)
+    digests = []
+    start = 0
+    for d in range(n):
+        joined = "\x1e".join(blobs[start : start + counts[d]])
+        digests.append(hashlib.md5(joined.encode()).hexdigest())
+        start += counts[d]
+    return pa.table(
+        {"doc_id": batch["doc_id"], "digest": pa.array(digests, pa.string())}
+    )
+
+
 def explode_media_spans(batch: pa.Table) -> pa.Table:
     """spans list<struct> → one row per media span: (doc_id, span_idx,
     media_ref). Pure Arrow kernels; span order is preserved via span_idx so

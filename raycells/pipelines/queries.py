@@ -1,0 +1,509 @@
+"""Named query pipelines for ``__ray_entry__.queries()``.
+
+Each function takes ``sf_dir`` (a testdata scale dir) and returns a
+``ray.data.Dataset`` / ``pyarrow.Table``. Two families:
+
+- **geospatial** (the flagship, over the synthesized interleaved-doc
+  table at ``/tmp/raycells_docs/sf{sf}`` — generated idempotently): span
+  explode, span-sequence digest, band-tile decode + erased-cell stats,
+  per-grid-cell salted aggregate, kNN tile lookup, PIP join, the full
+  erased-cell Hilbert pipeline.
+- **tabular** (over the driver's TPC-H-ish parquet views): groupby
+  aggregates, broadcast joins, exact/near dedup, text analysis, embedding
+  similarity search.
+
+Column names match ``raycells.pipelines.oracles`` verbatim — the driver
+sorts columns by name and hashes values, so every computed column is
+named identically on both sides, integer where exactness matters, and
+ROUND()ed on BOTH sides where a float sum's summation order could differ.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from raycells.engine import pipeline as pl
+from raycells.engine import shuffle as shuffle_mod
+from raycells.engine import stages
+from raycells.geo.knn import KnnIndex
+from raycells.io import docsource
+from raycells.sim.knn import topk_cosine
+from raycells.text import analysis as ta
+from raycells.text import dedup as dd
+
+KNN_QUERIES = ((0, -74.0, 40.7), (1, 2.35, 48.85), (2, 139.7, 35.7))
+KNN_K = 8
+EMB_K = 10
+
+
+def _read(sf_dir: str, table: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def docs_ds(sf_dir: str):
+    """Interleaved-document Dataset for this scale (synthesized once)."""
+    return pl.read_docs(pl.docs_dir_for_sf(sf_dir))
+
+
+def _exploded(sf_dir: str):
+    ds = docs_ds(sf_dir)
+    return pl.explode_stage(ds)
+
+
+# ---------------------------------------------------------------------------
+# geospatial family
+# ---------------------------------------------------------------------------
+
+def q_explode_media(sf_dir: str):
+    """Span explode: list<struct> → one row per media span."""
+    def cast_idx(b: pa.Table) -> pa.Table:
+        return b.set_column(
+            b.column_names.index("span_idx"),
+            "span_idx",
+            pc.cast(b["span_idx"], pa.int64()),
+        )
+
+    return _exploded(sf_dir).map_batches(cast_idx, batch_format="pyarrow")
+
+
+def q_span_digest(sf_dir: str):
+    """Span-sequence-equality digest per document (md5, oracle-mirrorable)."""
+    return docs_ds(sf_dir).map_batches(
+        docsource.span_digests_md5, batch_format="pyarrow"
+    )
+
+
+def q_band_tile_stats(sf_dir: str):
+    """Decode band-4 tiles through the erased-cell kernel path → per-tile
+    integer stats + SQL-parity grid cell."""
+    def stats(b: pa.Table) -> pa.Table:
+        t = stages.band_stats(b, band=4)
+        t = t.set_column(
+            t.column_names.index("span_idx"),
+            "span_idx",
+            pc.cast(t["span_idx"], pa.int64()),
+        )
+        return t.drop_columns(["lon", "lat"])
+
+    return _exploded(sf_dir).map_batches(stats, batch_format="pyarrow")
+
+
+def q_cell_agg_band(sf_dir: str):
+    """Per-grid-cell salted two-stage aggregate of band-tile stats — the
+    oracle-checked version of the (doc, cell, tile) assignment shuffle."""
+    tiles = _exploded(sf_dir).map_batches(
+        lambda b: stages.band_stats(b, band=4), batch_format="pyarrow"
+    )
+    return shuffle_mod.salted_aggregate(
+        tiles,
+        key="grid_cell",
+        sums=("valid_count", "nodata_count", "sum_val"),
+        mins=("min_val",),
+        maxs=("max_val",),
+        count_alias="n_tiles",
+        salt_col="doc_id",
+    )
+
+
+def q_flagship_cells(sf_dir: str):
+    """Full erased-cell flagship (all 10 cell types, Hilbert cell ids,
+    PIP join, salted aggregate). Not SQL-expressible → rows-only check;
+    value parity is pinned by tests/test_engine.py."""
+    return pl.flagship(pl.docs_dir_for_sf(sf_dir), with_join=False)
+
+
+def q_pip_join_counts(sf_dir: str):
+    """Broadcast PIP join of footprints × tile centroids → per-category
+    counts (rows-only; brute-force oracle lives in tests/test_geo.py)."""
+    docs_dir = pl.docs_dir_for_sf(sf_dir)
+    ds = pl.read_docs(docs_dir)
+    tiles = pl.decode_stage(pl.explode_stage(ds))
+    stats = pl.cellid_stage(pl.stats_stage(tiles))
+    joined = pl.join_stage(stats)
+    return joined.groupby("category").count()
+
+
+def q_knn_tiles(sf_dir: str):
+    """kNN tile lookup: ring-expansion over the cell-bucketed index for
+    the 3 city-center queries; ties broken by seed (oracle parity)."""
+    ex = _exploded(sf_dir)
+    pts = ex.map_batches(
+        lambda b: _seed_points(b), batch_format="pyarrow"
+    ).to_arrow_refs()
+    import ray
+
+    tbl = pa.concat_tables([ray.get(r) for r in pts])
+    seeds = tbl["seed"].to_numpy(zero_copy_only=False)
+    order = np.argsort(seeds, kind="stable")
+    seeds = seeds[order]
+    lon = tbl["lon"].to_numpy(zero_copy_only=False)[order]
+    lat = tbl["lat"].to_numpy(zero_copy_only=False)[order]
+    index = KnnIndex(lon, lat, seeds, level=7)
+    out_q, out_r, out_s = [], [], []
+    for qid, qlon, qlat in KNN_QUERIES:
+        idx, _ = index.query_one(qlon, qlat, KNN_K)
+        out_q.extend([qid] * len(idx))
+        out_r.extend(range(1, len(idx) + 1))
+        out_s.extend(seeds[idx])
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+            "seed": pa.array(np.asarray(out_s, dtype=np.int64), pa.int64()),
+        }
+    )
+
+
+def _seed_points(batch: pa.Table) -> pa.Table:
+    from raycells.io import tilestore
+
+    seeds = tilestore.seed_of_refs(batch["media_ref"])
+    lon, lat = tilestore.centroids(seeds)
+    return pa.table(
+        {
+            "seed": pa.array(seeds, pa.int64()),
+            "lon": pa.array(lon),
+            "lat": pa.array(lat),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# tabular family (testdata views)
+# ---------------------------------------------------------------------------
+
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H-Q1-style grouped aggregate with per-row computed columns;
+    multi-key Ray groupby + final rounding (both sides ROUND to 2)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "lineitem")
+
+    def derive(b: pa.Table) -> pa.Table:
+        # exact integer units per row (prices/discounts/taxes have 2
+        # decimals): summing int64 is order-independent, so the DuckDB
+        # oracle matches bit-for-bit — no float-rounding coin flips.
+        ep_c = np.rint(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        dc_c = np.rint(b["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        tx_c = np.rint(b["l_tax"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        disc_e4 = ep_c * (100 - dc_c)
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty": pa.array(
+                    np.rint(b["l_quantity"].to_numpy(zero_copy_only=False)).astype(
+                        np.int64
+                    )
+                ),
+                "disc_price_e4": pa.array(disc_e4),
+                "charge_e6": pa.array(disc_e4 * (100 + tx_c)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Count(),
+            Sum("qty", alias_name="sum_qty"),
+            Sum("disc_price_e4", alias_name="sum_disc_price_e4"),
+            Sum("charge_e6", alias_name="sum_charge_e6"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "count_order": pc.cast(t["count()"], pa.int64()),
+                "sum_qty": pc.cast(t["sum_qty"], pa.int64()),
+                "sum_disc_price_e4": pc.cast(t["sum_disc_price_e4"], pa.int64()),
+                "sum_charge_e6": pc.cast(t["sum_charge_e6"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_orders_by_segment(sf_dir: str):
+    """Broadcast hash join (orders ⋈ customer on custkey — the small side
+    rides the object store once) + grouped aggregate per market segment."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = cust["c_custkey"].to_numpy()
+    segs = np.asarray(cust["c_mktsegment"].to_pylist(), dtype=object)
+    order_k = np.argsort(keys, kind="stable")
+    side_ref = ray.put((keys[order_k], segs[order_k]))
+
+    class SegmentJoiner:
+        def __init__(self, ref):
+            self.keys, self.segs = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.keys, ck)
+            pos = np.clip(pos, 0, len(self.keys) - 1)
+            hit = self.keys[pos] == ck
+            seg = np.where(hit, self.segs[pos], None)
+            price_c = np.rint(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            t = pa.table(
+                {
+                    "c_mktsegment": pa.array(list(seg), pa.string()),
+                    "price_c": pa.array(price_c),
+                }
+            )
+            return t.filter(pc.is_valid(t["c_mktsegment"]))
+
+    agg = (
+        _read(sf_dir, "orders")
+        .map_batches(SegmentJoiner, fn_constructor_args=(side_ref,),
+                     batch_format="pyarrow", concurrency=2)
+        .groupby("c_mktsegment")
+        .aggregate(Count(), Sum("price_c", alias_name="sum_totalprice_c"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"],
+                "n_orders": pc.cast(t["count()"], pa.int64()),
+                "sum_totalprice_c": pc.cast(t["sum_totalprice_c"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup accounting per source: total docs vs distinct texts
+    (hash-partitioned distinct — the shuffle moves 16-byte rows)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents")
+    hashed = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "source": b["source"],
+                "content_hash": pa.array(
+                    dd.content_hash64(b["text"].to_pylist()), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    per_hash = hashed.groupby(["source", "content_hash"]).count()
+    agg = per_hash.groupby("source").aggregate(
+        Count(), Sum("count()", alias_name="n_docs")
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                "n_unique_texts": pc.cast(t["count()"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_token_stats(sf_dir: str):
+    """Token counting + quality scoring rolled up per language."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents")
+    scored = ds.map_batches(
+        lambda b: ta.quality_metrics(b, col="text"), batch_format="pyarrow"
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": b["lang"],
+                "n_tokens": b["n_tokens"],
+                "stopword_hits": b["stopword_hits"],
+                "quality_ok": pc.cast(b["quality_ok"], pa.int64()),
+            }
+        )
+
+    agg = (
+        scored.map_batches(project, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Count(),
+            Sum("n_tokens", alias_name="total_tokens"),
+            Sum("stopword_hits", alias_name="total_stopword_hits"),
+            Sum("quality_ok", alias_name="n_quality_ok"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "n_docs": pc.cast(t["count()"], pa.int64()),
+                "total_tokens": pc.cast(t["total_tokens"], pa.int64()),
+                "total_stopword_hits": pc.cast(t["total_stopword_hits"], pa.int64()),
+                "n_quality_ok": pc.cast(t["n_quality_ok"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_lang_id(sf_dir: str):
+    """Marker-word language-ID heuristic → (actual, detected) confusion
+    counts; the oracle mirrors the scorer exactly."""
+    ds = _read(sf_dir, "documents")
+    detected = ds.map_batches(lambda b: ta.lang_id(b, col="text"), batch_format="pyarrow")
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({"lang": b["lang"], "lang_detected": b["lang_detected"]})
+
+    agg = (
+        detected.map_batches(project, batch_format="pyarrow")
+        .groupby(["lang", "lang_detected"])
+        .count()
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "lang_detected": t["lang_detected"],
+                "n_docs": pc.cast(t["count()"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_events_daily(sf_dir: str):
+    """Grouped aggregate over the events stream table by (type, day)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events")
+
+    def project(b: pa.Table) -> pa.Table:
+        value_c = np.rint(b["value"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "day": pc.strftime(b["ts"], format="%Y-%m-%d"),
+                "value_c": pa.array(value_c),
+            }
+        )
+
+    agg = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Count(), Sum("value_c", alias_name="sum_value_c"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "day": t["day"],
+                "n_events": pc.cast(t["count()"], pa.int64()),
+                "sum_value_c": pc.cast(t["sum_value_c"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_knn_embeddings(sf_dir: str):
+    """Brute-force cosine top-k: queries = embeddings of vec_id 0..2,
+    broadcast once; per-batch matmul top-k; tiny final merge."""
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qmask = pc.less(emb["vec_id"], 3)
+    q = emb.filter(qmask)
+    qids = q["vec_id"].to_numpy(zero_copy_only=False)
+    qmat = np.asarray(q["embedding"].to_pylist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings")
+    t = topk_cosine(ds, qmat, qids, k=EMB_K, col="embedding", id_col="vec_id")
+    return pa.table(
+        {
+            "query_id": pc.cast(t["query_id"], pa.int64()),
+            "vec_id": pc.cast(t["vec_id"], pa.int64()),
+            "rank": t["rank"],
+        }
+    )
+
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup candidate pairs over documents (rows-only;
+    pinned against brute-force Jaccard in tests/test_text.py)."""
+    ds = _read(sf_dir, "documents")
+    with_id = ds.map_batches(
+        lambda b: b.append_column(
+            "doc_key", pc.cast(b["doc_id"], pa.string())
+        ),
+        batch_format="pyarrow",
+    )
+    return dd.minhash_near_dup_pairs(
+        with_id, col="text", id_col="doc_key", threshold=0.5
+    )
+
+
+def q_simhash_pairs(sf_dir: str):
+    ds = _read(sf_dir, "documents")
+    with_id = ds.map_batches(
+        lambda b: b.append_column("doc_key", pc.cast(b["doc_id"], pa.string())),
+        batch_format="pyarrow",
+    )
+    return dd.simhash_near_dup_pairs(with_id, col="text", id_col="doc_key", max_hamming=8)
+
+
+def q_embedding_dups(sf_dir: str):
+    """Embedding-cosine near-dup pairs via sign-LSH buckets (rows-only)."""
+    ds = _read(sf_dir, "embeddings")
+    return dd.embedding_near_dup_pairs(ds, threshold=0.35)
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing pipeline: synth media → resize → frame-sample →
+    decode features (stubbed codecs, real actor-pool stages)."""
+    import ray.data as rd
+
+    from raycells.media.stages import media_pipeline, synth_media_batch
+
+    n = {"0.001": 60, "0.01": 300, "0.1": 3000}.get(_sf_of(sf_dir), 60)
+    kinds = ["image", "audio", "video"]
+    tables = [
+        synth_media_batch(np.arange(k, n, 3, dtype=np.int64), kinds[k]) for k in range(3)
+    ]
+    ds = rd.from_arrow(pa.concat_tables(tables))
+    feats = media_pipeline(ds)
+    return feats.drop_columns(["pixel_mean", "pixel_std"]).sort("media_id")
+
+
+def _sf_of(sf_dir: str) -> str:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return m.group(1) if m else "0.001"

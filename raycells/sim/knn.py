@@ -1,0 +1,201 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: **brute-force cosine top-k** — the query matrix is broadcast
+ONCE (``ray.put`` on the driver, fetched per actor in ``__init__``), each
+``map_batches`` call does one numpy matmul of the batch's (B, d) block
+against the (d, Q) query matrix and emits only its per-batch top-k
+candidates (k·Q rows, not B·Q), so the final merge is tiny however large
+the dataset is. Scale path: **sign-LSH partitioning** (`lsh_topk`) routes
+both vectors and queries to hyperplane-sign buckets first, turning the
+scan into per-bucket brute force with multiprobe for recall.
+
+Similarities are computed in float64 and rounded to 6 decimals before
+ranking, with vec_id as the tie-break — this makes the ordering stable
+across summation orders, so a DuckDB ``list_cosine_similarity`` oracle
+ranks identically (`__ray_entry__.oracle_sql`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["BruteForceTopK", "topk_cosine", "lsh_topk"]
+
+ROUND = 6
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    return m / n[:, None]
+
+
+class BruteForceTopK:
+    """Actor-pool stage: per-batch cosine top-k against broadcast queries.
+
+    ``queries_ref`` is a ``ray.put`` handle to a dict with keys
+    ``query_id`` (Q,) and ``matrix`` (Q, d) — one object-store read per
+    actor, never per batch."""
+
+    def __init__(self, queries_ref, k: int, col: str, id_col: str):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, dict) else queries_ref
+        self.qid = np.asarray(q["query_id"])
+        self.qt = _unit(np.asarray(q["matrix"], dtype=np.float64)).T  # (d, Q)
+        self.k = k
+        self.col = col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = np.asarray(batch[self.col].to_pylist(), dtype=np.float64)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        sims = np.round(_unit(emb) @ self.qt, ROUND)  # (B, Q)
+        k = min(self.k, sims.shape[0])
+        # per-query local top-k: order by (-sim, vec_id)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(sims.shape[1]):
+            order = np.lexsort((ids, -sims[:, qi]))[:k]
+            out_q.append(np.full(k, self.qid[qi]))
+            out_id.append(ids[order])
+            out_s.append(sims[order, qi])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                self.id_col: pa.array(np.concatenate(out_id)),
+                "sim": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+
+def topk_cosine(
+    ds,
+    query_matrix: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    concurrency: Optional[int] = None,
+) -> pa.Table:
+    """Global cosine top-k per query: broadcast queries → per-batch local
+    top-k (actor pool) → small driver-side final merge. Returns a pyarrow
+    Table (query_id, vec_id, sim, rank) — k·Q rows."""
+    import ray
+
+    ref = ray.put({"query_id": np.asarray(query_ids), "matrix": np.asarray(query_matrix)})
+    cand = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_args=(ref, k, col, id_col),
+        batch_format="pyarrow",
+        concurrency=concurrency or 2,
+        batch_size=4096,
+    )
+    t = pa.concat_tables(_gather(cand))
+    qid = t["query_id"].to_numpy(zero_copy_only=False)
+    vid = t[id_col].to_numpy(zero_copy_only=False)
+    sim = t["sim"].to_numpy(zero_copy_only=False)
+    out_q, out_id, out_s, out_r = [], [], [], []
+    for q in np.unique(qid):
+        sel = qid == q
+        order = np.lexsort((vid[sel], -sim[sel]))[:k]
+        out_q.append(np.full(len(order), q))
+        out_id.append(vid[sel][order])
+        out_s.append(sim[sel][order])
+        out_r.append(np.arange(1, len(order) + 1, dtype=np.int64))
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q)),
+            id_col: pa.array(np.concatenate(out_id)),
+            "sim": pa.array(np.concatenate(out_s)),
+            "rank": pa.array(np.concatenate(out_r)),
+        }
+    )
+
+
+def _gather(ds):
+    """Candidate set is ≤ k·Q rows per block — safe to collect."""
+    import ray
+
+    return [ray.get(ref) for ref in ds.to_arrow_refs()]
+
+
+def lsh_topk(
+    ds,
+    query_matrix: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    multiprobe: int = 1,
+    dim: int = 64,
+    seed: int = 0x5EED_C0DE,
+) -> pa.Table:
+    """Scale-path ANN: sign-LSH bucket both sides, brute-force within the
+    query's bucket ± ``multiprobe`` flipped-bit probes.
+
+    The vector side gets a bucket column inside ``map_batches``; the
+    filter to probed buckets prunes the scan BEFORE the matmul, so at
+    scale only ~(probes / 2^n_planes) of the data is touched per query.
+    Recall < 1 by construction (approximate); tested ≥ 0.9@k=10."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    qm = np.asarray(query_matrix, dtype=np.float64)
+    qsig = (qm @ planes > 0).astype(np.int64)
+    qbuckets = np.zeros(len(qm), dtype=np.int64)
+    for p in range(n_planes):
+        qbuckets = (qbuckets << 1) | qsig[:, p]
+    probe_sets = []
+    for qb in qbuckets:
+        probes = {int(qb)}
+        for bit in range(min(multiprobe * n_planes, n_planes)):
+            probes.add(int(qb) ^ (1 << bit))
+        probe_sets.append(probes)
+    wanted = sorted(set().union(*probe_sets))
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        emb = np.asarray(batch[col].to_pylist(), dtype=np.float64)
+        sig = (emb @ planes > 0).astype(np.int64)
+        bucket = np.zeros(len(emb), dtype=np.int64)
+        for p in range(n_planes):
+            bucket = (bucket << 1) | sig[:, p]
+        keep = np.isin(bucket, wanted)
+        t = pa.table(
+            {
+                id_col: batch[id_col],
+                col: batch[col],
+                "bucket": pa.array(bucket),
+            }
+        )
+        return t.filter(pa.array(keep))
+
+    pruned = ds.map_batches(bucketize, batch_format="pyarrow")
+    # per-query top-k over its probed buckets only
+    tbl = pa.concat_tables(_gather(pruned))
+    emb = np.asarray(tbl[col].to_pylist(), dtype=np.float64)
+    ids = tbl[id_col].to_numpy(zero_copy_only=False)
+    buckets = tbl["bucket"].to_numpy(zero_copy_only=False)
+    unit = _unit(emb)
+    uq = _unit(qm)
+    out_q, out_id, out_s, out_r = [], [], [], []
+    for qi, probes in enumerate(probe_sets):
+        sel = np.isin(buckets, list(probes))
+        if not sel.any():
+            continue
+        sims = np.round(unit[sel] @ uq[qi], ROUND)
+        order = np.lexsort((ids[sel], -sims))[: min(k, sims.size)]
+        out_q.append(np.full(len(order), query_ids[qi]))
+        out_id.append(ids[sel][order])
+        out_s.append(sims[order])
+        out_r.append(np.arange(1, len(order) + 1, dtype=np.int64))
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q)),
+            id_col: pa.array(np.concatenate(out_id)),
+            "sim": pa.array(np.concatenate(out_s)),
+            "rank": pa.array(np.concatenate(out_r)),
+        }
+    )

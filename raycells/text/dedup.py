@@ -1,0 +1,415 @@
+"""Deduplication operators (exact + near-dup families).
+
+Ray-Data-first shapes (SURVEY.md §2.9 + training-data mandate):
+
+- **exact**: content hash inside ``map_batches`` → hash-partitioned
+  ``groupby(hash).map_groups(first)``. The shuffle moves (hash, id)
+  pairs, never the payload, when ``keys_only=True``.
+- **MinHash + LSH**: shingle → 64 minhashes → band into (bands × rows)
+  buckets inside ``map_batches`` (vectorized universal hashing), then ONE
+  ``groupby(band, band_hash)`` shuffle to co-locate candidates; candidate
+  pairs are verified with exact n-gram Jaccard inside ``map_groups``.
+- **SimHash**: 64-bit token-weighted simhash per doc; near-dup pairs =
+  same simhash bucket (16-bit chunk tables) with Hamming ≤ k verify.
+- **embedding cosine**: sign-LSH bucket groupby then in-bucket cosine.
+
+All hash seeds are fixed constants → deterministic under Ray task
+retries. At 10^12-doc scale each family's only all-to-all exchange is the
+bucket groupby, keyed well away from payload columns.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = [
+    "content_hash64",
+    "add_content_hash",
+    "exact_dedup",
+    "char_shingles",
+    "minhash_signature",
+    "MinHasher",
+    "lsh_bands",
+    "jaccard",
+    "minhash_near_dup_pairs",
+    "simhash64",
+    "simhash_near_dup_pairs",
+    "embedding_near_dup_pairs",
+]
+
+_MERSENNE = (1 << 61) - 1
+_RNG_SEED = 0x5EED_C0DE
+
+
+def content_hash64(texts: Iterable[str]) -> np.ndarray:
+    """Deterministic 64-bit content hash (blake2b-8) per text."""
+    import hashlib
+
+    return np.array(
+        [
+            int.from_bytes(
+                hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "big"
+            )
+            >> 1
+            for t in texts
+        ],
+        dtype=np.int64,
+    )
+
+
+def add_content_hash(batch: pa.Table, col: str = "text") -> pa.Table:
+    h = content_hash64(batch[col].to_pylist())
+    return batch.append_column("content_hash", pa.array(h, pa.int64()))
+
+
+def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
+    """Exact dedup: hash-partition on content hash, keep the min-id row
+    per hash (deterministic winner). Returns the deduplicated Dataset of
+    (content_hash, doc_id) — join back on id to recover payloads so the
+    shuffle only ever moves 16-byte rows."""
+    hashed = ds.map_batches(
+        lambda b: pa.table(
+            {
+                id_col: b[id_col],
+                "content_hash": pa.array(
+                    content_hash64(b[col].to_pylist()), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        idx = pc.index(
+            pc.equal(group[id_col], pc.min(group[id_col])), True
+        ).as_py()
+        return group.slice(idx, 1)
+
+    return hashed.groupby("content_hash").map_groups(
+        keep_first, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash
+# ---------------------------------------------------------------------------
+
+def char_shingles(text: str, k: int = 5) -> np.ndarray:
+    """Distinct k-byte shingle hashes of one text (vectorized sliding
+    window over the utf-8 payload; |text| < k → one whole-text shingle)."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if b.size == 0:
+        return np.zeros(1, dtype=np.uint64)
+    if b.size < k:
+        win = b[None, :]
+    else:
+        win = np.lib.stride_tricks.sliding_window_view(b, k)
+    with np.errstate(over="ignore"):
+        pows = np.uint64(1099511628211) ** np.arange(win.shape[1], dtype=np.uint64)
+        h = (win.astype(np.uint64) * pows[None, :]).sum(axis=1, dtype=np.uint64)
+    return np.unique(h)
+
+
+class MinHasher:
+    """n_perm universal-hash MinHash over shingle sets.
+
+    Stateful-stage material: permutation coefficients are built once (in
+    an actor's ``__init__`` when used as a pool) from a fixed seed."""
+
+    def __init__(self, n_perm: int = 64, seed: int = _RNG_SEED):
+        rng = np.random.default_rng(seed)
+        # odd multipliers + offsets in the Mersenne field
+        self.a = (rng.integers(1, _MERSENNE, n_perm, dtype=np.int64) | 1).astype(
+            np.uint64
+        )
+        self.b = rng.integers(0, _MERSENNE, n_perm, dtype=np.int64).astype(np.uint64)
+        self.n_perm = n_perm
+
+    def signature(self, shingles: np.ndarray) -> np.ndarray:
+        """(n_perm,) uint64 signature of one shingle set — one broadcasted
+        (S, P) universal-hash matrix, column min."""
+        x = shingles.astype(np.uint64)[:, None]
+        with np.errstate(over="ignore"):
+            hv = (x * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE)
+        return hv.min(axis=0)
+
+    def batch_signatures(self, texts: List[str], k: int = 5) -> np.ndarray:
+        return np.stack([self.signature(char_shingles(t, k)) for t in texts])
+
+
+def minhash_signature(text: str, n_perm: int = 64, k: int = 5) -> np.ndarray:
+    return MinHasher(n_perm).signature(char_shingles(text, k))
+
+
+def lsh_bands(signatures: np.ndarray, bands: int = 16) -> np.ndarray:
+    """(n, n_perm) signatures → (n, bands) band-hash matrix. Each band
+    hashes rows_per_band signature slots into one uint64 bucket key."""
+    n, n_perm = signatures.shape
+    r = n_perm // bands
+    with np.errstate(over="ignore"):
+        mixed = signatures.reshape(n, bands, r) * np.uint64(0x9E3779B97F4A7C15)
+        out = np.zeros((n, bands), dtype=np.uint64)
+        for j in range(r):  # r is tiny (4); the wide axis stays vectorized
+            out = out * np.uint64(31) + mixed[:, :, j]
+    return out
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return inter / union if union else 1.0
+
+
+def minhash_near_dup_pairs(
+    ds,
+    col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    n_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+):
+    """MinHash+LSH near-dup pipeline: one Dataset in → Dataset of verified
+    candidate pairs (id_a < id_b, jaccard ≥ threshold).
+
+    Stages: actor-pool signature stage (MinHasher state) → flat_map to
+    (band, band_hash, id, text) rows → groupby bucket (THE shuffle) →
+    in-bucket pair verify with exact shingle Jaccard. Pairs are
+    deduplicated downstream by a final groupby on (id_a, id_b)."""
+
+    class SignatureStage:
+        def __init__(self):
+            self.mh = MinHasher(n_perm)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch[col].to_pylist()
+            ids = batch[id_col].to_pylist()
+            sig = self.mh.batch_signatures(texts, k)
+            bh = lsh_bands(sig, bands)
+            n = len(texts)
+            band_idx = np.tile(np.arange(bands, dtype=np.int32), n)
+            return pa.table(
+                {
+                    "band": pa.array(band_idx),
+                    "band_hash": pa.array(
+                        bh.reshape(-1).astype(np.int64), pa.int64()
+                    ),
+                    id_col: pa.array(np.repeat(ids, bands)),
+                    col: pa.array(np.repeat(texts, bands)),
+                }
+            )
+
+    def verify(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_pylist()
+        texts = group[col].to_pylist()
+        if len(ids) < 2:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.string()),
+                    "id_b": pa.array([], pa.string()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        order = np.argsort(np.asarray(ids, dtype=object))
+        sh = {i: char_shingles(texts[i], k) for i in order}
+        a_out, b_out, j_out = [], [], []
+        for x in range(len(order)):
+            for y in range(x + 1, len(order)):
+                i, j = order[x], order[y]
+                if ids[i] == ids[j]:
+                    continue
+                jac = jaccard(sh[i], sh[j])
+                if jac >= threshold:
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+                    j_out.append(jac)
+        return pa.table(
+            {
+                "id_a": pa.array(a_out, pa.string()),
+                "id_b": pa.array(b_out, pa.string()),
+                "jaccard": pa.array(j_out, pa.float64()),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(SignatureStage, batch_format="pyarrow", concurrency=2)
+        .groupby(["band", "band_hash"])
+        .map_groups(verify, batch_format="pyarrow")
+    )
+    # a pair surfaces once per colliding band — keep one copy
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(texts: List[str]) -> np.ndarray:
+    """64-bit token-frequency simhash per text, fully vectorized per row:
+    token hashes → ±1 bit matrix → weighted column sums → sign bits."""
+    import hashlib
+
+    out = np.empty(len(texts), dtype=np.uint64)
+    bit_idx = np.arange(64, dtype=np.uint64)
+    for k, t in enumerate(texts):
+        toks = t.split()
+        if not toks:
+            out[k] = 0
+            continue
+        uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        th = np.array(
+            [
+                int.from_bytes(
+                    hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
+                )
+                for w in uniq
+            ],
+            dtype=np.uint64,
+        )
+        bits = (th[:, None] >> bit_idx[None, :]) & np.uint64(1)  # (T, 64)
+        v = ((bits.astype(np.int64) * 2 - 1) * counts[:, None]).sum(axis=0)
+        out[k] = np.uint64(((v > 0).astype(np.uint64) << bit_idx).sum())
+    return out
+
+
+def _hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = np.bitwise_xor(a, b)
+    # vectorized popcount via uint8 view + lookup table
+    lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
+    return lut[x.view(np.uint8).reshape(*x.shape, 8)].sum(axis=-1)
+
+
+def simhash_near_dup_pairs(ds, col: str = "text", id_col: str = "doc_id", max_hamming: int = 3):
+    """SimHash near-dup: bucket by each of the four 16-bit chunks (a pair
+    within Hamming ≤ 3 of 64 bits shares ≥ 1 exact chunk by pigeonhole),
+    groupby(chunk_id, chunk_value), verify Hamming in-bucket."""
+
+    def add_chunks(batch: pa.Table) -> pa.Table:
+        sh = simhash64(batch[col].to_pylist())
+        ids = batch[id_col].to_pylist()
+        n = len(ids)
+        chunk_id = np.tile(np.arange(4, dtype=np.int32), n)
+        chunks = np.empty(4 * n, dtype=np.int64)
+        for c in range(4):
+            chunks[c::4] = ((sh >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(
+                np.int64
+            )
+        return pa.table(
+            {
+                "chunk_id": pa.array(chunk_id),
+                "chunk_val": pa.array(chunks),
+                id_col: pa.array(np.repeat(ids, 4)),
+                "simhash": pa.array(np.repeat(sh, 4).astype(np.int64)),
+            }
+        )
+
+    def verify(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_pylist()
+        sh = group["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        a_out, b_out, d_out = [], [], []
+        order = np.argsort(np.asarray(ids, dtype=object))
+        for x in range(len(order)):
+            for y in range(x + 1, len(order)):
+                i, j = order[x], order[y]
+                if ids[i] == ids[j]:
+                    continue
+                d = int(_hamming64(sh[i : i + 1], sh[j : j + 1])[0])
+                if d <= max_hamming:
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+                    d_out.append(d)
+        return pa.table(
+            {
+                "id_a": pa.array(a_out, pa.string()),
+                "id_b": pa.array(b_out, pa.string()),
+                "hamming": pa.array(d_out, pa.int64()),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(add_chunks, batch_format="pyarrow")
+        .groupby(["chunk_id", "chunk_val"])
+        .map_groups(verify, batch_format="pyarrow")
+    )
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup (sign-LSH buckets)
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(
+    ds,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = _RNG_SEED,
+):
+    """Near-duplicate vectors: multi-table sign-LSH (``n_tables``
+    independent sets of ``n_planes`` hyperplanes — the banding trick)
+    buckets each vector n_tables times in ONE groupby shuffle; exact
+    cosine verifies inside each bucket; a final (id_a, id_b) groupby
+    dedupes pairs that collide in several tables. More tables → higher
+    recall at lower thresholds; buckets stay tiny at scale."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes * n_tables))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        emb = np.asarray(batch[col].to_pylist(), dtype=np.float64)
+        n = len(emb)
+        sig = (emb @ planes > 0).astype(np.int64).reshape(n, n_tables, n_planes)
+        bucket = np.zeros((n, n_tables), dtype=np.int64)
+        for p in range(n_planes):
+            bucket = (bucket << 1) | sig[:, :, p]
+        # fold the table id into the key so tables never cross-collide
+        bucket = bucket * n_tables + np.arange(n_tables, dtype=np.int64)[None, :]
+        ids = batch[id_col].to_pylist()
+        embs = batch[col].to_pylist()
+        return pa.table(
+            {
+                "bucket": pa.array(bucket.reshape(-1)),
+                id_col: pa.array(np.repeat(ids, n_tables)),
+                col: pa.array([e for e in embs for _ in range(n_tables)]),
+            }
+        )
+
+    def verify(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        emb = np.asarray(group[col].to_pylist(), dtype=np.float64)
+        norm = np.linalg.norm(emb, axis=1)
+        norm[norm == 0] = 1.0
+        unit = emb / norm[:, None]
+        sims = unit @ unit.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        hit = sims[iu, ju] >= threshold
+        a = ids[iu[hit]]
+        b = ids[ju[hit]]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        return pa.table(
+            {
+                "id_a": pa.array(lo, pa.int64()),
+                "id_b": pa.array(hi, pa.int64()),
+                "cosine": pa.array(np.round(sims[iu, ju][hit], 6)),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pyarrow")
+    )
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )

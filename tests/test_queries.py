@@ -1,0 +1,97 @@
+"""Driver-contract parity tests: run ``__ray_entry__.queries()`` against
+``oracle_sql()`` via DuckDB at sf0.001 (a faster replica of the driver's
+sf0.01 correctness gate — same compare: row count, columns, exact values)."""
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+# the cheap end of the oracle-checked set (full set runs in the driver gate)
+CHECKED = [
+    "explode_media",
+    "span_digest",
+    "cell_agg_band",
+    "knn_tiles",
+    "lineitem_pricing",
+    "orders_by_segment",
+    "dedup_exact",
+    "token_stats",
+    "lang_id",
+    "events_daily",
+    "knn_embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def contract(ray_session):
+    import __ray_entry__ as e
+
+    return e.queries(), e.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _to_df(res) -> pd.DataFrame:
+    import pyarrow as pa
+
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    if isinstance(res, pd.DataFrame):
+        return res
+    return res.to_pandas()
+
+
+@pytest.mark.parametrize("name", CHECKED)
+def test_query_matches_oracle(name, contract, con):
+    queries, sqls = contract
+    sql = sqls[name].replace("sf0.01/", "sf0.001/")
+    got = _norm(_to_df(queries[name](SF)))
+    want = _norm(con.sql(sql).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_every_query_has_oracle_or_is_flagged(contract):
+    queries, sqls = contract
+    rows_only = set(queries) - set(sqls)
+    # non-SQL-expressible ops only (erased 10-type tiles, PIP rings,
+    # MinHash/SimHash/LSH, stubbed media codecs)
+    assert rows_only == {
+        "flagship_cells",
+        "pip_join_counts",
+        "minhash_pairs",
+        "simhash_pairs",
+        "embedding_dups",
+        "media_features",
+    }
+    assert not set(sqls) - set(queries)
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    out = _to_df(e.entry())
+    assert len(out) > 0
+    assert {"cell_id", "n_tiles", "min_val", "max_val"} <= set(out.columns)

@@ -1,0 +1,75 @@
+"""Similarity-search tests: brute-force oracle + LSH recall (SURVEY.md §5.2)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from raycells.sim.knn import lsh_topk, topk_cosine
+
+
+@pytest.fixture(scope="module")
+def vecs():
+    rng = np.random.default_rng(11)
+    emb = rng.standard_normal((300, 64))
+    return emb
+
+
+@pytest.fixture()
+def emb_ds(ray_session, vecs):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in vecs]),
+        }
+    )
+    return rd.from_arrow(t)
+
+
+def _exact_topk(vecs, q, k):
+    u = vecs / np.linalg.norm(vecs, axis=1)[:, None]
+    uq = q / np.linalg.norm(q)
+    sims = np.round(u @ uq, 6)
+    return np.lexsort((np.arange(len(vecs)), -sims))[:k]
+
+
+def test_brute_force_matches_oracle(emb_ds, vecs):
+    q = vecs[5]
+    out = topk_cosine(emb_ds, q[None, :], np.array([0]), k=10).to_pandas()
+    expected = _exact_topk(vecs, q, 10)
+    assert out["vec_id"].tolist() == expected.tolist()
+    assert out["rank"].tolist() == list(range(1, 11))
+    assert out["sim"].iloc[0] == 1.0  # the query vector itself
+
+
+def test_multiple_queries(emb_ds, vecs):
+    qs = vecs[[3, 7]]
+    out = topk_cosine(emb_ds, qs, np.array([3, 7]), k=5).to_pandas()
+    assert len(out) == 10
+    for qid, qv in [(3, vecs[3]), (7, vecs[7])]:
+        got = out[out["query_id"] == qid]["vec_id"].tolist()
+        assert got == _exact_topk(vecs, qv, 5).tolist()
+
+
+def test_lsh_topk_recall(ray_session):
+    """Approximate path: on clustered data (true neighbors genuinely
+    similar — LSH's design regime) recall@10 ≥ 0.8."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(13)
+    noise = rng.standard_normal((200, 64))
+    q = rng.standard_normal(64)
+    cluster = q[None, :] + 0.15 * rng.standard_normal((15, 64))  # cos ≈ 0.99
+    vecs = np.vstack([noise, cluster])
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in vecs]),
+        }
+    )
+    ds = rd.from_arrow(t)
+    out = lsh_topk(ds, q[None, :], np.array([0]), k=10, multiprobe=1).to_pandas()
+    expected = set(_exact_topk(vecs, q, 10).tolist())
+    got = set(out["vec_id"].tolist())
+    assert len(got & expected) >= 8

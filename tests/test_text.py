@@ -1,0 +1,162 @@
+"""Text analysis + dedup operator tests (brute-force oracles, SURVEY.md §5.2)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from raycells.text import analysis as ta
+from raycells.text import dedup as dd
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox jumps over the lazy cat",
+    "completely different content here now",
+    "",
+    "a",
+    "the quick brown fox jumps over the lazy dog",  # exact dup of [0]
+]
+IDS = ["d0", "d1", "d2", "d3", "d4", "d5"]
+
+
+def _tbl():
+    return pa.table({"doc_id": IDS, "text": TEXTS})
+
+
+# ---------------------------------------------------------------------------
+# analysis kernels (pure, no Ray)
+# ---------------------------------------------------------------------------
+
+def test_token_counts():
+    out = ta.token_counts(_tbl()["text"])
+    assert out.tolist() == [9, 9, 5, 0, 1, 9]
+
+
+def test_word_hits():
+    hits = ta.word_hits(_tbl()["text"], "the")
+    assert hits.tolist() == [2, 2, 0, 0, 0, 2]
+
+
+def test_char_metrics():
+    m = ta.char_metrics(pa.chunked_array([["ab1 c!"]]))
+    assert m["n_chars"][0] == 6
+    assert m["n_alpha"][0] == 3
+    assert m["n_digit"][0] == 1
+    assert m["n_space"][0] == 1
+    assert m["n_other"][0] == 1
+
+
+def test_quality_metrics():
+    out = ta.quality_metrics(_tbl())
+    ok = out["quality_ok"].to_pylist()
+    assert ok[0] and ok[1]          # long, alpha, has stopwords
+    assert not ok[2]                # no stopword hits
+    assert not ok[3] and not ok[4]  # too short
+
+
+def test_lang_id_deterministic_ties():
+    t = pa.table({"doc_id": ["x"], "text": ["nothing matching markers"]})
+    out = ta.lang_id(t)
+    assert out["lang_detected"].to_pylist() == ["und"]
+    # 'a' is an en marker, 'agg' a de marker — en wins ties by declaration order
+    t2 = pa.table({"doc_id": ["y"], "text": ["a agg"]})
+    assert ta.lang_id(t2)["lang_detected"].to_pylist() == ["en"]
+
+
+def test_fingerprint_identity_and_difference():
+    fp = ta.fingerprint64(TEXTS)
+    assert fp[0] == fp[5]
+    assert fp[0] != fp[1]
+    assert fp[3] != fp[4]
+    # stable across calls
+    assert ta.fingerprint64([TEXTS[0]])[0] == fp[0]
+
+
+# ---------------------------------------------------------------------------
+# dedup kernels (pure)
+# ---------------------------------------------------------------------------
+
+def test_content_hash_collision_free_here():
+    h = dd.content_hash64(TEXTS)
+    assert h[0] == h[5]
+    assert len(set(h.tolist())) == 5
+
+
+def test_shingles_and_jaccard():
+    a = dd.char_shingles(TEXTS[0], 5)
+    b = dd.char_shingles(TEXTS[1], 5)
+    c = dd.char_shingles(TEXTS[2], 5)
+    assert dd.jaccard(a, a) == 1.0
+    assert dd.jaccard(a, b) > 0.6      # one-word difference
+    assert dd.jaccard(a, c) < 0.1
+
+
+def test_minhash_estimates_jaccard():
+    mh = dd.MinHasher(256)
+    sa = mh.signature(dd.char_shingles(TEXTS[0], 5))
+    sb = mh.signature(dd.char_shingles(TEXTS[1], 5))
+    est = (sa == sb).mean()
+    true = dd.jaccard(dd.char_shingles(TEXTS[0], 5), dd.char_shingles(TEXTS[1], 5))
+    assert abs(est - true) < 0.15
+
+
+def test_simhash_hamming_tracks_similarity():
+    sh = dd.simhash64(TEXTS)
+    assert sh[0] == sh[5]
+    d_near = dd._hamming64(sh[0:1], sh[1:2])[0]
+    d_far = dd._hamming64(sh[0:1], sh[2:3])[0]
+    assert d_near < d_far
+
+
+# ---------------------------------------------------------------------------
+# distributed pipelines (Ray)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.from_arrow(_tbl())
+
+
+def test_exact_dedup_pipeline(docs_ds):
+    out = dd.exact_dedup(docs_ds).to_pandas()
+    assert len(out) == 5
+    # deterministic winner: min doc_id per hash
+    assert "d5" not in set(out["doc_id"])
+    assert "d0" in set(out["doc_id"])
+
+
+def test_minhash_near_dup_pipeline(docs_ds):
+    pairs = dd.minhash_near_dup_pairs(docs_ds, threshold=0.6).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert ("d0", "d1") in got or ("d1", "d5") in got  # near-dup found
+    assert ("d0", "d5") in got                          # exact dup found
+    assert all(a < b for a, b in got)
+    # no cross-pairs with the unrelated doc
+    assert not any("d2" in p for pair in got for p in pair)
+
+
+def test_simhash_near_dup_pipeline(docs_ds):
+    pairs = dd.simhash_near_dup_pairs(docs_ds, max_hamming=3).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert ("d0", "d5") in got
+    assert not any("d2" in p for pair in got for p in pair)
+
+
+def test_embedding_near_dup_pipeline(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((20, 64))
+    near = base[0] + 0.01 * rng.standard_normal(64)  # ~cos 1.0 with row 0
+    emb = np.vstack([base, near])
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(21), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in emb]),
+        }
+    )
+    pairs = dd.embedding_near_dup_pairs(
+        rd.from_arrow(t), threshold=0.95
+    ).to_pandas()
+    assert (0, 20) in set(zip(pairs["id_a"], pairs["id_b"]))
