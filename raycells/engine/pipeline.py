@@ -71,12 +71,24 @@ def _pool_sizes():
     return decode, join
 
 
-def decode_stage(ds, concurrency: Optional[int] = None, batch_size: int = 1024):
-    """Tile decode actor pool. batch_size × ~8 KB/tile keeps a batch ≈ 8 MB."""
+def decode_stage(
+    ds,
+    concurrency: Optional[int] = None,
+    batch_size: int = 1024,
+    emit: str = "tiles",
+    level: int = DEFAULT_LEVEL,
+    salt: int = 8,
+):
+    """Tile decode actor pool. batch_size × ~8 KB/tile keeps a batch ≈ 8 MB.
+    ``emit`` fuses downstream per-tile work into the same actor
+    ("stats": +masked stats +cell ids; "partials": +map-side salted
+    partial aggregate) so stats consumers ship ~100 B/tile instead of
+    ~30 KB/tile through the object store and skip per-operator latency."""
     if concurrency is None:
         concurrency = _pool_sizes()[0]
     return ds.map_batches(
         stages.TileDecoder,
+        fn_constructor_kwargs={"emit": emit, "level": level, "salt": salt},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -119,21 +131,40 @@ def flagship(
     out_dir: Optional[str] = None,
     decode_concurrency: Optional[int] = None,
     with_join: bool = True,
+    num_blocks: Optional[int] = None,
 ):
     """The headline pipeline. Returns the per-cell aggregate Dataset
-    (cell id → n_tiles, valid/nodata counts, min/max, avg tile mean)."""
-    ds = read_docs(docs_dir)
-    tiles = decode_stage(explode_stage(ds), concurrency=decode_concurrency)
-    stats = cellid_stage(stats_stage(tiles), level=level)
+    (cell id → n_tiles, valid/nodata counts, min/max, avg tile mean).
+
+    ``num_blocks`` pins the read parallelism: per-task driver overhead is
+    high on this platform, so the block count stays FIXED (~2× the CPU
+    count) instead of growing with the input — bigger inputs mean bigger
+    blocks, not more tasks."""
+    if num_blocks is None:
+        num_blocks = 2 * _cluster_cpus()
+    ds = read_docs(docs_dir, override_num_blocks=num_blocks)
+    ex = explode_stage(ds)
     if with_join:
+        # the join consumer needs the per-tile stats stream; fused
+        # stateless decode→stats as tasks, then the actor-pool PIP join
+        stats = ex.map_batches(
+            lambda b: stages.decode_stats(b, emit="stats", level=level),
+            batch_format="pyarrow",
+        )
         joined = join_stage(stats)
-        # the join output (tile × footprint hits) feeds a per-category count;
-        # the per-cell aggregate runs on the full stats stream
         agg = shuffle_mod.salted_cell_aggregate(stats, key="cell_id")
         if out_dir:
             joined.write_parquet(os.path.join(out_dir, "join"))
     else:
-        agg = shuffle_mod.salted_cell_aggregate(stats, key="cell_id")
+        # fully fused fast path: decode→stats→cellid→partials in ONE task
+        # operator (stateless synthetic decode; scratch persists in reused
+        # workers — a real codec decode would use the TileDecoder actor
+        # pool via decode_stage(emit=...) instead), then the tiny merge
+        partials = ex.map_batches(
+            lambda b: stages.decode_stats(b, emit="partials", level=level),
+            batch_format="pyarrow",
+        )
+        agg = shuffle_mod.merge_cell_agg(partials, key="key", key_out="cell_id")
     if out_dir:
         agg.write_parquet(os.path.join(out_dir, "cells"))
     return agg

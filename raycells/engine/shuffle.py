@@ -64,34 +64,75 @@ def partial_cell_agg(batch: pa.Table, key: str = "cell_id", salt: int = DEFAULT_
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def merge_cell_agg(ds, key: str = "key", key_out: str = "cell_id"):
-    """Final merge over the (already tiny) partials: groupby(cell) summing
-    partial sums. Returns a Dataset of per-cell aggregates."""
-    from ray.data.aggregate import Count, Max, Min, Sum
+DEFAULT_BUCKETS = 32
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
-    merged = ds.groupby(key).aggregate(
-        Sum("n_tiles", alias_name="n_tiles"),
-        Sum("sum_mean", alias_name="sum_mean"),
-        Sum("valid_count", alias_name="valid_count"),
-        Sum("nodata_count", alias_name="nodata_count"),
-        Min("min_val", alias_name="min_val"),
-        Max("max_val", alias_name="max_val"),
-    )
 
-    def finalize(t: pa.Table) -> pa.Table:
-        n = t["n_tiles"].to_numpy(zero_copy_only=False).astype(np.float64)
-        s = t["sum_mean"].to_numpy(zero_copy_only=False)
+def add_bucket(batch: pa.Table, key: str, num_buckets: int = DEFAULT_BUCKETS) -> pa.Table:
+    """Coarse hash-bucket column for the merge exchange. Ray Data's
+    sort-based aggregate pays per-distinct-group Python overhead, so we
+    shuffle on ~num_buckets coarse buckets and run ONE vectorized
+    groupby per bucket instead (map_groups). num_buckets scales with the
+    cluster, independent of the (possibly huge) key cardinality."""
+    k = batch[key].to_numpy(zero_copy_only=False).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        b = ((k * _GOLDEN) >> np.uint64(48)).astype(np.int64) % num_buckets
+    return batch.append_column("_bucket", pa.array(b))
+
+
+def combine_partials(batch: pa.Table) -> pa.Table:
+    """Tree-combine: re-combine several blocks' worth of partials into one
+    partial table per (key, salt). Block-level partials barely compress
+    when a block's row count is near the key space; coalescing many
+    blocks into one combine batch (map_batches batch_size) restores the
+    compression before the all-to-all shuffle."""
+    df = batch.to_pandas()
+    agg = {
+        "n_tiles": ("n_tiles", "sum"),
+        "sum_mean": ("sum_mean", "sum"),
+        "valid_count": ("valid_count", "sum"),
+        "nodata_count": ("nodata_count", "sum"),
+        "min_val": ("min_val", "min"),
+        "max_val": ("max_val", "max"),
+    }
+    out = df.groupby(["key", "salt"], sort=False).agg(**agg).reset_index()
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+COMBINE_BATCH = 1 << 18  # coalesce ~4-20 blocks per combine task
+
+
+def merge_cell_agg(
+    ds, key: str = "key", key_out: str = "cell_id", num_buckets: int = DEFAULT_BUCKETS
+):
+    """Final merge over the partials: hash-bucket exchange + ONE
+    vectorized pandas groupby per bucket (map_groups). Returns per-cell
+    aggregates. This sidesteps Ray's per-distinct-group aggregate
+    overhead — the shuffle key has num_buckets distinct values however
+    many cells exist."""
+
+    def combine(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        out = df.groupby("key", sort=False).agg(
+            n_tiles=("n_tiles", "sum"),
+            sum_mean=("sum_mean", "sum"),
+            valid_count=("valid_count", "sum"),
+            nodata_count=("nodata_count", "sum"),
+            min_val=("min_val", "min"),
+            max_val=("max_val", "max"),
+        ).reset_index()
         with np.errstate(invalid="ignore", divide="ignore"):
-            avg = s / n
-        t = t.append_column("avg_tile_mean", pa.array(avg))
-        t = t.drop_columns(["sum_mean"])
-        if key in t.column_names and key != key_out:
-            t = t.rename_columns(
-                [key_out if c == key else c for c in t.column_names]
-            )
-        return t
+            out["avg_tile_mean"] = out["sum_mean"] / out["n_tiles"]
+        out = out.drop(columns=["sum_mean"]).rename(columns={"key": key_out})
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    return merged.map_batches(finalize, batch_format="pyarrow")
+    return (
+        ds.map_batches(
+            lambda b: add_bucket(b, key, num_buckets), batch_format="pyarrow"
+        )
+        .groupby("_bucket")
+        .map_groups(combine, batch_format="pyarrow")
+    )
 
 
 def salted_aggregate(
@@ -136,17 +177,26 @@ def salted_aggregate(
         out = df.groupby(["key", "salt"], sort=False).agg(**spec).reset_index()
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    aggs = [Sum(count_alias, alias_name=count_alias)]
-    aggs += [Sum(f"sum_{c}", alias_name=f"sum_{c}") for c in sums]
-    aggs += [Min(f"min_{c}", alias_name=f"min_{c}") for c in mins]
-    aggs += [Max(f"max_{c}", alias_name=f"max_{c}") for c in maxs]
-    merged = partials.groupby("key").aggregate(*aggs)
+    spec = {count_alias: (count_alias, "sum")}
+    for c in sums:
+        spec[f"sum_{c}"] = (f"sum_{c}", "sum")
+    for c in mins:
+        spec[f"min_{c}"] = (f"min_{c}", "min")
+    for c in maxs:
+        spec[f"max_{c}"] = (f"max_{c}", "max")
 
-    def rename(t: pa.Table) -> pa.Table:
-        return t.rename_columns([key if c == "key" else c for c in t.column_names])
+    def combine(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        out = df.groupby("key", sort=False).agg(**spec).reset_index()
+        out = out.rename(columns={"key": key})
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    return merged.map_batches(rename, batch_format="pyarrow")
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(lambda b: add_bucket(b, "key"), batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(combine, batch_format="pyarrow")
+    )
 
 
 def salted_cell_aggregate(ds, key: str = "cell_id", salt: int = DEFAULT_SALT):

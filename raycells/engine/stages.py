@@ -39,13 +39,40 @@ class TileDecoder:
     dispatch tables (the once-per-worker cost that justifies an actor pool,
     like a GDAL dataset handle)."""
 
-    def __init__(self):
+    def __init__(
+        self,
+        with_stats: bool = False,
+        emit: str = None,
+        level: int = 8,
+        salt: int = 8,
+    ):
         # per-cell-type dispatch table: name → (numpy dtype, sentinel)
         self.dispatch = {
             ct.name: (ct.dtype, ct.default_nodata()) for ct in CELL_TYPES
         }
+        # emit: "tiles" (full payloads), "stats" (+per-tile stats+cellid),
+        # "partials" (+map-side salted partial aggregate). Fusing the
+        # whole per-tile chain into ONE operator matters on two axes: no
+        # tile payloads through the object store, and no extra Ray Data
+        # operators (fixed per-operator latency would otherwise dominate
+        # the post-decode tail and destroy scaling efficiency).
+        self.emit = emit or ("stats" if with_stats else "tiles")
+        self.level = level
+        self.salt = salt
+        # Warm the allocator arena / scratch buffers ONCE per actor: on
+        # this platform, first-touch page faults make the first big-matrix
+        # synth ~40× slower than steady state; a dummy full-size batch in
+        # __init__ moves that cost to (parallel) actor startup.
+        if self.emit == "tiles":
+            tilestore.synth_tiles(np.arange(1024, dtype=np.int64))
+        else:
+            tilestore.synth_tile_stats(np.arange(1024, dtype=np.int64))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.emit != "tiles":
+            # stats consumers: cache-resident fused decode→reduce; the
+            # tile payload never exists outside a 2 MB scratch chunk
+            return decode_stats(batch, emit=self.emit, level=self.level, salt=self.salt)
         seeds = tilestore.seed_of_refs(batch["media_ref"])
         cols = tilestore.synth_tiles(seeds)
         out = pa.table(
@@ -152,6 +179,45 @@ def tile_stats(batch: pa.Table) -> pa.Table:
     return pa.table(out)
 
 
+def decode_stats(batch: pa.Table, emit: str = "stats", level: int = 8, salt: int = 8) -> pa.Table:
+    """Stateless fused decode→stats(→partials) for TASK stages.
+
+    The synthetic LCG decode needs no per-worker state (scratch buffers
+    are module-level and persist in Ray's reused worker processes), so
+    the fused stats path runs as plain ``map_batches`` tasks — no
+    per-execution actor-pool startup. A real codec decode (stateful
+    handles) takes the ``TileDecoder`` actor-pool path instead."""
+    seeds = tilestore.seed_of_refs(batch["media_ref"])
+    st = tilestore.synth_tile_stats(seeds)
+    out = pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "span_idx": batch["span_idx"],
+            "media_ref": batch["media_ref"],
+            "cell_type": pa.array(list(st["cell_type"]), pa.string()),
+            "nrows": pa.array(st["nrows"], pa.int32()),
+            "ncols": pa.array(st["ncols"], pa.int32()),
+            "lon": pa.array(st["lon"], pa.float64()),
+            "lat": pa.array(st["lat"], pa.float64()),
+            "minx": pa.array(st["minx"], pa.float64()),
+            "miny": pa.array(st["miny"], pa.float64()),
+            "maxx": pa.array(st["maxx"], pa.float64()),
+            "maxy": pa.array(st["maxy"], pa.float64()),
+            "min_val": pa.array(st["min_val"]),
+            "max_val": pa.array(st["max_val"]),
+            "mean_val": pa.array(st["mean_val"]),
+            "valid_count": pa.array(st["valid_count"]),
+            "nodata_count": pa.array(st["nodata_count"]),
+        }
+    )
+    out = add_cell_ids(out, level=level)
+    if emit == "stats":
+        return out
+    from raycells.engine.shuffle import partial_cell_agg
+
+    return partial_cell_agg(out, key="cell_id", salt=salt)
+
+
 def band_stats(batch: pa.Table, band: int = 4) -> pa.Table:
     """Decode band tiles (uint16, nodata sentinel 0 — tilestore LCG) and
     reduce each to integer stats in ONE (B, 4096) matrix pass: masked
@@ -161,23 +227,18 @@ def band_stats(batch: pa.Table, band: int = 4) -> pa.Table:
     Every output column is integer or an exact double, so the DuckDB
     oracle reproduces it bit-for-bit (tilestore.synth_band_values SQL)."""
     seeds = tilestore.seed_of_refs(batch["media_ref"])
-    v = tilestore.synth_band_values(seeds, band).astype(np.int64)
-    valid = v != 0
-    valid_count = valid.sum(axis=1)
-    sum_val = (v * valid).sum(axis=1)
-    min_val = np.where(valid, v, np.int64(1 << 40)).min(axis=1)
-    max_val = np.where(valid, v, np.int64(-1)).max(axis=1)
+    st = tilestore.synth_band_stats(seeds, band)
     lon, lat = tilestore.centroids(seeds)
     return pa.table(
         {
             "doc_id": batch["doc_id"],
             "span_idx": batch["span_idx"],
             "seed": pa.array(seeds, pa.int64()),
-            "valid_count": pa.array(valid_count, pa.int64()),
-            "nodata_count": pa.array(v.shape[1] - valid_count, pa.int64()),
-            "min_val": pa.array(min_val, pa.int64()),
-            "max_val": pa.array(max_val, pa.int64()),
-            "sum_val": pa.array(sum_val, pa.int64()),
+            "valid_count": pa.array(st["valid_count"], pa.int64()),
+            "nodata_count": pa.array(st["nodata_count"], pa.int64()),
+            "min_val": pa.array(st["min_val"], pa.int64()),
+            "max_val": pa.array(st["max_val"], pa.int64()),
+            "sum_val": pa.array(st["sum_val"], pa.int64()),
             "lon": pa.array(lon, pa.float64()),
             "lat": pa.array(lat, pa.float64()),
             "grid_cell": pa.array(cellid.grid_cell(lon, lat), pa.int64()),

@@ -239,6 +239,161 @@ def synth_tiles(seeds: np.ndarray) -> Dict[str, list]:
     }
 
 
+# ---------------------------------------------------------------------------
+# fused chunked stats (cache-resident decode→reduce; no payload materialized)
+# ---------------------------------------------------------------------------
+
+_CHUNK = 64  # tiles per chunk: 64 × 4096 × 8 B = 2 MB temporaries → cache-resident
+_SCRATCH: dict = {}  # (kind, n) → reusable buffer; actors/workers are single-threaded
+
+
+def _scratch(kind: str, n: int, dtype) -> np.ndarray:
+    key = (kind, n, np.dtype(dtype).name)
+    buf = _SCRATCH.get(key)
+    if buf is None:
+        buf = np.empty((_CHUNK, n), dtype=dtype)
+        _SCRATCH[key] = buf
+    return buf
+
+
+def _imul_cache(n: int, offset: int) -> np.ndarray:
+    key = ("imul", n, offset)
+    v = _SCRATCH.get(key)
+    if v is None:
+        v = (np.arange(n, dtype=np.int64) + offset) * MUL_I
+        _SCRATCH[key] = v
+    return v
+
+
+def _i7_cache(n: int) -> np.ndarray:
+    key = ("i7", n)
+    v = _SCRATCH.get(key)
+    if v is None:
+        v = np.arange(n, dtype=np.int64) * MASK_MUL
+        _SCRATCH[key] = v
+    return v
+
+
+def synth_tile_stats(seeds: np.ndarray) -> Dict[str, np.ndarray]:
+    """Decode erased tiles AND reduce them to per-tile masked stats in one
+    cache-resident pass — the payload never exists outside a 2 MB chunk.
+
+    Equivalent to ``synth_tiles`` → ``stages.tile_stats`` (same masked
+    min/max fold semantics, inverted sentinels when fully masked; values
+    here are exactly representable in float64 so the reduction is exact).
+    The memory-traffic savings are what make the decode stage scale with
+    CPUs instead of saturating DRAM bandwidth."""
+    s = np.asarray(seeds, dtype=np.int64)
+    ct_idx = tile_cell_types(s)
+    shapes = tile_shapes(s)
+    ext = extents(s)
+    N = len(s)
+
+    min_v = np.empty(N, dtype=np.float64)
+    max_v = np.empty(N, dtype=np.float64)
+    mean_v = np.full(N, np.nan, dtype=np.float64)
+    valid_c = np.zeros(N, dtype=np.int64)
+    cts = np.empty(N, dtype=object)
+
+    big = shapes[:, 0] != TILE_H
+    for ci in np.unique(ct_idx):
+        ct = CELL_TYPES[ci]
+        sentinel_lo = float(ct.max_value().to_f64())
+        sentinel_hi = float(ct.min_value().to_f64())
+        for is_big in (False, True):
+            sel = np.nonzero((ct_idx == ci) & (big == is_big))[0]
+            if sel.size == 0:
+                continue
+            n = (BIG_SHAPE[0] * BIG_SHAPE[1]) if is_big else TILE_N
+            imul = _imul_cache(n, 0)
+            i7 = _i7_cache(n)
+            i64 = _scratch("i64", n, np.int64)
+            i64b = _scratch("i64b", n, np.int64)
+            f64 = _scratch("f64", n, np.float64)
+            valid = _scratch("bool", n, np.bool_)
+            for lo in range(0, sel.size, _CHUNK):
+                rows = sel[lo : lo + _CHUNK]
+                g = rows.size
+                ss = s[rows][:, None]
+                # raw = (s*A + i*I) % 65521   (scratch-resident)
+                np.add(ss * MUL_A, imul, out=i64[:g])
+                np.mod(i64[:g], 65521, out=i64[:g])
+                vals = _typed_values(i64[:g], ct)
+                # invalid = (s + i*7) % 33 == 0
+                np.add(ss, i7, out=i64b[:g])
+                np.mod(i64b[:g], MASK_MOD, out=i64b[:g])
+                np.not_equal(i64b[:g], 0, out=valid[:g])
+                v = valid[:g]
+                np.copyto(f64[:g], vals)  # exact: all values < 2^53
+                vf = f64[:g]
+                nv = v.sum(axis=1)
+                mn = np.where(v, vf, np.inf).min(axis=1)
+                mx = np.where(v, vf, -np.inf).max(axis=1)
+                none = nv == 0
+                if none.any():  # reference fold: inverted sentinels
+                    mn[none] = sentinel_lo
+                    mx[none] = sentinel_hi
+                sums = np.where(v, vf, 0.0).sum(axis=1)
+                min_v[rows] = mn
+                max_v[rows] = mx
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    mean_v[rows] = np.where(nv > 0, sums / np.maximum(nv, 1), np.nan)
+                valid_c[rows] = nv
+            cts[sel] = ct.name
+
+    n_cells = shapes[:, 0].astype(np.int64) * shapes[:, 1]
+    return {
+        "cell_type": cts,
+        "nrows": shapes[:, 0],
+        "ncols": shapes[:, 1],
+        "min_val": min_v,
+        "max_val": max_v,
+        "mean_val": mean_v,
+        "valid_count": valid_c,
+        "nodata_count": n_cells - valid_c,
+        **ext,
+    }
+
+
+def synth_band_stats(seeds: np.ndarray, band: int) -> Dict[str, np.ndarray]:
+    """Chunked band-tile decode→reduce (uint16 LCG, sentinel 0): exact
+    integer stats without materializing the (B, 4096) value matrix in
+    DRAM. Value-identical to ``synth_band_values`` + numpy reductions."""
+    s = np.asarray(seeds, dtype=np.int64)
+    N = len(s)
+    n = TILE_N
+    imul = _imul_cache(n, band * 101)
+    i7 = _i7_cache(n)
+    i64 = _scratch("i64", n, np.int64)
+    i64b = _scratch("i64b", n, np.int64)
+    valid = _scratch("bool", n, np.bool_)
+    valid_c = np.empty(N, dtype=np.int64)
+    sum_v = np.empty(N, dtype=np.int64)
+    min_v = np.empty(N, dtype=np.int64)
+    max_v = np.empty(N, dtype=np.int64)
+    for lo in range(0, N, _CHUNK):
+        g = min(_CHUNK, N - lo)
+        ss = s[lo : lo + g][:, None]
+        np.add(ss * MUL_A, imul, out=i64[:g])
+        np.mod(i64[:g], VAL_MOD, out=i64[:g])
+        np.add(i64[:g], 1, out=i64[:g])  # v in 1..65520
+        np.add(ss, i7, out=i64b[:g])
+        np.mod(i64b[:g], MASK_MOD, out=i64b[:g])
+        np.not_equal(i64b[:g], 0, out=valid[:g])
+        v, m = i64[:g], valid[:g]
+        valid_c[lo : lo + g] = m.sum(axis=1)
+        sum_v[lo : lo + g] = np.where(m, v, 0).sum(axis=1)
+        min_v[lo : lo + g] = np.where(m, v, np.int64(1 << 40)).min(axis=1)
+        max_v[lo : lo + g] = np.where(m, v, np.int64(-1)).max(axis=1)
+    return {
+        "valid_count": valid_c,
+        "nodata_count": n - valid_c,
+        "min_val": min_v,
+        "max_val": max_v,
+        "sum_val": sum_v,
+    }
+
+
 def tile_schema() -> pa.Schema:
     """Arrow schema for decoded erased tiles crossing stage boundaries
     (SURVEY.md §7.3: binary payload + dtype tag + shape keeps the buffer in

@@ -125,8 +125,9 @@ def q_pip_join_counts(sf_dir: str):
     counts (rows-only; brute-force oracle lives in tests/test_geo.py)."""
     docs_dir = pl.docs_dir_for_sf(sf_dir)
     ds = pl.read_docs(docs_dir)
-    tiles = pl.decode_stage(pl.explode_stage(ds))
-    stats = pl.cellid_stage(pl.stats_stage(tiles))
+    stats = pl.explode_stage(ds).map_batches(
+        lambda b: stages.decode_stats(b, emit="stats"), batch_format="pyarrow"
+    )
     joined = pl.join_stage(stats)
     return joined.groupby("category").count()
 
