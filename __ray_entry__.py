@@ -59,9 +59,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_digest": q.q_span_digest,
         "band_tile_stats": q.q_band_tile_stats,
         "cell_agg_band": q.q_cell_agg_band,
+        "ndvi_stats": q.q_ndvi_stats,
         "knn_tiles": q.q_knn_tiles,
         "flagship_cells": q.q_flagship_cells,
         "pip_join_counts": q.q_pip_join_counts,
+        "rasterize_footprints": q.q_rasterize_footprints,
+        "vectorize_tiles": q.q_vectorize_tiles,
         # tabular family (driver testdata views)
         "lineitem_pricing": q.q_lineitem_pricing,
         "orders_by_segment": q.q_orders_by_segment,

@@ -1,0 +1,105 @@
+"""``ray job submit`` entrypoint: checkpoint-resumable flagship runs.
+
+    python -m raycells.engine.driver --docs-dir /tmp/raycells_docs/sf0.01 \
+        --out /tmp/raycells_out/run1 [--level 8] [--num-cpus 8]
+
+The input is processed fragment-by-fragment (the Lance/Parquet fragment
+layout from io/docsource.py). Per fragment the flagship pipeline writes
+partitioned parquet under ``out/fragment=K/`` and publishes a manifest
+entry (atomic rename) with row/tile counts, the span-sequence digest
+XOR (lineage of the per-row invariant), and per-stage wall time
+(SURVEY.md §7.6). Re-running skips completed fragments; killing a run
+between fragments and restarting produces a byte-identical output set
+(tests/test_engine.py pins this).
+
+The job driver owns the Ray session (guarded init — the graft driver
+contract forbids library-level ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+from raycells.engine import checkpoint, pipeline as pl
+from raycells.engine import shuffle as shuffle_mod
+
+
+def process_fragment(frag_path: str, frag_out: str, level: int = 8) -> dict:
+    """One fragment: flagship per-cell aggregate + span-digest lineage."""
+    import ray.data as rd
+
+    from raycells.engine import stages
+    from raycells.io import docsource
+
+    t0 = time.perf_counter()
+    # scope the pipeline to THIS fragment only
+    ds = rd.read_parquet(frag_path)
+    ex = pl.explode_stage(ds)
+
+    partials = ex.map_batches(
+        lambda b: stages.decode_stats(b, emit="partials", level=level),
+        batch_format="pyarrow",
+    )
+    agg = shuffle_mod.merge_cell_agg(partials, key="key", key_out="cell_id")
+    os.makedirs(frag_out, exist_ok=True)
+    agg.write_parquet(frag_out)
+    pipe_sec = time.perf_counter() - t0
+
+    # lineage: per-fragment XOR of span-sequence digests (order-free,
+    # verifiable against the source at any later point)
+    digests = (
+        rd.read_parquet(frag_path)
+        .map_batches(docsource.span_digests, batch_format="pyarrow")
+        .to_pandas()
+    )
+    xor = 0
+    for d in digests["span_digest"]:
+        xor ^= int(d, 16)
+    n_tiles = ex.count()
+    return {
+        "rows_in": int(len(digests)),
+        "tiles": int(n_tiles),
+        "span_digest_xor": f"{xor:032x}",
+        "pipeline_sec": round(pipe_sec, 3),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--docs-dir", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--level", type=int, default=8)
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+        )
+    summary = checkpoint.run_fragments(
+        args.docs_dir,
+        args.out,
+        lambda frag, out: process_fragment(frag, out, level=args.level),
+    )
+    print(
+        json.dumps(
+            {
+                "done": summary["done"],
+                "skipped": summary["skipped"],
+                "fragments": len(summary["manifests"]),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -394,6 +394,57 @@ def synth_band_stats(seeds: np.ndarray, band: int) -> Dict[str, np.ndarray]:
     }
 
 
+def synth_ndvi_stats(seeds: np.ndarray, red_band: int = 4, nir_band: int = 5) -> Dict[str, np.ndarray]:
+    """The reference's golden workload (rasterband.rs:138-191) as a
+    chunked two-band kernel: ndvi = (nir − red) / (nir + red) over cells
+    valid in BOTH bands (mask AND — masked_buffer.rs:323-350), reduced to
+    per-tile min/max/valid-count without materializing the bands.
+
+    Every elementwise value is an exact IEEE double of integer operands,
+    so a DuckDB oracle computing the same formula matches bit-for-bit."""
+    s = np.asarray(seeds, dtype=np.int64)
+    N = len(s)
+    n = TILE_N
+    imul_r = _imul_cache(n, red_band * 101)
+    imul_n = _imul_cache(n, nir_band * 101)
+    i7 = _i7_cache(n)
+    red = _scratch("i64", n, np.int64)
+    nir = _scratch("i64b", n, np.int64)
+    msk = _scratch("i64c", n, np.int64)
+    f64 = _scratch("f64", n, np.float64)
+    valid = _scratch("bool", n, np.bool_)
+    n_valid = np.empty(N, dtype=np.int64)
+    ndvi_min = np.empty(N, dtype=np.float64)
+    ndvi_max = np.empty(N, dtype=np.float64)
+    for lo in range(0, N, _CHUNK):
+        g = min(_CHUNK, N - lo)
+        ss = s[lo : lo + g][:, None]
+        np.add(ss * MUL_A, imul_r, out=red[:g])
+        np.mod(red[:g], VAL_MOD, out=red[:g])
+        np.add(red[:g], 1, out=red[:g])
+        np.add(ss * MUL_A, imul_n, out=nir[:g])
+        np.mod(nir[:g], VAL_MOD, out=nir[:g])
+        np.add(nir[:g], 1, out=nir[:g])
+        np.add(ss, i7, out=msk[:g])
+        np.mod(msk[:g], MASK_MOD, out=msk[:g])
+        np.not_equal(msk[:g], 0, out=valid[:g])  # same sentinel mask both bands
+        v = valid[:g]
+        # ndvi = (nir - red) / (nir + red), elementwise exact doubles
+        with np.errstate(invalid="ignore", divide="ignore"):
+            np.divide(nir[:g] - red[:g], nir[:g] + red[:g], out=f64[:g])
+        nv = v.sum(axis=1)
+        n_valid[lo : lo + g] = nv
+        mn = np.where(v, f64[:g], np.inf).min(axis=1)
+        mx = np.where(v, f64[:g], -np.inf).max(axis=1)
+        none = nv == 0
+        if none.any():
+            mn[none] = np.nan
+            mx[none] = np.nan
+        ndvi_min[lo : lo + g] = mn
+        ndvi_max[lo : lo + g] = mx
+    return {"n_valid": n_valid, "ndvi_min": ndvi_min, "ndvi_max": ndvi_max}
+
+
 def tile_schema() -> pa.Schema:
     """Arrow schema for decoded erased tiles crossing stage boundaries
     (SURVEY.md §7.3: binary payload + dtype tag + shape keeps the buffer in

@@ -137,6 +137,25 @@ def build() -> dict:
             FROM gridded GROUP BY grid_cell
         """,
         "knn_tiles": _MEDIA + _KNN_TAIL,
+        "ndvi_stats": _MEDIA
+        + """
+            , cells AS (
+                SELECT m.doc_id, m.span_idx, m.seed, r.range AS i
+                FROM media m, range(4096) r
+            ),
+            bands AS (
+                SELECT doc_id, span_idx, seed,
+                       1 + (seed * 2654435761 + (i + 404) * 40503) % 65520 AS red,
+                       1 + (seed * 2654435761 + (i + 505) * 40503) % 65520 AS nir,
+                       (seed + i * 7) % 33 != 0 AS ok
+                FROM cells
+            )
+            SELECT doc_id, span_idx, seed,
+                   CAST(count(*) FILTER (WHERE ok) AS BIGINT) AS n_valid,
+                   MIN(CAST(nir - red AS DOUBLE) / (nir + red)) FILTER (WHERE ok) AS ndvi_min,
+                   MAX(CAST(nir - red AS DOUBLE) / (nir + red)) FILTER (WHERE ok) AS ndvi_max
+            FROM bands GROUP BY doc_id, span_idx, seed
+        """,
         "lineitem_pricing": """
             WITH u AS (
                 SELECT l_returnflag, l_linestatus,

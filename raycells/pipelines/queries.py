@@ -96,6 +96,93 @@ def q_band_tile_stats(sf_dir: str):
     return _exploded(sf_dir).map_batches(stats, batch_format="pyarrow")
 
 
+def q_ndvi_stats(sf_dir: str):
+    """The reference's golden NDVI workload, distributed: per media tile
+    compute masked (nir−red)/(nir+red) over bands 4/5 and reduce to
+    per-tile min/max + valid count (oracle-checked — every elementwise
+    value is an exact double of integer operands)."""
+    from raycells.io import tilestore
+
+    def ndvi(b: pa.Table) -> pa.Table:
+        seeds = tilestore.seed_of_refs(b["media_ref"])
+        st = tilestore.synth_ndvi_stats(seeds)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "span_idx": pc.cast(b["span_idx"], pa.int64()),
+                "seed": pa.array(seeds, pa.int64()),
+                "n_valid": pa.array(st["n_valid"]),
+                "ndvi_min": pa.array(st["ndvi_min"]),
+                "ndvi_max": pa.array(st["ndvi_max"]),
+            }
+        )
+
+    return _exploded(sf_dir).map_batches(ndvi, batch_format="pyarrow")
+
+
+def q_rasterize_footprints(sf_dir: str):
+    """Rasterize (vector→cells): scanline-fill each footprint polygon
+    into a 64×64 grid over its bbox; per-polygon filled-cell count
+    (rows-only; pinned against a point-in-polygon oracle in tests)."""
+    import ray.data as rd
+
+    from raycells.geo.raster import rasterize
+    from raycells.io import footprints as fp_mod
+
+    fps = fp_mod.generate_footprints()
+
+    def fill(b: pa.Table) -> pa.Table:
+        ids, cats, counts = [], [], []
+        for row in b.to_pylist():
+            ring = np.array([[p["x"], p["y"]] for p in row["ring"]])
+            bbox = (
+                ring[:, 0].min(), ring[:, 1].min(),
+                ring[:, 0].max(), ring[:, 1].max(),
+            )
+            grid = rasterize(ring, bbox, shape=(64, 64))
+            ids.append(row["footprint_id"])
+            cats.append(row["category"])
+            counts.append(int(grid.sum()))
+        return pa.table(
+            {
+                "footprint_id": pa.array(ids, pa.string()),
+                "category": pa.array(cats, pa.string()),
+                "filled_cells": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return rd.from_arrow(fps).map_batches(fill, batch_format="pyarrow", batch_size=32)
+
+
+def q_vectorize_tiles(sf_dir: str):
+    """Vectorize (cells→vector): per decoded tile, extract connected
+    valid-cell regions and their boundary rings; per-tile region count
+    (rows-only; round-trip pinned in tests/test_geo.py)."""
+    from raycells.geo.raster import connected_components
+    from raycells.io import tilestore
+
+    def regions(b: pa.Table) -> pa.Table:
+        seeds = tilestore.seed_of_refs(b["media_ref"])
+        v = tilestore.synth_band_values(seeds, 4)
+        n_regions = np.empty(len(seeds), dtype=np.int64)
+        for k in range(len(seeds)):
+            mask = (v[k] == 0).reshape(64, 64)  # nodata regions
+            _, n = connected_components(mask)
+            n_regions[k] = n
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "span_idx": pc.cast(b["span_idx"], pa.int64()),
+                "n_nodata_regions": pa.array(n_regions),
+            }
+        )
+
+    # vectorization is heavier per tile — bound the input at bench scales
+    return _exploded(sf_dir).limit(2000).repartition(8).map_batches(
+        regions, batch_format="pyarrow"
+    )
+
+
 def q_cell_agg_band(sf_dir: str):
     """Per-grid-cell salted two-stage aggregate of band-tile stats — the
     oracle-checked version of the (doc, cell, tile) assignment shuffle."""

@@ -21,6 +21,7 @@ CHECKED = [
     "explode_media",
     "span_digest",
     "cell_agg_band",
+    "ndvi_stats",
     "knn_tiles",
     "lineitem_pricing",
     "orders_by_segment",
@@ -81,6 +82,8 @@ def test_every_query_has_oracle_or_is_flagged(contract):
     assert rows_only == {
         "flagship_cells",
         "pip_join_counts",
+        "rasterize_footprints",
+        "vectorize_tiles",
         "minhash_pairs",
         "simhash_pairs",
         "embedding_dups",
