@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_digest": q.q_span_digest,
         "band_tile_stats": q.q_band_tile_stats,
         "cell_agg_band": q.q_cell_agg_band,
+        "top_dense_cells": q.q_top_dense_cells,
         "ndvi_stats": q.q_ndvi_stats,
         "knn_tiles": q.q_knn_tiles,
         "flagship_cells": q.q_flagship_cells,
@@ -68,6 +69,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tabular family (driver testdata views)
         "lineitem_pricing": q.q_lineitem_pricing,
         "orders_by_segment": q.q_orders_by_segment,
+        "revenue_by_nation": q.q_revenue_by_nation,
+        "sessionize": q.q_sessionize,
         "dedup_exact": q.q_dedup_exact,
         "token_stats": q.q_token_stats,
         "lang_id": q.q_lang_id,

@@ -54,8 +54,9 @@ CITY_FRAC_MOD = 10  # seed % 10 < 6 → in a city (60% skew)
 CITY_CUT = 6
 TILE_HALF_DEG = 0.005  # tile extent is centroid ± 0.005°
 
-# weighted cell-type distribution for erased tiles (UInt16/Float32 heavy)
-TYPE_WHEEL = (1, 8, 1, 8, 0, 1, 8, 5, 2, 9)  # indices into CellType declaration order
+# weighted cell-type distribution for erased tiles (UInt16/Float32 heavy,
+# every one of the 10 cell types represented — FIXTURES.md §2)
+TYPE_WHEEL = (1, 8, 1, 8, 0, 1, 8, 5, 2, 9, 3, 4, 6, 7, 1, 8)  # CellType decl order
 
 REF_PREFIX = "tile://"
 

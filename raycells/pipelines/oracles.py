@@ -156,6 +156,48 @@ def build() -> dict:
                    MAX(CAST(nir - red AS DOUBLE) / (nir + red)) FILTER (WHERE ok) AS ndvi_max
             FROM bands GROUP BY doc_id, span_idx, seed
         """,
+        "top_dense_cells": _BAND_STATS + _GRID
+        + """
+            , agg AS (
+                SELECT grid_cell, CAST(count(*) AS BIGINT) AS n_tiles
+                FROM gridded GROUP BY grid_cell
+            )
+            SELECT grid_cell, n_tiles FROM agg
+            ORDER BY n_tiles DESC, grid_cell DESC LIMIT 20
+        """,
+        "sessionize": """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+            ),
+            numbered AS (
+                SELECT user_id,
+                       SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged
+            ),
+            per_session AS (
+                SELECT user_id, sid, count(*) AS c
+                FROM numbered GROUP BY user_id, sid
+            )
+            SELECT user_id,
+                   CAST(SUM(c) AS BIGINT) AS n_events,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(MAX(c) AS BIGINT) AS max_session_events
+            FROM per_session GROUP BY user_id
+        """,
+        "revenue_by_nation": """
+            SELECT n.n_name,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
         "lineitem_pricing": """
             WITH u AS (
                 SELECT l_returnflag, l_linestatus,

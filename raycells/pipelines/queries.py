@@ -264,9 +264,108 @@ def _seed_points(batch: pa.Table) -> pa.Table:
     )
 
 
+def q_top_dense_cells(sf_dir: str):
+    """Top-k dense cells diagnostic (SURVEY.md §2.9): per-cell aggregate
+    → sort by tile count desc (grid_cell tie-break) → limit 20. The
+    skewed city boxes dominate, which is the point of the salting."""
+    agg = q_cell_agg_band(sf_dir)
+    top = agg.sort(["n_tiles", "grid_cell"], descending=[True, True]).limit(20)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"grid_cell": t["grid_cell"], "n_tiles": t["n_tiles"]})
+
+    return top.map_batches(project, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # tabular family (testdata views)
 # ---------------------------------------------------------------------------
+
+
+def q_sessionize(sf_dir: str):
+    """Stateful per-key windowing: gap-based sessionization of the events
+    stream (new session when >30 min since the user's previous event),
+    via groupby(user).map_groups with a vectorized gaps-and-islands body."""
+    ds = _read(sf_dir, "events")
+
+    def sessions(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ts, kind="stable")
+        ts_us = ts[order].astype("datetime64[us]").astype(np.int64)
+        gap = np.diff(ts_us, prepend=ts_us[0]) > 30 * 60 * 1_000_000
+        session_id = np.cumsum(gap)  # 0-based; first event starts session 0
+        n_sessions = int(session_id[-1]) + 1
+        counts = np.bincount(session_id)
+        return pa.table(
+            {
+                "user_id": g["user_id"].slice(0, 1),
+                "n_events": pa.array([g.num_rows], pa.int64()),
+                "n_sessions": pa.array([n_sessions], pa.int64()),
+                "max_session_events": pa.array([int(counts.max())], pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """Multi-way broadcast join: orders ⋈ customer ⋈ nation (both small
+    sides ride the object store once), grouped revenue per nation."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    ck = cust["c_custkey"].to_numpy()
+    order_k = np.argsort(ck, kind="stable")
+    nk_by_ck = cust["c_nationkey"].to_numpy()[order_k]
+    names = np.asarray(nation["n_name"].to_pylist(), dtype=object)
+    name_by_nk = np.empty(int(nation["n_nationkey"].to_numpy().max()) + 1, dtype=object)
+    name_by_nk[nation["n_nationkey"].to_numpy()] = names
+    side_ref = ray.put((ck[order_k], nk_by_ck, name_by_nk))
+
+    class NationJoiner:
+        def __init__(self, ref):
+            self.ck, self.nk, self.names = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ok = b["o_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(self.ck, ok), 0, len(self.ck) - 1)
+            hit = self.ck[pos] == ok
+            nname = np.where(hit, self.names[self.nk[pos]], None)
+            price_c = np.rint(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            t = pa.table(
+                {
+                    "n_name": pa.array(list(nname), pa.string()),
+                    "price_c": pa.array(price_c),
+                }
+            )
+            return t.filter(pc.is_valid(t["n_name"]))
+
+    agg = (
+        _read(sf_dir, "orders")
+        .map_batches(NationJoiner, fn_constructor_args=(side_ref,),
+                     batch_format="pyarrow", concurrency=2)
+        .groupby("n_name")
+        .aggregate(Count(), Sum("price_c", alias_name="revenue_c"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": t["n_name"],
+                "n_orders": pc.cast(t["count()"], pa.int64()),
+                "revenue_c": pc.cast(t["revenue_c"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
 
 def q_lineitem_pricing(sf_dir: str):
     """TPC-H-Q1-style grouped aggregate with per-row computed columns;

@@ -1,0 +1,60 @@
+"""Job-driver CLI: fragment manifests, resume idempotence, lineage."""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from raycells.engine import checkpoint, driver
+from raycells.io import docsource
+
+
+@pytest.fixture(scope="module")
+def docs_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("drvdocs"))
+    docsource.generate_interleaved_docs(d, 60, n_fragments=3)
+    return d
+
+
+def test_driver_process_and_resume(docs_dir, tmp_path, ray_session):
+    out = str(tmp_path / "out")
+    res1 = checkpoint.run_fragments(
+        docs_dir, out, lambda f, o: driver.process_fragment(f, o)
+    )
+    assert len(res1["done"]) == 3 and not res1["skipped"]
+    # second run is a no-op
+    res2 = checkpoint.run_fragments(
+        docs_dir, out, lambda f, o: driver.process_fragment(f, o)
+    )
+    assert not res2["done"] and len(res2["skipped"]) == 3
+
+    for name, m in res1["manifests"].items():
+        assert m["rows_in"] == 20
+        assert m["tiles"] > 0
+        assert len(m["span_digest_xor"]) == 32
+        files = [
+            f for f in os.listdir(m["output"]) if f.endswith(".parquet")
+        ]
+        assert files, f"no parquet output for {name}"
+        t = pq.read_table(os.path.join(m["output"], files[0]))
+        assert {"cell_id", "n_tiles", "min_val", "max_val"} <= set(t.column_names)
+
+
+def test_driver_lineage_matches_source(docs_dir, tmp_path, ray_session):
+    """The manifest's span-digest XOR re-derives from the source alone."""
+    import hashlib
+
+    out = str(tmp_path / "out2")
+    res = checkpoint.run_fragments(
+        docs_dir, out, lambda f, o: driver.process_fragment(f, o)
+    )
+    frag0 = checkpoint.fragment_paths(docs_dir)[0]
+    tbl = pq.read_table(frag0)
+    import pyarrow as pa
+
+    digests = docsource.span_digests(tbl)
+    xor = 0
+    for d in digests["span_digest"].to_pylist():
+        xor ^= int(d, 16)
+    assert res["manifests"]["fragment=0.parquet"]["span_digest_xor"] == f"{xor:032x}"

@@ -23,8 +23,11 @@ CHECKED = [
     "cell_agg_band",
     "ndvi_stats",
     "knn_tiles",
+    "top_dense_cells",
     "lineitem_pricing",
     "orders_by_segment",
+    "revenue_by_nation",
+    "sessionize",
     "dedup_exact",
     "token_stats",
     "lang_id",

@@ -1,0 +1,88 @@
+"""Fused chunked kernels must stay value-identical to the unfused path
+(synth_tiles → tile_stats), across all 10 cell types and both shapes."""
+
+import numpy as np
+import pyarrow as pa
+
+from raycells.engine import stages
+from raycells.io import tilestore
+
+
+def _tiles_table(seeds):
+    cols = tilestore.synth_tiles(seeds)
+    return pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(len(seeds))]),
+            "span_idx": pa.array(np.zeros(len(seeds), np.int32)),
+            "media_ref": pa.array([f"tile://{s}" for s in seeds]),
+            "data": pa.array(cols["data"], pa.large_binary()),
+            "mask": pa.array(cols["mask"], pa.large_binary()),
+            "cell_type": pa.array(cols["cell_type"]),
+            "nrows": pa.array(cols["nrows"], pa.int32()),
+            "ncols": pa.array(cols["ncols"], pa.int32()),
+            "nodata": pa.array(cols["nodata"], pa.float64()),
+            "lon": pa.array(cols["lon"]),
+            "lat": pa.array(cols["lat"]),
+            "minx": pa.array(cols["minx"]),
+            "miny": pa.array(cols["miny"]),
+            "maxx": pa.array(cols["maxx"]),
+            "maxy": pa.array(cols["maxy"]),
+        }
+    )
+
+
+# 707 covers every cell type (wheel of 10) and several 186×169 fixtures
+SEEDS = np.arange(0, 707, dtype=np.int64)
+
+
+def test_synth_tile_stats_matches_unfused():
+    st = tilestore.synth_tile_stats(SEEDS)
+    ref = stages.tile_stats(_tiles_table(SEEDS))
+    assert np.array_equal(ref["min_val"].to_numpy(), st["min_val"])
+    assert np.array_equal(ref["max_val"].to_numpy(), st["max_val"])
+    assert np.array_equal(ref["valid_count"].to_numpy(), st["valid_count"])
+    assert np.array_equal(ref["nodata_count"].to_numpy(), st["nodata_count"])
+    assert np.allclose(ref["mean_val"].to_numpy(), st["mean_val"], rtol=1e-12)
+    assert list(st["cell_type"]) == ref["cell_type"].to_pylist()
+
+
+def test_synth_tile_stats_covers_all_types_and_shapes():
+    st = tilestore.synth_tile_stats(SEEDS)
+    assert set(st["cell_type"]) == {ct.name for ct in tilestore.CELL_TYPES}
+    assert (st["nrows"] == 186).sum() == len([s for s in SEEDS if s % 101 == 0])
+
+
+def test_synth_band_stats_matches_matrix_path():
+    bs = tilestore.synth_band_stats(SEEDS, 4)
+    v = tilestore.synth_band_values(SEEDS, 4).astype(np.int64)
+    valid = v != 0
+    assert np.array_equal(bs["valid_count"], valid.sum(1))
+    assert np.array_equal(bs["sum_val"], (v * valid).sum(1))
+    assert np.array_equal(bs["min_val"], np.where(valid, v, 1 << 40).min(1))
+    assert np.array_equal(bs["max_val"], np.where(valid, v, -1).max(1))
+
+
+def test_synth_ndvi_matches_brute_force():
+    seeds = np.arange(5, 40, dtype=np.int64)
+    st = tilestore.synth_ndvi_stats(seeds)
+    red = tilestore.synth_band_values(seeds, 4).astype(np.int64)
+    nir = tilestore.synth_band_values(seeds, 5).astype(np.int64)
+    # sentinel 0 marks the same cells in both bands (mask depends on (s, i))
+    valid = (red != 0) & (nir != 0)
+    # brute force uses the raw (unsentineled) values where valid
+    raw_r = 1 + (seeds[:, None] * tilestore.MUL_A + (np.arange(4096) + 404) * tilestore.MUL_I) % tilestore.VAL_MOD
+    raw_n = 1 + (seeds[:, None] * tilestore.MUL_A + (np.arange(4096) + 505) * tilestore.MUL_I) % tilestore.VAL_MOD
+    ndvi = (raw_n - raw_r) / (raw_n + raw_r)
+    assert np.array_equal(st["n_valid"], valid.sum(1))
+    assert np.array_equal(st["ndvi_min"], np.where(valid, ndvi, np.inf).min(1))
+    assert np.array_equal(st["ndvi_max"], np.where(valid, ndvi, -np.inf).max(1))
+
+
+def test_stats_chunk_boundary_independence():
+    """Results must not depend on how seeds split into scratch chunks."""
+    seeds = np.arange(100, 300, dtype=np.int64)
+    whole = tilestore.synth_tile_stats(seeds)
+    halves = [tilestore.synth_tile_stats(seeds[:97]), tilestore.synth_tile_stats(seeds[97:])]
+    for col in ("min_val", "max_val", "valid_count", "mean_val"):
+        joined = np.concatenate([halves[0][col], halves[1][col]])
+        assert np.array_equal(whole[col], joined), col
