@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_tiles": q.q_knn_tiles,
         "flagship_cells": q.q_flagship_cells,
         "pip_join_counts": q.q_pip_join_counts,
+        "pip_join_cellcover": q.q_pip_join_cellcover,
         "rasterize_footprints": q.q_rasterize_footprints,
         "vectorize_tiles": q.q_vectorize_tiles,
         # tabular family (driver testdata views)
@@ -80,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": q.q_minhash_pairs,
         "simhash_pairs": q.q_simhash_pairs,
         "embedding_dups": q.q_embedding_dups,
+        "ann_lsh": q.q_ann_lsh,
+        "fingerprint_docs": q.q_fingerprint_docs,
         "media_features": q.q_media_features,
     }
 

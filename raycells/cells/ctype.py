@@ -405,3 +405,53 @@ class NoData:
         if nd is None:
             return False
         return CellValue(ct, nd) == value
+
+
+# ---------------------------------------------------------------------------
+# GDAL-compat subset (gdal/mod.rs:12-44)
+# ---------------------------------------------------------------------------
+
+# The reference's GDAL connector supports only 7 of the 10 cell types
+# (UInt64, Int8, Int64 dropped for pre-3.5/3.7 GDAL compat —
+# gdal/mod.rs:14-27, footnote lib.rs:39-40).
+GDAL_CELL_TYPES = tuple(
+    ct for ct in CELL_TYPES
+    if ct not in (CellType.UInt64, CellType.Int8, CellType.Int64)
+)
+
+
+class UnsupportedCellTypeError(ValueError):
+    """Cell type outside the GDAL-compat subset (gdal/mod.rs:30-44)."""
+
+
+class NoDataConversionError(ValueError):
+    """Band nodata not representable in the band cell type (gdal/mod.rs:47-70)."""
+
+
+def gdal_cell_type(name_or_ct) -> "CellType":
+    """Bridge a dtype-like into the GDAL-compat subset; raises
+    UnsupportedCellTypeError outside it (TryFrom<GdalDataType>,
+    gdal/mod.rs:30-44)."""
+    ct = CellType.of(name_or_ct)
+    if ct not in GDAL_CELL_TYPES:
+        raise UnsupportedCellTypeError(f"{ct.name} is not GDAL-compatible")
+    return ct
+
+
+def gdal_nodata(value, cell_type) -> "NoData":
+    """Band nodata (an optional f64) → typed NoData, checked: a sentinel
+    unrepresentable in the band's cell type raises (GdalND conversion,
+    gdal/mod.rs:47-70). None → NoData.default()."""
+    ct = gdal_cell_type(cell_type)
+    if value is None:
+        return NoData.default()
+    import numpy as np
+
+    typed = ct.dtype.type(value)
+    if not ct.is_integral:
+        return NoData.of(float(value))
+    if float(typed) != float(value):
+        raise NoDataConversionError(
+            f"nodata {value!r} is not representable in {ct.name}"
+        )
+    return NoData.of(typed)

@@ -255,6 +255,164 @@ def add_cell_ids(batch: pa.Table, level: int = 8) -> pa.Table:
     return batch.append_column("grid_cell", pa.array(cellid.grid_cell(lon, lat), pa.int64()))
 
 
+def cell_cover_join(stats_ds, footprints_table: pa.Table, level: int = 6):
+    """Large-large spatial join fallback (SURVEY.md §2.9): when the
+    polygon side is too big to broadcast, co-partition BOTH sides by
+    Hilbert cell at ``level`` — tiles keyed by centroid cell, polygons
+    replicated to every cell of their bbox cover — and run exact PIP
+    inside each cell group. One shuffle; a (tile, polygon) pair meets in
+    exactly one group (the tile's cell), so no dedup pass is needed.
+
+    Correct because: tile-centroid ∈ polygon ⟹ the centroid's cell
+    intersects the polygon bbox ⟹ that cell is in the polygon's cover."""
+    import ray.data as rd
+
+    from raycells.io.footprints import rings_as_numpy
+    from raycells.geo.pip import polygon_cell_cover
+
+    # polygon side → (cover_cell, polygon payload) rows
+    fps = rings_as_numpy(footprints_table)
+    cells_col, fid_col, cat_col, ring_col = [], [], [], []
+    for fid, cat, ring in fps:
+        for c in polygon_cell_cover(ring, level):
+            cells_col.append(c)
+            fid_col.append(fid)
+            cat_col.append(cat)
+            ring_col.append(ring.astype(np.float64).tobytes())
+    empty_str = [""] * len(cells_col)
+    fp_rows = pa.table(
+        {
+            "cover_cell": pa.array(np.asarray(cells_col, np.uint64), pa.uint64()),
+            "is_tile": pa.array([False] * len(cells_col)),
+            "doc_id": pa.array(empty_str, pa.string()),
+            "span_idx": pa.array([0] * len(cells_col), pa.int32()),
+            "lon": pa.array([0.0] * len(cells_col)),
+            "lat": pa.array([0.0] * len(cells_col)),
+            "footprint_id": pa.array(fid_col, pa.string()),
+            "category": pa.array(cat_col, pa.string()),
+            "ring": pa.array(ring_col, pa.large_binary()),
+        }
+    )
+
+    def tile_rows(b: pa.Table) -> pa.Table:
+        lon = b["lon"].to_numpy(zero_copy_only=False)
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        n = b.num_rows
+        return pa.table(
+            {
+                "cover_cell": pa.array(cellid.encode(lon, lat, level), pa.uint64()),
+                "is_tile": pa.array([True] * n),
+                "doc_id": b["doc_id"],
+                "span_idx": b["span_idx"],
+                "lon": b["lon"],
+                "lat": b["lat"],
+                "footprint_id": pa.array([""] * n, pa.string()),
+                "category": pa.array([""] * n, pa.string()),
+                "ring": pa.array([b""] * n, pa.large_binary()),
+            }
+        )
+
+    from raycells.engine.shuffle import add_bucket
+
+    both = (
+        stats_ds.map_batches(tile_rows, batch_format="pyarrow")
+        .union(rd.from_arrow(fp_rows))
+        # shuffle on a coarse bucket of the cell (NOT the raw cell id —
+        # per-distinct-group overhead, see shuffle.add_bucket); exact
+        # cell equality is enforced vectorized inside the group
+        .map_batches(lambda b: add_bucket(b, "cover_cell"), batch_format="pyarrow")
+    )
+
+    def group_join(g: pa.Table) -> pa.Table:
+        is_tile = g["is_tile"].to_numpy(zero_copy_only=False)
+        tiles = g.filter(pa.array(is_tile))
+        polys = g.filter(pa.array(~is_tile))
+        out_schema = pa.schema(
+            [
+                ("doc_id", pa.string()),
+                ("span_idx", pa.int32()),
+                ("footprint_id", pa.string()),
+                ("category", pa.string()),
+            ]
+        )
+        if tiles.num_rows == 0 or polys.num_rows == 0:
+            return out_schema.empty_table()
+        tcell = tiles["cover_cell"].to_numpy(zero_copy_only=False)
+        order = np.argsort(tcell, kind="stable")
+        tcell = tcell[order]
+        lon = tiles["lon"].to_numpy(zero_copy_only=False)[order]
+        lat = tiles["lat"].to_numpy(zero_copy_only=False)[order]
+        pcell = polys["cover_cell"].to_numpy(zero_copy_only=False)
+        takes, fids, cats = [], [], []
+        for i in range(polys.num_rows):
+            lo = np.searchsorted(tcell, pcell[i], side="left")
+            hi = np.searchsorted(tcell, pcell[i], side="right")
+            if lo == hi:
+                continue
+            ring = np.frombuffer(polys["ring"][i].as_py(), dtype=np.float64).reshape(-1, 2)
+            bb = polygon_bbox(ring)
+            seg_lon, seg_lat = lon[lo:hi], lat[lo:hi]
+            cand = np.nonzero(
+                (seg_lon >= bb[0]) & (seg_lon <= bb[2])
+                & (seg_lat >= bb[1]) & (seg_lat <= bb[3])
+            )[0]
+            if cand.size == 0:
+                continue
+            hit = cand[points_in_polygon(seg_lon[cand], seg_lat[cand], ring)]
+            if hit.size:
+                takes.append(order[lo:hi][hit])
+                fids.extend([polys["footprint_id"][i].as_py()] * hit.size)
+                cats.extend([polys["category"][i].as_py()] * hit.size)
+        if not takes:
+            return out_schema.empty_table()
+        sel = tiles.take(pa.array(np.concatenate(takes)))
+        return pa.table(
+            {
+                "doc_id": sel["doc_id"],
+                "span_idx": sel["span_idx"],
+                "footprint_id": pa.array(fids, pa.string()),
+                "category": pa.array(cats, pa.string()),
+            }
+        )
+
+    return both.groupby("_bucket").map_groups(group_join, batch_format="pyarrow")
+
+
+class KnnQuerier:
+    """Actor-pool stage: kNN tile lookup against a broadcast cell index.
+
+    The ``KnnIndex`` (SURVEY.md §2.9 — per-cell tile lists, ring
+    expansion) is built once on the driver from the small (lon, lat, key)
+    projection, ``ray.put`` once, fetched per actor in ``__init__``;
+    query batches stream through ``__call__``. At 10^12-doc scale the
+    index shards by coarse parent cell and query batches route to the
+    owning shard (geo/knn.py docstring)."""
+
+    def __init__(self, index_ref, k: int):
+        import ray
+
+        self.index = ray.get(index_ref) if not hasattr(index_ref, "query_one") else index_ref
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = batch["query_id"].to_numpy(zero_copy_only=False)
+        qlon = batch["qlon"].to_numpy(zero_copy_only=False)
+        qlat = batch["qlat"].to_numpy(zero_copy_only=False)
+        out_q, out_r, out_key = [], [], []
+        for j in range(len(qids)):
+            idx, _ = self.index.query_one(float(qlon[j]), float(qlat[j]), self.k)
+            out_q.extend([qids[j]] * len(idx))
+            out_r.extend(range(1, len(idx) + 1))
+            out_key.extend(self.index.keys[idx])
+        return pa.table(
+            {
+                "query_id": pa.array(np.asarray(out_q, np.int64), pa.int64()),
+                "rank": pa.array(np.asarray(out_r, np.int64), pa.int64()),
+                "seed": pa.array(np.asarray(out_key, np.int64), pa.int64()),
+            }
+        )
+
+
 class PIPJoiner:
     """Actor-pool stage: broadcast point-in-polygon join.
 

@@ -219,34 +219,55 @@ def q_pip_join_counts(sf_dir: str):
     return joined.groupby("category").count()
 
 
+def q_pip_join_cellcover(sf_dir: str):
+    """Large-large spatial-join fallback: co-partition tiles and polygon
+    cell covers by Hilbert cell, exact PIP per cell group — one shuffle,
+    no broadcast (rows-only; equivalence to the broadcast join is pinned
+    in tests/test_engine.py)."""
+    from raycells.io import footprints as fp_mod
+
+    docs_dir = pl.docs_dir_for_sf(sf_dir)
+    stats = pl.explode_stage(pl.read_docs(docs_dir)).map_batches(
+        lambda b: stages.decode_stats(b, emit="stats"), batch_format="pyarrow"
+    )
+    joined = stages.cell_cover_join(stats, fp_mod.generate_footprints())
+    return joined.groupby("category").count()
+
+
 def q_knn_tiles(sf_dir: str):
     """kNN tile lookup: ring-expansion over the cell-bucketed index for
-    the 3 city-center queries; ties broken by seed (oracle parity)."""
+    the 3 city-center queries; ties broken by seed (oracle parity). The
+    index is built once from the small (seed, lon, lat) projection and
+    broadcast to a KnnQuerier actor pool; queries stream as a Dataset."""
+    import ray
+    import ray.data as rd
+
     ex = _exploded(sf_dir)
     pts = ex.map_batches(
         lambda b: _seed_points(b), batch_format="pyarrow"
     ).to_arrow_refs()
-    import ray
-
     tbl = pa.concat_tables([ray.get(r) for r in pts])
     seeds = tbl["seed"].to_numpy(zero_copy_only=False)
-    order = np.argsort(seeds, kind="stable")
-    seeds = seeds[order]
-    lon = tbl["lon"].to_numpy(zero_copy_only=False)[order]
-    lat = tbl["lat"].to_numpy(zero_copy_only=False)[order]
-    index = KnnIndex(lon, lat, seeds, level=7)
-    out_q, out_r, out_s = [], [], []
-    for qid, qlon, qlat in KNN_QUERIES:
-        idx, _ = index.query_one(qlon, qlat, KNN_K)
-        out_q.extend([qid] * len(idx))
-        out_r.extend(range(1, len(idx) + 1))
-        out_s.extend(seeds[idx])
-    return pa.table(
+    order = np.argsort(seeds, kind="stable")  # position order == seed order
+    index = KnnIndex(
+        tbl["lon"].to_numpy(zero_copy_only=False)[order],
+        tbl["lat"].to_numpy(zero_copy_only=False)[order],
+        seeds[order],
+        level=7,
+    )
+    index_ref = ray.put(index)
+    queries_tbl = pa.table(
         {
-            "query_id": pa.array(out_q, pa.int64()),
-            "rank": pa.array(out_r, pa.int64()),
-            "seed": pa.array(np.asarray(out_s, dtype=np.int64), pa.int64()),
+            "query_id": pa.array([q[0] for q in KNN_QUERIES], pa.int64()),
+            "qlon": pa.array([q[1] for q in KNN_QUERIES]),
+            "qlat": pa.array([q[2] for q in KNN_QUERIES]),
         }
+    )
+    return rd.from_arrow(queries_tbl).map_batches(
+        stages.KnnQuerier,
+        fn_constructor_args=(index_ref, KNN_K),
+        batch_format="pyarrow",
+        concurrency=1,
     )
 
 
@@ -672,6 +693,58 @@ def q_embedding_dups(sf_dir: str):
     """Embedding-cosine near-dup pairs via sign-LSH buckets (rows-only)."""
     ds = _read(sf_dir, "embeddings")
     return dd.embedding_near_dup_pairs(ds, threshold=0.35)
+
+
+def q_ann_lsh(sf_dir: str):
+    """Approximate nearest neighbors: sign-LSH bucketed cosine top-k for
+    the first 3 embedding vectors (rows-only; recall pinned vs exact in
+    tests/test_sim.py)."""
+    from raycells.sim.knn import lsh_topk
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.filter(pc.less(emb["vec_id"], 3))
+    qids = q["vec_id"].to_numpy(zero_copy_only=False)
+    qmat = np.asarray(q["embedding"].to_pylist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings")
+    t = lsh_topk(ds, qmat, qids, k=EMB_K, multiprobe=1)
+    return pa.table(
+        {
+            "query_id": pc.cast(t["query_id"], pa.int64()),
+            "vec_id": pc.cast(t["vec_id"], pa.int64()),
+            "rank": t["rank"],
+        }
+    )
+
+
+def q_fingerprint_docs(sf_dir: str):
+    """Rolling-hash document fingerprints rolled up per source: count of
+    distinct fingerprints (rows-only; determinism pinned in tests)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents")
+    fp = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "source": b["source"],
+                "fingerprint": pa.array(
+                    ta.fingerprint64(b["text"].to_pylist()), pa.uint64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    per = fp.groupby(["source", "fingerprint"]).count()
+    agg = per.groupby("source").count()
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_fingerprints": pc.cast(t["count()"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
 
 
 def q_media_features(sf_dir: str):

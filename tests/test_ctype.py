@@ -130,3 +130,31 @@ def test_dtype_round_trip():
     for ct in CELL_TYPES:
         assert CellType.from_dtype(ct.dtype) is ct
         assert ct.arrow_type.bit_width == ct.size_of * 8
+
+
+def test_gdal_subset_and_bridges():
+    """GDAL-compat narrowing (gdal/mod.rs:12-70): 7 supported types,
+    unsupported raise, nodata sentinel conversion is checked."""
+    from raycells.cells.ctype import (
+        GDAL_CELL_TYPES,
+        NoData,
+        NoDataConversionError,
+        UnsupportedCellTypeError,
+        gdal_cell_type,
+        gdal_nodata,
+    )
+
+    assert len(GDAL_CELL_TYPES) == 7
+    assert {ct.name for ct in GDAL_CELL_TYPES} == {
+        "UInt8", "UInt16", "UInt32", "Int16", "Int32", "Float32", "Float64",
+    }
+    assert gdal_cell_type("UInt16").name == "UInt16"
+    for bad in ("UInt64", "Int8", "Int64"):
+        with pytest.raises(UnsupportedCellTypeError):
+            gdal_cell_type(bad)
+    assert gdal_nodata(None, "UInt8") == NoData.default()
+    assert gdal_nodata(0.0, "UInt16").value(CellType.UInt16) == 0
+    with pytest.raises(NoDataConversionError):
+        gdal_nodata(-1.0, "UInt16")  # unrepresentable in the band type
+    with pytest.raises(NoDataConversionError):
+        gdal_nodata(70000.0, "UInt16")

@@ -178,3 +178,24 @@ def test_partial_resume_skips_done(docs_dir, tmp_path, ray_session):
 
 def test_verify_span_invariant(docs_dir, ray_session):
     assert pipeline.verify_span_invariant(docs_dir)
+
+
+def test_cellcover_join_matches_broadcast(docs_dir, ray_session):
+    """The large-large co-partitioned join must produce the same hit set
+    as the broadcast PIP join (same polygons, same tiles)."""
+    from raycells.engine import stages
+
+    fps = generate_footprints(60)
+    stats = pipeline.explode_stage(pipeline.read_docs(docs_dir)).map_batches(
+        lambda b: stages.decode_stats(b, emit="stats"), batch_format="pyarrow"
+    )
+    cc = stages.cell_cover_join(stats, fps, level=6).to_pandas()
+    got = set(zip(cc["doc_id"], cc["span_idx"], cc["footprint_id"]))
+
+    stats2 = pipeline.explode_stage(pipeline.read_docs(docs_dir)).map_batches(
+        lambda b: stages.decode_stats(b, emit="stats"), batch_format="pyarrow"
+    )
+    bc = pipeline.join_stage(stats2, footprints_table=fps, concurrency=1).to_pandas()
+    expect = set(zip(bc["doc_id"], bc["span_idx"], bc["footprint_id"]))
+    assert got == expect
+    assert len(expect) > 0

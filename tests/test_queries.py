@@ -85,11 +85,14 @@ def test_every_query_has_oracle_or_is_flagged(contract):
     assert rows_only == {
         "flagship_cells",
         "pip_join_counts",
+        "pip_join_cellcover",
         "rasterize_footprints",
         "vectorize_tiles",
         "minhash_pairs",
         "simhash_pairs",
         "embedding_dups",
+        "ann_lsh",
+        "fingerprint_docs",
         "media_features",
     }
     assert not set(sqls) - set(queries)
