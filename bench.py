@@ -138,15 +138,20 @@ def run_all(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-def run_one(sf_dir: str, num_cpus: int, docs_dir: str = None) -> dict:
+def run_one(sf_dir: str, num_cpus: int, docs_dir: str = None, repeats: int = 1) -> dict:
+    """One fresh-session measurement; with repeats > 1, report the best
+    run (this platform's wall-clock is noisy — best-of-N reflects the
+    configuration's capability rather than background interference)."""
     _init_ray(num_cpus)
     _warmup(num_cpus)
     if docs_dir:  # warm the task workers on the real pipeline once, then time
         run_flagship(sf_dir, docs_dir)
-    flag = run_flagship(sf_dir, docs_dir)
+    runs = [run_flagship(sf_dir, docs_dir) for _ in range(max(1, repeats))]
+    flag = min(runs, key=lambda r: r["sec"])
     return {
         "num_cpus": num_cpus,
         "sec": round(flag["sec"], 3),
+        "all_secs": [round(r["sec"], 3) for r in runs],
         "tiles": flag["tiles"],
         "tiles_per_sec": round(flag["tiles"] / flag["sec"], 1),
     }
@@ -171,7 +176,8 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     for cpus in (lo, hi):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--one", "flagship",
-             "--cpus", str(cpus), "--sf-dir", sf_dir, "--docs-dir", docs_dir],
+             "--cpus", str(cpus), "--sf-dir", sf_dir, "--docs-dir", docs_dir,
+             "--repeats", "3"],
             capture_output=True, text=True, check=True,
         )
         out[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
@@ -200,12 +206,13 @@ def main():
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--docs-dir", default=None)
+    ap.add_argument("--repeats", type=int, default=1)
     args = ap.parse_args()
 
     import ray
 
     if args.one:
-        print(json.dumps(run_one(args.sf_dir, args.cpus, args.docs_dir)))
+        print(json.dumps(run_one(args.sf_dir, args.cpus, args.docs_dir, args.repeats)))
         ray.shutdown()
     elif args.scaling:
         print(json.dumps(run_scaling(args.sf_dir)))

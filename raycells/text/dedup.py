@@ -138,7 +138,19 @@ class MinHasher:
         return hv.min(axis=0)
 
     def batch_signatures(self, texts: List[str], k: int = 5) -> np.ndarray:
-        return np.stack([self.signature(char_shingles(t, k)) for t in texts])
+        """(n_texts, n_perm) signatures in ONE universal-hash matrix pass:
+        all docs' shingles concatenated, hashed (S_total, P), then per-doc
+        segmented column minima via ``np.minimum.reduceat`` — no per-doc
+        Python beyond the shingling itself."""
+        shingle_sets = [char_shingles(t, k) for t in texts]
+        counts = np.array([s.size for s in shingle_sets], dtype=np.int64)
+        flat = np.concatenate(shingle_sets).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            hv = (flat[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(
+                _MERSENNE
+            )
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        return np.minimum.reduceat(hv, starts, axis=0)
 
 
 def minhash_signature(text: str, n_perm: int = 64, k: int = 5) -> np.ndarray:
