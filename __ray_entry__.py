@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": q.q_lineitem_pricing,
         "orders_by_segment": q.q_orders_by_segment,
         "revenue_by_nation": q.q_revenue_by_nation,
+        "global_stats": q.q_global_stats,
         "sessionize": q.q_sessionize,
         "dedup_exact": q.q_dedup_exact,
         "token_stats": q.q_token_stats,

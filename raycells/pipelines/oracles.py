@@ -165,6 +165,13 @@ def build() -> dict:
             SELECT grid_cell, n_tiles FROM agg
             ORDER BY n_tiles DESC, grid_cell DESC LIMIT 20
         """,
+        "global_stats": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS min_price_c,
+                   MAX(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS max_price_c
+            FROM lineitem
+        """,
         "sessionize": """
             WITH flagged AS (
                 SELECT user_id, ts,

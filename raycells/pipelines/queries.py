@@ -303,6 +303,45 @@ def q_top_dense_cells(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def q_global_stats(sf_dir: str):
+    """Whole-dataset aggregate (no grouping): Dataset.aggregate with
+    Count/Sum/Min/Max over lineitem (SURVEY.md §2.9 'global stats')."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _read(sf_dir, "lineitem")
+
+    def derive(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qty": pa.array(
+                    np.rint(b["l_quantity"].to_numpy(zero_copy_only=False)).astype(
+                        np.int64
+                    )
+                ),
+                "price_c": pa.array(
+                    np.rint(
+                        b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    res = ds.map_batches(derive, batch_format="pyarrow").aggregate(
+        Count(),
+        Sum("qty", alias_name="sum_qty"),
+        Min("price_c", alias_name="min_price_c"),
+        Max("price_c", alias_name="max_price_c"),
+    )
+    return pa.table(
+        {
+            "n_rows": pa.array([int(res["count()"])], pa.int64()),
+            "sum_qty": pa.array([int(res["sum_qty"])], pa.int64()),
+            "min_price_c": pa.array([int(res["min_price_c"])], pa.int64()),
+            "max_price_c": pa.array([int(res["max_price_c"])], pa.int64()),
+        }
+    )
+
+
 def q_sessionize(sf_dir: str):
     """Stateful per-key windowing: gap-based sessionization of the events
     stream (new session when >30 min since the user's previous event),

@@ -27,6 +27,7 @@ CHECKED = [
     "lineitem_pricing",
     "orders_by_segment",
     "revenue_by_nation",
+    "global_stats",
     "sessionize",
     "dedup_exact",
     "token_stats",
