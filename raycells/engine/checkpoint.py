@@ -18,7 +18,7 @@ import glob
 import json
 import os
 import time
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, List
 
 __all__ = ["fragment_paths", "pending_fragments", "run_fragments", "read_manifests"]
 

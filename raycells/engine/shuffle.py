@@ -16,7 +16,7 @@ all-to-all exchanges. Two defenses (SURVEY.md §7.5):
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Sequence
 
 import numpy as np
 import pandas as pd
@@ -149,8 +149,6 @@ def salted_aggregate(
     (key, hash(salt_col) % salt) → shuffle the partials → final merge per
     key. Column names survive verbatim (oracle parity); the count column
     is named ``count_alias``."""
-    from ray.data.aggregate import Max, Min, Sum
-
     sums, mins, maxs = list(sums), list(mins), list(maxs)
 
     def partial(batch: pa.Table) -> pa.Table:

@@ -8,8 +8,6 @@ hot paths. Stateful stages are callable CLASSES (actor pools): setup in
 
 from __future__ import annotations
 
-from typing import Dict, Optional
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -17,7 +15,7 @@ import pyarrow.compute as pc
 from raycells.cells import kernels
 from raycells.cells.ctype import CELL_TYPES, CellType
 from raycells.geo import cellid
-from raycells.geo.pip import bbox_intersects, points_in_polygon, polygon_bbox
+from raycells.geo.pip import points_in_polygon, polygon_bbox
 from raycells.io import tilestore
 
 __all__ = [

@@ -9,7 +9,7 @@ Points exactly on a horizontal edge follow the standard half-open rule
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -27,7 +27,7 @@ Geo extents use integer arithmetic too: 60% of tiles land inside 3 dense
 from __future__ import annotations
 
 import hashlib
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 import pyarrow as pa

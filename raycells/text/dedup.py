@@ -20,7 +20,7 @@ bucket groupby, keyed well away from payload columns.
 
 from __future__ import annotations
 
-from typing import Iterable, List, Tuple
+from typing import Iterable, List
 
 import numpy as np
 import pyarrow as pa
