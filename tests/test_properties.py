@@ -1,0 +1,122 @@
+"""Property-based tests (hypothesis) over the erased-cell core.
+
+The reference proves these by exhaustive enumeration over its closed
+10-type universe (SURVEY.md §5.1); hypothesis adds randomized value
+coverage on top of our mirrored enumeration tests."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from raycells.cells.buffer import CellBuffer, MaskedCellBuffer
+from raycells.cells.ctype import CELL_TYPES, CellType, NarrowingError, NoData
+
+cell_types = st.sampled_from(CELL_TYPES)
+
+
+def _values_for(ct: CellType, n: int, rng: np.random.Generator) -> np.ndarray:
+    if ct.is_integral:
+        info = np.iinfo(ct.dtype)
+        return rng.integers(info.min, info.max, n, dtype=ct.dtype, endpoint=True)
+    return (rng.standard_normal(n) * 1e3).astype(ct.dtype)
+
+
+@given(a=cell_types, b=cell_types)
+def test_union_lattice_laws(a, b):
+    """Reflexivity, symmetry, absorption, can_fit_into consistency
+    (ctype.rs:188-207)."""
+    assert a.union(a) is a
+    assert a.union(b) is b.union(a)
+    u = a.union(b)
+    assert a.union(u) is u and b.union(u) is u  # absorption
+    assert a.can_fit_into(u) and b.can_fit_into(u)
+    assert a.can_fit_into(b) == (u is b)
+
+
+@given(a=cell_types, b=cell_types, seed=st.integers(0, 2**31))
+@settings(max_examples=60, deadline=None)
+def test_convert_widen_roundtrip(a, b, seed):
+    """Widening-only convert: allowed iff can_fit_into; a widened buffer
+    converts back only when the lattice permits, and values survive."""
+    rng = np.random.default_rng(seed)
+    buf = CellBuffer.from_vec(_values_for(a, 8, rng))
+    if a.can_fit_into(b):
+        wide = buf.convert(b)
+        assert wide.cell_type is b
+        # values preserved under widening (compare as f64 — exactness only
+        # guaranteed when the destination mantissa holds the source values)
+        if b is not CellType.Float32 or a.size_of <= 2:
+            np.testing.assert_array_equal(
+                buf.to_vec(CellType.Float64), wide.to_vec(CellType.Float64)
+            )
+    else:
+        with pytest.raises(NarrowingError):
+            buf.convert(b)
+
+
+@given(ct=cell_types, seed=st.integers(0, 2**31))
+@settings(max_examples=60, deadline=None)
+def test_nodata_mask_roundtrip(ct, seed):
+    """from_vec_with_nodata → to_vec_with_nodata is the identity on the
+    sentinel positions and on the payload elsewhere (masked_buffer.rs
+    round-trip, the reference's core conformance loop)."""
+    rng = np.random.default_rng(seed)
+    vals = _values_for(ct, 16, rng)
+    sentinel = ct.default_nodata()
+    # plant some sentinels
+    vals[rng.integers(0, 16, 4)] = sentinel
+    mb = MaskedCellBuffer.from_vec_with_nodata(vals.copy(), NoData.default())
+    back = mb.to_vec_with_nodata(ct, NoData.default())
+    if ct.is_integral:
+        np.testing.assert_array_equal(back, np.where(
+            vals == sentinel, sentinel, vals))
+    else:
+        nanmask = np.isnan(vals)
+        assert np.isnan(back[nanmask]).all()
+        np.testing.assert_array_equal(back[~nanmask], vals[~nanmask])
+    # mask counts agree with sentinel count
+    n_bad = int((vals == sentinel).sum()) if ct.is_integral else int(np.isnan(vals).sum())
+    assert mb.counts() == (16 - n_bad, n_bad)
+
+
+@given(ct=cell_types, seed=st.integers(0, 2**31))
+@settings(max_examples=60, deadline=None)
+def test_masked_minmax_bounds(ct, seed):
+    """Masked min/max never report a masked cell and bound the valid
+    payload (masked_buffer.rs:208-217)."""
+    rng = np.random.default_rng(seed)
+    vals = _values_for(ct, 12, rng)
+    if not ct.is_integral:
+        vals = np.nan_to_num(vals)  # NaN payload handled by total-order pins
+    mask = rng.random(12) > 0.3
+    if not mask.any():
+        mask[0] = True
+    from raycells.cells.buffer import Mask
+
+    mb = MaskedCellBuffer(CellBuffer.from_vec(vals.copy()), Mask(mask))
+    lo, hi = mb.min_max()
+    valid = vals[mask].astype(np.float64)
+    assert lo.to_f64() == valid.min()
+    assert hi.to_f64() == valid.max()
+
+
+@given(seed=st.integers(0, 2**31))
+@settings(max_examples=30, deadline=None)
+def test_binop_float64_and_mask_and(seed):
+    """buffer⊗buffer: result is Float64; result mask is the AND of the
+    operand masks; masked payload still computed (masked_buffer.rs:323-350)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 100, 10).astype(np.uint16)
+    b = rng.integers(1, 100, 10).astype(np.uint16)
+    ma = rng.random(10) > 0.3
+    mb_ = rng.random(10) > 0.3
+    from raycells.cells.buffer import Mask
+
+    out = MaskedCellBuffer(CellBuffer.from_vec(a), Mask(ma)) + MaskedCellBuffer(
+        CellBuffer.from_vec(b), Mask(mb_)
+    )
+    assert out.buffer.cell_type is CellType.Float64
+    np.testing.assert_array_equal(out.mask.data, ma & mb_)
+    np.testing.assert_array_equal(
+        out.buffer.data, a.astype(np.float64) + b.astype(np.float64)
+    )
