@@ -42,10 +42,18 @@ KNN_K = 8
 EMB_K = 10
 
 
-def _read(sf_dir: str, table: str):
+def _read(sf_dir: str, table: str, num_blocks: int = None):
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    kw = {"override_num_blocks": num_blocks} if num_blocks else {}
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), **kw)
+
+
+# documents/embeddings are small side tables (≤ ~50k rows at bench sf);
+# pin a small block count so per-task scheduling and worker warmup don't
+# dominate (CLAUDE.md platform notes) — the big geospatial pipelines pin
+# their own counts in engine/pipeline.py.
+SMALL_TABLE_BLOCKS = 8
 
 
 def docs_ds(sf_dir: str):
@@ -548,7 +556,7 @@ def q_dedup_exact(sf_dir: str):
     (hash-partitioned distinct — the shuffle moves 16-byte rows)."""
     from ray.data.aggregate import Count, Sum
 
-    ds = _read(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS)
     hashed = ds.map_batches(
         lambda b: pa.table(
             {
@@ -581,7 +589,7 @@ def q_token_stats(sf_dir: str):
     """Token counting + quality scoring rolled up per language."""
     from ray.data.aggregate import Count, Sum
 
-    ds = _read(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS)
     scored = ds.map_batches(
         lambda b: ta.quality_metrics(b, col="text"), batch_format="pyarrow"
     )
@@ -624,7 +632,7 @@ def q_token_stats(sf_dir: str):
 def q_lang_id(sf_dir: str):
     """Marker-word language-ID heuristic → (actual, detected) confusion
     counts; the oracle mirrors the scorer exactly."""
-    ds = _read(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS)
     detected = ds.map_batches(lambda b: ta.lang_id(b, col="text"), batch_format="pyarrow")
 
     def project(b: pa.Table) -> pa.Table:
@@ -693,7 +701,7 @@ def q_knn_embeddings(sf_dir: str):
     q = emb.filter(qmask)
     qids = q["vec_id"].to_numpy(zero_copy_only=False)
     qmat = np.asarray(q["embedding"].to_pylist(), dtype=np.float64)
-    ds = _read(sf_dir, "embeddings")
+    ds = _read(sf_dir, "embeddings", SMALL_TABLE_BLOCKS)
     t = topk_cosine(ds, qmat, qids, k=EMB_K, col="embedding", id_col="vec_id")
     return pa.table(
         {
@@ -707,7 +715,7 @@ def q_knn_embeddings(sf_dir: str):
 def q_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup candidate pairs over documents (rows-only;
     pinned against brute-force Jaccard in tests/test_text.py)."""
-    ds = _read(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS)
     with_id = ds.map_batches(
         lambda b: b.append_column(
             "doc_key", pc.cast(b["doc_id"], pa.string())
@@ -720,7 +728,7 @@ def q_minhash_pairs(sf_dir: str):
 
 
 def q_simhash_pairs(sf_dir: str):
-    ds = _read(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS)
     with_id = ds.map_batches(
         lambda b: b.append_column("doc_key", pc.cast(b["doc_id"], pa.string())),
         batch_format="pyarrow",
@@ -730,7 +738,7 @@ def q_simhash_pairs(sf_dir: str):
 
 def q_embedding_dups(sf_dir: str):
     """Embedding-cosine near-dup pairs via sign-LSH buckets (rows-only)."""
-    ds = _read(sf_dir, "embeddings")
+    ds = _read(sf_dir, "embeddings", SMALL_TABLE_BLOCKS)
     return dd.embedding_near_dup_pairs(ds, threshold=0.35)
 
 
@@ -744,7 +752,7 @@ def q_ann_lsh(sf_dir: str):
     q = emb.filter(pc.less(emb["vec_id"], 3))
     qids = q["vec_id"].to_numpy(zero_copy_only=False)
     qmat = np.asarray(q["embedding"].to_pylist(), dtype=np.float64)
-    ds = _read(sf_dir, "embeddings")
+    ds = _read(sf_dir, "embeddings", SMALL_TABLE_BLOCKS)
     t = lsh_topk(ds, qmat, qids, k=EMB_K, multiprobe=1)
     return pa.table(
         {
@@ -760,7 +768,7 @@ def q_fingerprint_docs(sf_dir: str):
     distinct fingerprints (rows-only; determinism pinned in tests)."""
     from ray.data.aggregate import Count
 
-    ds = _read(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS)
     fp = ds.map_batches(
         lambda b: pa.table(
             {

@@ -2,20 +2,22 @@
 
 Ray-Data-first shapes (SURVEY.md §2.9 + training-data mandate):
 
-- **exact**: content hash inside ``map_batches`` → hash-partitioned
-  ``groupby(hash).map_groups(first)``. The shuffle moves (hash, id)
-  pairs, never the payload, when ``keys_only=True``.
+- **exact**: content hash inside ``map_batches`` → coarse-bucket
+  shuffle → vectorized min-id-per-hash inside each bucket. The shuffle
+  moves (hash, id) pairs, never the payload.
 - **MinHash + LSH**: shingle → 64 minhashes → band into (bands × rows)
-  buckets inside ``map_batches`` (vectorized universal hashing), then ONE
-  ``groupby(band, band_hash)`` shuffle to co-locate candidates; candidate
-  pairs are verified with exact n-gram Jaccard inside ``map_groups``.
+  buckets inside ``map_batches`` (vectorized universal hashing), ONE
+  shuffle to co-locate candidates, exact n-gram Jaccard verify per real
+  bucket.
 - **SimHash**: 64-bit token-weighted simhash per doc; near-dup pairs =
-  same simhash bucket (16-bit chunk tables) with Hamming ≤ k verify.
-- **embedding cosine**: sign-LSH bucket groupby then in-bucket cosine.
+  same 16-bit chunk (pigeonhole over Hamming ≤ 3) with Hamming verify.
+- **embedding cosine**: multi-table sign-LSH buckets + in-bucket cosine.
 
-All hash seeds are fixed constants → deterministic under Ray task
-retries. At 10^12-doc scale each family's only all-to-all exchange is the
-bucket groupby, keyed well away from payload columns.
+Every shuffle keys on a COARSE hash bucket (``_coarse_bucket``), never
+on the raw high-cardinality key: Ray's sort-based groupby pays
+per-distinct-group Python overhead, so real buckets are resolved
+vectorized inside each coarse group (CLAUDE.md platform notes). All hash
+seeds are fixed constants → deterministic under Ray task retries.
 """
 
 from __future__ import annotations
@@ -84,13 +86,16 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
     )
 
     def keep_first(group: pa.Table) -> pa.Table:
-        idx = pc.index(
-            pc.equal(group[id_col], pc.min(group[id_col])), True
-        ).as_py()
-        return group.slice(idx, 1)
+        df = group.to_pandas().drop(columns=["_cbucket"])
+        winners = df.loc[df.groupby("content_hash")[id_col].idxmin()]
+        return pa.Table.from_pandas(winners, preserve_index=False)
 
-    return hashed.groupby("content_hash").map_groups(
-        keep_first, batch_format="pyarrow"
+    return (
+        hashed.map_batches(
+            lambda b: _coarse_bucket(b, ["content_hash"]), batch_format="pyarrow"
+        )
+        .groupby("_cbucket")
+        .map_groups(keep_first, batch_format="pyarrow")
     )
 
 
@@ -137,20 +142,33 @@ class MinHasher:
             hv = (x * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE)
         return hv.min(axis=0)
 
+    # keep each (shingles × n_perm) hash matrix ≈ 4 MB (cache-resident;
+    # a whole-batch matrix at ~1k shingles/doc would be hundreds of MB)
+    _CHUNK_SHINGLES = 8192
+
     def batch_signatures(self, texts: List[str], k: int = 5) -> np.ndarray:
-        """(n_texts, n_perm) signatures in ONE universal-hash matrix pass:
-        all docs' shingles concatenated, hashed (S_total, P), then per-doc
-        segmented column minima via ``np.minimum.reduceat`` — no per-doc
-        Python beyond the shingling itself."""
+        """(n_texts, n_perm) signatures via chunked universal-hash matrix
+        passes: docs grouped until ~_CHUNK_SHINGLES shingles, hashed
+        (S, P) per group, per-doc segmented column minima via
+        ``np.minimum.reduceat`` — no per-doc Python beyond shingling."""
         shingle_sets = [char_shingles(t, k) for t in texts]
-        counts = np.array([s.size for s in shingle_sets], dtype=np.int64)
-        flat = np.concatenate(shingle_sets).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            hv = (flat[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(
-                _MERSENNE
-            )
-        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        return np.minimum.reduceat(hv, starts, axis=0)
+        out = np.empty((len(texts), self.n_perm), dtype=np.uint64)
+        lo = 0
+        while lo < len(texts):
+            hi, total = lo, 0
+            while hi < len(texts) and (total == 0 or total + shingle_sets[hi].size <= self._CHUNK_SHINGLES):
+                total += shingle_sets[hi].size
+                hi += 1
+            counts = np.array([s.size for s in shingle_sets[lo:hi]], dtype=np.int64)
+            flat = np.concatenate(shingle_sets[lo:hi]).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                hv = (flat[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(
+                    _MERSENNE
+                )
+            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            out[lo:hi] = np.minimum.reduceat(hv, starts, axis=0)
+            lo = hi
+        return out
 
 
 def minhash_signature(text: str, n_perm: int = 64, k: int = 5) -> np.ndarray:
@@ -174,6 +192,66 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     inter = np.intersect1d(a, b, assume_unique=True).size
     union = a.size + b.size - inter
     return inter / union if union else 1.0
+
+
+N_COARSE = 64
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _coarse_bucket(batch: pa.Table, cols, num_buckets: int = N_COARSE) -> pa.Table:
+    """Append a coarse shuffle-bucket column derived from ``cols`` (the
+    real, possibly high-cardinality key). The groupby shuffles on ~64
+    distinct values; real-key boundaries are resolved inside each group."""
+    import pandas as pd
+
+    h = np.zeros(batch.num_rows, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for c in cols:
+            vals = batch[c].to_numpy(zero_copy_only=False)
+            if vals.dtype.kind not in "iuf":
+                vals = pd.util.hash_array(np.asarray(vals, dtype=object))
+            h = (h ^ vals.astype(np.uint64)) * _GOLD
+    return batch.append_column(
+        "_cbucket", pa.array(((h >> np.uint64(33)) % num_buckets).astype(np.int64))
+    )
+
+
+def _iter_real_buckets(group: pa.Table, cols):
+    """Yield row-index arrays for each real key (≥ 2 members) inside a
+    coarse group — one vectorized lexsort, then boundary scan."""
+    import pandas as pd
+
+    keys = []
+    for c in cols:
+        vals = group[c].to_numpy(zero_copy_only=False)
+        if vals.dtype.kind not in "iuf":
+            vals = pd.util.hash_array(np.asarray(vals, dtype=object))
+        keys.append(vals)
+    order = np.lexsort(keys[::-1])
+    stacked = np.stack([k[order] for k in keys], axis=1)
+    change = np.any(stacked[1:] != stacked[:-1], axis=1)
+    starts = np.concatenate([[0], np.nonzero(change)[0] + 1, [len(order)]])
+    for lo, hi in zip(starts[:-1], starts[1:]):
+        if hi - lo >= 2:
+            yield order[lo:hi]
+
+
+def _dedupe_pairs(pairs_ds, extra_cols):
+    """Keep one row per (id_a, id_b): coarse-bucket shuffle + vectorized
+    pandas drop_duplicates per bucket (pairs collide across bands/tables)."""
+
+    def dedupe(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().drop(columns=["_cbucket"])
+        df = df.sort_values(["id_a", "id_b"]).drop_duplicates(["id_a", "id_b"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        pairs_ds.map_batches(
+            lambda b: _coarse_bucket(b, ["id_a", "id_b"]), batch_format="pyarrow"
+        )
+        .groupby("_cbucket")
+        .map_groups(dedupe, batch_format="pyarrow")
+    )
 
 
 def minhash_near_dup_pairs(
@@ -218,27 +296,23 @@ def minhash_near_dup_pairs(
     def verify(group: pa.Table) -> pa.Table:
         ids = group[id_col].to_pylist()
         texts = group[col].to_pylist()
-        if len(ids) < 2:
-            return pa.table(
-                {
-                    "id_a": pa.array([], pa.string()),
-                    "id_b": pa.array([], pa.string()),
-                    "jaccard": pa.array([], pa.float64()),
-                }
-            )
-        order = np.argsort(np.asarray(ids, dtype=object))
-        sh = {i: char_shingles(texts[i], k) for i in order}
         a_out, b_out, j_out = [], [], []
-        for x in range(len(order)):
-            for y in range(x + 1, len(order)):
-                i, j = order[x], order[y]
-                if ids[i] == ids[j]:
-                    continue
-                jac = jaccard(sh[i], sh[j])
-                if jac >= threshold:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    j_out.append(jac)
+        shingle_cache = {}
+        for rows in _iter_real_buckets(group, ["band", "band_hash"]):
+            order = rows[np.argsort(np.asarray([ids[r] for r in rows], dtype=object))]
+            for x in range(len(order)):
+                for y in range(x + 1, len(order)):
+                    i, j = order[x], order[y]
+                    if ids[i] == ids[j]:
+                        continue
+                    for r in (i, j):
+                        if r not in shingle_cache:
+                            shingle_cache[r] = char_shingles(texts[r], k)
+                    jac = jaccard(shingle_cache[i], shingle_cache[j])
+                    if jac >= threshold:
+                        a_out.append(ids[i])
+                        b_out.append(ids[j])
+                        j_out.append(jac)
         return pa.table(
             {
                 "id_a": pa.array(a_out, pa.string()),
@@ -249,13 +323,14 @@ def minhash_near_dup_pairs(
 
     pairs = (
         ds.map_batches(SignatureStage, batch_format="pyarrow", concurrency=2)
-        .groupby(["band", "band_hash"])
+        .map_batches(
+            lambda b: _coarse_bucket(b, ["band", "band_hash"]), batch_format="pyarrow"
+        )
+        .groupby("_cbucket")
         .map_groups(verify, batch_format="pyarrow")
     )
     # a pair surfaces once per colliding band — keep one copy
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    return _dedupe_pairs(pairs, ["jaccard"])
 
 
 # ---------------------------------------------------------------------------
@@ -325,17 +400,18 @@ def simhash_near_dup_pairs(ds, col: str = "text", id_col: str = "doc_id", max_ha
         ids = group[id_col].to_pylist()
         sh = group["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         a_out, b_out, d_out = [], [], []
-        order = np.argsort(np.asarray(ids, dtype=object))
-        for x in range(len(order)):
-            for y in range(x + 1, len(order)):
-                i, j = order[x], order[y]
-                if ids[i] == ids[j]:
-                    continue
-                d = int(_hamming64(sh[i : i + 1], sh[j : j + 1])[0])
-                if d <= max_hamming:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    d_out.append(d)
+        for rows in _iter_real_buckets(group, ["chunk_id", "chunk_val"]):
+            order = rows[np.argsort(np.asarray([ids[r] for r in rows], dtype=object))]
+            for x in range(len(order)):
+                for y in range(x + 1, len(order)):
+                    i, j = order[x], order[y]
+                    if ids[i] == ids[j]:
+                        continue
+                    d = int(_hamming64(sh[i : i + 1], sh[j : j + 1])[0])
+                    if d <= max_hamming:
+                        a_out.append(ids[i])
+                        b_out.append(ids[j])
+                        d_out.append(d)
         return pa.table(
             {
                 "id_a": pa.array(a_out, pa.string()),
@@ -346,12 +422,14 @@ def simhash_near_dup_pairs(ds, col: str = "text", id_col: str = "doc_id", max_ha
 
     pairs = (
         ds.map_batches(add_chunks, batch_format="pyarrow")
-        .groupby(["chunk_id", "chunk_val"])
+        .map_batches(
+            lambda b: _coarse_bucket(b, ["chunk_id", "chunk_val"]),
+            batch_format="pyarrow",
+        )
+        .groupby("_cbucket")
         .map_groups(verify, batch_format="pyarrow")
     )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    return _dedupe_pairs(pairs, ["hamming"])
 
 
 # ---------------------------------------------------------------------------
@@ -402,26 +480,37 @@ def embedding_near_dup_pairs(
         norm = np.linalg.norm(emb, axis=1)
         norm[norm == 0] = 1.0
         unit = emb / norm[:, None]
-        sims = unit @ unit.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        hit = sims[iu, ju] >= threshold
-        a = ids[iu[hit]]
-        b = ids[ju[hit]]
-        lo = np.minimum(a, b)
-        hi = np.maximum(a, b)
+        a_out, b_out, s_out = [], [], []
+        for rows in _iter_real_buckets(group, ["bucket"]):
+            u = unit[rows]
+            sims = u @ u.T
+            iu, ju = np.triu_indices(len(rows), k=1)
+            hit = sims[iu, ju] >= threshold
+            a = ids[rows[iu[hit]]]
+            b = ids[rows[ju[hit]]]
+            a_out.append(np.minimum(a, b))
+            b_out.append(np.maximum(a, b))
+            s_out.append(np.round(sims[iu, ju][hit], 6))
+        if not a_out:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
         return pa.table(
             {
-                "id_a": pa.array(lo, pa.int64()),
-                "id_b": pa.array(hi, pa.int64()),
-                "cosine": pa.array(np.round(sims[iu, ju][hit], 6)),
+                "id_a": pa.array(np.concatenate(a_out), pa.int64()),
+                "id_b": pa.array(np.concatenate(b_out), pa.int64()),
+                "cosine": pa.array(np.concatenate(s_out)),
             }
         )
 
     pairs = (
         ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("bucket")
+        .map_batches(lambda b: _coarse_bucket(b, ["bucket"]), batch_format="pyarrow")
+        .groupby("_cbucket")
         .map_groups(verify, batch_format="pyarrow")
     )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    return _dedupe_pairs(pairs, ["cosine"])
