@@ -769,12 +769,17 @@ def q_fingerprint_docs(sf_dir: str):
     from ray.data.aggregate import Count
 
     ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS)
+    # Carry the hash as the int64 BIT PATTERN of the uint64 fingerprint:
+    # Ray 2.49 groupby re-materializes key values as Python ints and Arrow
+    # infers int64, so raw uint64 keys > 2^63 overflow and fall back to
+    # pickled object blocks (no zero-copy). Same bits, shuffle-safe dtype.
     fp = ds.map_batches(
         lambda b: pa.table(
             {
                 "source": b["source"],
                 "fingerprint": pa.array(
-                    ta.fingerprint64(b["text"].to_pylist()), pa.uint64()
+                    ta.fingerprint64(b["text"].to_pylist()).view(np.int64),
+                    pa.int64(),
                 ),
             }
         ),
