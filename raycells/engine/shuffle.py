@@ -32,6 +32,14 @@ __all__ = [
 DEFAULT_SALT = 8
 
 
+def from_pandas_clean(df: pd.DataFrame) -> pa.Table:
+    """``pa.Table.from_pandas`` without the pandas schema metadata it
+    attaches: the metadata dict makes ``hash(schema)`` raise, which
+    defeats Ray Data's block-schema dedup (it falls back to a full
+    unify per block and logs a warning per block)."""
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+
 def partial_cell_agg(batch: pa.Table, key: str = "cell_id", salt: int = DEFAULT_SALT) -> pa.Table:
     """Per-batch combiner: one row per (key, salt-bucket) with partial
     sums/counts/min/max. Runs inside map_batches BEFORE the shuffle."""
@@ -61,7 +69,7 @@ def partial_cell_agg(batch: pa.Table, key: str = "cell_id", salt: int = DEFAULT_
         min_val=("min_val", "min"),
         max_val=("max_val", "max"),
     ).reset_index()
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return from_pandas_clean(out)
 
 
 DEFAULT_BUCKETS = 32
@@ -96,7 +104,7 @@ def combine_partials(batch: pa.Table) -> pa.Table:
         "max_val": ("max_val", "max"),
     }
     out = df.groupby(["key", "salt"], sort=False).agg(**agg).reset_index()
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return from_pandas_clean(out)
 
 
 COMBINE_BATCH = 1 << 18  # coalesce ~4-20 blocks per combine task
@@ -124,7 +132,7 @@ def merge_cell_agg(
         with np.errstate(invalid="ignore", divide="ignore"):
             out["avg_tile_mean"] = out["sum_mean"] / out["n_tiles"]
         out = out.drop(columns=["sum_mean"]).rename(columns={"key": key_out})
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return from_pandas_clean(out)
 
     return (
         ds.map_batches(
@@ -173,7 +181,7 @@ def salted_aggregate(
         for c in maxs:
             spec[f"max_{c}"] = (c, "max")
         out = df.groupby(["key", "salt"], sort=False).agg(**spec).reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return from_pandas_clean(out)
 
     spec = {count_alias: (count_alias, "sum")}
     for c in sums:
@@ -187,7 +195,7 @@ def salted_aggregate(
         df = g.to_pandas()
         out = df.groupby("key", sort=False).agg(**spec).reset_index()
         out = out.rename(columns={"key": key})
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return from_pandas_clean(out)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")

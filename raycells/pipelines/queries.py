@@ -42,11 +42,20 @@ KNN_K = 8
 EMB_K = 10
 
 
+def _strip_schema_metadata(t: pa.Table) -> pa.Table:
+    """Drop the pandas schema metadata the driver's parquet files carry:
+    the metadata dict makes ``hash(schema)`` raise, defeating Ray Data's
+    block-schema dedup on every downstream groupby/sort (full unify + a
+    logged warning per block). Zero-copy; fuses with the next stage."""
+    return t.replace_schema_metadata(None)
+
+
 def _read(sf_dir: str, table: str, num_blocks: int = None):
     import ray.data as rd
 
     kw = {"override_num_blocks": num_blocks} if num_blocks else {}
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), **kw)
+    ds = rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), **kw)
+    return ds.map_batches(_strip_schema_metadata, batch_format="pyarrow")
 
 
 # documents/embeddings are small side tables (≤ ~50k rows at bench sf);

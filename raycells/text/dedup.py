@@ -28,6 +28,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from raycells.engine.shuffle import from_pandas_clean
+
 __all__ = [
     "content_hash64",
     "add_content_hash",
@@ -88,7 +90,7 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
     def keep_first(group: pa.Table) -> pa.Table:
         df = group.to_pandas().drop(columns=["_cbucket"])
         winners = df.loc[df.groupby("content_hash")[id_col].idxmin()]
-        return pa.Table.from_pandas(winners, preserve_index=False)
+        return from_pandas_clean(winners)
 
     return (
         hashed.map_batches(
@@ -243,7 +245,7 @@ def _dedupe_pairs(pairs_ds, extra_cols):
     def dedupe(g: pa.Table) -> pa.Table:
         df = g.to_pandas().drop(columns=["_cbucket"])
         df = df.sort_values(["id_a", "id_b"]).drop_duplicates(["id_a", "id_b"])
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return from_pandas_clean(df)
 
     return (
         pairs_ds.map_batches(
