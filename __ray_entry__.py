@@ -23,6 +23,9 @@ oracles in raycells/pipelines/oracles.py):
   orders_by_segment, dedup_exact, token_stats, lang_id, events_daily,
   knn_embeddings  — oracle-checked;  minhash_pairs, simhash_pairs,
   embedding_dups, media_features — rows-only (near-dup + multimodal).
+- co-partitioned join/window family (engine/joins.py):
+  asof_latest_order, events_rolling7, distinct_custs,
+  top_parts_by_brand, customers_no_orders — all oracle-checked.
 """
 
 from __future__ import annotations
@@ -78,6 +81,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q.q_lang_id,
         "events_daily": q.q_events_daily,
         "knn_embeddings": q.q_knn_embeddings,
+        # co-partitioned join / window family (engine/joins.py)
+        "asof_latest_order": q.q_asof_latest_order,
+        "events_rolling7": q.q_events_rolling7,
+        "distinct_custs": q.q_distinct_custs,
+        "top_parts_by_brand": q.q_top_parts_by_brand,
+        "customers_no_orders": q.q_customers_no_orders,
         # near-dup + multimodal (rows-only checks)
         "minhash_pairs": q.q_minhash_pairs,
         "simhash_pairs": q.q_simhash_pairs,

@@ -1,0 +1,183 @@
+"""Co-partitioned join/window operators Ray Data lacks natively.
+
+Each operator composes ``map_batches`` + coarse-bucket ``groupby`` +
+``map_groups`` (SURVEY.md §2.9 pattern (a)): both sides are projected
+into one narrow common schema, tagged, unioned, shuffled ONCE on a
+coarse hash bucket of the join key, and joined with one vectorized
+pandas kernel per bucket. The reference has no joins at all
+(/root/reference — confirmed absences, SURVEY.md §2.8); these are graft
+operators designed Ray-Data-first.
+
+Partitioning assumption (documented per SURVEY.md §2.9): rows with the
+same join key land in the same bucket — guaranteed by hashing only the
+key. Bucket count is O(cluster size), independent of key cardinality,
+so the exchange stays balanced at 100 TB as long as no single key
+exceeds a worker's heap; for skewed keys use a larger ``num_buckets``
+(buckets are cheap) — a single hot KEY in an as-of join cannot be salted
+without replicating the right side, which is the standard trade-off.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from raycells.engine.shuffle import DEFAULT_BUCKETS, add_bucket, from_pandas_clean
+
+__all__ = ["asof_join", "distinct_count", "grouped_topk"]
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    *,
+    key_left: str,
+    key_right: str,
+    on_left: str,
+    on_right: str,
+    keep_left: Sequence[str],
+    keep_right: Sequence[str],
+    num_buckets: int = DEFAULT_BUCKETS,
+):
+    """As-of (backward) join: for each left row, the single right row with
+    the same key and the greatest ``on_right <= on_left``. Ties on
+    ``on_right`` break toward the LAST right row in (on, keep_right[0])
+    ascending order, i.e. the greatest ``keep_right[0]`` — deterministic
+    and SQL-reproducible via ROW_NUMBER.
+
+    Unmatched left rows are dropped (inner as-of). Both sides are
+    projected to (key, on, carried columns) BEFORE the exchange, so the
+    shuffle moves only the join-relevant columns.
+    """
+
+    # resolve carried-column types from each side so the null columns on
+    # the other side get the right dtype (union requires one schema)
+    l_schema = left_ds.schema()
+    r_schema = right_ds.schema()
+    l_types = {c: l_schema.base_schema.field(c).type for c in keep_left}
+    r_types = {c: r_schema.base_schema.field(c).type for c in keep_right}
+
+    def project_left(b: pa.Table) -> pa.Table:
+        data = {
+            "_k": b[key_left],
+            "_on": b[on_left],
+            "_side": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+        }
+        for c in keep_left:
+            data[c] = b[c]
+        for c in keep_right:
+            data[c] = pa.nulls(b.num_rows, r_types[c])
+        return pa.table(data)
+
+    def project_right(b: pa.Table) -> pa.Table:
+        data = {
+            "_k": b[key_right],
+            "_on": b[on_right],
+            "_side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+        }
+        for c in keep_left:
+            data[c] = pa.nulls(b.num_rows, l_types[c])
+        for c in keep_right:
+            data[c] = b[c]
+        return pa.table(data)
+
+    tagged = left_ds.map_batches(project_left, batch_format="pyarrow").union(
+        right_ds.map_batches(project_right, batch_format="pyarrow")
+    )
+    bucketed = tagged.map_batches(
+        lambda b: add_bucket(b, "_k", num_buckets), batch_format="pyarrow"
+    )
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        left = df[df["_side"] == 0]
+        right = df[df["_side"] == 1]
+        if left.empty or right.empty:
+            return pa.table({c: pa.array([], l_types[c]) for c in keep_left} |
+                            {c: pa.array([], r_types[c]) for c in keep_right})
+        # merge_asof requires both frames sorted by the 'on' column; a
+        # stable secondary sort on keep_right[0] makes the tie-break
+        # (last match wins) deterministic: greatest keep_right[0].
+        left = left.sort_values("_on", kind="stable")
+        right = right.sort_values([ "_on", keep_right[0]], kind="stable")
+        merged = pd.merge_asof(
+            left[["_k", "_on", *keep_left]],
+            right[["_k", "_on", *keep_right]],
+            on="_on",
+            by="_k",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        merged = merged.dropna(subset=[keep_right[0]])
+        out = merged[[*keep_left, *keep_right]].copy()
+        # restore integer dtypes: the tagged union makes every carried
+        # column nullable (pandas → float64), and merge_asof upcasts
+        # matched right ints the same way. After the inner-join dropna
+        # neither side holds NaN, so the cast is exact.
+        for c, typ in [*((c, l_types[c]) for c in keep_left),
+                       *((c, r_types[c]) for c in keep_right)]:
+            if pa.types.is_integer(typ):
+                out[c] = out[c].astype(np.int64)
+        return from_pandas_clean(out)
+
+    return bucketed.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+
+def distinct_count(ds, group_col: str, distinct_col: str, alias: str = "n_distinct",
+                   num_buckets: int = DEFAULT_BUCKETS):
+    """COUNT(DISTINCT distinct_col) per group: per-batch pair dedup →
+    bucket exchange on ``distinct_col`` (each distinct value lands in
+    exactly one bucket, so a pair survives in exactly one place) →
+    per-bucket dedup + partial counts → tiny final sum per group."""
+    from ray.data.aggregate import Sum
+
+    def pairs(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                group_col: b[group_col].to_numpy(zero_copy_only=False),
+                distinct_col: b[distinct_col].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        return from_pandas_clean(df)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().drop_duplicates([group_col, distinct_col])
+        out = df.groupby(group_col, sort=False).size().reset_index(name=alias)
+        return from_pandas_clean(out)
+
+    partial = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .map_batches(lambda b: add_bucket(b, distinct_col, num_buckets), batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    final = partial.groupby(group_col).aggregate(Sum(alias, alias_name=alias))
+    return final
+
+
+def grouped_topk(ds, group_col: str, k: int, order_col: str, tiebreak_col: str):
+    """Top-k rows per group by (order_col DESC, tiebreak_col DESC):
+    per-batch partial top-k (each batch can only contribute its own best
+    k per group) → one small final merge task. The final table is
+    O(groups × k); the exchange moves only the per-batch survivors."""
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df.sort_values([order_col, tiebreak_col], ascending=False, kind="stable")
+        return from_pandas_clean(df.groupby(group_col, sort=False).head(k))
+
+    def final_topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df.sort_values([order_col, tiebreak_col], ascending=False, kind="stable")
+        df = df.groupby(group_col, sort=False).head(k)
+        df["rank"] = df.groupby(group_col, sort=False).cumcount() + 1
+        return from_pandas_clean(df)
+
+    small = ds.map_batches(partial_topk, batch_format="pyarrow")
+    # survivors are O(blocks × groups × k): coalesce and finish in one task
+    return small.repartition(1).map_batches(
+        final_topk, batch_format="pyarrow", batch_size=None
+    )

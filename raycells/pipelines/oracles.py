@@ -267,6 +267,62 @@ def build() -> dict:
                    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
             FROM events GROUP BY event_type, day
         """,
+        # as-of join: each event → the user's latest order at event time;
+        # ties on o_orderdate break toward the greatest o_orderkey (same
+        # deterministic rule as the merge_asof sort in engine/joins.py)
+        "asof_latest_order": """
+            SELECT event_id, o_orderkey FROM (
+                SELECT e.event_id, o.o_orderkey,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.event_id
+                           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                       ) AS rn
+                FROM events e
+                JOIN orders o
+                  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            ) WHERE rn = 1
+        """,
+        "events_rolling7": """
+            WITH daily AS (
+                SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                       CAST(count(*) AS BIGINT) AS n_events,
+                       CAST(date_trunc('day', ts) AS DATE) AS d
+                FROM events GROUP BY event_type, day, d
+            )
+            SELECT event_type, day, n_events,
+                   CAST(SUM(n_events) OVER (
+                       PARTITION BY event_type ORDER BY d
+                       RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS n_events_7d
+            FROM daily
+        """,
+        "distinct_custs": """
+            SELECT o_orderpriority,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "top_parts_by_brand": """
+            SELECT p_brand, rank, p_partkey, price_c FROM (
+                SELECT p_brand, p_partkey,
+                       CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_c,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY p_brand
+                           ORDER BY CAST(ROUND(p_retailprice * 100) AS BIGINT) DESC,
+                                    p_partkey DESC
+                       ) AS BIGINT) AS rank
+                FROM part
+            ) WHERE rank <= 3
+        """,
+        "customers_no_orders": """
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+            FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT'
+            )
+            GROUP BY c_mktsegment
+        """,
         "knn_embeddings": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS qe

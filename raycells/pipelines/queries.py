@@ -24,6 +24,7 @@ import os
 import re
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -828,3 +829,176 @@ def q_media_features(sf_dir: str):
 def _sf_of(sf_dir: str) -> str:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     return m.group(1) if m else "0.001"
+
+
+# ---------------------------------------------------------------------------
+# co-partitioned join / window family (engine/joins.py)
+# ---------------------------------------------------------------------------
+
+def q_asof_latest_order(sf_dir: str):
+    """As-of join: each event matched to the user's most recent order at
+    event time (inner, backward; ties → greatest o_orderkey). One coarse
+    bucket exchange on the key; vectorized merge_asof per bucket."""
+    from raycells.engine.joins import asof_join
+
+    events = _read(sf_dir, "events").map_batches(
+        lambda b: b.select(["event_id", "user_id", "ts"]), batch_format="pyarrow"
+    )
+    orders = _read(sf_dir, "orders").map_batches(
+        lambda b: b.select(["o_custkey", "o_orderdate", "o_orderkey"]),
+        batch_format="pyarrow",
+    )
+    out = asof_join(
+        events,
+        orders,
+        key_left="user_id",
+        key_right="o_custkey",
+        on_left="ts",
+        on_right="o_orderdate",
+        keep_left=["event_id"],
+        keep_right=["o_orderkey"],
+    )
+    return out
+
+
+def q_events_rolling7(sf_dir: str):
+    """Windowed aggregate: daily event counts per type plus a 7-day
+    trailing-window count (calendar window, gap-aware). Wide work is the
+    tiny daily rollup; the rolling pass runs once over the aggregated
+    table (O(days × types) rows). At petabyte scale the rollup is the
+    shuffle; the window never touches raw rows."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events")
+
+    def day_of(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "day": pc.strftime(b["ts"], format="%Y-%m-%d"),
+            }
+        )
+
+    daily = ds.map_batches(day_of, batch_format="pyarrow").groupby(
+        ["event_type", "day"]
+    ).count()
+
+    def rolling(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().rename(columns={"count()": "n_events"})
+        df["_d"] = pd.to_datetime(df["day"])
+        df = df.sort_values(["event_type", "_d"], kind="stable")
+        out = []
+        for _, g in df.groupby("event_type", sort=False):
+            d = g["_d"].to_numpy().astype("datetime64[D]").astype(np.int64)
+            n = g["n_events"].to_numpy().astype(np.int64)
+            csum = np.concatenate(([0], np.cumsum(n)))
+            lo = np.searchsorted(d, d - 6, side="left")
+            g = g.copy()
+            g["n_events_7d"] = csum[np.arange(len(d)) + 1] - csum[lo]
+            out.append(g)
+        res = pd.concat(out)[["event_type", "day", "n_events", "n_events_7d"]]
+        res["n_events"] = res["n_events"].astype(np.int64)
+        return shuffle_mod.from_pandas_clean(res)
+
+    return daily.repartition(1).map_batches(rolling, batch_format="pyarrow", batch_size=None)
+
+
+def q_distinct_custs(sf_dir: str):
+    """COUNT(DISTINCT) at scale: distinct ordering customers per order
+    priority via per-batch pair dedup → bucket exchange on the distinct
+    key → per-bucket partial counts → tiny final sum."""
+    from raycells.engine.joins import distinct_count
+
+    ds = _read(sf_dir, "orders").map_batches(
+        lambda b: b.select(["o_orderpriority", "o_custkey"]), batch_format="pyarrow"
+    )
+    out = distinct_count(ds, "o_orderpriority", "o_custkey", alias="n_custs")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "n_custs": pc.cast(t["n_custs"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_top_parts_by_brand(sf_dir: str):
+    """Grouped top-k: 3 priciest parts per brand (price DESC, partkey
+    DESC tie-break). Per-batch partial top-k shrinks the exchange to
+    O(blocks × brands × k) rows before the single-task final ranking."""
+    from raycells.engine.joins import grouped_topk
+
+    ds = _read(sf_dir, "part").map_batches(
+        lambda b: pa.table(
+            {
+                "p_brand": b["p_brand"],
+                "p_partkey": b["p_partkey"],
+                "price_c": pc.cast(
+                    pc.round(pc.multiply(b["p_retailprice"], 100)), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = grouped_topk(ds, "p_brand", 3, order_col="price_c", tiebreak_col="p_partkey")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_brand": t["p_brand"],
+                "rank": pc.cast(t["rank"], pa.int64()),
+                "p_partkey": t["p_partkey"],
+                "price_c": t["price_c"],
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_customers_no_orders(sf_dir: str):
+    """Broadcast anti-join: customers with no URGENT orders, counted per
+    market segment. The distinct urgent-order custkeys ride the object
+    store once (ray.put) and each batch filters with one np.isin.
+    (Predicate pushdown at the read: only the two needed columns leave
+    storage, rows filtered before the broadcast set is built.)"""
+    import ray
+    from ray.data.aggregate import Count
+
+    ot = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority"],
+    )
+    ordered = np.unique(
+        ot.filter(pc.equal(ot["o_orderpriority"], "1-URGENT"))["o_custkey"].to_numpy()
+    )
+    ref = ray.put(ordered)
+
+    class AntiJoin:
+        def __init__(self, r):
+            self.keys = ray.get(r)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ck = b["c_custkey"].to_numpy(zero_copy_only=False)
+            keep = ~np.isin(ck, self.keys)
+            return b.filter(pa.array(keep))
+
+    out = (
+        _read(sf_dir, "customer")
+        .map_batches(AntiJoin, fn_constructor_args=(ref,), batch_format="pyarrow",
+                     concurrency=2)
+        .groupby("c_mktsegment")
+        .count()
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"],
+                "n_customers": pc.cast(t["count()"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")

@@ -1,0 +1,108 @@
+"""Unit pins for the co-partitioned join/window operators
+(raycells/engine/joins.py): as-of tie-break and unmatched-row drop,
+distinct-count bucket correctness, grouped top-k ranking."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from raycells.engine.joins import asof_join, distinct_count, grouped_topk
+
+
+def _ds(table: pa.Table, blocks: int = 2):
+    import ray.data as rd
+
+    return rd.from_arrow(table).repartition(blocks)
+
+
+def test_asof_backward_with_tiebreak(ray_session):
+    left = pa.table(
+        {
+            "k": [1, 1, 2, 3],
+            "t": pa.array([10, 5, 7, 9], pa.int64()),
+            "lid": [100, 101, 102, 103],
+        }
+    )
+    # key 1: two right rows at t=5 (ids 7 and 8) → tie breaks to id 8;
+    # key 2: only a LATER right row → left row unmatched, dropped;
+    # key 3: absent on the right → dropped.
+    right = pa.table(
+        {
+            "k": [1, 1, 1, 2],
+            "t": pa.array([5, 5, 2, 8], pa.int64()),
+            "rid": [7, 8, 6, 9],
+        }
+    )
+    out = (
+        asof_join(
+            _ds(left),
+            _ds(right),
+            key_left="k",
+            key_right="k",
+            on_left="t",
+            on_right="t",
+            keep_left=["lid"],
+            keep_right=["rid"],
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    assert out["lid"].tolist() == [100, 101]
+    assert out["rid"].tolist() == [8, 8]  # t=5 tie → greatest rid
+
+
+def test_asof_exact_match_included(ray_session):
+    left = pa.table({"k": [1], "t": pa.array([5], pa.int64()), "lid": [1]})
+    right = pa.table({"k": [1], "t": pa.array([5], pa.int64()), "rid": [2]})
+    out = asof_join(
+        _ds(left, 1),
+        _ds(right, 1),
+        key_left="k",
+        key_right="k",
+        on_left="t",
+        on_right="t",
+        keep_left=["lid"],
+        keep_right=["rid"],
+    ).to_pandas()
+    assert out["rid"].tolist() == [2]
+
+
+def test_distinct_count_across_blocks(ray_session):
+    # the same (group, value) pair spread over blocks must count ONCE
+    t = pa.table(
+        {
+            "g": ["a"] * 6 + ["b"] * 4,
+            "v": [1, 1, 2, 2, 3, 3, 1, 1, 1, 9],
+        }
+    )
+    out = (
+        distinct_count(_ds(t, 5), "g", "v", alias="n")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert out["g"].tolist() == ["a", "b"]
+    assert out["n"].tolist() == [3, 2]
+
+
+def test_grouped_topk_rank_and_ties(ray_session):
+    t = pa.table(
+        {
+            "g": ["x"] * 4 + ["y"] * 2,
+            "score": pa.array([5, 5, 9, 1, 2, 2], pa.int64()),
+            "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        }
+    )
+    out = (
+        grouped_topk(_ds(t, 3), "g", 2, order_col="score", tiebreak_col="id")
+        .to_pandas()
+        .sort_values(["g", "rank"])
+        .reset_index(drop=True)
+    )
+    # x: 9(id3) rank1, then score-5 tie → greater id (2) rank2
+    assert out[out["g"] == "x"]["id"].tolist() == [3, 2]
+    # y: score-2 tie → ids 6,5
+    assert out[out["g"] == "y"]["id"].tolist() == [6, 5]
+    assert out["rank"].tolist() == [1, 2, 1, 2]

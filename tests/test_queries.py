@@ -34,6 +34,11 @@ CHECKED = [
     "lang_id",
     "events_daily",
     "knn_embeddings",
+    "asof_latest_order",
+    "events_rolling7",
+    "distinct_custs",
+    "top_parts_by_brand",
+    "customers_no_orders",
 ]
 
 
