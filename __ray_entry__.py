@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q.q_simhash_pairs,
         "embedding_dups": q.q_embedding_dups,
         "ann_lsh": q.q_ann_lsh,
+        "ann_ivf": q.q_ann_ivf,
         "fingerprint_docs": q.q_fingerprint_docs,
         "media_features": q.q_media_features,
     }

@@ -773,6 +773,27 @@ def q_ann_lsh(sf_dir: str):
     )
 
 
+def q_ann_ivf(sf_dir: str):
+    """Approximate nearest neighbors, IVF variant: coarse k-means lists
+    trained on a bounded sample, nprobe-pruned scan (rows-only; recall
+    and exhaustive-probe exactness pinned in tests/test_sim.py)."""
+    from raycells.sim.ivf import ivf_topk
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.filter(pc.less(emb["vec_id"], 3))
+    qids = q["vec_id"].to_numpy(zero_copy_only=False)
+    qmat = np.asarray(q["embedding"].to_pylist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", SMALL_TABLE_BLOCKS)
+    t = ivf_topk(ds, qmat, qids, k=EMB_K, n_centroids=16, nprobe=4)
+    return pa.table(
+        {
+            "query_id": pc.cast(t["query_id"], pa.int64()),
+            "vec_id": pc.cast(t["vec_id"], pa.int64()),
+            "rank": t["rank"],
+        }
+    )
+
+
 def q_fingerprint_docs(sf_dir: str):
     """Rolling-hash document fingerprints rolled up per source: count of
     distinct fingerprints (rows-only; determinism pinned in tests)."""

@@ -1,0 +1,133 @@
+"""IVF (inverted-file) approximate-nearest-neighbor search.
+
+The second scale path next to sign-LSH (``sim/knn.lsh_topk``): a coarse
+k-means quantizer is trained once on a driver-side sample, its centroids
+are broadcast (``ray.put``), and every ``map_batches`` task assigns its
+batch to nearest-centroid lists with one matmul + argmax. A query probes
+only its ``nprobe`` nearest lists, so the pruned scan touches
+~(nprobe / n_centroids) of the data — the filter runs BEFORE any
+candidate leaves the worker.
+
+At 100 TB the training sample stays a driver-side constant (it does not
+grow with the data), the centroid matrix is a few MB broadcast once, and
+the per-batch assignment is a single (B,d)@(d,C) matmul — the same
+streaming profile as the brute-force baseline, minus the pruned rows.
+
+All similarities are float64 rounded to 6 decimals with vec_id
+tie-break, matching the ranking convention in ``sim/knn.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from raycells.sim.knn import ROUND, _gather, _unit
+
+__all__ = ["train_centroids", "ivf_topk"]
+
+
+def train_centroids(
+    sample: np.ndarray, n_centroids: int, n_iters: int = 10, seed: int = 0xC357
+) -> np.ndarray:
+    """Plain Lloyd k-means on a unit-normalized sample (so L2 argmin ==
+    cosine argmax), deterministic: k-means++-free seeding by evenly
+    spaced sample rows after a seeded shuffle. Returns (C, d) unit
+    centroids."""
+    rng = np.random.default_rng(seed)
+    x = _unit(np.asarray(sample, dtype=np.float64))
+    n = len(x)
+    n_centroids = min(n_centroids, n)
+    idx = rng.permutation(n)[:n_centroids]
+    cents = x[np.sort(idx)].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(n_centroids):
+            m = assign == c
+            if m.any():
+                cents[c] = x[m].mean(axis=0)
+        cents = _unit(cents)
+    return cents
+
+
+def ivf_topk(
+    ds,
+    query_matrix: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    train_rows: int = 2048,
+    seed: int = 0xC357,
+) -> pa.Table:
+    """IVF cosine top-k: train coarse centroids on a bounded sample,
+    assign + prune per batch against the probed lists, then per-query
+    top-k over the surviving candidates. Approximate (recall < 1 when a
+    true neighbor's list is not probed); tested ≥ 0.9@k=10."""
+    train = np.asarray(
+        [r[col] for r in ds.limit(train_rows).select_columns([col]).take_all()],
+        dtype=np.float64,
+    )
+    cents = train_centroids(train, n_centroids, seed=seed)
+
+    qm = _unit(np.asarray(query_matrix, dtype=np.float64))
+    qsims = qm @ cents.T  # (Q, C)
+    nprobe = min(nprobe, len(cents))
+    probe_lists = np.argsort(-qsims, axis=1)[:, :nprobe]  # (Q, nprobe)
+    wanted = np.unique(probe_lists)
+
+    import ray
+
+    cents_ref = ray.put(cents)
+    wanted_ref = ray.put(wanted)
+
+    class AssignPrune:
+        def __init__(self, c_ref, w_ref):
+            self.cents = ray.get(c_ref)
+            self.wanted = ray.get(w_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = np.asarray(batch[col].to_pylist(), dtype=np.float64)
+            cid = np.argmax(_unit(emb) @ self.cents.T, axis=1)
+            keep = np.isin(cid, self.wanted)
+            t = pa.table(
+                {
+                    id_col: batch[id_col],
+                    col: batch[col],
+                    "cid": pa.array(cid.astype(np.int64)),
+                }
+            )
+            return t.filter(pa.array(keep))
+
+    pruned = ds.map_batches(
+        AssignPrune,
+        fn_constructor_args=(cents_ref, wanted_ref),
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=4096,
+    )
+    tbl = pa.concat_tables(_gather(pruned))
+    emb = _unit(np.asarray(tbl[col].to_pylist(), dtype=np.float64))
+    ids = tbl[id_col].to_numpy(zero_copy_only=False)
+    cids = tbl["cid"].to_numpy(zero_copy_only=False)
+    out_q, out_id, out_s, out_r = [], [], [], []
+    for qi in range(len(qm)):
+        sel = np.isin(cids, probe_lists[qi])
+        if not sel.any():
+            continue
+        sims = np.round(emb[sel] @ qm[qi], ROUND)
+        order = np.lexsort((ids[sel], -sims))[: min(k, sims.size)]
+        out_q.append(np.full(len(order), query_ids[qi]))
+        out_id.append(ids[sel][order])
+        out_s.append(sims[order])
+        out_r.append(np.arange(1, len(order) + 1, dtype=np.int64))
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q)),
+            id_col: pa.array(np.concatenate(out_id)),
+            "sim": pa.array(np.concatenate(out_s)),
+            "rank": pa.array(np.concatenate(out_r)),
+        }
+    )

@@ -98,6 +98,7 @@ def test_every_query_has_oracle_or_is_flagged(contract):
         "simhash_pairs",
         "embedding_dups",
         "ann_lsh",
+        "ann_ivf",
         "fingerprint_docs",
         "media_features",
     }

@@ -73,3 +73,31 @@ def test_lsh_topk_recall(ray_session):
     expected = set(_exact_topk(vecs, q, 10).tolist())
     got = set(out["vec_id"].tolist())
     assert len(got & expected) >= 8
+
+
+def test_ivf_topk_recall(ray_session):
+    """IVF path: coarse k-means lists + nprobe pruning. On clustered
+    data the cluster's list is probed first — recall@10 ≥ 0.8; with
+    nprobe == n_centroids the scan is exhaustive and must equal exact."""
+    import ray.data as rd
+
+    from raycells.sim.ivf import ivf_topk
+
+    rng = np.random.default_rng(17)
+    noise = rng.standard_normal((200, 64))
+    q = rng.standard_normal(64)
+    cluster = q[None, :] + 0.15 * rng.standard_normal((15, 64))
+    vecs = np.vstack([noise, cluster])
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in vecs]),
+        }
+    )
+    ds = rd.from_arrow(t)
+    out = ivf_topk(ds, q[None, :], np.array([0]), k=10, n_centroids=8, nprobe=2).to_pandas()
+    expected = set(_exact_topk(vecs, q, 10).tolist())
+    assert len(set(out["vec_id"].tolist()) & expected) >= 8
+
+    full = ivf_topk(ds, q[None, :], np.array([0]), k=10, n_centroids=8, nprobe=8).to_pandas()
+    assert full["vec_id"].tolist() == _exact_topk(vecs, q, 10).tolist()
