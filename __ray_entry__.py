@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_agg_band": q.q_cell_agg_band,
         "top_dense_cells": q.q_top_dense_cells,
         "ndvi_stats": q.q_ndvi_stats,
+        "resample_tiles": q.q_resample_tiles,
         "knn_tiles": q.q_knn_tiles,
         "flagship_cells": q.q_flagship_cells,
         "pip_join_counts": q.q_pip_join_counts,

@@ -110,6 +110,45 @@ def synth_band(seeds: np.ndarray, band: int) -> Dict[str, np.ndarray]:
     return {"values": v, "mask": mask}
 
 
+def window_indices(
+    window: Tuple[int, int], window_size: Tuple[int, int], out_size: Tuple[int, int]
+) -> np.ndarray:
+    """Flat source indices for a windowed nearest-neighbor resample —
+    the ``read_cells(window, window_size, size)`` semantics of the
+    reference's raster reader (`/root/reference/src/gdal/rasterband.rs:
+    37-43`: window/out-size mismatch resamples, NearestNeighbour
+    default). GDAL's NN picks source pixel floor((dst + 0.5) · w / ow).
+
+    SQL equivalent per output cell (r, c), window (c0, r0), size (w, h),
+    out (ow, oh):
+        i = (r0 + CAST(floor((r + 0.5) * h / oh) AS INT)) * 64
+          + (c0 + CAST(floor((c + 0.5) * w / ow) AS INT))
+    """
+    (c0, r0), (w, h), (ow, oh) = window, window_size, out_size
+    cols = c0 + np.floor((np.arange(ow) + 0.5) * w / ow).astype(np.int64)
+    rows = r0 + np.floor((np.arange(oh) + 0.5) * h / oh).astype(np.int64)
+    return (rows[:, None] * TILE_W + cols[None, :]).ravel()
+
+
+def synth_band_window(
+    seeds: np.ndarray,
+    band: int,
+    window: Tuple[int, int],
+    window_size: Tuple[int, int],
+    out_size: Tuple[int, int],
+) -> np.ndarray:
+    """(len(seeds), ow·oh) uint16: the band tile's window resampled to
+    ``out_size`` by nearest neighbor. Values follow the same LCG formula
+    as ``synth_band_values`` evaluated at the selected flat indices, so
+    a DuckDB oracle can reproduce the resampled read exactly."""
+    idx = window_indices(window, window_size, out_size)
+    s = np.asarray(seeds, dtype=np.int64)[:, None]
+    i = idx[None, :]
+    v = 1 + (s * MUL_A + (i + band * 101) * MUL_I) % VAL_MOD
+    v[(s + i * MASK_MUL) % MASK_MOD == 0] = 0
+    return v.astype(np.uint16)
+
+
 # ---------------------------------------------------------------------------
 # extents (SQL-reproducible integer arithmetic)
 # ---------------------------------------------------------------------------

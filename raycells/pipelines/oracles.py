@@ -137,6 +137,29 @@ def build() -> dict:
             FROM gridded GROUP BY grid_cell
         """,
         "knn_tiles": _MEDIA + _KNN_TAIL,
+        # windowed NN-resampled read (tilestore.synth_band_window):
+        # window (16,16), size (32,32), out 8x8; src index per out (r,c)
+        "resample_tiles": _MEDIA
+        + """
+            , grid AS (
+                SELECT m.doc_id, m.span_idx, m.seed,
+                       (16 + CAST(floor((r.range + 0.5) * 32 / 8) AS BIGINT)) * 64
+                       + (16 + CAST(floor((c.range + 0.5) * 32 / 8) AS BIGINT)) AS i
+                FROM media m, range(8) r, range(8) c
+            ),
+            vals AS (
+                SELECT doc_id, span_idx, seed,
+                       CASE WHEN (seed + i * 7) % 33 = 0 THEN 0
+                            ELSE 1 + (seed * 2654435761 + (i + 404) * 40503) % 65520
+                       END AS v
+                FROM grid
+            )
+            SELECT doc_id, span_idx, seed,
+                   CAST(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_rs,
+                   CAST(SUM(v) AS BIGINT) AS sum_rs,
+                   CAST(MAX(v) AS BIGINT) AS max_rs
+            FROM vals GROUP BY doc_id, span_idx, seed
+        """,
         "ndvi_stats": _MEDIA
         + """
             , cells AS (

@@ -201,6 +201,36 @@ def q_vectorize_tiles(sf_dir: str):
     )
 
 
+def q_resample_tiles(sf_dir: str):
+    """Windowed nearest-neighbor resampled read — the reference's
+    ``read_cells(window, window_size, size)`` semantics (rasterband.rs:
+    37-43; resampling was the one reader feature SURVEY §2.7 deferred):
+    per media tile, read the (16,16)+(32,32) window of band 4 resampled
+    to 8×8 and reduce to integer stats (oracle-checked: the NN index
+    mapping and LCG values are both SQL-expressible)."""
+    from raycells.io import tilestore
+
+    WINDOW, WSIZE, OSIZE = (16, 16), (32, 32), (8, 8)
+
+    def resample_stats(b: pa.Table) -> pa.Table:
+        seeds = tilestore.seed_of_refs(b["media_ref"])
+        v = tilestore.synth_band_window(seeds, 4, WINDOW, WSIZE, OSIZE).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "span_idx": pc.cast(b["span_idx"], pa.int64()),
+                "seed": pa.array(seeds, pa.int64()),
+                "n_valid_rs": pa.array((v > 0).sum(axis=1).astype(np.int64)),
+                "sum_rs": pa.array(v.sum(axis=1)),
+                "max_rs": pa.array(v.max(axis=1)),
+            }
+        )
+
+    return _exploded(sf_dir).map_batches(resample_stats, batch_format="pyarrow")
+
+
 def q_cell_agg_band(sf_dir: str):
     """Per-grid-cell salted two-stage aggregate of band-tile stats — the
     oracle-checked version of the (doc, cell, tile) assignment shuffle."""

@@ -128,3 +128,23 @@ def test_footprints_deterministic():
     assert len(rings) == 50
     fid, cat, ring = rings[0]
     assert ring.shape[1] == 2 and ring.shape[0] >= 4
+
+
+def test_window_resample_matches_full_decode():
+    """NN-resampled windowed read (rasterband.rs:37-43 semantics) must
+    equal a gather from the full decode at the GDAL NN source indices."""
+    import numpy as np
+
+    from raycells.io import tilestore as ts
+
+    seeds = np.array([5, 77, 123456], dtype=np.int64)
+    full = ts.synth_band_values(seeds, 4).reshape(-1, 64, 64)
+    assert (
+        ts.synth_band_window(seeds, 4, (0, 0), (64, 64), (64, 64))
+        == full.reshape(len(seeds), -1)
+    ).all()
+    win = ts.synth_band_window(seeds, 4, (16, 16), (32, 32), (8, 8))
+    rows = 16 + np.floor((np.arange(8) + 0.5) * 32 / 8).astype(int)
+    cols = 16 + np.floor((np.arange(8) + 0.5) * 32 / 8).astype(int)
+    manual = full[:, rows][:, :, cols].reshape(len(seeds), -1)
+    assert (win == manual).all()

@@ -22,6 +22,7 @@ CHECKED = [
     "span_digest",
     "cell_agg_band",
     "ndvi_stats",
+    "resample_tiles",
     "knn_tiles",
     "top_dense_cells",
     "lineitem_pricing",
