@@ -114,13 +114,15 @@ def join_stage(ds, footprints_table: Optional[pa.Table] = None, concurrency=None
         footprints_table if footprints_table is not None else fp_mod.generate_footprints()
     )
     ref = ray.put(fps)
-    if concurrency is None:
-        concurrency = _pool_sizes()[1]
+    # Task stage, not an actor pool: the joiner's setup (bbox precompute
+    # over the broadcast rings) is cheap, the ``ray.put`` object is a
+    # zero-copy plasma read on every node, and the per-worker state is
+    # memoized in a module cache that survives across executions in
+    # Ray's reused task workers — actor pools pay ~1-2 s startup per
+    # execution here for no benefit (CLAUDE.md platform notes).
     return ds.map_batches(
-        stages.PIPJoiner,
-        fn_constructor_args=(ref,),
+        stages.pip_join_task(ref),
         batch_format="pyarrow",
-        concurrency=concurrency,
         batch_size=4096,
     )
 

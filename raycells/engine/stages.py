@@ -459,3 +459,24 @@ class PIPJoiner:
         out = batch.take(pa.array(idx))
         out = out.append_column("footprint_id", pa.array(fp_ids, pa.string()))
         return out.append_column("category", pa.array(fp_cats, pa.string()))
+
+
+_PIP_CACHE: dict = {}  # broadcast-ref hex → PIPJoiner (reused task workers)
+
+
+def pip_join_task(footprints_ref):
+    """Task-stage variant of the broadcast PIP join: the joiner state is
+    built once per worker per broadcast object (memoized on the ref id;
+    the ``ray.get`` is a zero-copy plasma read) and reused across
+    executions in Ray's warm task workers — same semantics as the
+    ``PIPJoiner`` actor pool without the per-execution actor startup."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        key = footprints_ref.hex()
+        joiner = _PIP_CACHE.get(key)
+        if joiner is None:
+            _PIP_CACHE.clear()  # at most one broadcast set per worker
+            joiner = _PIP_CACHE[key] = PIPJoiner(footprints_ref)
+        return joiner(batch)
+
+    return fn
