@@ -461,22 +461,37 @@ class PIPJoiner:
         return out.append_column("category", pa.array(fp_cats, pa.string()))
 
 
-_PIP_CACHE: dict = {}  # broadcast-ref hex → PIPJoiner (reused task workers)
+_BCAST_CACHE: dict = {}  # (class, ref hex) → stage instance (reused workers)
+_BCAST_CACHE_MAX = 8
+
+
+def broadcast_task(cls, ref, *args):
+    """Run a broadcast-state stage class as a TASK stage: the instance is
+    built once per worker per broadcast object (memoized on the ref id;
+    the ``ray.get`` inside ``cls.__init__`` is a zero-copy plasma read)
+    and reused across executions in Ray's warm task workers. Same
+    semantics as passing ``cls`` to ``map_batches`` as an actor pool,
+    without the ~1-2 s per-execution actor startup this platform pays —
+    use actor pools only when ``__init__`` is genuinely expensive
+    (codec handles, model loads)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        key = (
+            cls.__module__,
+            cls.__qualname__,
+            ref.hex(),
+            tuple(a.hex() if hasattr(a, "hex") else repr(a) for a in args),
+        )
+        inst = _BCAST_CACHE.get(key)
+        if inst is None:
+            if len(_BCAST_CACHE) >= _BCAST_CACHE_MAX:
+                _BCAST_CACHE.clear()
+            inst = _BCAST_CACHE[key] = cls(ref, *args)
+        return inst(batch)
+
+    return fn
 
 
 def pip_join_task(footprints_ref):
-    """Task-stage variant of the broadcast PIP join: the joiner state is
-    built once per worker per broadcast object (memoized on the ref id;
-    the ``ray.get`` is a zero-copy plasma read) and reused across
-    executions in Ray's warm task workers — same semantics as the
-    ``PIPJoiner`` actor pool without the per-execution actor startup."""
-
-    def fn(batch: pa.Table) -> pa.Table:
-        key = footprints_ref.hex()
-        joiner = _PIP_CACHE.get(key)
-        if joiner is None:
-            _PIP_CACHE.clear()  # at most one broadcast set per worker
-            joiner = _PIP_CACHE[key] = PIPJoiner(footprints_ref)
-        return joiner(batch)
-
-    return fn
+    """Task-stage broadcast PIP join (see ``broadcast_task``)."""
+    return broadcast_task(PIPJoiner, footprints_ref)

@@ -312,10 +312,8 @@ def q_knn_tiles(sf_dir: str):
         }
     )
     return rd.from_arrow(queries_tbl).map_batches(
-        stages.KnnQuerier,
-        fn_constructor_args=(index_ref, KNN_K),
+        stages.broadcast_task(stages.KnnQuerier, index_ref, KNN_K),
         batch_format="pyarrow",
-        concurrency=1,
     )
 
 
@@ -458,8 +456,8 @@ def q_revenue_by_nation(sf_dir: str):
 
     agg = (
         _read(sf_dir, "orders")
-        .map_batches(NationJoiner, fn_constructor_args=(side_ref,),
-                     batch_format="pyarrow", concurrency=2)
+        .map_batches(stages.broadcast_task(NationJoiner, side_ref),
+                     batch_format="pyarrow")
         .groupby("n_name")
         .aggregate(Count(), Sum("price_c", alias_name="revenue_c"))
     )
@@ -573,8 +571,8 @@ def q_orders_by_segment(sf_dir: str):
 
     agg = (
         _read(sf_dir, "orders")
-        .map_batches(SegmentJoiner, fn_constructor_args=(side_ref,),
-                     batch_format="pyarrow", concurrency=2)
+        .map_batches(stages.broadcast_task(SegmentJoiner, side_ref),
+                     batch_format="pyarrow")
         .groupby("c_mktsegment")
         .aggregate(Count(), Sum("price_c", alias_name="sum_totalprice_c"))
     )
@@ -1038,8 +1036,7 @@ def q_customers_no_orders(sf_dir: str):
 
     out = (
         _read(sf_dir, "customer")
-        .map_batches(AntiJoin, fn_constructor_args=(ref,), batch_format="pyarrow",
-                     concurrency=2)
+        .map_batches(stages.broadcast_task(AntiJoin, ref), batch_format="pyarrow")
         .groupby("c_mktsegment")
         .count()
     )

@@ -101,11 +101,11 @@ def ivf_topk(
             )
             return t.filter(pa.array(keep))
 
+    from raycells.engine.stages import broadcast_task
+
     pruned = ds.map_batches(
-        AssignPrune,
-        fn_constructor_args=(cents_ref, wanted_ref),
+        broadcast_task(AssignPrune, cents_ref, wanted_ref),
         batch_format="pyarrow",
-        concurrency=2,
         batch_size=4096,
     )
     tbl = pa.concat_tables(_gather(pruned))

@@ -86,11 +86,11 @@ def topk_cosine(
     import ray
 
     ref = ray.put({"query_id": np.asarray(query_ids), "matrix": np.asarray(query_matrix)})
+    from raycells.engine.stages import broadcast_task
+
     cand = ds.map_batches(
-        BruteForceTopK,
-        fn_constructor_args=(ref, k, col, id_col),
+        broadcast_task(BruteForceTopK, ref, k, col, id_col),
         batch_format="pyarrow",
-        concurrency=concurrency or 2,
         batch_size=4096,
     )
     t = pa.concat_tables(_gather(cand))
