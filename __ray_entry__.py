@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_tiles": q.q_knn_tiles,
         "flagship_cells": q.q_flagship_cells,
         "pip_join_counts": q.q_pip_join_counts,
+        "zonal_stats": q.q_zonal_stats,
         "pip_join_cellcover": q.q_pip_join_cellcover,
         "rasterize_footprints": q.q_rasterize_footprints,
         "vectorize_tiles": q.q_vectorize_tiles,

@@ -82,9 +82,14 @@ def add_bucket(batch: pa.Table, key: str, num_buckets: int = DEFAULT_BUCKETS) ->
     shuffle on ~num_buckets coarse buckets and run ONE vectorized
     groupby per bucket instead (map_groups). num_buckets scales with the
     cluster, independent of the (possibly huge) key cardinality."""
-    k = batch[key].to_numpy(zero_copy_only=False).astype(np.uint64)
-    with np.errstate(over="ignore"):
-        b = ((k * _GOLDEN) >> np.uint64(48)).astype(np.int64) % num_buckets
+    k = batch[key].to_numpy(zero_copy_only=False)
+    if k.dtype.kind in "iu":
+        with np.errstate(over="ignore"):
+            b = ((k.astype(np.uint64) * _GOLDEN) >> np.uint64(48)).astype(
+                np.int64
+            ) % num_buckets
+    else:  # string/object keys: deterministic vectorized hash
+        b = (pd.util.hash_array(k) % num_buckets).astype(np.int64)
     return batch.append_column("_bucket", pa.array(b))
 
 

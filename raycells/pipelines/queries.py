@@ -267,6 +267,45 @@ def q_pip_join_counts(sf_dir: str):
     return joined.groupby("category").count()
 
 
+def q_zonal_stats(sf_dir: str):
+    """Zonal statistics — the classic raster-zone workload: per footprint
+    polygon, aggregate the erased-cell stats of every tile whose centroid
+    falls inside it (broadcast PIP join → salted two-stage aggregate;
+    rows-only — PIP rings aren't SQL-expressible; value parity vs a
+    brute-force single-process oracle is pinned in tests/test_geo.py)."""
+    docs_dir = pl.docs_dir_for_sf(sf_dir)
+    stats = pl.explode_stage(pl.read_docs(docs_dir)).map_batches(
+        lambda b: stages.decode_stats(b, emit="stats"), batch_format="pyarrow"
+    )
+    joined = pl.join_stage(stats)
+    agg = shuffle_mod.salted_aggregate(
+        joined,
+        key="footprint_id",
+        sums=["valid_count", "nodata_count"],
+        mins=["min_val"],
+        maxs=["max_val"],
+        count_alias="n_tiles",
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "footprint_id": t["footprint_id"],
+                "n_tiles": pc.cast(t["n_tiles"], pa.int64()),
+                "sum_valid_count": pc.cast(t["sum_valid_count"], pa.int64()),
+                "sum_nodata_count": pc.cast(t["sum_nodata_count"], pa.int64()),
+                # min/max stay float64: erased tiles span all 10 cell
+                # types, so the fold's result can be fractional; it is an
+                # elementwise-derived exact double (not a sum), stable
+                # across engines and partitionings.
+                "min_min_val": pc.cast(t["min_min_val"], pa.float64()),
+                "max_max_val": pc.cast(t["max_max_val"], pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_pip_join_cellcover(sf_dir: str):
     """Large-large spatial-join fallback: co-partition tiles and polygon
     cell covers by Hilbert cell, exact PIP per cell group — one shuffle,

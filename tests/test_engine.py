@@ -199,3 +199,46 @@ def test_cellcover_join_matches_broadcast(docs_dir, ray_session):
     expect = set(zip(bc["doc_id"], bc["span_idx"], bc["footprint_id"]))
     assert got == expect
     assert len(expect) > 0
+
+
+def test_zonal_stats_matches_bruteforce(ray_session):
+    """q_zonal_stats (PIP join → salted aggregate) vs a single-process
+    oracle: decode every tile, test every (tile, footprint) pair, and
+    aggregate per footprint with pandas."""
+    import numpy as np
+
+    from raycells.io.footprints import generate_footprints
+    from raycells.pipelines import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q.q_zonal_stats(sf).to_pandas().sort_values("footprint_id").reset_index(drop=True)
+    )
+
+    docs_dir = pipeline.docs_dir_for_sf(sf)
+    stats = pipeline.explode_stage(pipeline.read_docs(docs_dir)).map_batches(
+        lambda b: stages.decode_stats(b, emit="stats"), batch_format="pyarrow"
+    ).to_pandas()
+    rows = []
+    for fid, cat, ring in rings_as_numpy(generate_footprints()):
+        hit = points_in_polygon(stats["lon"].values, stats["lat"].values, ring)
+        sub = stats[hit]
+        if not len(sub):
+            continue
+        rows.append(
+            {
+                "footprint_id": fid,
+                "n_tiles": len(sub),
+                "sum_valid_count": int(sub["valid_count"].sum()),
+                "sum_nodata_count": int(sub["nodata_count"].sum()),
+                "min_min_val": float(sub["min_val"].min()),
+                "max_max_val": float(sub["max_val"].max()),
+            }
+        )
+    expect = (
+        pd.DataFrame(rows).sort_values("footprint_id").reset_index(drop=True)
+    )
+    assert len(expect) > 0
+    pd.testing.assert_frame_equal(
+        got[expect.columns], expect, check_dtype=False, check_exact=True
+    )

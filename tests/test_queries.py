@@ -93,6 +93,7 @@ def test_every_query_has_oracle_or_is_flagged(contract):
         "flagship_cells",
         "pip_join_counts",
         "pip_join_cellcover",
+        "zonal_stats",
         "rasterize_footprints",
         "vectorize_tiles",
         "minhash_pairs",
