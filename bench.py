@@ -109,7 +109,9 @@ def run_flagship(sf_dir: str, docs_dir: str = None) -> dict:
 PIPELINES = {
     "cell_agg_band": "q_cell_agg_band",
     "pip_join_counts": "q_pip_join_counts",
+    "zonal_stats": "q_zonal_stats",
     "knn_tiles": "q_knn_tiles",
+    "asof_latest_order": "q_asof_latest_order",
     "lineitem_pricing": "q_lineitem_pricing",
     "orders_by_segment": "q_orders_by_segment",
     "token_stats": "q_token_stats",

@@ -121,11 +121,25 @@ def char_shingles(text: str, k: int = 5) -> np.ndarray:
     return np.unique(h)
 
 
+_MINHASHERS: dict = {}  # n_perm → MinHasher (reused task workers)
+
+
+def _minhasher(n_perm: int) -> "MinHasher":
+    """Per-worker memoized MinHasher: the permutation table is
+    deterministic from ``n_perm``, so task stages can reuse it across
+    batches and executions without actor-pool startup."""
+    mh = _MINHASHERS.get(n_perm)
+    if mh is None:
+        mh = _MINHASHERS[n_perm] = MinHasher(n_perm)
+    return mh
+
+
 class MinHasher:
     """n_perm universal-hash MinHash over shingle sets.
 
-    Stateful-stage material: permutation coefficients are built once (in
-    an actor's ``__init__`` when used as a pool) from a fixed seed."""
+    Stateful-stage material: permutation coefficients are built once per
+    worker (``_minhasher`` memo for task stages; an actor's ``__init__``
+    when used as a pool) from a fixed seed."""
 
     def __init__(self, n_perm: int = 64, seed: int = _RNG_SEED):
         rng = np.random.default_rng(seed)
@@ -265,74 +279,119 @@ def minhash_near_dup_pairs(
     bands: int = 16,
     k: int = 5,
 ):
-    """MinHash+LSH near-dup pipeline: one Dataset in → Dataset of verified
-    candidate pairs (id_a < id_b, jaccard ≥ threshold).
+    """MinHash+LSH near-dup pipeline, two-phase so the exchange never
+    carries text:
 
-    Stages: actor-pool signature stage (MinHasher state) → flat_map to
-    (band, band_hash, id, text) rows → groupby bucket (THE shuffle) →
-    in-bucket pair verify with exact shingle Jaccard. Pairs are
-    deduplicated downstream by a final groupby on (id_a, id_b)."""
+    **Phase A — candidates.** Task-stage signatures (the MinHasher's
+    permutation table is memoized per worker) emit only
+    ``(band, band_hash, id)`` rows; the coarse-bucket groupby — THE
+    shuffle — therefore moves ``bands`` small ints per document instead
+    of ``bands`` copies of the corpus. Real buckets are resolved inside
+    each group and deduplicated candidate id pairs come out.
 
-    class SignatureStage:
-        def __init__(self):
-            self.mh = MinHasher(n_perm)
+    **Phase B — verify.** Candidate ids are broadcast, only their texts
+    are gathered (one filtered pass over the corpus), and exact shingle
+    Jaccard keeps pairs ≥ threshold. Scale assumption (standard for
+    LSH dedup): the candidate set is output-sized, orders of magnitude
+    smaller than the corpus — LSH bands are tuned so that is true.
+    Returns a pyarrow Table (id_a < id_b, jaccard)."""
+    import ray
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            texts = batch[col].to_pylist()
-            ids = batch[id_col].to_pylist()
-            sig = self.mh.batch_signatures(texts, k)
-            bh = lsh_bands(sig, bands)
-            n = len(texts)
-            band_idx = np.tile(np.arange(bands, dtype=np.int32), n)
-            return pa.table(
-                {
-                    "band": pa.array(band_idx),
-                    "band_hash": pa.array(
-                        bh.reshape(-1).astype(np.int64), pa.int64()
-                    ),
-                    id_col: pa.array(np.repeat(ids, bands)),
-                    col: pa.array(np.repeat(texts, bands)),
-                }
-            )
+    def signatures(batch: pa.Table) -> pa.Table:
+        mh = _minhasher(n_perm)
+        texts = batch[col].to_pylist()
+        ids = batch[id_col].to_pylist()
+        sig = mh.batch_signatures(texts, k)
+        bh = lsh_bands(sig, bands)
+        n = len(texts)
+        return pa.table(
+            {
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+                "band_hash": pa.array(bh.reshape(-1).astype(np.int64), pa.int64()),
+                id_col: pa.array(np.repeat(ids, bands)),
+            }
+        )
 
-    def verify(group: pa.Table) -> pa.Table:
+    def pairs_of(group: pa.Table) -> pa.Table:
         ids = group[id_col].to_pylist()
-        texts = group[col].to_pylist()
-        a_out, b_out, j_out = [], [], []
-        shingle_cache = {}
+        a_out, b_out = [], []
         for rows in _iter_real_buckets(group, ["band", "band_hash"]):
-            order = rows[np.argsort(np.asarray([ids[r] for r in rows], dtype=object))]
-            for x in range(len(order)):
-                for y in range(x + 1, len(order)):
-                    i, j = order[x], order[y]
-                    if ids[i] == ids[j]:
-                        continue
-                    for r in (i, j):
-                        if r not in shingle_cache:
-                            shingle_cache[r] = char_shingles(texts[r], k)
-                    jac = jaccard(shingle_cache[i], shingle_cache[j])
-                    if jac >= threshold:
-                        a_out.append(ids[i])
-                        b_out.append(ids[j])
-                        j_out.append(jac)
+            uniq = sorted({ids[r] for r in rows})
+            for x in range(len(uniq)):
+                for y in range(x + 1, len(uniq)):
+                    a_out.append(uniq[x])
+                    b_out.append(uniq[y])
         return pa.table(
             {
                 "id_a": pa.array(a_out, pa.string()),
                 "id_b": pa.array(b_out, pa.string()),
-                "jaccard": pa.array(j_out, pa.float64()),
             }
         )
 
-    pairs = (
-        ds.map_batches(SignatureStage, batch_format="pyarrow", concurrency=2)
+    cand = (
+        ds.map_batches(signatures, batch_format="pyarrow")
         .map_batches(
             lambda b: _coarse_bucket(b, ["band", "band_hash"]), batch_format="pyarrow"
         )
         .groupby("_cbucket")
-        .map_groups(verify, batch_format="pyarrow")
+        .map_groups(pairs_of, batch_format="pyarrow")
     )
-    # a pair surfaces once per colliding band — keep one copy
-    return _dedupe_pairs(pairs, ["jaccard"])
+    cand_tbl = pa.concat_tables(
+        [ray.get(r) for r in _dedupe_pairs(cand, []).to_arrow_refs()]
+    )
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.string()),
+            "id_b": pa.array([], pa.string()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if cand_tbl.num_rows == 0:
+        return empty
+
+    id_a = cand_tbl["id_a"].to_pylist()
+    id_b = cand_tbl["id_b"].to_pylist()
+    wanted = np.asarray(sorted(set(id_a) | set(id_b)), dtype=object)
+    wanted_ref = ray.put(wanted)
+
+    def fetch_texts(batch: pa.Table) -> pa.Table:
+        w = ray.get(wanted_ref)
+        ids_np = np.asarray(batch[id_col].to_pylist(), dtype=object)
+        keep = np.isin(ids_np, w)
+        t = pa.table({id_col: batch[id_col], col: batch[col]})
+        return t.filter(pa.array(keep))
+
+    texts_tbl = pa.concat_tables(
+        [ray.get(r) for r in ds.map_batches(fetch_texts, batch_format="pyarrow").to_arrow_refs()]
+    )
+    text_of = dict(
+        zip(texts_tbl[id_col].to_pylist(), texts_tbl[col].to_pylist())
+    )
+    shingle_cache: dict = {}
+
+    def shingles(i):
+        s = shingle_cache.get(i)
+        if s is None:
+            s = shingle_cache[i] = char_shingles(text_of[i], k)
+        return s
+
+    a_out, b_out, j_out = [], [], []
+    for a, b in zip(id_a, id_b):
+        jac = jaccard(shingles(a), shingles(b))
+        if jac >= threshold:
+            a_out.append(a)
+            b_out.append(b)
+            j_out.append(jac)
+    if not a_out:
+        return empty
+    order = np.lexsort((np.asarray(b_out, object), np.asarray(a_out, object)))
+    return pa.table(
+        {
+            "id_a": pa.array(np.asarray(a_out, object)[order], pa.string()),
+            "id_b": pa.array(np.asarray(b_out, object)[order], pa.string()),
+            "jaccard": pa.array(np.asarray(j_out)[order], pa.float64()),
+        }
+    )
 
 
 # ---------------------------------------------------------------------------
