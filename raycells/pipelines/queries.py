@@ -51,10 +51,15 @@ def _strip_schema_metadata(t: pa.Table) -> pa.Table:
     return t.replace_schema_metadata(None)
 
 
-def _read(sf_dir: str, table: str, num_blocks: int = None):
+def _read(sf_dir: str, table: str, num_blocks: int = None, columns=None):
+    """Parquet read with column pruning at the source: pass ``columns``
+    so only the needed columns leave storage (a read that loads all 11
+    lineitem columns for a 4-column aggregate wastes most of its IO)."""
     import ray.data as rd
 
     kw = {"override_num_blocks": num_blocks} if num_blocks else {}
+    if columns is not None:
+        kw["columns"] = list(columns)
     ds = rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), **kw)
     return ds.map_batches(_strip_schema_metadata, batch_format="pyarrow")
 
@@ -393,7 +398,7 @@ def q_global_stats(sf_dir: str):
     Count/Sum/Min/Max over lineitem (SURVEY.md §2.9 'global stats')."""
     from ray.data.aggregate import Count, Max, Min, Sum
 
-    ds = _read(sf_dir, "lineitem")
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
 
     def derive(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -431,7 +436,7 @@ def q_sessionize(sf_dir: str):
     """Stateful per-key windowing: gap-based sessionization of the events
     stream (new session when >30 min since the user's previous event),
     via groupby(user).map_groups with a vectorized gaps-and-islands body."""
-    ds = _read(sf_dir, "events")
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
 
     def sessions(g: pa.Table) -> pa.Table:
         ts = g["ts"].to_numpy(zero_copy_only=False)
@@ -494,7 +499,7 @@ def q_revenue_by_nation(sf_dir: str):
             return t.filter(pc.is_valid(t["n_name"]))
 
     agg = (
-        _read(sf_dir, "orders")
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
         .map_batches(stages.broadcast_task(NationJoiner, side_ref),
                      batch_format="pyarrow")
         .groupby("n_name")
@@ -517,7 +522,7 @@ def q_lineitem_pricing(sf_dir: str):
     multi-key Ray groupby + final rounding (both sides ROUND to 2)."""
     from ray.data.aggregate import Count, Sum
 
-    ds = _read(sf_dir, "lineitem")
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax"])
 
     def derive(b: pa.Table) -> pa.Table:
         # exact integer units per row (prices/discounts/taxes have 2
@@ -609,7 +614,7 @@ def q_orders_by_segment(sf_dir: str):
             return t.filter(pc.is_valid(t["c_mktsegment"]))
 
     agg = (
-        _read(sf_dir, "orders")
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
         .map_batches(stages.broadcast_task(SegmentJoiner, side_ref),
                      batch_format="pyarrow")
         .groupby("c_mktsegment")
@@ -633,7 +638,7 @@ def q_dedup_exact(sf_dir: str):
     (hash-partitioned distinct — the shuffle moves 16-byte rows)."""
     from ray.data.aggregate import Count, Sum
 
-    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS)
+    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["source", "text"])
     hashed = ds.map_batches(
         lambda b: pa.table(
             {
@@ -666,7 +671,7 @@ def q_token_stats(sf_dir: str):
     """Token counting + quality scoring rolled up per language."""
     from ray.data.aggregate import Count, Sum
 
-    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS)
+    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["lang", "text"])
     scored = ds.map_batches(
         lambda b: ta.quality_metrics(b, col="text"), batch_format="pyarrow"
     )
@@ -709,7 +714,7 @@ def q_token_stats(sf_dir: str):
 def q_lang_id(sf_dir: str):
     """Marker-word language-ID heuristic → (actual, detected) confusion
     counts; the oracle mirrors the scorer exactly."""
-    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS)
+    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["lang", "text"])
     detected = ds.map_batches(lambda b: ta.lang_id(b, col="text"), batch_format="pyarrow")
 
     def project(b: pa.Table) -> pa.Table:
@@ -737,7 +742,7 @@ def q_events_daily(sf_dir: str):
     """Grouped aggregate over the events stream table by (type, day)."""
     from ray.data.aggregate import Count, Sum
 
-    ds = _read(sf_dir, "events")
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
 
     def project(b: pa.Table) -> pa.Table:
         value_c = np.rint(b["value"].to_numpy(zero_copy_only=False) * 100).astype(
@@ -778,7 +783,7 @@ def q_knn_embeddings(sf_dir: str):
     q = emb.filter(qmask)
     qids = q["vec_id"].to_numpy(zero_copy_only=False)
     qmat = np.asarray(q["embedding"].to_pylist(), dtype=np.float64)
-    ds = _read(sf_dir, "embeddings", SMALL_TABLE_BLOCKS)
+    ds = _read(sf_dir, "embeddings", SMALL_TABLE_BLOCKS, columns=["vec_id", "embedding"])
     t = topk_cosine(ds, qmat, qids, k=EMB_K, col="embedding", id_col="vec_id")
     return pa.table(
         {
@@ -792,7 +797,7 @@ def q_knn_embeddings(sf_dir: str):
 def q_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup candidate pairs over documents (rows-only;
     pinned against brute-force Jaccard in tests/test_text.py)."""
-    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS)
+    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["doc_id", "text"])
     with_id = ds.map_batches(
         lambda b: b.append_column(
             "doc_key", pc.cast(b["doc_id"], pa.string())
@@ -805,7 +810,7 @@ def q_minhash_pairs(sf_dir: str):
 
 
 def q_simhash_pairs(sf_dir: str):
-    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS)
+    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["doc_id", "text"])
     with_id = ds.map_batches(
         lambda b: b.append_column("doc_key", pc.cast(b["doc_id"], pa.string())),
         batch_format="pyarrow",
@@ -815,7 +820,7 @@ def q_simhash_pairs(sf_dir: str):
 
 def q_embedding_dups(sf_dir: str):
     """Embedding-cosine near-dup pairs via sign-LSH buckets (rows-only)."""
-    ds = _read(sf_dir, "embeddings", SMALL_TABLE_BLOCKS)
+    ds = _read(sf_dir, "embeddings", SMALL_TABLE_BLOCKS, columns=["vec_id", "embedding"])
     return dd.embedding_near_dup_pairs(ds, threshold=0.35)
 
 
@@ -829,7 +834,7 @@ def q_ann_lsh(sf_dir: str):
     q = emb.filter(pc.less(emb["vec_id"], 3))
     qids = q["vec_id"].to_numpy(zero_copy_only=False)
     qmat = np.asarray(q["embedding"].to_pylist(), dtype=np.float64)
-    ds = _read(sf_dir, "embeddings", SMALL_TABLE_BLOCKS)
+    ds = _read(sf_dir, "embeddings", SMALL_TABLE_BLOCKS, columns=["vec_id", "embedding"])
     t = lsh_topk(ds, qmat, qids, k=EMB_K, multiprobe=1)
     return pa.table(
         {
@@ -850,7 +855,7 @@ def q_ann_ivf(sf_dir: str):
     q = emb.filter(pc.less(emb["vec_id"], 3))
     qids = q["vec_id"].to_numpy(zero_copy_only=False)
     qmat = np.asarray(q["embedding"].to_pylist(), dtype=np.float64)
-    ds = _read(sf_dir, "embeddings", SMALL_TABLE_BLOCKS)
+    ds = _read(sf_dir, "embeddings", SMALL_TABLE_BLOCKS, columns=["vec_id", "embedding"])
     t = ivf_topk(ds, qmat, qids, k=EMB_K, n_centroids=16, nprobe=4)
     return pa.table(
         {
@@ -866,7 +871,7 @@ def q_fingerprint_docs(sf_dir: str):
     distinct fingerprints (rows-only; determinism pinned in tests)."""
     from ray.data.aggregate import Count
 
-    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS)
+    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["source", "text"])
     # Carry the hash as the int64 BIT PATTERN of the uint64 fingerprint:
     # Ray 2.49 groupby re-materializes key values as Python ints and Arrow
     # infers int64, so raw uint64 keys > 2^63 overflow and fall back to
@@ -929,10 +934,10 @@ def q_asof_latest_order(sf_dir: str):
     bucket exchange on the key; vectorized merge_asof per bucket."""
     from raycells.engine.joins import asof_join
 
-    events = _read(sf_dir, "events").map_batches(
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"]).map_batches(
         lambda b: b.select(["event_id", "user_id", "ts"]), batch_format="pyarrow"
     )
-    orders = _read(sf_dir, "orders").map_batches(
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey"]).map_batches(
         lambda b: b.select(["o_custkey", "o_orderdate", "o_orderkey"]),
         batch_format="pyarrow",
     )
@@ -957,7 +962,7 @@ def q_events_rolling7(sf_dir: str):
     shuffle; the window never touches raw rows."""
     from ray.data.aggregate import Count
 
-    ds = _read(sf_dir, "events")
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
 
     def day_of(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -997,7 +1002,7 @@ def q_distinct_custs(sf_dir: str):
     key → per-bucket partial counts → tiny final sum."""
     from raycells.engine.joins import distinct_count
 
-    ds = _read(sf_dir, "orders").map_batches(
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_custkey"]).map_batches(
         lambda b: b.select(["o_orderpriority", "o_custkey"]), batch_format="pyarrow"
     )
     out = distinct_count(ds, "o_orderpriority", "o_custkey", alias="n_custs")
@@ -1019,7 +1024,7 @@ def q_top_parts_by_brand(sf_dir: str):
     O(blocks × brands × k) rows before the single-task final ranking."""
     from raycells.engine.joins import grouped_topk
 
-    ds = _read(sf_dir, "part").map_batches(
+    ds = _read(sf_dir, "part", columns=["p_brand", "p_partkey", "p_retailprice"]).map_batches(
         lambda b: pa.table(
             {
                 "p_brand": b["p_brand"],
@@ -1074,7 +1079,7 @@ def q_customers_no_orders(sf_dir: str):
             return b.filter(pa.array(keep))
 
     out = (
-        _read(sf_dir, "customer")
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
         .map_batches(stages.broadcast_task(AntiJoin, ref), batch_format="pyarrow")
         .groupby("c_mktsegment")
         .count()
