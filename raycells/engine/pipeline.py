@@ -48,6 +48,12 @@ def read_docs(docs_dir: str, **kwargs):
     return docsource.read_documents(docs_dir, **kwargs)
 
 
+def read_docs_media(docs_dir: str, num_blocks: int = None):
+    """Text-pruned document read for media-only pipelines (the span text
+    payload never leaves storage — docsource.read_documents_media)."""
+    return docsource.read_documents_media(docs_dir, num_blocks=num_blocks)
+
+
 def explode_stage(ds):
     return ds.map_batches(docsource.explode_media_spans, batch_format="pyarrow")
 
@@ -144,7 +150,9 @@ def flagship(
     blocks, not more tasks."""
     if num_blocks is None:
         num_blocks = 2 * _cluster_cpus()
-    ds = read_docs(docs_dir, override_num_blocks=num_blocks)
+    # projection-pushdown read: the flagship never touches span text, so
+    # only doc_id + (kind, media_ref) leaves are read from storage
+    ds = read_docs_media(docs_dir, num_blocks=num_blocks)
     ex = explode_stage(ds)
     if with_join:
         # the join consumer needs the per-tile stats stream; fused

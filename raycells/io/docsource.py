@@ -102,7 +102,9 @@ def generate_interleaved_docs(
             schema=DOC_SCHEMA,
         )
         tmp = path + ".tmp"
-        pq.write_table(tbl, tmp)
+        # many row groups per fragment so pruned reads (read_documents_media)
+        # can split work finer than the fragment count
+        pq.write_table(tbl, tmp, row_group_size=max(1024, (hi - lo) // 16))
         os.replace(tmp, path)  # atomic publish
     return out_dir
 
@@ -118,6 +120,63 @@ def read_documents(path: str, **kwargs):
         return rd.read_lance(path, **kwargs)
     except ImportError:
         return rd.read_parquet(path, **kwargs)
+
+
+def read_documents_media(
+    path: str, span_fields=("kind", "media_ref"), num_blocks: int = None
+):
+    """Projection-pushdown document read for pipelines that never touch
+    span TEXT (the flagship media path): only ``doc_id`` and the
+    requested span subfields are read from the Parquet leaves, so the
+    text payload — which dominates the table at scale — never leaves
+    storage. Span *elements* are all kept (only subfields are pruned),
+    so ``span_idx`` positions and the per-doc span order are unchanged.
+
+    Planning is row-group-granular but task count stays PINNED: row
+    groups are coalesced into ≈``num_blocks`` contiguous ranges (driver
+    task overhead must not grow with input size — CLAUDE.md). With
+    ``lance`` installed this becomes a plain column projection on
+    ``read_lance``."""
+    import glob as _glob
+
+    import ray.data as rd
+
+    if num_blocks is None:
+        import ray
+
+        num_blocks = 2 * int(ray.cluster_resources().get("CPU", 8))
+    files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    rgs = []  # (path, row_group)
+    for fp in files:
+        rgs.extend((fp, rg) for rg in range(pq.ParquetFile(fp).metadata.num_row_groups))
+    n_chunks = max(1, min(num_blocks, len(rgs)))
+    bounds = np.linspace(0, len(rgs), n_chunks + 1).astype(int)
+    items = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        if hi > lo:
+            chunk = rgs[lo:hi]
+            items.append(
+                {
+                    "paths": "\x1f".join(p for p, _ in chunk),
+                    "groups": "\x1f".join(str(g) for _, g in chunk),
+                }
+            )
+    leafs = ["doc_id"] + [f"spans.list.element.{f}" for f in span_fields]
+
+    def load(batch: pa.Table) -> pa.Table:
+        tables = []
+        for paths, groups in zip(
+            batch["paths"].to_pylist(), batch["groups"].to_pylist()
+        ):
+            by_file: dict = {}
+            for p, g in zip(paths.split("\x1f"), groups.split("\x1f")):
+                by_file.setdefault(p, []).append(int(g))
+            for p, gs in by_file.items():
+                tables.append(pq.ParquetFile(p).read_row_groups(gs, columns=leafs))
+        return pa.concat_tables(tables)
+
+    ds = rd.from_items(items, override_num_blocks=len(items))
+    return ds.map_batches(load, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -77,7 +77,9 @@ def docs_ds(sf_dir: str):
 
 
 def _exploded(sf_dir: str):
-    ds = docs_ds(sf_dir)
+    """Media-span rows for this scale — text-pruned at the read (none of
+    the exploded-media pipelines touch span text)."""
+    ds = pl.read_docs_media(pl.docs_dir_for_sf(sf_dir))
     return pl.explode_stage(ds)
 
 
