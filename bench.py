@@ -90,6 +90,9 @@ def _consume(res) -> int:
     return res.count()
 
 
+_TILE_COUNTS: dict = {}
+
+
 def run_flagship(sf_dir: str, docs_dir: str = None) -> dict:
     """Headline: interleaved docs → explode → fused erased-cell decode +
     masked stats + Hilbert cells + map-side partials → merge shuffle."""
@@ -101,8 +104,11 @@ def run_flagship(sf_dir: str, docs_dir: str = None) -> dict:
     agg = pl.flagship(docs_dir, with_join=False)
     n_cells = agg.count()
     wall = time.perf_counter() - t0
-    ds = pl.explode_stage(pl.read_docs(docs_dir))
-    tiles = ds.count()
+    tiles = _TILE_COUNTS.get(docs_dir)
+    if tiles is None:  # counted once per input, outside the timed window
+        tiles = _TILE_COUNTS[docs_dir] = pl.explode_stage(
+            pl.read_docs_media(docs_dir)
+        ).count()
     return {"sec": wall, "tiles": tiles, "cells": n_cells}
 
 

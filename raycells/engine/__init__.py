@@ -1,3 +1,3 @@
-from raycells.engine import checkpoint, pipeline, shuffle, stages
+from raycells.engine import checkpoint, joins, pipeline, shuffle, stages
 
-__all__ = ["stages", "pipeline", "shuffle", "checkpoint"]
+__all__ = ["stages", "pipeline", "shuffle", "checkpoint", "joins"]
