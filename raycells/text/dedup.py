@@ -342,8 +342,13 @@ def minhash_near_dup_pairs(
         .groupby("_cbucket")
         .map_groups(pairs_of, batch_format="pyarrow")
     )
-    cand_tbl = pa.concat_tables(
-        [ray.get(r) for r in _dedupe_pairs(cand, []).to_arrow_refs()]
+    # candidates are output-sized (LSH design assumption) — dedupe the
+    # collected table driver-side instead of paying another groupby
+    # execution (a pair repeats once per colliding band)
+    cand_tbl = pa.concat_tables([ray.get(r) for r in cand.to_arrow_refs()])
+    cand_tbl = pa.Table.from_pandas(
+        cand_tbl.to_pandas().drop_duplicates(["id_a", "id_b"]),
+        preserve_index=False,
     )
     empty = pa.table(
         {
@@ -370,34 +375,69 @@ def minhash_near_dup_pairs(
     texts_tbl = pa.concat_tables(
         [ray.get(r) for r in ds.map_batches(fetch_texts, batch_format="pyarrow").to_arrow_refs()]
     )
-    text_of = dict(
-        zip(texts_tbl[id_col].to_pylist(), texts_tbl[col].to_pylist())
+    # Distributed verify: the candidate-touched texts ride the object
+    # store once; pairs fan out over the cluster, each worker keeping a
+    # shingle cache. (Self-similar corpora can make the candidate set
+    # large — this fixture: 112k candidates for 256 true pairs — so the
+    # exact-Jaccard pass must parallelize, not run on the driver.)
+    texts_ref = ray.put(
+        dict(zip(texts_tbl[id_col].to_pylist(), texts_tbl[col].to_pylist()))
     )
-    shingle_cache: dict = {}
 
-    def shingles(i):
-        s = shingle_cache.get(i)
-        if s is None:
-            s = shingle_cache[i] = char_shingles(text_of[i], k)
-        return s
+    class VerifyPairs:
+        def __init__(self, ref, kk, thr):
+            self.text_of = ray.get(ref)
+            self.k = kk
+            self.threshold = thr
+            self.cache: dict = {}
 
-    a_out, b_out, j_out = [], [], []
-    for a, b in zip(id_a, id_b):
-        jac = jaccard(shingles(a), shingles(b))
-        if jac >= threshold:
-            a_out.append(a)
-            b_out.append(b)
-            j_out.append(jac)
-    if not a_out:
+        def _shingles(self, i):
+            s = self.cache.get(i)
+            if s is None:
+                s = self.cache[i] = char_shingles(self.text_of[i], self.k)
+            return s
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a_in = batch["id_a"].to_pylist()
+            b_in = batch["id_b"].to_pylist()
+            a_out, b_out, j_out = [], [], []
+            for a, b in zip(a_in, b_in):
+                jac = jaccard(self._shingles(a), self._shingles(b))
+                if jac >= threshold:
+                    a_out.append(a)
+                    b_out.append(b)
+                    j_out.append(jac)
+            return pa.table(
+                {
+                    "id_a": pa.array(a_out, pa.string()),
+                    "id_b": pa.array(b_out, pa.string()),
+                    "jaccard": pa.array(j_out, pa.float64()),
+                }
+            )
+
+    import ray.data as rd
+
+    from raycells.engine.stages import broadcast_task
+
+    n_blocks = max(1, min(64, cand_tbl.num_rows // 2048))
+    verified = (
+        rd.from_arrow(cand_tbl)
+        .repartition(n_blocks)
+        .map_batches(
+            broadcast_task(VerifyPairs, texts_ref, k, threshold),
+            batch_format="pyarrow",
+        )
+    )
+    out = pa.concat_tables([ray.get(r) for r in verified.to_arrow_refs()])
+    if out.num_rows == 0:
         return empty
-    order = np.lexsort((np.asarray(b_out, object), np.asarray(a_out, object)))
-    return pa.table(
-        {
-            "id_a": pa.array(np.asarray(a_out, object)[order], pa.string()),
-            "id_b": pa.array(np.asarray(b_out, object)[order], pa.string()),
-            "jaccard": pa.array(np.asarray(j_out)[order], pa.float64()),
-        }
+    order = np.lexsort(
+        (
+            np.asarray(out["id_b"].to_pylist(), object),
+            np.asarray(out["id_a"].to_pylist(), object),
+        )
     )
+    return out.take(pa.array(order))
 
 
 # ---------------------------------------------------------------------------
