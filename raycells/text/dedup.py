@@ -444,11 +444,27 @@ def minhash_near_dup_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash64(texts: List[str]) -> np.ndarray:
-    """64-bit token-frequency simhash per text, fully vectorized per row:
-    token hashes → ±1 bit matrix → weighted column sums → sign bits."""
+_TOKEN_HASHES: dict = {}  # token → uint64 (Zipfian vocab; reused workers)
+_TOKEN_HASHES_MAX = 1 << 20
+
+
+def _token_hash(w: str) -> int:
     import hashlib
 
+    h = _TOKEN_HASHES.get(w)
+    if h is None:
+        if len(_TOKEN_HASHES) >= _TOKEN_HASHES_MAX:
+            _TOKEN_HASHES.clear()
+        h = _TOKEN_HASHES[w] = int.from_bytes(
+            hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
+        )
+    return h
+
+
+def simhash64(texts: List[str]) -> np.ndarray:
+    """64-bit token-frequency simhash per text, fully vectorized per row:
+    token hashes (memoized per worker — vocabularies are Zipfian) →
+    ±1 bit matrix → weighted column sums → sign bits."""
     out = np.empty(len(texts), dtype=np.uint64)
     bit_idx = np.arange(64, dtype=np.uint64)
     for k, t in enumerate(texts):
@@ -457,26 +473,22 @@ def simhash64(texts: List[str]) -> np.ndarray:
             out[k] = 0
             continue
         uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-        th = np.array(
-            [
-                int.from_bytes(
-                    hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
-                )
-                for w in uniq
-            ],
-            dtype=np.uint64,
-        )
+        th = np.array([_token_hash(w) for w in uniq], dtype=np.uint64)
         bits = (th[:, None] >> bit_idx[None, :]) & np.uint64(1)  # (T, 64)
         v = ((bits.astype(np.int64) * 2 - 1) * counts[:, None]).sum(axis=0)
         out[k] = np.uint64(((v > 0).astype(np.uint64) << bit_idx).sum())
     return out
 
 
+_POPCNT_LUT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(
+    axis=1
+)
+
+
 def _hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     x = np.bitwise_xor(a, b)
-    # vectorized popcount via uint8 view + lookup table
-    lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
-    return lut[x.view(np.uint8).reshape(*x.shape, 8)].sum(axis=-1)
+    # vectorized popcount via uint8 view + module-level lookup table
+    return _POPCNT_LUT[x.view(np.uint8).reshape(*x.shape, 8)].sum(axis=-1)
 
 
 def simhash_near_dup_pairs(ds, col: str = "text", id_col: str = "doc_id", max_hamming: int = 3):
@@ -509,16 +521,17 @@ def simhash_near_dup_pairs(ds, col: str = "text", id_col: str = "doc_id", max_ha
         a_out, b_out, d_out = [], [], []
         for rows in _iter_real_buckets(group, ["chunk_id", "chunk_val"]):
             order = rows[np.argsort(np.asarray([ids[r] for r in rows], dtype=object))]
-            for x in range(len(order)):
-                for y in range(x + 1, len(order)):
-                    i, j = order[x], order[y]
-                    if ids[i] == ids[j]:
-                        continue
-                    d = int(_hamming64(sh[i : i + 1], sh[j : j + 1])[0])
-                    if d <= max_hamming:
-                        a_out.append(ids[i])
-                        b_out.append(ids[j])
-                        d_out.append(d)
+            # one vectorized pairwise Hamming matrix per real bucket
+            sh_o = sh[order]
+            ham = _hamming64(sh_o[:, None], sh_o[None, :])
+            xs, ys = np.nonzero(np.triu(ham <= max_hamming, k=1))
+            for x, y in zip(xs, ys):
+                i, j = order[x], order[y]
+                if ids[i] == ids[j]:
+                    continue
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+                d_out.append(int(ham[x, y]))
         return pa.table(
             {
                 "id_a": pa.array(a_out, pa.string()),
