@@ -41,6 +41,9 @@ def _ensure_docs() -> None:
 
     for sf in ("0.001", "0.01"):
         docs_dir_for_sf(f"sf{sf}")
+    from raycells.io.footprints import ensure_bbox_parquet
+
+    ensure_bbox_parquet()
 
 
 def entry() -> Any:
@@ -69,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_cells": q.q_flagship_cells,
         "pip_join_counts": q.q_pip_join_counts,
         "zonal_stats": q.q_zonal_stats,
+        "bbox_join_counts": q.q_bbox_join_counts,
         "pip_join_cellcover": q.q_pip_join_cellcover,
         "rasterize_footprints": q.q_rasterize_footprints,
         "vectorize_tiles": q.q_vectorize_tiles,

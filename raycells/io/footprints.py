@@ -63,3 +63,34 @@ def rings_as_numpy(tbl: pa.Table):
         ring = np.array([[p["x"], p["y"]] for p in row["ring"]], dtype=np.float64)
         out.append((row["footprint_id"], row["category"], ring))
     return out
+
+
+BBOX_PARQUET = "/tmp/raycells_docs/footprint_bboxes.parquet"
+
+
+def ensure_bbox_parquet(path: str = BBOX_PARQUET) -> str:
+    """Write the footprint bounding-box table once (idempotent, atomic).
+    The bboxes are what the SQL oracle joins against — rect-intersection
+    range joins ARE SQL-expressible, unlike the exact PIP ring test."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rows = rings_as_numpy(generate_footprints())
+    tbl = pa.table(
+        {
+            "footprint_id": pa.array([fid for fid, _, _ in rows], pa.string()),
+            "category": pa.array([cat for _, cat, _ in rows], pa.string()),
+            "minx": pa.array([float(r[:, 0].min()) for _, _, r in rows]),
+            "miny": pa.array([float(r[:, 1].min()) for _, _, r in rows]),
+            "maxx": pa.array([float(r[:, 0].max()) for _, _, r in rows]),
+            "maxy": pa.array([float(r[:, 1].max()) for _, _, r in rows]),
+        }
+    )
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path

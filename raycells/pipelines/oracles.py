@@ -137,6 +137,30 @@ def build() -> dict:
             FROM gridded GROUP BY grid_cell
         """,
         "knn_tiles": _MEDIA + _KNN_TAIL,
+        # rect-intersection range join: tile extents (seed arithmetic,
+        # ± 0.005°) × footprint bboxes (deterministic parquet dump)
+        "bbox_join_counts": _MEDIA
+        + """
+            , geo AS (
+                SELECT seed,
+                       CASE WHEN seed % 10 < 6 THEN
+                            (CASE seed % 3 WHEN 0 THEN -74.0 WHEN 1 THEN 2.35 ELSE 139.7 END)
+                            + ((seed * 31) % 2000 - 1000) / 1000.0
+                       ELSE ((seed * 9973) % 360000) / 1000.0 - 180.0 END AS lon,
+                       CASE WHEN seed % 10 < 6 THEN
+                            (CASE seed % 3 WHEN 0 THEN 40.7 WHEN 1 THEN 48.85 ELSE 35.7 END)
+                            + ((seed * 57) % 2000 - 1000) / 1000.0
+                       ELSE ((seed * 7919) % 170000) / 1000.0 - 85.0 END AS lat
+                FROM media
+            )
+            SELECT f.footprint_id,
+                   CAST(count(*) AS BIGINT) AS n_tiles
+            FROM geo g
+            JOIN read_parquet('/tmp/raycells_docs/footprint_bboxes.parquet') f
+              ON g.lon - 0.005 <= f.maxx AND g.lon + 0.005 >= f.minx
+             AND g.lat - 0.005 <= f.maxy AND g.lat + 0.005 >= f.miny
+            GROUP BY f.footprint_id
+        """,
         # windowed NN-resampled read (tilestore.synth_band_window):
         # window (16,16), size (32,32), out 8x8; src index per out (r,c)
         "resample_tiles": _MEDIA

@@ -274,6 +274,67 @@ def q_pip_join_counts(sf_dir: str):
     return joined.groupby("category").count()
 
 
+def q_bbox_join_counts(sf_dir: str):
+    """Rect-intersection range join, VALUE-checked: tile extents ×
+    footprint bounding boxes → per-footprint intersecting-tile count.
+    The bbox side is broadcast; each batch does one vectorized (B, F)
+    interval test and emits per-footprint partial counts, so the final
+    exchange is F rows per block. (The exact ring PIP join stays
+    rows-only — ray-cast tests aren't SQL; this bbox prefilter is the
+    SQL-expressible half of the same join.)"""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from raycells.io import footprints as fp_mod
+    from raycells.io import tilestore
+
+    bbox_tbl = pq.read_table(fp_mod.ensure_bbox_parquet())
+    fids = np.asarray(bbox_tbl["footprint_id"].to_pylist(), dtype=object)
+    boxes = np.stack(
+        [bbox_tbl[c].to_numpy() for c in ("minx", "miny", "maxx", "maxy")], axis=1
+    )
+    ref = ray.put((fids, boxes))
+
+    class BboxCounter:
+        def __init__(self, r):
+            self.fids, self.boxes = ray.get(r)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            seeds = tilestore.seed_of_refs(b["media_ref"])
+            ext = tilestore.extents(seeds)
+            hit = (
+                (ext["minx"][:, None] <= self.boxes[None, :, 2])
+                & (ext["maxx"][:, None] >= self.boxes[None, :, 0])
+                & (ext["miny"][:, None] <= self.boxes[None, :, 3])
+                & (ext["maxy"][:, None] >= self.boxes[None, :, 1])
+            )
+            counts = hit.sum(axis=0).astype(np.int64)
+            nz = counts > 0
+            return pa.table(
+                {
+                    "footprint_id": pa.array(list(self.fids[nz]), pa.string()),
+                    "n_tiles": pa.array(counts[nz]),
+                }
+            )
+
+    agg = (
+        _exploded(sf_dir)
+        .map_batches(stages.broadcast_task(BboxCounter, ref), batch_format="pyarrow")
+        .groupby("footprint_id")
+        .aggregate(Sum("n_tiles", alias_name="n_tiles"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "footprint_id": t["footprint_id"],
+                "n_tiles": pc.cast(t["n_tiles"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_zonal_stats(sf_dir: str):
     """Zonal statistics — the classic raster-zone workload: per footprint
     polygon, aggregate the erased-cell stats of every tile whose centroid

@@ -24,6 +24,7 @@ CHECKED = [
     "ndvi_stats",
     "resample_tiles",
     "knn_tiles",
+    "bbox_join_counts",
     "top_dense_cells",
     "lineitem_pricing",
     "orders_by_segment",
