@@ -997,10 +997,10 @@ def q_asof_latest_order(sf_dir: str):
     bucket exchange on the key; vectorized merge_asof per bucket."""
     from raycells.engine.joins import asof_join
 
-    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"]).map_batches(
+    events = _read(sf_dir, "events", SMALL_TABLE_BLOCKS, columns=["event_id", "user_id", "ts"]).map_batches(
         lambda b: b.select(["event_id", "user_id", "ts"]), batch_format="pyarrow"
     )
-    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey"]).map_batches(
+    orders = _read(sf_dir, "orders", SMALL_TABLE_BLOCKS, columns=["o_custkey", "o_orderdate", "o_orderkey"]).map_batches(
         lambda b: b.select(["o_custkey", "o_orderdate", "o_orderkey"]),
         batch_format="pyarrow",
     )
@@ -1065,7 +1065,7 @@ def q_distinct_custs(sf_dir: str):
     key → per-bucket partial counts → tiny final sum."""
     from raycells.engine.joins import distinct_count
 
-    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_custkey"]).map_batches(
+    ds = _read(sf_dir, "orders", SMALL_TABLE_BLOCKS, columns=["o_orderpriority", "o_custkey"]).map_batches(
         lambda b: b.select(["o_orderpriority", "o_custkey"]), batch_format="pyarrow"
     )
     out = distinct_count(ds, "o_orderpriority", "o_custkey", alias="n_custs")
@@ -1087,7 +1087,7 @@ def q_top_parts_by_brand(sf_dir: str):
     O(blocks × brands × k) rows before the single-task final ranking."""
     from raycells.engine.joins import grouped_topk
 
-    ds = _read(sf_dir, "part", columns=["p_brand", "p_partkey", "p_retailprice"]).map_batches(
+    ds = _read(sf_dir, "part", SMALL_TABLE_BLOCKS, columns=["p_brand", "p_partkey", "p_retailprice"]).map_batches(
         lambda b: pa.table(
             {
                 "p_brand": b["p_brand"],
@@ -1142,7 +1142,7 @@ def q_customers_no_orders(sf_dir: str):
             return b.filter(pa.array(keep))
 
     out = (
-        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        _read(sf_dir, "customer", SMALL_TABLE_BLOCKS, columns=["c_custkey", "c_mktsegment"])
         .map_batches(stages.broadcast_task(AntiJoin, ref), batch_format="pyarrow")
         .groupby("c_mktsegment")
         .count()
