@@ -35,8 +35,10 @@ def process_fragment(frag_path: str, frag_out: str, level: int = 8) -> dict:
     from raycells.io import docsource
 
     t0 = time.perf_counter()
-    # scope the pipeline to THIS fragment only
-    ds = rd.read_parquet(frag_path)
+    # scope the pipeline to THIS fragment only; the aggregate pass never
+    # touches span text, so it uses the text-pruned read (the lineage
+    # digest pass below reads the full spans — it must hash the text)
+    ds = docsource.read_documents_media(frag_path)
     ex = pl.explode_stage(ds)
 
     partials = ex.map_batches(

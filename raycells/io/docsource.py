@@ -145,7 +145,10 @@ def read_documents_media(
         import ray
 
         num_blocks = 2 * int(ray.cluster_resources().get("CPU", 8))
-    files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    if path.endswith(".parquet"):  # single fragment (the resumable driver)
+        files = [path]
+    else:
+        files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
     rgs = []  # (path, row_group)
     for fp in files:
         rgs.extend((fp, rg) for rg in range(pq.ParquetFile(fp).metadata.num_row_groups))
