@@ -283,6 +283,28 @@ class CellValue:
             i = int(f)
         return i if i is not None and -(2**63) <= i < 2**63 else None
 
+    def to_u64(self) -> Optional[int]:
+        """num-traits ``to_u64`` parity (value.rs:118-157): None on
+        negative, overflow, NaN/inf, or fractional values."""
+        if self.cell_type.is_integral:
+            v = int(self.value)
+            return v if 0 <= v < 2**64 else None
+        f = float(self.value)
+        if math.isnan(f) or math.isinf(f) or f != int(f):
+            return None
+        i = int(f)
+        return i if 0 <= i < 2**64 else None
+
+    @staticmethod
+    def zero() -> "CellValue":
+        """``Zero`` impl parity: ``UInt8(0)`` (value.rs:159-184)."""
+        return CellValue.new(np.uint8(0))
+
+    @staticmethod
+    def one() -> "CellValue":
+        """``One`` impl parity: ``UInt8(1)`` (value.rs:159-184)."""
+        return CellValue.new(np.uint8(1))
+
     def is_zero(self) -> bool:
         return self.value == 0
 

@@ -114,3 +114,19 @@ def test_total_order_floats():
 def test_zero_one_constants():
     assert CellValue(CT.UInt8, 0).is_zero()
     assert not CellValue(CT.UInt8, 1).is_zero()
+
+
+def test_to_u64_and_zero_one_constants():
+    """ToPrimitive to_u64 (None on negative/overflow/fractional/NaN) and
+    the Zero/One impls returning UInt8 constants (value.rs:118-184)."""
+    import numpy as np
+
+    from raycells.cells.ctype import CellType, CellValue
+
+    assert CellValue.zero() == CellValue.new(np.uint8(0))
+    assert CellValue.one().cell_type == CellType.UInt8
+    assert CellValue.new(np.int8(-1)).to_u64() is None
+    assert CellValue.new(np.uint64(2**63)).to_u64() == 2**63
+    assert CellValue.new(np.float64(3.5)).to_u64() is None
+    assert CellValue.new(np.float64(3.0)).to_u64() == 3
+    assert CellValue.new(np.float64(float("nan"))).to_u64() is None
