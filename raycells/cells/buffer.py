@@ -284,6 +284,28 @@ class MaskedCellBuffer:
         return MaskedCellBuffer(CellBuffer.with_defaults(length, ct), Mask.fill(length, True))
 
     @staticmethod
+    def from_buffer(buffer: CellBuffer) -> "MaskedCellBuffer":
+        """``From<CellBuffer>`` parity: all-true mask
+        (masked_buffer.rs:250-255)."""
+        return MaskedCellBuffer(buffer, Mask.fill(len(buffer), True))
+
+    @staticmethod
+    def from_pairs(pairs) -> "MaskedCellBuffer":
+        """``FromIterator<(C, bool)>`` parity (masked_buffer.rs:257-287)."""
+        pairs = list(pairs)
+        buf = CellBuffer(np.asarray([p[0] for p in pairs]))
+        return MaskedCellBuffer(buf, Mask([bool(p[1]) for p in pairs]))
+
+    def extend_pairs(self, pairs) -> None:
+        """``Extend<(C, bool)>`` parity: append (value, valid) pairs,
+        converting each value to the buffer's type."""
+        pairs = list(pairs)
+        self.buffer.extend([p[0] for p in pairs])
+        self.mask = Mask(
+            np.concatenate([self.mask.data, np.asarray([bool(p[1]) for p in pairs])])
+        )
+
+    @staticmethod
     def fill(length: int, value: CellValue) -> "MaskedCellBuffer":
         return MaskedCellBuffer(CellBuffer.fill(length, value), Mask.fill(length, True))
 

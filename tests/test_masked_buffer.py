@@ -206,3 +206,19 @@ def test_ndvi_masked_golden():
     expect = (n - r) / (n + r)
     assert abs(lo.to_f64() - expect.min()) < 1e-12
     assert abs(hi.to_f64() - expect.max()) < 1e-12
+
+
+def test_from_buffer_and_pair_collectors():
+    """From<CellBuffer> (all-true mask), FromIterator<(C,bool)> and
+    Extend<(C,bool)> parity (masked_buffer.rs:250-287)."""
+    import numpy as np
+
+    from raycells import CellBuffer, MaskedCellBuffer
+
+    m = MaskedCellBuffer.from_buffer(CellBuffer(np.array([1, 2], np.uint8)))
+    assert m.counts() == (2, 0)
+    p = MaskedCellBuffer.from_pairs([(np.uint8(1), True), (np.uint8(2), False)])
+    assert p.counts() == (1, 1)
+    p.extend_pairs([(np.uint8(3), True)])
+    assert len(p) == 3 and p.counts() == (2, 1)
+    assert p.get_with_mask(2) == (p.get(2), True)
