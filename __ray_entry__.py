@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_custs": q.q_distinct_custs,
         "top_parts_by_brand": q.q_top_parts_by_brand,
         "customers_no_orders": q.q_customers_no_orders,
+        "priority_revenue": q.q_priority_revenue,
         # near-dup + multimodal (rows-only checks)
         "minhash_pairs": q.q_minhash_pairs,
         "simhash_pairs": q.q_simhash_pairs,

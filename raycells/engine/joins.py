@@ -27,7 +27,76 @@ import pyarrow as pa
 
 from raycells.engine.shuffle import DEFAULT_BUCKETS, add_bucket, from_pandas_clean
 
-__all__ = ["asof_join", "distinct_count", "grouped_topk"]
+__all__ = ["asof_join", "hash_join", "distinct_count", "grouped_topk"]
+
+
+def hash_join(
+    left_ds,
+    right_ds,
+    *,
+    key_left: str,
+    key_right: str,
+    keep_left: Sequence[str],
+    keep_right: Sequence[str],
+    num_buckets: int = DEFAULT_BUCKETS,
+):
+    """Large-large inner equi-join with NO broadcast side: both inputs
+    are projected to (key, carried columns), tagged, unioned, shuffled
+    once on a coarse hash bucket of the key, and merged with one
+    vectorized pandas join per bucket. Multi-matches produce the full
+    per-key cross product (standard inner-join semantics).
+
+    Use the broadcast pattern instead when one side fits the object
+    store; use this when BOTH sides are large. Skewed keys: a single
+    hot key's bucket holds that key's rows from both sides — raise
+    ``num_buckets`` to isolate it; per-key row explosions are inherent
+    to the join itself."""
+    l_schema = left_ds.schema().base_schema
+    r_schema = right_ds.schema().base_schema
+    l_types = {c: l_schema.field(c).type for c in keep_left}
+    r_types = {c: r_schema.field(c).type for c in keep_right}
+
+    def project_left(b: pa.Table) -> pa.Table:
+        data = {"_k": b[key_left], "_side": pa.array(np.zeros(b.num_rows, np.int8))}
+        for c in keep_left:
+            data[c] = b[c]
+        for c in keep_right:
+            data[c] = pa.nulls(b.num_rows, r_types[c])
+        return pa.table(data)
+
+    def project_right(b: pa.Table) -> pa.Table:
+        data = {"_k": b[key_right], "_side": pa.array(np.ones(b.num_rows, np.int8))}
+        for c in keep_left:
+            data[c] = pa.nulls(b.num_rows, l_types[c])
+        for c in keep_right:
+            data[c] = b[c]
+        return pa.table(data)
+
+    tagged = left_ds.map_batches(project_left, batch_format="pyarrow").union(
+        right_ds.map_batches(project_right, batch_format="pyarrow")
+    )
+    bucketed = tagged.map_batches(
+        lambda b: add_bucket(b, "_k", num_buckets), batch_format="pyarrow"
+    )
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        left = df[df["_side"] == 0][["_k", *keep_left]]
+        right = df[df["_side"] == 1][["_k", *keep_right]]
+        if left.empty or right.empty:
+            return pa.table(
+                {c: pa.array([], l_types[c]) for c in keep_left}
+                | {c: pa.array([], r_types[c]) for c in keep_right}
+            )
+        merged = left.merge(right, on="_k", how="inner")
+        out = merged[[*keep_left, *keep_right]].copy()
+        for c, typ in [*((c, l_types[c]) for c in keep_left),
+                       *((c, r_types[c]) for c in keep_right)]:
+            if pa.types.is_integer(typ):  # tagged union upcast to float
+                out[c] = out[c].astype(np.int64)
+        return from_pandas_clean(out)
+
+    return bucketed.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
 def asof_join(

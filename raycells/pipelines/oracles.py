@@ -360,6 +360,14 @@ def build() -> dict:
                 FROM part
             ) WHERE rank <= 3
         """,
+        "priority_revenue": """
+            SELECT o.o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_c
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
+        """,
         "customers_no_orders": """
             SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
             FROM customer c

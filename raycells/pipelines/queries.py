@@ -1114,6 +1114,53 @@ def q_top_parts_by_brand(sf_dir: str):
     return out.map_batches(finalize, batch_format="pyarrow")
 
 
+def q_priority_revenue(sf_dir: str):
+    """Large-large co-partitioned hash join (no broadcast): lineitem ⋈
+    orders on orderkey, then revenue cents per order priority. Both
+    sides shuffle once on a coarse key bucket; one vectorized pandas
+    merge per bucket."""
+    from ray.data.aggregate import Count, Sum
+
+    from raycells.engine.joins import hash_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"]).map_batches(
+        lambda b: pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "price_c": pc.cast(
+                    pc.round(pc.multiply(b["l_extendedprice"], 100)), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _read(
+        sf_dir, "orders", SMALL_TABLE_BLOCKS, columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = hash_join(
+        li,
+        orders,
+        key_left="l_orderkey",
+        key_right="o_orderkey",
+        keep_left=["price_c"],
+        keep_right=["o_orderpriority"],
+    )
+    agg = joined.groupby("o_orderpriority").aggregate(
+        Count(), Sum("price_c", alias_name="revenue_c")
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "n_items": pc.cast(t["count()"], pa.int64()),
+                "revenue_c": pc.cast(t["revenue_c"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_customers_no_orders(sf_dir: str):
     """Broadcast anti-join: customers with no URGENT orders, counted per
     market segment. The distinct urgent-order custkeys ride the object

@@ -106,3 +106,27 @@ def test_grouped_topk_rank_and_ties(ray_session):
     # y: score-2 tie → ids 6,5
     assert out[out["g"] == "y"]["id"].tolist() == [6, 5]
     assert out["rank"].tolist() == [1, 2, 1, 2]
+
+
+def test_hash_join_inner_multimatch(ray_session):
+    from raycells.engine.joins import hash_join
+
+    left = pa.table({"k": [1, 1, 2, 3], "lv": [10, 11, 20, 30]})
+    right = pa.table({"k": [1, 2, 2, 4], "rv": [100, 200, 201, 400]})
+    out = (
+        hash_join(
+            _ds(left, 2),
+            _ds(right, 2),
+            key_left="k",
+            key_right="k",
+            keep_left=["lv"],
+            keep_right=["rv"],
+        )
+        .to_pandas()
+        .sort_values(["lv", "rv"])
+        .reset_index(drop=True)
+    )
+    # key 1: 2 left x 1 right; key 2: 1 x 2; keys 3, 4 unmatched
+    assert list(zip(out["lv"], out["rv"])) == [
+        (10, 100), (11, 100), (20, 200), (20, 201),
+    ]

@@ -41,6 +41,7 @@ CHECKED = [
     "distinct_custs",
     "top_parts_by_brand",
     "customers_no_orders",
+    "priority_revenue",
 ]
 
 
