@@ -264,13 +264,27 @@ def q_flagship_cells(sf_dir: str):
 
 def q_pip_join_counts(sf_dir: str):
     """Broadcast PIP join of footprints × tile centroids → per-category
-    counts (rows-only; brute-force oracle lives in tests/test_geo.py)."""
-    docs_dir = pl.docs_dir_for_sf(sf_dir)
-    ds = pl.read_docs(docs_dir)
-    stats = pl.explode_stage(ds).map_batches(
-        lambda b: stages.decode_stats(b, emit="stats"), batch_format="pyarrow"
-    )
-    joined = pl.join_stage(stats)
+    counts (rows-only; brute-force oracle lives in tests/test_geo.py).
+
+    The join consumes only tile EXTENTS, so this path skips the cell
+    decode entirely (extents are seed arithmetic) — the stats-consuming
+    variant of the same join is ``q_zonal_stats``."""
+    from raycells.io import tilestore
+
+    def tile_points(b: pa.Table) -> pa.Table:
+        seeds = tilestore.seed_of_refs(b["media_ref"])
+        lon, lat = tilestore.centroids(seeds)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "span_idx": b["span_idx"],
+                "lon": pa.array(lon, pa.float64()),
+                "lat": pa.array(lat, pa.float64()),
+            }
+        )
+
+    pts = _exploded(sf_dir).map_batches(tile_points, batch_format="pyarrow")
+    joined = pl.join_stage(pts)
     return joined.groupby("category").count()
 
 
