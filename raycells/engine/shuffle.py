@@ -72,7 +72,7 @@ def partial_cell_agg(batch: pa.Table, key: str = "cell_id", salt: int = DEFAULT_
     return from_pandas_clean(out)
 
 
-DEFAULT_BUCKETS = 32
+DEFAULT_BUCKETS = 64
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
