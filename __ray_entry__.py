@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": q.q_orders_by_segment,
         "revenue_by_nation": q.q_revenue_by_nation,
         "global_stats": q.q_global_stats,
+        "quantiles_qty": q.q_quantiles_qty,
         "sessionize": q.q_sessionize,
         "dedup_exact": q.q_dedup_exact,
         "token_stats": q.q_token_stats,

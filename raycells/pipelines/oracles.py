@@ -219,6 +219,13 @@ def build() -> dict:
                    MAX(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS max_price_c
             FROM lineitem
         """,
+        "quantiles_qty": """
+            SELECT CAST(quantile_disc(CAST(ROUND(l_quantity) AS BIGINT), 0.5) AS BIGINT) AS p50,
+                   CAST(quantile_disc(CAST(ROUND(l_quantity) AS BIGINT), 0.9) AS BIGINT) AS p90,
+                   CAST(quantile_disc(CAST(ROUND(l_quantity) AS BIGINT), 0.99) AS BIGINT) AS p99,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem
+        """,
         "sessionize": """
             WITH flagged AS (
                 SELECT user_id, ts,

@@ -509,6 +509,46 @@ def q_global_stats(sf_dir: str):
     )
 
 
+def q_quantiles_qty(sf_dir: str):
+    """Distributed exact quantiles over a discrete domain: per-batch
+    value-count partials → one small groupby → driver-side cumulative
+    pick at ceil(q·n)−1 (DuckDB ``quantile_disc`` convention). The
+    exchange moves one row per DISTINCT value per batch — for continuous
+    domains the same shape carries a t-digest sketch instead."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        qty = np.rint(b["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        vals, n = np.unique(qty, return_counts=True)
+        return pa.table({"qty": pa.array(vals), "n": pa.array(n.astype(np.int64))})
+
+    hist = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby("qty")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("qty")
+    )
+    total = int(hist["n"].sum())
+    cum = hist["n"].cumsum().to_numpy()
+    vals = hist["qty"].to_numpy()
+
+    def pick(q: float) -> int:
+        rank = int(np.ceil(q * total))  # 1-based rank, quantile_disc
+        return int(vals[np.searchsorted(cum, rank)])
+
+    return pa.table(
+        {
+            "p50": pa.array([pick(0.5)], pa.int64()),
+            "p90": pa.array([pick(0.9)], pa.int64()),
+            "p99": pa.array([pick(0.99)], pa.int64()),
+            "n_rows": pa.array([total], pa.int64()),
+        }
+    )
+
+
 def q_sessionize(sf_dir: str):
     """Stateful per-key windowing: gap-based sessionization of the events
     stream (new session when >30 min since the user's previous event),

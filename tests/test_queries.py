@@ -30,6 +30,7 @@ CHECKED = [
     "orders_by_segment",
     "revenue_by_nation",
     "global_stats",
+    "quantiles_qty",
     "sessionize",
     "dedup_exact",
     "token_stats",
