@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_latest_order": q.q_asof_latest_order,
         "events_rolling7": q.q_events_rolling7,
         "distinct_custs": q.q_distinct_custs,
+        "approx_distinct_custs": q.q_approx_distinct_custs,
         "top_parts_by_brand": q.q_top_parts_by_brand,
         "customers_no_orders": q.q_customers_no_orders,
         "priority_revenue": q.q_priority_revenue,

@@ -1215,6 +1215,18 @@ def q_priority_revenue(sf_dir: str):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def q_approx_distinct_custs(sf_dir: str):
+    """HyperLogLog approximate COUNT(DISTINCT): distinct ordering
+    customers per priority without shuffling a single key — per-batch
+    register blobs merge with elementwise max (rows-only; ±5% vs exact
+    pinned in tests/test_sim.py; the exact variant is distinct_custs)."""
+    from raycells.sim.hll import approx_distinct
+
+    ds = _read(sf_dir, "orders", SMALL_TABLE_BLOCKS,
+               columns=["o_orderpriority", "o_custkey"])
+    return approx_distinct(ds, "o_orderpriority", "o_custkey", alias="approx_custs")
+
+
 def q_customers_no_orders(sf_dir: str):
     """Broadcast anti-join: customers with no URGENT orders, counted per
     market segment. The distinct urgent-order custkeys ride the object

@@ -105,6 +105,7 @@ def test_every_query_has_oracle_or_is_flagged(contract):
         "ann_lsh",
         "ann_ivf",
         "fingerprint_docs",
+        "approx_distinct_custs",
         "media_features",
     }
     assert not set(sqls) - set(queries)

@@ -101,3 +101,21 @@ def test_ivf_topk_recall(ray_session):
 
     full = ivf_topk(ds, q[None, :], np.array([0]), k=10, n_centroids=8, nprobe=8).to_pandas()
     assert full["vec_id"].tolist() == _exact_topk(vecs, q, 10).tolist()
+
+
+def test_hll_within_tolerance_of_exact(ray_session):
+    """HLL sketch aggregate vs exact distinct count: ±5% at p=12."""
+    import duckdb
+
+    from raycells.pipelines.queries import q_approx_distinct_custs
+
+    sf = "/root/testdata/sf0.001"
+    got = q_approx_distinct_custs(sf).to_pandas().set_index("o_orderpriority")
+    con = duckdb.connect()
+    exact = con.execute(
+        f"""SELECT o_orderpriority, count(DISTINCT o_custkey) n
+            FROM read_parquet('{sf}/orders.parquet') GROUP BY 1"""
+    ).df().set_index("o_orderpriority")
+    for prio, row in exact.iterrows():
+        est = got.loc[prio, "approx_custs"]
+        assert abs(est - row["n"]) / row["n"] < 0.05, (prio, est, row["n"])
