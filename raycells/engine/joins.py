@@ -38,9 +38,11 @@ def hash_join(
     key_right: str,
     keep_left: Sequence[str],
     keep_right: Sequence[str],
+    how: str = "inner",
     num_buckets: int = DEFAULT_BUCKETS,
 ):
-    """Large-large inner equi-join with NO broadcast side: both inputs
+    """Large-large equi-join (``how`` = "inner" or "left") with NO
+    broadcast side: both inputs
     are projected to (key, carried columns), tagged, unioned, shuffled
     once on a coarse hash bucket of the key, and merged with one
     vectorized pandas join per bucket. Multi-matches produce the full
@@ -83,17 +85,19 @@ def hash_join(
         df = g.to_pandas()
         left = df[df["_side"] == 0][["_k", *keep_left]]
         right = df[df["_side"] == 1][["_k", *keep_right]]
-        if left.empty or right.empty:
+        if left.empty or (right.empty and how == "inner"):
             return pa.table(
                 {c: pa.array([], l_types[c]) for c in keep_left}
                 | {c: pa.array([], r_types[c]) for c in keep_right}
             )
-        merged = left.merge(right, on="_k", how="inner")
+        merged = left.merge(right, on="_k", how=how)
         out = merged[[*keep_left, *keep_right]].copy()
         for c, typ in [*((c, l_types[c]) for c in keep_left),
                        *((c, r_types[c]) for c in keep_right)]:
             if pa.types.is_integer(typ):  # tagged union upcast to float
-                out[c] = out[c].astype(np.int64)
+                # left-join misses stay NULL (pandas nullable Int64)
+                target = "Int64" if out[c].isna().any() else np.int64
+                out[c] = out[c].astype(target)
         return from_pandas_clean(out)
 
     return bucketed.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")

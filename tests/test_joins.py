@@ -130,3 +130,26 @@ def test_hash_join_inner_multimatch(ray_session):
     assert list(zip(out["lv"], out["rv"])) == [
         (10, 100), (11, 100), (20, 200), (20, 201),
     ]
+
+
+def test_hash_join_left_keeps_unmatched(ray_session):
+    from raycells.engine.joins import hash_join
+
+    left = pa.table({"k": [1, 3], "lv": [10, 30]})
+    right = pa.table({"k": [1], "rv": [100]})
+    out = (
+        hash_join(
+            _ds(left, 2),
+            _ds(right, 1),
+            key_left="k",
+            key_right="k",
+            keep_left=["lv"],
+            keep_right=["rv"],
+            how="left",
+        )
+        .to_pandas()
+        .sort_values("lv")
+        .reset_index(drop=True)
+    )
+    assert out["lv"].tolist() == [10, 30]
+    assert out["rv"][0] == 100 and pd.isna(out["rv"][1])
