@@ -1,0 +1,112 @@
+"""Minimal baseline-TIFF reader — the GDAL-free raster source.
+
+Plays ``RasterBandEx::read_cells`` / ``read_cells_masked``
+(`/root/reference/src/gdal/rasterband.rs:37-126`) for real raster files:
+single-band striped baseline TIFF, uncompressed, either byte order,
+integer or float samples, honoring the ``GDAL_NODATA`` ASCII tag
+(42113). That covers the reference's bundled Landsat chips
+(`testkit/data/*.tiff` — 186×169 uint16, strip layout, nodata '0'), so
+the reference's own NDVI golden statistics are reproduced against the
+reference's own data with no GDAL in the environment
+(tests/test_tiff_golden.py).
+
+Deliberately NOT a general TIFF library: no compression, tiles,
+palettes, or multi-sample pixels — unsupported layouts raise.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Optional, Tuple
+
+import numpy as np
+
+from raycells.cells.buffer import CellBuffer, Mask, MaskedCellBuffer
+from raycells.cells.ctype import NoData
+
+__all__ = ["read_tiff", "read_cells", "read_cells_masked"]
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
+
+
+def _read_tag_values(data: bytes, bo: str, typ: int, count: int, raw: bytes):
+    size = _TYPE_SIZES[typ] * count
+    if size <= 4:
+        payload = raw[:size]
+    else:
+        off = struct.unpack(bo + "I", raw)[0]
+        payload = data[off : off + size]
+    if typ == 2:  # ASCII
+        return payload.rstrip(b"\x00").decode("ascii")
+    fmt = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}[typ]
+    return list(struct.unpack(bo + fmt * count, payload))
+
+
+def _parse_ifd(data: bytes) -> Tuple[dict, str]:
+    if data[:2] == b"II":
+        bo = "<"
+    elif data[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte-order mark)")
+    if struct.unpack(bo + "H", data[2:4])[0] != 42:
+        raise ValueError("not a TIFF (bad magic)")
+    off = struct.unpack(bo + "I", data[4:8])[0]
+    n = struct.unpack(bo + "H", data[off : off + 2])[0]
+    tags = {}
+    for i in range(n):
+        e = data[off + 2 + i * 12 : off + 14 + i * 12]
+        tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
+        tags[tag] = _read_tag_values(data, bo, typ, cnt, e[8:12])
+    return tags, bo
+
+
+def read_tiff(path: str) -> Tuple[np.ndarray, Optional[float]]:
+    """→ (2-D array, nodata value or None)."""
+    data = open(path, "rb").read()
+    tags, bo = _parse_ifd(data)
+    width, height = tags[256][0], tags[257][0]
+    bps = tags.get(258, [1])[0]
+    if tags.get(259, [1])[0] != 1:
+        raise ValueError("compressed TIFF not supported")
+    if tags.get(277, [1])[0] != 1:
+        raise ValueError("multi-sample TIFF not supported")
+    if 322 in tags or 324 in tags:
+        raise ValueError("tiled TIFF not supported")
+    fmt = tags.get(339, [1])[0]  # 1 unsigned, 2 signed, 3 float
+    dtype = np.dtype(
+        {1: f"u{bps // 8}", 2: f"i{bps // 8}", 3: f"f{bps // 8}"}[fmt]
+    ).newbyteorder(bo)
+    offsets = tags[273]
+    counts = tags[279]
+    rows_per_strip = tags.get(278, [height])[0]
+    rows = []
+    for k, (o, c) in enumerate(zip(offsets, counts)):
+        n_rows = min(rows_per_strip, height - k * rows_per_strip)
+        strip = np.frombuffer(data, dtype=dtype, count=n_rows * width, offset=o)
+        rows.append(strip.reshape(n_rows, width))
+    arr = np.vstack(rows).astype(dtype.newbyteorder("="))
+    nodata = None
+    if 42113 in tags:  # GDAL_NODATA ascii tag
+        try:
+            nodata = float(tags[42113].strip())
+        except ValueError:
+            pass
+    return arr, nodata
+
+
+def read_cells(path: str) -> CellBuffer:
+    """Full-raster ``read_cells`` (window == raster size, no resample)."""
+    arr, _ = read_tiff(path)
+    return CellBuffer(arr.reshape(-1))
+
+
+def read_cells_masked(path: str) -> MaskedCellBuffer:
+    """``read_cells_masked``: band nodata (GDAL_NODATA tag) → mask via
+    ``from_vec_with_nodata``; no tag → all-valid mask."""
+    arr, nodata = read_tiff(path)
+    flat = arr.reshape(-1)
+    if nodata is None:
+        return MaskedCellBuffer(CellBuffer(flat), Mask.fill(flat.size, True))
+    typed = np.array(nodata).astype(flat.dtype)
+    return MaskedCellBuffer.from_vec_with_nodata(flat, NoData.of(typed))

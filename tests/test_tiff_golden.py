@@ -1,0 +1,60 @@
+"""The reference's OWN golden NDVI workload against its OWN bundled
+data (no GDAL needed): `/root/reference/src/gdal/rasterband.rs:138-191`
+asserts gdal_calc.py statistics over `testkit/data/*.tiff`; the minimal
+TIFF reader (raycells/io/tiffreader.py) reproduces them bit-for-bit
+through the erased-cell kernel path."""
+
+import os
+
+import numpy as np
+import pytest
+
+from raycells.io.tiffreader import read_cells, read_cells_masked
+
+DATA = "/root/reference/testkit/data"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(DATA), reason="reference testkit data not present"
+)
+
+# gdal_calc.py statistics pinned in rasterband.rs:151-159
+GOLD_MIN = -0.1248899911993
+GOLD_MAX = 0.66998345719859
+GOLD_MEAN = 0.45559234941397
+GOLD_STD = 0.10447748270797
+
+
+def test_read_cells_golden_ndvi():
+    red = read_cells(f"{DATA}/L8-Elkton-VA-B4.tiff")
+    nir = read_cells(f"{DATA}/L8-Elkton-VA-B5.tiff")
+    assert len(red) == 31434  # 186 × 169 (rasterband.rs / testkit)
+    assert str(red.cell_type) == "UInt16"
+    ndvi = (nir - red) / (nir + red)
+    lo, hi = ndvi.min_max()
+    assert abs(lo.to_f64() - GOLD_MIN) < 1e-8
+    assert abs(hi.to_f64() - GOLD_MAX) < 1e-8
+    vals = ndvi.to_vec("Float64")
+    assert abs(vals.mean() - GOLD_MEAN) < 1e-8
+    assert abs(vals.std() - GOLD_STD) < 1e-8
+
+
+def test_read_cells_masked_golden_ndvi():
+    """rasterband.rs:166-191: the nd variant's 4 nodata cells propagate
+    through the band math; min/max unchanged."""
+    red = read_cells_masked(f"{DATA}/L8-Elkton-VA-B4.tiff")
+    nir = read_cells_masked(f"{DATA}/L8-Elkton-VA-B5-nd.tiff")
+    nir_data, nir_nodata = nir.counts()
+    assert nir_nodata == 4
+    ndvi = (nir - red) / (nir + red)
+    assert ndvi.counts() == (nir_data, nir_nodata)
+    lo, hi = ndvi.min_max()
+    assert abs(lo.to_f64() - GOLD_MIN) < 1e-8
+    assert abs(hi.to_f64() - GOLD_MAX) < 1e-8
+
+
+def test_tiff_reader_rejects_unsupported():
+
+    from raycells.io.tiffreader import _parse_ifd
+
+    with pytest.raises(ValueError):
+        _parse_ifd(b"XX\x2a\x00garbage")
