@@ -153,3 +153,76 @@ def test_hash_join_left_keeps_unmatched(ray_session):
     )
     assert out["lv"].tolist() == [10, 30]
     assert out["rv"][0] == 100 and pd.isna(out["rv"][1])
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _join_tables(draw):
+    keys = st.integers(min_value=0, max_value=6)
+    n_l = draw(st.integers(min_value=1, max_value=20))
+    n_r = draw(st.integers(min_value=1, max_value=20))
+    lk = draw(st.lists(keys, min_size=n_l, max_size=n_l))
+    rk = draw(st.lists(keys, min_size=n_r, max_size=n_r))
+    return lk, rk
+
+
+@settings(max_examples=15, deadline=None)
+@given(_join_tables())
+def test_hash_join_matches_pandas_merge(ray_session, tables):
+    """Randomized inner-join equivalence vs a pandas merge oracle."""
+    from raycells.engine.joins import hash_join
+
+    lk, rk = tables
+    left = pa.table({"k": lk, "lv": list(range(len(lk)))})
+    right = pa.table({"k": rk, "rv": list(range(100, 100 + len(rk)))})
+    got = hash_join(
+        _ds(left, 2), _ds(right, 2),
+        key_left="k", key_right="k",
+        keep_left=["lv"], keep_right=["rv"],
+    ).to_pandas()
+    if got.empty:
+        got = pd.DataFrame({"lv": [], "rv": []})
+    got = got.sort_values(["lv", "rv"]).reset_index(drop=True)
+    want = (
+        left.to_pandas()
+        .merge(right.to_pandas(), on="k")
+        [["lv", "rv"]]
+        .sort_values(["lv", "rv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["lv", "rv"]], want, check_dtype=False)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_join_tables())
+def test_asof_join_matches_pandas_oracle(ray_session, tables):
+    """Randomized as-of equivalence vs a per-row scan oracle with the
+    documented tie-break (greatest on, then greatest carried id)."""
+    from raycells.engine.joins import asof_join
+
+    lk, rk = tables
+    rng = np.random.default_rng(len(lk) * 100 + len(rk))
+    lt = rng.integers(0, 10, len(lk))
+    rt = rng.integers(0, 10, len(rk))
+    left = pa.table({"k": lk, "t": pa.array(lt, pa.int64()),
+                     "lid": list(range(len(lk)))})
+    right = pa.table({"k": rk, "t": pa.array(rt, pa.int64()),
+                      "rid": list(range(100, 100 + len(rk)))})
+    got = asof_join(
+        _ds(left, 2), _ds(right, 2),
+        key_left="k", key_right="k", on_left="t", on_right="t",
+        keep_left=["lid"], keep_right=["rid"],
+    ).to_pandas()
+    if got.empty:  # an all-empty Ray result can drop its schema
+        got = pd.DataFrame({"lid": [], "rid": []})
+    got = got.sort_values("lid").reset_index(drop=True)
+    expect = []
+    for i, (k, t) in enumerate(zip(lk, lt)):
+        cand = [(rt[j], 100 + j) for j, rk_j in enumerate(rk)
+                if rk_j == k and rt[j] <= t]
+        if cand:
+            expect.append((i, max(cand)[1]))
+    expect.sort()
+    assert list(zip(got["lid"], got["rid"])) == expect
