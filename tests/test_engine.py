@@ -242,3 +242,44 @@ def test_zonal_stats_matches_bruteforce(ray_session):
     pd.testing.assert_frame_equal(
         got[expect.columns], expect, check_dtype=False, check_exact=True
     )
+
+
+def test_flagship_partitioning_invariance(docs_dir, ray_session):
+    """Distributed-correctness property: the per-cell aggregate must be
+    identical under different read block counts and salt factors — no
+    result may depend on how work was partitioned."""
+    def run(num_blocks):
+        return (
+            pipeline.flagship(docs_dir, with_join=False, num_blocks=num_blocks)
+            .to_pandas()
+            .sort_values("cell_id")
+            .reset_index(drop=True)
+        )
+
+    a, b = run(2), run(11)
+    int_like = [c for c in a.columns if a[c].dtype.kind in "iu" or c == "cell_id"]
+    pd.testing.assert_frame_equal(a[int_like], b[int_like], check_exact=True)
+    # float means may differ in the final ulp across partitionings
+    # (summation order) — the documented reason oracles never hash
+    # float sums; everything integer must be bit-identical
+    np.testing.assert_allclose(a["avg_tile_mean"], b["avg_tile_mean"], rtol=1e-12)
+    np.testing.assert_allclose(a["min_val"], b["min_val"], rtol=0)
+    np.testing.assert_allclose(a["max_val"], b["max_val"], rtol=0)
+
+    stats = pipeline.cellid_stage(
+        pipeline.stats_stage(
+            pipeline.decode_stage(
+                pipeline.explode_stage(pipeline.read_docs(docs_dir)), concurrency=1
+            )
+        )
+    )
+    s1 = (
+        shuffle.salted_cell_aggregate(stats, key="cell_id", salt=2)
+        .to_pandas().sort_values("cell_id").reset_index(drop=True)
+    )
+    s2 = (
+        shuffle.salted_cell_aggregate(stats, key="cell_id", salt=13)
+        .to_pandas().sort_values("cell_id").reset_index(drop=True)
+    )
+    int_cols = [c for c in s1.columns if s1[c].dtype.kind in "i"]
+    pd.testing.assert_frame_equal(s1[int_cols], s2[int_cols], check_exact=True)
