@@ -95,17 +95,39 @@ def read_tiff(path: str) -> Tuple[np.ndarray, Optional[float]]:
     return arr, nodata
 
 
-def read_cells(path: str) -> CellBuffer:
-    """Full-raster ``read_cells`` (window == raster size, no resample)."""
+def _windowed(arr: np.ndarray, window, window_size, out_size) -> np.ndarray:
+    """Nearest-neighbor windowed resample — the full
+    ``read_cells(window, window_size, size)`` semantics (GDAL source
+    index floor((dst + 0.5) · w / ow), same mapping as
+    ``tilestore.window_indices``)."""
+    (c0, r0), (w, h), (ow, oh) = window, window_size, out_size
+    cols = c0 + np.floor((np.arange(ow) + 0.5) * w / ow).astype(np.int64)
+    rows = r0 + np.floor((np.arange(oh) + 0.5) * h / oh).astype(np.int64)
+    return arr[rows[:, None], cols[None, :]].reshape(-1)
+
+
+def read_cells(
+    path: str, window=None, window_size=None, out_size=None
+) -> CellBuffer:
+    """``read_cells``: full raster by default; pass (window, window_size,
+    out_size) for a windowed nearest-neighbor resampled read."""
     arr, _ = read_tiff(path)
-    return CellBuffer(arr.reshape(-1))
+    if window is None:
+        return CellBuffer(arr.reshape(-1))
+    return CellBuffer(_windowed(arr, window, window_size, out_size))
 
 
-def read_cells_masked(path: str) -> MaskedCellBuffer:
+def read_cells_masked(
+    path: str, window=None, window_size=None, out_size=None
+) -> MaskedCellBuffer:
     """``read_cells_masked``: band nodata (GDAL_NODATA tag) → mask via
     ``from_vec_with_nodata``; no tag → all-valid mask."""
     arr, nodata = read_tiff(path)
-    flat = arr.reshape(-1)
+    flat = (
+        arr.reshape(-1)
+        if window is None
+        else _windowed(arr, window, window_size, out_size)
+    )
     if nodata is None:
         return MaskedCellBuffer(CellBuffer(flat), Mask.fill(flat.size, True))
     typed = np.array(nodata).astype(flat.dtype)

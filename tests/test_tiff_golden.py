@@ -58,3 +58,27 @@ def test_tiff_reader_rejects_unsupported():
 
     with pytest.raises(ValueError):
         _parse_ifd(b"XX\x2a\x00garbage")
+
+
+def test_windowed_resampled_read():
+    """read_cells with a window/out-size mismatch resamples by nearest
+    neighbor (rasterband.rs:37-43 semantics) on the real raster."""
+    full = read_cells(f"{DATA}/L8-Elkton-VA-B4.tiff").data.reshape(169, 186)
+    win = read_cells(
+        f"{DATA}/L8-Elkton-VA-B4.tiff",
+        window=(10, 20), window_size=(100, 80), out_size=(25, 20),
+    ).data
+    cols = 10 + np.floor((np.arange(25) + 0.5) * 100 / 25).astype(int)
+    rows = 20 + np.floor((np.arange(20) + 0.5) * 80 / 20).astype(int)
+    assert (win == full[rows][:, cols].reshape(-1)).all()
+    ident = read_cells(
+        f"{DATA}/L8-Elkton-VA-B4.tiff",
+        window=(0, 0), window_size=(186, 169), out_size=(186, 169),
+    ).data
+    assert (ident == full.reshape(-1)).all()
+
+    m = read_cells_masked(
+        f"{DATA}/L8-Elkton-VA-B5-nd.tiff",
+        window=(0, 0), window_size=(186, 169), out_size=(186, 169),
+    )
+    assert m.counts()[1] == 4
