@@ -23,8 +23,12 @@ __all__ = [
     "BandDecoder",
     "tile_stats",
     "band_stats",
+    "decode_stats",
     "add_cell_ids",
     "PIPJoiner",
+    "pip_join_task",
+    "broadcast_task",
+    "cell_cover_join",
 ]
 
 
