@@ -137,6 +137,21 @@ def build() -> dict:
             FROM gridded GROUP BY grid_cell
         """,
         "knn_tiles": _MEDIA + _KNN_TAIL,
+        "tile_type_hist": _MEDIA
+        + """
+            , typed AS (
+                SELECT CASE seed % 16 WHEN 0 THEN 'UInt16' WHEN 1 THEN 'Float32' WHEN 2 THEN 'UInt16' WHEN 3 THEN 'Float32' WHEN 4 THEN 'UInt8' WHEN 5 THEN 'UInt16' WHEN 6 THEN 'Float32' WHEN 7 THEN 'Int16' WHEN 8 THEN 'UInt32' WHEN 9 THEN 'Float64' WHEN 10 THEN 'UInt64' WHEN 11 THEN 'Int8' WHEN 12 THEN 'Int32' WHEN 13 THEN 'Int64' WHEN 14 THEN 'UInt16' WHEN 15 THEN 'Float32' END AS cell_type,
+                       CASE seed % 16 WHEN 0 THEN 2 WHEN 1 THEN 4 WHEN 2 THEN 2 WHEN 3 THEN 4 WHEN 4 THEN 1 WHEN 5 THEN 2 WHEN 6 THEN 4 WHEN 7 THEN 2 WHEN 8 THEN 4 WHEN 9 THEN 8 WHEN 10 THEN 8 WHEN 11 THEN 1 WHEN 12 THEN 4 WHEN 13 THEN 8 WHEN 14 THEN 2 WHEN 15 THEN 4 END AS elem_size,
+                       CASE WHEN seed % 101 = 0 THEN 186 * 169
+                            ELSE 64 * 64 END AS n_cells
+                FROM media
+            )
+            SELECT cell_type,
+                   CAST(count(*) AS BIGINT) AS n_tiles,
+                   CAST(SUM(n_cells) AS BIGINT) AS total_cells,
+                   CAST(SUM(n_cells * elem_size) AS BIGINT) AS total_bytes
+            FROM typed GROUP BY cell_type
+        """,
         # rect-intersection range join: tile extents (seed arithmetic,
         # ± 0.005°) × footprint bboxes (deterministic parquet dump)
         "bbox_join_counts": _MEDIA

@@ -255,6 +255,56 @@ def q_cell_agg_band(sf_dir: str):
     )
 
 
+def q_tile_type_hist(sf_dir: str):
+    """Runtime-dynamic cell-TYPE system exercised distributed: per
+    CellType, tile count, total cells, and total payload bytes
+    (``CellType.size_of`` — ctype.rs:87-96) over the weighted 10-type
+    tile population. Oracle-checked: the type wheel and shapes are seed
+    arithmetic."""
+    from ray.data.aggregate import Count, Sum
+
+    from raycells.cells.ctype import CELL_TYPES
+    from raycells.io import tilestore
+
+    def project(b: pa.Table) -> pa.Table:
+        seeds = tilestore.seed_of_refs(b["media_ref"])
+        ti = tilestore.tile_cell_types(seeds)
+        shapes = tilestore.tile_shapes(seeds)
+        cells = shapes[:, 0].astype(np.int64) * shapes[:, 1].astype(np.int64)
+        sizes = np.array([ct.size_of for ct in CELL_TYPES], dtype=np.int64)
+        names = np.array([str(ct) for ct in CELL_TYPES], dtype=object)
+        return pa.table(
+            {
+                "cell_type": pa.array(list(names[ti]), pa.string()),
+                "n_cells": pa.array(cells),
+                "n_bytes": pa.array(cells * sizes[ti]),
+            }
+        )
+
+    agg = (
+        _exploded(sf_dir)
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("cell_type")
+        .aggregate(
+            Count(),
+            Sum("n_cells", alias_name="total_cells"),
+            Sum("n_bytes", alias_name="total_bytes"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cell_type": t["cell_type"],
+                "n_tiles": pc.cast(t["count()"], pa.int64()),
+                "total_cells": pc.cast(t["total_cells"], pa.int64()),
+                "total_bytes": pc.cast(t["total_bytes"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_flagship_cells(sf_dir: str):
     """Full erased-cell flagship (all 10 cell types, Hilbert cell ids,
     PIP join, salted aggregate). Not SQL-expressible → rows-only check;

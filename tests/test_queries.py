@@ -23,6 +23,7 @@ CHECKED = [
     "cell_agg_band",
     "ndvi_stats",
     "resample_tiles",
+    "tile_type_hist",
     "knn_tiles",
     "bbox_join_counts",
     "top_dense_cells",
