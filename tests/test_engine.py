@@ -283,3 +283,45 @@ def test_flagship_partitioning_invariance(docs_dir, ray_session):
     )
     int_cols = [c for c in s1.columns if s1[c].dtype.kind in "i"]
     pd.testing.assert_frame_equal(s1[int_cols], s2[int_cols], check_exact=True)
+
+
+def test_flagship_correct_under_task_retry(docs_dir, ray_session, tmp_path):
+    """Fault injection: the first task to run a poisoned stage raises
+    once; Ray retries it. The retried run's output must equal a clean
+    run — every stage is deterministic + idempotent (decode is PRNG
+    keyed by media_ref only, partials are pure functions of the batch)."""
+    import pyarrow as pa
+
+    from raycells.engine import shuffle as sm
+    from raycells.io import docsource
+
+    marker = str(tmp_path / "poison-fired")
+
+    def poisoned_identity(b: pa.Table) -> pa.Table:
+        if not os.path.exists(marker):
+            open(marker, "w").write("x")
+            raise RuntimeError("injected one-shot failure")
+        return b
+
+    clean = (
+        pipeline.flagship(docs_dir, with_join=False)
+        .to_pandas().sort_values("cell_id").reset_index(drop=True)
+    )
+    ds = pipeline.read_docs_media(docs_dir)
+    ex = pipeline.explode_stage(ds).map_batches(
+        poisoned_identity,
+        batch_format="pyarrow",
+        retry_exceptions=True,
+        max_retries=3,
+    )
+    partials = ex.map_batches(
+        lambda b: stages.decode_stats(b, emit="partials", level=8),
+        batch_format="pyarrow",
+    )
+    retried = (
+        sm.merge_cell_agg(partials, key="key", key_out="cell_id")
+        .to_pandas().sort_values("cell_id").reset_index(drop=True)
+    )
+    assert os.path.exists(marker)  # the failure actually fired
+    int_cols = [c for c in clean.columns if clean[c].dtype.kind in "iu"]
+    pd.testing.assert_frame_equal(clean[int_cols], retried[int_cols], check_exact=True)
