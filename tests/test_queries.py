@@ -37,6 +37,7 @@ CHECKED = [
     "token_stats",
     "lang_id",
     "events_daily",
+    "events_props_k",
     "knn_embeddings",
     "asof_latest_order",
     "events_rolling7",
