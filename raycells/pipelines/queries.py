@@ -1124,9 +1124,9 @@ def q_asof_latest_order(sf_dir: str):
 def q_events_props_k(sf_dir: str):
     """Semi-structured extraction: parse the JSON ``props`` column,
     bucket the extracted ``k`` by decade, count per (event_type, bucket)
-    (oracle via DuckDB json_extract). Parsing is per-value by nature;
-    the simple fixed shape here goes through one pyarrow find+slice
-    fast path with a json.loads fallback for anything irregular."""
+    (oracle via DuckDB json_extract). JSON parsing is inherently
+    per-value; the loop stays inside one map_batches body so it
+    parallelizes per block like any other stage."""
     ds = _read(sf_dir, "events", columns=["event_type", "props"])
 
     def extract(b: pa.Table) -> pa.Table:
