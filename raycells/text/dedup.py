@@ -566,16 +566,25 @@ def embedding_near_dup_pairs(
     dim: int = 64,
     seed: int = _RNG_SEED,
 ):
-    """Near-duplicate vectors: multi-table sign-LSH (``n_tables``
-    independent sets of ``n_planes`` hyperplanes — the banding trick)
-    buckets each vector n_tables times in ONE groupby shuffle; exact
-    cosine verifies inside each bucket; a final (id_a, id_b) groupby
-    dedupes pairs that collide in several tables. More tables → higher
-    recall at lower thresholds; buckets stay tiny at scale."""
+    """Near-duplicate vectors, two-phase so the exchange never carries
+    embeddings (mirrors ``minhash_near_dup_pairs``):
+
+    **Phase A — candidates.** Multi-table sign-LSH (``n_tables``
+    independent ``n_planes``-plane sets — the banding trick) emits only
+    ``(bucket, id)`` rows; the coarse-bucket groupby resolves real
+    buckets and yields deduplicated candidate id pairs. The shuffle
+    moves 16 B per (vector, table) instead of the vector payload.
+
+    **Phase B — verify.** Candidate-touched vectors ride the object
+    store once (``ray.put``); pairs fan out and exact cosine ≥ threshold
+    filters, each worker caching unit vectors. More tables → higher
+    recall; the candidate set is output-sized by LSH design."""
+    import ray
+
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, n_planes * n_tables))
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
+    def add_lsh_bucket(batch: pa.Table) -> pa.Table:
         emb = np.asarray(batch[col].to_pylist(), dtype=np.float64)
         n = len(emb)
         sig = (emb @ planes > 0).astype(np.int64).reshape(n, n_tables, n_planes)
@@ -584,53 +593,108 @@ def embedding_near_dup_pairs(
             bucket = (bucket << 1) | sig[:, :, p]
         # fold the table id into the key so tables never cross-collide
         bucket = bucket * n_tables + np.arange(n_tables, dtype=np.int64)[None, :]
-        ids = batch[id_col].to_pylist()
-        embs = batch[col].to_pylist()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "bucket": pa.array(bucket.reshape(-1)),
                 id_col: pa.array(np.repeat(ids, n_tables)),
-                col: pa.array([e for e in embs for _ in range(n_tables)]),
             }
         )
 
-    def verify(group: pa.Table) -> pa.Table:
+    def pairs_of(group: pa.Table) -> pa.Table:
         ids = group[id_col].to_numpy(zero_copy_only=False)
-        emb = np.asarray(group[col].to_pylist(), dtype=np.float64)
-        norm = np.linalg.norm(emb, axis=1)
-        norm[norm == 0] = 1.0
-        unit = emb / norm[:, None]
-        a_out, b_out, s_out = [], [], []
+        a_out, b_out = [], []
         for rows in _iter_real_buckets(group, ["bucket"]):
-            u = unit[rows]
-            sims = u @ u.T
-            iu, ju = np.triu_indices(len(rows), k=1)
-            hit = sims[iu, ju] >= threshold
-            a = ids[rows[iu[hit]]]
-            b = ids[rows[ju[hit]]]
-            a_out.append(np.minimum(a, b))
-            b_out.append(np.maximum(a, b))
-            s_out.append(np.round(sims[iu, ju][hit], 6))
+            uniq = np.unique(ids[rows])
+            iu, ju = np.triu_indices(len(uniq), k=1)
+            a_out.append(uniq[iu])
+            b_out.append(uniq[ju])
         if not a_out:
             return pa.table(
-                {
-                    "id_a": pa.array([], pa.int64()),
-                    "id_b": pa.array([], pa.int64()),
-                    "cosine": pa.array([], pa.float64()),
-                }
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
             )
         return pa.table(
             {
-                "id_a": pa.array(np.concatenate(a_out), pa.int64()),
-                "id_b": pa.array(np.concatenate(b_out), pa.int64()),
-                "cosine": pa.array(np.concatenate(s_out)),
+                "id_a": pa.array(np.concatenate(a_out).astype(np.int64)),
+                "id_b": pa.array(np.concatenate(b_out).astype(np.int64)),
             }
         )
 
-    pairs = (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
+    cand = (
+        ds.map_batches(add_lsh_bucket, batch_format="pyarrow")
         .map_batches(lambda b: _coarse_bucket(b, ["bucket"]), batch_format="pyarrow")
         .groupby("_cbucket")
-        .map_groups(verify, batch_format="pyarrow")
+        .map_groups(pairs_of, batch_format="pyarrow")
     )
-    return _dedupe_pairs(pairs, ["cosine"])
+    cand_tbl = pa.concat_tables([ray.get(r) for r in cand.to_arrow_refs()])
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }
+    )
+    if cand_tbl.num_rows == 0:
+        return empty
+    cdf = cand_tbl.to_pandas().drop_duplicates(["id_a", "id_b"])
+    wanted = np.unique(np.concatenate([cdf["id_a"].values, cdf["id_b"].values]))
+    wanted_ref = ray.put(wanted)
+
+    def fetch_vecs(batch: pa.Table) -> pa.Table:
+        w = ray.get(wanted_ref)
+        keep = np.isin(batch[id_col].to_numpy(zero_copy_only=False), w)
+        return pa.table({id_col: batch[id_col], col: batch[col]}).filter(
+            pa.array(keep)
+        )
+
+    vec_tbl = pa.concat_tables(
+        [ray.get(r) for r in ds.map_batches(fetch_vecs, batch_format="pyarrow").to_arrow_refs()]
+    )
+    emb = np.asarray(vec_tbl[col].to_pylist(), dtype=np.float64)
+    norm = np.linalg.norm(emb, axis=1)
+    norm[norm == 0] = 1.0
+    unit_ref = ray.put(
+        dict(zip(vec_tbl[id_col].to_pylist(), emb / norm[:, None]))
+    )
+
+    class VerifyCosine:
+        def __init__(self, ref, thr):
+            self.unit_of = ray.get(ref)
+            self.threshold = thr
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a_in = batch["id_a"].to_numpy(zero_copy_only=False)
+            b_in = batch["id_b"].to_numpy(zero_copy_only=False)
+            ua = np.stack([self.unit_of[i] for i in a_in])
+            ub = np.stack([self.unit_of[i] for i in b_in])
+            sims = np.round((ua * ub).sum(axis=1), 6)
+            hit = sims >= self.threshold
+            return pa.table(
+                {
+                    "id_a": pa.array(a_in[hit], pa.int64()),
+                    "id_b": pa.array(b_in[hit], pa.int64()),
+                    "cosine": pa.array(sims[hit]),
+                }
+            )
+
+    import ray.data as rd
+
+    from raycells.engine.stages import broadcast_task
+
+    n_blocks = max(1, min(64, len(cdf) // 2048))
+    verified = (
+        rd.from_arrow(pa.Table.from_pandas(cdf, preserve_index=False))
+        .repartition(n_blocks)
+        .map_batches(
+            broadcast_task(VerifyCosine, unit_ref, threshold),
+            batch_format="pyarrow",
+        )
+    )
+    out = pa.concat_tables([ray.get(r) for r in verified.to_arrow_refs()])
+    if out.num_rows == 0:
+        return empty
+    order = np.lexsort(
+        (out["id_b"].to_numpy(zero_copy_only=False),
+         out["id_a"].to_numpy(zero_copy_only=False))
+    )
+    return out.take(pa.array(order))
