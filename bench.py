@@ -124,6 +124,10 @@ PIPELINES = {
     "dedup_exact": "q_dedup_exact",
     "knn_embeddings": "q_knn_embeddings",
     "minhash_pairs": "q_minhash_pairs",
+    "simhash_pairs": "q_simhash_pairs",
+    "embedding_dups": "q_embedding_dups",
+    "priority_revenue": "q_priority_revenue",
+    "bbox_join_counts": "q_bbox_join_counts",
     "media_features": "q_media_features",
 }
 
