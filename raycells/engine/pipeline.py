@@ -1,12 +1,14 @@
 """Flagship pipeline wiring (SURVEY.md §3.2).
 
-    documents (Lance/Parquet fragments)
+    documents (Lance/Parquet fragments, span text pruned at the read)
       → span digest snapshot                      [stateless map_batches]
       → explode media spans                       [stateless map_batches]
-      → TileDecoder                               [ACTOR POOL]
+      → tile decode (fused with stats for the synthetic store;
+        TileDecoder ACTOR POOL when a real codec holds state)
       → erased-cell stats (masked min/max/mean)   [stateless map_batches]
       → Hilbert cell ids                          [stateless map_batches]
-      → PIP join vs broadcast footprints          [ACTOR POOL w/ broadcast]
+      → PIP join vs broadcast footprints          [task stage, memoized
+                                                   broadcast state]
       → salted two-stage per-cell aggregation     [the only shuffle]
       → partitioned parquet sink + manifest
 
