@@ -158,7 +158,8 @@ def flagship(
     ex = explode_stage(ds)
     if with_join:
         # the join consumer needs the per-tile stats stream; fused
-        # stateless decode→stats as tasks, then the actor-pool PIP join
+        # stateless decode→stats as tasks, then the broadcast PIP join
+        # (task stage with memoized state)
         stats = ex.map_batches(
             lambda b: stages.decode_stats(b, emit="stats", level=level),
             batch_format="pyarrow",

@@ -457,7 +457,8 @@ def q_knn_tiles(sf_dir: str):
     """kNN tile lookup: ring-expansion over the cell-bucketed index for
     the 3 city-center queries; ties broken by seed (oracle parity). The
     index is built once from the small (seed, lon, lat) projection and
-    broadcast to a KnnQuerier actor pool; queries stream as a Dataset."""
+    broadcast to KnnQuerier task stages (per-worker memoized state);
+    queries stream as a Dataset."""
     import ray
     import ray.data as rd
 
