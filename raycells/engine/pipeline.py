@@ -179,7 +179,17 @@ def flagship(
         )
         agg = shuffle_mod.merge_cell_agg(partials, key="key", key_out="cell_id")
     if out_dir:
-        agg.write_parquet(os.path.join(out_dir, "cells"))
+        # key-range-partitioned sink: one directory per coarse cell-id
+        # bucket (hive layout), so a failed run resumes per partition and
+        # consumers prune partitions at read time — never one giant file
+        part = agg.map_batches(
+            lambda b: shuffle_mod.add_bucket(b, "cell_id", 16).rename_columns(
+                [c if c != "_bucket" else "key_bucket" for c in
+                 (*b.column_names, "_bucket")]
+            ),
+            batch_format="pyarrow",
+        )
+        part.write_parquet(os.path.join(out_dir, "cells"), partition_cols=["key_bucket"])
     return agg
 
 

@@ -325,3 +325,25 @@ def test_flagship_correct_under_task_retry(docs_dir, ray_session, tmp_path):
     assert os.path.exists(marker)  # the failure actually fired
     int_cols = [c for c in clean.columns if clean[c].dtype.kind in "iu"]
     pd.testing.assert_frame_equal(clean[int_cols], retried[int_cols], check_exact=True)
+
+
+def test_flagship_partitioned_sink(docs_dir, ray_session, tmp_path):
+    """out_dir writes a hive-partitioned cells directory (one dir per
+    coarse key bucket) that round-trips losslessly."""
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "sink")
+    agg = pipeline.flagship(docs_dir, with_join=False, out_dir=out)
+    expect = agg.to_pandas().sort_values("cell_id").reset_index(drop=True)
+    parts = sorted(os.listdir(os.path.join(out, "cells")))
+    assert all(p.startswith("key_bucket=") for p in parts) and len(parts) > 1
+    got = (
+        pq.read_table(os.path.join(out, "cells"))
+        .to_pandas()
+        .drop(columns=["key_bucket"])
+        .sort_values("cell_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[expect.columns], expect, check_dtype=False, check_exact=True
+    )
