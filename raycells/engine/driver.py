@@ -49,6 +49,7 @@ def process_fragment(frag_path: str, frag_out: str, level: int = 8) -> dict:
     os.makedirs(frag_out, exist_ok=True)
     agg.write_parquet(frag_out)
     pipe_sec = time.perf_counter() - t0
+    exec_stats = agg.stats()  # per-fragment Ray Data execution profile
 
     # lineage: per-fragment XOR of span-sequence digests (order-free,
     # verifiable against the source at any later point)
@@ -66,6 +67,9 @@ def process_fragment(frag_path: str, frag_out: str, level: int = 8) -> dict:
         "tiles": int(n_tiles),
         "span_digest_xor": f"{xor:032x}",
         "pipeline_sec": round(pipe_sec, 3),
+        # per-partition metrics (SURVEY.md §4.2): the fragment's Ray Data
+        # execution profile rides in its manifest for later inspection
+        "dataset_stats": exec_stats[:8192],
     }
 
 
