@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q.q_sessionize,
         "dedup_exact": q.q_dedup_exact,
         "token_stats": q.q_token_stats,
+        "normalize_text": q.q_normalize_text,
+        "sample_lineitem": q.q_sample_lineitem,
         "lang_id": q.q_lang_id,
         "events_daily": q.q_events_daily,
         "events_props_k": q.q_events_props_k,

@@ -330,6 +330,31 @@ def build() -> dict:
             SELECT lang, lang_detected, CAST(count(*) AS BIGINT) AS n_docs
             FROM detected GROUP BY lang, lang_detected
         """,
+        "normalize_text": """
+            WITH norm AS (
+                SELECT source,
+                       regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS c,
+                       trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS tr
+                FROM documents
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(length(c)) AS BIGINT) AS total_chars_clean,
+                   CAST(SUM(CASE WHEN tr = '' THEN 0
+                            ELSE len(string_split_regex(tr, ' +')) END) AS BIGINT)
+                       AS total_tokens_clean
+            FROM norm GROUP BY source
+        """,
+        "sample_lineitem": """
+            WITH keyed AS (
+                SELECT CAST(ROUND(l_quantity) AS BIGINT) AS qty
+                FROM lineitem
+                WHERE ((l_orderkey * 7 + l_linenumber) * 2654435761) % 97 < 10
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+                   CAST(SUM(qty) AS BIGINT) AS sum_qty
+            FROM keyed
+        """,
         "events_daily": """
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
                    CAST(count(*) AS BIGINT) AS n_events,

@@ -1034,6 +1034,86 @@ def q_ann_ivf(sf_dir: str):
     )
 
 
+def q_normalize_text(sf_dir: str):
+    """Arrow-native text normalization (lowercase → strip non-alnum →
+    trim), rolled up per source: total cleaned chars + token counts.
+    Every kernel is a pyarrow.compute call — zero Python in the loop —
+    and each has an exact DuckDB twin (lower / regexp_replace / trim)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["source", "text"])
+
+    def normalize(b: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(b["text"])
+        cleaned = pc.replace_substring_regex(low, "[^a-z0-9 ]", "")
+        trimmed = pc.utf8_trim_whitespace(cleaned)
+        toks = pc.list_value_length(pc.split_pattern_regex(trimmed, " +"))
+        empty = pc.equal(trimmed, "")
+        toks = pc.if_else(empty, pa.scalar(0, pa.int32()), toks)
+        return pa.table(
+            {
+                "source": b["source"],
+                "n_chars_clean": pc.cast(pc.utf8_length(cleaned), pa.int64()),
+                "n_tokens_clean": pc.cast(toks, pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(normalize, batch_format="pyarrow").groupby("source").aggregate(
+        Count(),
+        Sum("n_chars_clean", alias_name="total_chars_clean"),
+        Sum("n_tokens_clean", alias_name="total_tokens_clean"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_docs": pc.cast(t["count()"], pa.int64()),
+                "total_chars_clean": pc.cast(t["total_chars_clean"], pa.int64()),
+                "total_tokens_clean": pc.cast(t["total_tokens_clean"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_sample_lineitem(sf_dir: str):
+    """Deterministic hash sampling (~10%) — the training-data
+    downsampling primitive: keep rows where an integer mix of the key
+    falls under the rate. Reproducible across engines (SQL-identical
+    arithmetic), under retries, and across partitionings — no RNG
+    state anywhere."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def sample(b: pa.Table) -> pa.Table:
+        key = b["l_orderkey"].to_numpy(zero_copy_only=False) * 7 + pc.cast(
+            b["l_linenumber"], pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        keep = (key * 2654435761) % 97 < 10
+        t = pa.table(
+            {
+                "qty": pa.array(
+                    np.rint(b["l_quantity"].to_numpy(zero_copy_only=False)).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+        return t.filter(pa.array(keep))
+
+    res = ds.map_batches(sample, batch_format="pyarrow").aggregate(
+        Count(), Sum("qty", alias_name="sum_qty")
+    )
+    return pa.table(
+        {
+            "n_sampled": pa.array([int(res["count()"])], pa.int64()),
+            "sum_qty": pa.array([int(res["sum_qty"])], pa.int64()),
+        }
+    )
+
+
 def q_fingerprint_docs(sf_dir: str):
     """Rolling-hash document fingerprints rolled up per source: count of
     distinct fingerprints (rows-only; determinism pinned in tests)."""

@@ -35,6 +35,8 @@ CHECKED = [
     "sessionize",
     "dedup_exact",
     "token_stats",
+    "normalize_text",
+    "sample_lineitem",
     "lang_id",
     "events_daily",
     "events_props_k",
