@@ -15,17 +15,26 @@ oracles in raycells/pipelines/oracles.py):
 
 - geospatial / flagship family over the synthesized interleaved-doc
   table (BASELINE.json input_hint):  explode_media, span_digest,
-  band_tile_stats, cell_agg_band, knn_tiles  — all oracle-checked
-  (the tile store is pure int64 LCG arithmetic, reproducible in SQL);
-  flagship_cells, pip_join_counts — rows-only (10-type erased tiles and
-  PIP rings aren't SQL-expressible; value parity pinned in tests/).
+  band_tile_stats, cell_agg_band, ndvi_stats, resample_tiles,
+  tile_type_hist, top_dense_cells, knn_tiles, bbox_join_counts — all
+  oracle-checked (the tile store is pure int64 LCG arithmetic,
+  reproducible in SQL); flagship_cells, pip_join_counts, zonal_stats,
+  pip_join_cellcover, rasterize_footprints, vectorize_tiles —
+  rows-only (10-type erased tiles and PIP ring tests aren't SQL;
+  value parity pinned in tests/ incl. brute-force oracles).
 - tabular family over the driver's parquet views:  lineitem_pricing,
-  orders_by_segment, dedup_exact, token_stats, lang_id, events_daily,
-  knn_embeddings  — oracle-checked;  minhash_pairs, simhash_pairs,
-  embedding_dups, media_features — rows-only (near-dup + multimodal).
+  orders_by_segment, revenue_by_nation, global_stats, quantiles_qty,
+  sessionize, dedup_exact, token_stats, normalize_text,
+  sample_lineitem, lang_id, events_daily, events_props_k,
+  knn_embeddings — oracle-checked.
 - co-partitioned join/window family (engine/joins.py):
-  asof_latest_order, events_rolling7, distinct_custs,
-  top_parts_by_brand, customers_no_orders — all oracle-checked.
+  asof_latest_order, priority_revenue (hash join), events_rolling7,
+  distinct_custs, top_parts_by_brand, customers_no_orders — all
+  oracle-checked.
+- near-dup / sketch / multimodal:  minhash_pairs, simhash_pairs,
+  embedding_dups, ann_lsh, ann_ivf, fingerprint_docs,
+  approx_distinct_custs, media_features — rows-only (approximate or
+  non-SQL ops; recall/tolerance/value pins in tests/).
 """
 
 from __future__ import annotations
