@@ -284,15 +284,17 @@ class CellValue:
         return i if i is not None and -(2**63) <= i < 2**63 else None
 
     def to_u64(self) -> Optional[int]:
-        """num-traits ``to_u64`` parity (value.rs:118-157): None on
-        negative, overflow, NaN/inf, or fractional values."""
+        """num-traits ``to_u64`` parity (value.rs:118-157): fractional
+        floats truncate toward zero ((3.5).to_u64() == Some(3),
+        (-0.5).to_u64() == Some(0), matching ``to_i64``); None on
+        NaN/inf or outside the exclusive range (-1, 2**64)."""
         if self.cell_type.is_integral:
             v = int(self.value)
             return v if 0 <= v < 2**64 else None
         f = float(self.value)
-        if math.isnan(f) or math.isinf(f) or f != int(f):
+        if math.isnan(f) or math.isinf(f):
             return None
-        i = int(f)
+        i = int(f)  # int() truncates toward zero, matching num-traits
         return i if 0 <= i < 2**64 else None
 
     @staticmethod

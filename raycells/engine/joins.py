@@ -24,10 +24,40 @@ from typing import Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from raycells.engine.shuffle import DEFAULT_BUCKETS, add_bucket, from_pandas_clean
 
 __all__ = ["asof_join", "hash_join", "distinct_count", "grouped_topk"]
+
+# int columns that hold nulls (the tagged union fills the other side's
+# columns with nulls) must NOT round-trip through float64 — values
+# >= 2^53 would silently corrupt, and this repo carries uint64 hashes
+# as int64 bit patterns. Map them to pandas nullable ints instead.
+_NULLABLE_INTS = {
+    pa.int8(): pd.Int8Dtype(),
+    pa.int16(): pd.Int16Dtype(),
+    pa.int32(): pd.Int32Dtype(),
+    pa.int64(): pd.Int64Dtype(),
+    pa.uint8(): pd.UInt8Dtype(),
+    pa.uint16(): pd.UInt16Dtype(),
+    pa.uint32(): pd.UInt32Dtype(),
+    pa.uint64(): pd.UInt64Dtype(),
+}
+
+
+def _to_pandas_exact(t: pa.Table) -> pd.DataFrame:
+    return t.to_pandas(types_mapper=_NULLABLE_INTS.get)
+
+
+def _restore_ints(out: pd.DataFrame, col_types) -> pd.DataFrame:
+    """Normalize integer carried columns to int64 (nullable Int64 only
+    when misses are present) so the output schema is stable."""
+    for c, typ in col_types:
+        if pa.types.is_integer(typ):
+            target = "Int64" if out[c].isna().any() else np.int64
+            out[c] = out[c].astype(target)
+    return out
 
 
 def hash_join(
@@ -82,9 +112,15 @@ def hash_join(
     )
 
     def join_bucket(g: pa.Table) -> pa.Table:
-        df = g.to_pandas()
-        left = df[df["_side"] == 0][["_k", *keep_left]]
-        right = df[df["_side"] == 1][["_k", *keep_right]]
+        # Split the sides at the Arrow level BEFORE to_pandas so each
+        # side's frame only holds its own (non-null-filled) columns, and
+        # convert via nullable-int dtypes: int columns never pass
+        # through float64, so values >= 2^53 survive exactly.
+        lmask = pc.equal(g["_side"], 0)
+        left = _to_pandas_exact(g.filter(lmask).select(["_k", *keep_left]))
+        right = _to_pandas_exact(
+            g.filter(pc.invert(lmask)).select(["_k", *keep_right])
+        )
         if left.empty or (right.empty and how == "inner"):
             return pa.table(
                 {c: pa.array([], l_types[c]) for c in keep_left}
@@ -92,12 +128,11 @@ def hash_join(
             )
         merged = left.merge(right, on="_k", how=how)
         out = merged[[*keep_left, *keep_right]].copy()
-        for c, typ in [*((c, l_types[c]) for c in keep_left),
-                       *((c, r_types[c]) for c in keep_right)]:
-            if pa.types.is_integer(typ):  # tagged union upcast to float
-                # left-join misses stay NULL (pandas nullable Int64)
-                target = "Int64" if out[c].isna().any() else np.int64
-                out[c] = out[c].astype(target)
+        out = _restore_ints(
+            out,
+            [*((c, l_types[c]) for c in keep_left),
+             *((c, r_types[c]) for c in keep_right)],
+        )
         return from_pandas_clean(out)
 
     return bucketed.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
@@ -165,35 +200,47 @@ def asof_join(
     )
 
     def join_bucket(g: pa.Table) -> pa.Table:
-        df = g.to_pandas()
-        left = df[df["_side"] == 0]
-        right = df[df["_side"] == 1]
+        # Split sides before to_pandas (see hash_join.join_bucket): int
+        # columns never round-trip through float64.
+        lmask = pc.equal(g["_side"], 0)
+        left = _to_pandas_exact(
+            g.filter(lmask).select(["_k", "_on", *keep_left])
+        )
+        right = _to_pandas_exact(
+            g.filter(pc.invert(lmask)).select(["_k", "_on", *keep_right])
+        )
         if left.empty or right.empty:
             return pa.table({c: pa.array([], l_types[c]) for c in keep_left} |
                             {c: pa.array([], r_types[c]) for c in keep_right})
+        # merge_asof needs plain (non-extension) on/by dtypes; both are
+        # non-null after the side split, so the cast is exact.
+        for frame in (left, right):
+            for c in ("_k", "_on"):
+                if isinstance(frame[c].dtype, pd.api.extensions.ExtensionDtype):
+                    frame[c] = frame[c].astype(frame[c].dtype.numpy_dtype)
         # merge_asof requires both frames sorted by the 'on' column; a
         # stable secondary sort on keep_right[0] makes the tie-break
         # (last match wins) deterministic: greatest keep_right[0].
         left = left.sort_values("_on", kind="stable")
-        right = right.sort_values([ "_on", keep_right[0]], kind="stable")
+        right = right.sort_values(["_on", keep_right[0]], kind="stable")
+        # always-non-null match sentinel: filtering on a user column
+        # would wrongly drop matches whose first carried value is null
+        right = right.assign(_matched=np.int8(1))
         merged = pd.merge_asof(
             left[["_k", "_on", *keep_left]],
-            right[["_k", "_on", *keep_right]],
+            right[["_k", "_on", *keep_right, "_matched"]],
             on="_on",
             by="_k",
             direction="backward",
             allow_exact_matches=True,
         )
-        merged = merged.dropna(subset=[keep_right[0]])
+        merged = merged[merged["_matched"].notna()]
         out = merged[[*keep_left, *keep_right]].copy()
-        # restore integer dtypes: the tagged union makes every carried
-        # column nullable (pandas → float64), and merge_asof upcasts
-        # matched right ints the same way. After the inner-join dropna
-        # neither side holds NaN, so the cast is exact.
-        for c, typ in [*((c, l_types[c]) for c in keep_left),
-                       *((c, r_types[c]) for c in keep_right)]:
-            if pa.types.is_integer(typ):
-                out[c] = out[c].astype(np.int64)
+        out = _restore_ints(
+            out,
+            [*((c, l_types[c]) for c in keep_left),
+             *((c, r_types[c]) for c in keep_right)],
+        )
         return from_pandas_clean(out)
 
     return bucketed.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")

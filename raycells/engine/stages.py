@@ -479,12 +479,35 @@ def broadcast_task(cls, ref, *args):
     use actor pools only when ``__init__`` is genuinely expensive
     (codec handles, model loads)."""
 
+    def _arg_key(a):
+        # repr() is NOT a safe memo key (numpy truncates; objects print
+        # addresses) — a collision would silently reuse a stage built
+        # with different args in a warm worker. Accept only ObjectRefs,
+        # hashable primitives, and content-digested ndarrays.
+        if hasattr(a, "hex"):  # ObjectRef
+            return ("ref", a.hex())
+        if isinstance(a, (str, bytes, int, float, bool, type(None))):
+            return (type(a).__name__, a)
+        if isinstance(a, tuple):
+            return tuple(_arg_key(x) for x in a)
+        if isinstance(a, np.ndarray):
+            import hashlib
+
+            digest = hashlib.blake2b(
+                np.ascontiguousarray(a).tobytes(), digest_size=16
+            ).hexdigest()
+            return ("ndarray", a.dtype.str, a.shape, digest)
+        raise TypeError(
+            f"broadcast_task arg of type {type(a).__name__} has no safe "
+            "memo key; pass an ObjectRef, scalar, tuple, or ndarray"
+        )
+
     def fn(batch: pa.Table) -> pa.Table:
         key = (
             cls.__module__,
             cls.__qualname__,
             ref.hex(),
-            tuple(a.hex() if hasattr(a, "hex") else repr(a) for a in args),
+            tuple(_arg_key(a) for a in args),
         )
         inst = _BCAST_CACHE.get(key)
         if inst is None:

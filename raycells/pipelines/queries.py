@@ -405,8 +405,7 @@ def q_zonal_stats(sf_dir: str):
     falls inside it (broadcast PIP join → salted two-stage aggregate;
     rows-only — PIP rings aren't SQL-expressible; value parity vs a
     brute-force single-process oracle is pinned in tests/test_geo.py)."""
-    docs_dir = pl.docs_dir_for_sf(sf_dir)
-    stats = pl.explode_stage(pl.read_docs(docs_dir)).map_batches(
+    stats = _exploded(sf_dir).map_batches(
         lambda b: stages.decode_stats(b, emit="stats"), batch_format="pyarrow"
     )
     joined = pl.join_stage(stats)
@@ -445,8 +444,7 @@ def q_pip_join_cellcover(sf_dir: str):
     in tests/test_engine.py)."""
     from raycells.io import footprints as fp_mod
 
-    docs_dir = pl.docs_dir_for_sf(sf_dir)
-    stats = pl.explode_stage(pl.read_docs(docs_dir)).map_batches(
+    stats = _exploded(sf_dir).map_batches(
         lambda b: stages.decode_stats(b, emit="stats"), batch_format="pyarrow"
     )
     joined = stages.cell_cover_join(stats, fp_mod.generate_footprints())

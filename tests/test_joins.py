@@ -226,3 +226,70 @@ def test_asof_join_matches_pandas_oracle(ray_session, tables):
             expect.append((i, max(cand)[1]))
     expect.sort()
     assert list(zip(got["lid"], got["rid"])) == expect
+
+
+def test_hash_join_exact_above_2p53(ray_session):
+    """int64 values >= 2^53 must survive the join exactly: the tagged
+    union used to route int64-with-nulls through pandas float64, which
+    silently corrupted large values (ADVICE r1). The repo carries uint64
+    hashes as int64 bit patterns, so this is a realistic key range."""
+    from raycells.engine.joins import hash_join
+
+    big = 2**62 + 12345678901  # not representable in float64
+    left = pa.table({"k": [1, 2], "lval": pa.array([big, big + 7], pa.int64())})
+    right = pa.table({"k": [1, 3], "rval": pa.array([big + 1, big + 2], pa.int64())})
+    inner = (
+        hash_join(
+            _ds(left, 1), _ds(right, 1),
+            key_left="k", key_right="k",
+            keep_left=["lval"], keep_right=["rval"],
+        )
+        .to_pandas()
+    )
+    assert inner["lval"].tolist() == [big]
+    assert inner["rval"].tolist() == [big + 1]
+    outer = (
+        hash_join(
+            _ds(left, 1), _ds(right, 1),
+            key_left="k", key_right="k",
+            keep_left=["lval"], keep_right=["rval"], how="left",
+        )
+        .to_pandas()
+        .sort_values("lval")
+        .reset_index(drop=True)
+    )
+    assert outer["lval"].tolist() == [big, big + 7]
+    assert outer["rval"][0] == big + 1 and pd.isna(outer["rval"][1])
+
+
+def test_asof_exact_above_2p53_and_null_first_carried(ray_session):
+    """(a) as-of carried values >= 2^53 survive exactly; (b) a matched
+    right row whose FIRST carried column is null is kept (the old
+    dropna(keep_right[0]) inner-drop wrongly removed it, ADVICE r1)."""
+    big = 2**62 + 987654321
+    left = pa.table(
+        {"k": [1, 2], "t": pa.array([10, 10], pa.int64()), "lid": [1, 2]}
+    )
+    right = pa.table(
+        {
+            "k": [1, 2],
+            "t": pa.array([5, 5], pa.int64()),
+            "rv": pa.array([None, big], pa.int64()),
+            "rid": [7, 8],
+        }
+    )
+    out = (
+        asof_join(
+            _ds(left, 1), _ds(right, 1),
+            key_left="k", key_right="k",
+            on_left="t", on_right="t",
+            keep_left=["lid"], keep_right=["rv", "rid"],
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    # both left rows matched; the null rv row is NOT dropped
+    assert out["lid"].tolist() == [1, 2]
+    assert pd.isna(out["rv"][0]) and out["rv"][1] == big
+    assert out["rid"].tolist() == [7, 8]

@@ -117,8 +117,9 @@ def test_zero_one_constants():
 
 
 def test_to_u64_and_zero_one_constants():
-    """ToPrimitive to_u64 (None on negative/overflow/fractional/NaN) and
-    the Zero/One impls returning UInt8 constants (value.rs:118-184)."""
+    """ToPrimitive to_u64 (num-traits parity: fractional floats truncate
+    toward zero, None on negative/overflow/NaN) and the Zero/One impls
+    returning UInt8 constants (value.rs:118-184)."""
     import numpy as np
 
     from raycells.cells.ctype import CellType, CellValue
@@ -127,6 +128,12 @@ def test_to_u64_and_zero_one_constants():
     assert CellValue.one().cell_type == CellType.UInt8
     assert CellValue.new(np.int8(-1)).to_u64() is None
     assert CellValue.new(np.uint64(2**63)).to_u64() == 2**63
-    assert CellValue.new(np.float64(3.5)).to_u64() is None
+    # num-traits truncates toward zero: (3.5).to_u64() == Some(3),
+    # (-0.5).to_u64() == Some(0), (-1.0).to_u64() == None
+    assert CellValue.new(np.float64(3.5)).to_u64() == 3
+    assert CellValue.new(np.float64(-0.5)).to_u64() == 0
+    assert CellValue.new(np.float64(-1.0)).to_u64() is None
     assert CellValue.new(np.float64(3.0)).to_u64() == 3
+    assert CellValue.new(np.float64(2.0**64)).to_u64() is None
     assert CellValue.new(np.float64(float("nan"))).to_u64() is None
+    assert CellValue.new(np.float64(float("inf"))).to_u64() is None
