@@ -16,12 +16,14 @@ oracles in raycells/pipelines/oracles.py):
 - geospatial / flagship family over the synthesized interleaved-doc
   table (BASELINE.json input_hint):  explode_media, span_digest,
   band_tile_stats, cell_agg_band, ndvi_stats, resample_tiles,
-  tile_type_hist, top_dense_cells, knn_tiles, bbox_join_counts — all
-  oracle-checked (the tile store is pure int64 LCG arithmetic,
-  reproducible in SQL); flagship_cells, pip_join_counts, zonal_stats,
-  pip_join_cellcover, rasterize_footprints, vectorize_tiles —
-  rows-only (10-type erased tiles and PIP ring tests aren't SQL;
-  value parity pinned in tests/ incl. brute-force oracles).
+  tile_type_hist, top_dense_cells, knn_tiles, bbox_join_counts,
+  flagship_cells (full 10-type erased decode + Hilbert cell ids,
+  both reproduced in SQL), pip_join_counts / pip_join_cellcover /
+  zonal_stats (exact even-odd ray cast over the unnested footprint
+  edge table), rasterize_footprints (center-sample containment) —
+  ALL oracle-checked; vectorize_tiles — rows-only
+  (connected-component labelling isn't SQL; round-trip pinned in
+  tests/test_geo.py).
 - tabular family over the driver's parquet views:  lineitem_pricing,
   orders_by_segment, revenue_by_nation, global_stats, quantiles_qty,
   sessionize, dedup_exact, token_stats, normalize_text,
@@ -31,10 +33,11 @@ oracles in raycells/pipelines/oracles.py):
   asof_latest_order, priority_revenue (hash join), events_rolling7,
   distinct_custs, top_parts_by_brand, customers_no_orders — all
   oracle-checked.
-- near-dup / sketch / multimodal:  minhash_pairs, simhash_pairs,
-  embedding_dups, ann_lsh, ann_ivf, fingerprint_docs,
-  approx_distinct_custs, media_features — rows-only (approximate or
-  non-SQL ops; recall/tolerance/value pins in tests/).
+- near-dup / sketch / multimodal:  fingerprint_docs (rolling
+  polynomial hash evaluated in HUGEINT SQL) — oracle-checked;
+  minhash_pairs, simhash_pairs, embedding_dups, ann_lsh, ann_ivf,
+  approx_distinct_custs, media_features — rows-only (approximate
+  sketches / stubbed codecs; recall/tolerance/value pins in tests/).
 """
 
 from __future__ import annotations
@@ -50,9 +53,10 @@ def _ensure_docs() -> None:
 
     for sf in ("0.001", "0.01"):
         docs_dir_for_sf(f"sf{sf}")
-    from raycells.io.footprints import ensure_bbox_parquet
+    from raycells.io.footprints import ensure_bbox_parquet, ensure_edges_parquet
 
     ensure_bbox_parquet()
+    ensure_edges_parquet()
 
 
 def entry() -> Any:

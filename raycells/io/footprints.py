@@ -66,6 +66,48 @@ def rings_as_numpy(tbl: pa.Table):
 
 
 BBOX_PARQUET = "/tmp/raycells_docs/footprint_bboxes.parquet"
+EDGES_PARQUET = "/tmp/raycells_docs/footprint_edges.parquet"
+
+
+def ensure_edges_parquet(path: str = EDGES_PARQUET) -> str:
+    """Write the footprint EDGE table once (idempotent, atomic): one row
+    per directed ring edge (x1,y1)→(x2,y2), closing edge included —
+    exactly the edge set :func:`raycells.geo.pip.points_in_polygon` ray-casts
+    against. With the edges in a table, the even-odd rule IS
+    SQL-expressible (sum of crossings % 2), so the exact PIP joins get
+    DuckDB oracles, not just the bbox prefilter."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rows = rings_as_numpy(generate_footprints())
+    fids, cats, x1s, y1s, x2s, y2s = [], [], [], [], [], []
+    for fid, cat, ring in rows:
+        nxt = np.roll(ring, -1, axis=0)
+        for (x1, y1), (x2, y2) in zip(ring, nxt):
+            fids.append(fid)
+            cats.append(cat)
+            x1s.append(float(x1))
+            y1s.append(float(y1))
+            x2s.append(float(x2))
+            y2s.append(float(y2))
+    tbl = pa.table(
+        {
+            "footprint_id": pa.array(fids, pa.string()),
+            "category": pa.array(cats, pa.string()),
+            "x1": pa.array(x1s, pa.float64()),
+            "y1": pa.array(y1s, pa.float64()),
+            "x2": pa.array(x2s, pa.float64()),
+            "y2": pa.array(y2s, pa.float64()),
+        }
+    )
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
 
 
 def ensure_bbox_parquet(path: str = BBOX_PARQUET) -> str:

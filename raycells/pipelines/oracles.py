@@ -28,11 +28,13 @@ WITH ex AS (
 )
 """
 
-# media spans with parsed tile seed
+# media spans with parsed tile seed. TRY_CAST, not CAST: DuckDB may push
+# a downstream seed predicate below the kind filter, evaluating the cast
+# on text spans' empty media_ref ('' → conversion error under CAST).
 _MEDIA = _EXPLODE + """
 , media AS (
     SELECT doc_id, span_idx,
-           CAST(substr(s.media_ref, 8) AS BIGINT) AS seed
+           TRY_CAST(substr(s.media_ref, 8) AS BIGINT) AS seed
     FROM ex WHERE s.kind = 'media'
 )
 """
@@ -80,6 +82,213 @@ gridded AS (
     FROM geo
 )
 """
+
+EDGES_PARQUET = "/tmp/raycells_docs/footprint_edges.parquet"
+
+# tile centroids with identity for the PIP joins (same seed arithmetic as
+# tilestore.centroids; the doc_id/span_idx ride along for the stats join)
+_GEO_PTS = """
+, geo AS (
+    SELECT doc_id, span_idx, seed,
+           CASE WHEN seed % 10 < 6 THEN
+                (CASE seed % 3 WHEN 0 THEN -74.0 WHEN 1 THEN 2.35 ELSE 139.7 END)
+                + ((seed * 31) % 2000 - 1000) / 1000.0
+           ELSE ((seed * 9973) % 360000) / 1000.0 - 180.0 END AS lon,
+           CASE WHEN seed % 10 < 6 THEN
+                (CASE seed % 3 WHEN 0 THEN 40.7 WHEN 1 THEN 48.85 ELSE 35.7 END)
+                + ((seed * 57) % 2000 - 1000) / 1000.0
+           ELSE ((seed * 7919) % 170000) / 1000.0 - 85.0 END AS lat
+    FROM media
+)
+"""
+
+# exact even-odd ray-cast PIP of tile centroids against the footprint
+# rings, over the unnested edge table (io/footprints.ensure_edges_parquet).
+# The crossing expression mirrors geo/pip.points_in_polygon term for term
+# (same IEEE double evaluation order), so hits match bit-for-bit; edges
+# with y1 == y2 fail the straddle test before the division matters.
+_PIP_HITS = f"""
+, pip_cross AS (
+    SELECT g.doc_id, g.span_idx, e.footprint_id, e.category,
+           CASE WHEN (e.y1 > g.lat) <> (e.y2 > g.lat)
+                 AND g.lon < e.x1 + (g.lat - e.y1) / (e.y2 - e.y1) * (e.x2 - e.x1)
+                THEN 1 ELSE 0 END AS c
+    FROM geo g CROSS JOIN read_parquet('{EDGES_PARQUET}') e
+),
+pip_hits AS (
+    SELECT doc_id, span_idx, footprint_id, category
+    FROM pip_cross
+    GROUP BY doc_id, span_idx, footprint_id, category
+    HAVING SUM(c) % 2 = 1
+)
+"""
+
+# ---------------------------------------------------------------------------
+# erased-tile stats in SQL: the full 10-cell-type decode
+# (tilestore.synth_tiles / synth_tile_stats) is pure integer LCG
+# arithmetic + per-type value mapping, so the per-tile masked min/max
+# fold is SQL-reproducible across ALL types (floats: the value is an
+# exact double / exact float32-rounded double of integer operands).
+# ---------------------------------------------------------------------------
+
+_WHEEL = (1, 8, 1, 8, 0, 1, 8, 5, 2, 9, 3, 4, 6, 7, 1, 8)  # tilestore.TYPE_WHEEL
+_CT_VALUE_EXPR = {
+    0: "CAST(raw % 251 + 1 AS DOUBLE)",  # UInt8
+    1: "CAST(raw % 65520 + 1 AS DOUBLE)",  # UInt16
+    2: "CAST(raw * 65537 + 1 AS DOUBLE)",  # UInt32
+    3: "CAST(raw * 65537 + 1 AS DOUBLE)",  # UInt64
+    4: "CAST(raw % 200 - 100 AS DOUBLE)",  # Int8
+    5: "CAST(raw % 60000 - 30000 AS DOUBLE)",  # Int16
+    6: "CAST((raw - 32760) * 65537 AS DOUBLE)",  # Int32
+    7: "CAST((raw - 32760) * 65537 AS DOUBLE)",  # Int64
+    8: "CAST(CAST((raw + 1) / 65521.0 AS REAL) AS DOUBLE)",  # Float32
+    9: "(raw + 1) / 65521.0",  # Float64
+}
+
+
+def _erased_value_case() -> str:
+    whens = " ".join(
+        f"WHEN {pos} THEN {_CT_VALUE_EXPR[ct]}" for pos, ct in enumerate(_WHEEL)
+    )
+    return f"CASE seed % 16 {whens} END"
+
+
+def _erased_tile_stats() -> str:
+    """CTE chain ``etile``: per-tile masked stats of the 10-type erased
+    decode (valid/nodata counts + min/max as double). Mirrors
+    tilestore.synth_tile_stats; requires the ``media`` CTE."""
+    return f"""
+, ecells AS (
+    -- DuckDB's range() is not lateral-correlatable: branch the two tile
+    -- shapes (64×64 and the 1-in-101 186×169 fixture) and UNION ALL
+    SELECT m.doc_id, m.span_idx, m.seed, r.range AS i
+    FROM media m, range(4096) r WHERE m.seed % 101 <> 0
+    UNION ALL
+    SELECT m.doc_id, m.span_idx, m.seed, r.range AS i
+    FROM media m, range(31434) r WHERE m.seed % 101 = 0
+),
+evals AS (
+    SELECT doc_id, span_idx, seed,
+           (seed * 2654435761 + i * 40503) % 65521 AS raw,
+           (seed + i * 7) % 33 = 0 AS invalid
+    FROM ecells
+),
+etyped AS (
+    SELECT doc_id, span_idx, seed, invalid,
+           {_erased_value_case()} AS v
+    FROM evals
+),
+etile AS (
+    SELECT doc_id, span_idx, seed,
+           CAST(COUNT(*) FILTER (WHERE NOT invalid) AS BIGINT) AS valid_count,
+           CAST(COUNT(*) FILTER (WHERE invalid) AS BIGINT) AS nodata_count,
+           MIN(v) FILTER (WHERE NOT invalid) AS min_val,
+           MAX(v) FILTER (WHERE NOT invalid) AS max_val
+    FROM etyped GROUP BY doc_id, span_idx, seed
+)
+"""
+
+
+def _hilbert_chain(src: str, level: int = 8) -> str:
+    """CTE chain computing the level-``level`` Hilbert cell id of each
+    row's (lon, lat) — the geo/cellid.py encode() algorithm unrolled to
+    ``level`` SQL steps (rotate-and-accumulate per bit plane, n = 2^level
+    in the flip, matching xy2d's canonical rot). Emits CTE ``hcells`` =
+    ``src`` columns + ``cell_id`` (BIGINT; the id fits in 62 bits)."""
+    n = 1 << level
+    parts = [
+        f"""
+, h0 AS (
+    SELECT *,
+        LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * {n}) AS BIGINT), 0), {n - 1}) AS hx0,
+        LEAST(GREATEST(CAST(floor((lat + 90.0) / 180.0 * {n}) AS BIGINT), 0), {n - 1}) AS hy0,
+        CAST(0 AS BIGINT) AS hd0
+    FROM {src}
+)"""
+    ]
+    k = 0
+    s = n >> 1
+    while s > 0:
+        k += 1
+        parts.append(
+            f"""
+, h{k} AS (
+    SELECT * EXCLUDE (hx{k - 1}, hy{k - 1}, hd{k - 1}, hrx, hry),
+        hd{k - 1} + {s * s} * xor(3 * hrx, hry) AS hd{k},
+        CASE WHEN hry = 0 THEN (CASE WHEN hrx = 1 THEN {n - 1} - hy{k - 1} ELSE hy{k - 1} END)
+             ELSE hx{k - 1} END AS hx{k},
+        CASE WHEN hry = 0 THEN (CASE WHEN hrx = 1 THEN {n - 1} - hx{k - 1} ELSE hx{k - 1} END)
+             ELSE hy{k - 1} END AS hy{k}
+    FROM (SELECT *,
+            CASE WHEN (hx{k - 1} & {s}) > 0 THEN 1 ELSE 0 END AS hrx,
+            CASE WHEN (hy{k - 1} & {s}) > 0 THEN 1 ELSE 0 END AS hry
+          FROM h{k - 1})
+)"""
+        )
+        s >>= 1
+    shift = 2 * (30 - level)
+    parts.append(
+        f"""
+, hcells AS (
+    SELECT * EXCLUDE (hx{k}, hy{k}, hd{k}),
+           (hd{k} << {shift + 1}) | (CAST(1 AS BIGINT) << {shift}) AS cell_id
+    FROM h{k}
+)"""
+    )
+    return "".join(parts)
+
+
+def _fingerprint_sql() -> str:
+    """Rolling polynomial fingerprint (text/analysis.fingerprint64):
+    h = seed·B^n + Σ byte[i]·B^(n-1-i) (mod 2^64), evaluated in HUGEINT
+    with explicit mod-2^64 wraps. The seed·B^n product would overflow
+    HUGEINT, so it is split into 32-bit halves (mulmod). Documents are
+    ASCII (ord(char) == utf-8 byte); n_fingerprints = distinct h per
+    source (the int64 bit-pattern reinterpretation on the Ray side is a
+    bijection, so distinct counts agree)."""
+    seed = 14695981039346656037
+    base = 1099511628211
+    m64 = "CAST('18446744073709551616' AS HUGEINT)"  # 2^64
+    s_hi, s_lo = divmod(seed, 1 << 32)
+    return f"""
+WITH docs AS (
+    SELECT row_number() OVER () AS rid, source, text,
+           CAST(length(text) AS BIGINT) AS n
+    FROM documents
+),
+pows AS (
+    WITH RECURSIVE p(k, v) AS (
+        SELECT CAST(0 AS BIGINT) AS k, CAST(1 AS HUGEINT) AS v
+        UNION ALL
+        SELECT k + 1, (v * {base}) % {m64} FROM p
+        WHERE k < (SELECT MAX(n) FROM docs)
+    )
+    SELECT k, v FROM p
+),
+bytes AS (
+    -- range() is not lateral-correlatable: bound by a constant and filter
+    SELECT d.rid, d.n, r.range AS i,
+           CAST(ord(substr(d.text, CAST(r.range + 1 AS INT), 1)) AS HUGEINT) AS b
+    FROM docs d, range(8192) r WHERE r.range < d.n
+),
+terms AS (
+    SELECT rid, SUM((b * p.v) % {m64}) AS acc
+    FROM bytes JOIN pows p ON p.k = bytes.n - 1 - bytes.i
+    GROUP BY rid
+),
+fp AS (
+    SELECT d.source,
+           ( (({s_lo} * pn.v) % {m64}
+              + ((({s_hi} * pn.v) % 4294967296) * 4294967296)) % {m64}
+             + COALESCE(t.acc, 0) ) % {m64} AS f
+    FROM docs d
+    JOIN pows pn ON pn.k = d.n
+    LEFT JOIN terms t ON t.rid = d.rid
+)
+SELECT source, CAST(COUNT(DISTINCT f) AS BIGINT) AS n_fingerprints
+FROM fp GROUP BY source
+"""
+
 
 _LANG_SCORE = """
     len(list_filter(string_split(text, ' '), x -> x = '{w}'))
@@ -137,6 +346,86 @@ def build() -> dict:
             FROM gridded GROUP BY grid_cell
         """,
         "knn_tiles": _MEDIA + _KNN_TAIL,
+        # exact PIP join (even-odd ray cast over the unnested edge table):
+        # per-category count of (tile centroid, footprint) containment hits
+        "pip_join_counts": _MEDIA + _GEO_PTS + _PIP_HITS
+        + """
+            SELECT category, CAST(COUNT(*) AS BIGINT) AS "count()"
+            FROM pip_hits GROUP BY category
+        """,
+        # the large-large cell-cover variant computes the same containment
+        # relation through a co-partitioned exchange → same oracle
+        "pip_join_cellcover": _MEDIA + _GEO_PTS + _PIP_HITS
+        + """
+            SELECT category, CAST(COUNT(*) AS BIGINT) AS "count()"
+            FROM pip_hits GROUP BY category
+        """,
+        # zonal statistics: erased-cell (10-type) per-tile stats of every
+        # tile whose centroid falls in the footprint, rolled up per footprint
+        "zonal_stats": _MEDIA + _GEO_PTS + _erased_tile_stats() + _PIP_HITS
+        + """
+            SELECT h.footprint_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tiles,
+                   CAST(SUM(t.valid_count) AS BIGINT) AS sum_valid_count,
+                   CAST(SUM(t.nodata_count) AS BIGINT) AS sum_nodata_count,
+                   MIN(t.min_val) AS min_min_val,
+                   MAX(t.max_val) AS max_max_val
+            FROM pip_hits h
+            JOIN etile t ON t.doc_id = h.doc_id AND t.span_idx = h.span_idx
+            GROUP BY h.footprint_id
+        """,
+        # rasterize = center-sample containment: count of 64×64 bbox-grid
+        # cell centers inside each footprint ring (geo/raster.rasterize)
+        "rasterize_footprints": f"""
+            WITH fpb AS (
+                SELECT footprint_id, category,
+                       MIN(LEAST(x1, x2)) AS minx, MIN(LEAST(y1, y2)) AS miny,
+                       MAX(GREATEST(x1, x2)) AS maxx, MAX(GREATEST(y1, y2)) AS maxy
+                FROM read_parquet('{EDGES_PARQUET}')
+                GROUP BY footprint_id, category
+            ),
+            centers AS (
+                SELECT f.footprint_id, f.category,
+                       f.minx + (c.range + 0.5) * (f.maxx - f.minx) / 64 AS px,
+                       f.miny + (r.range + 0.5) * (f.maxy - f.miny) / 64 AS py,
+                       r.range AS rr, c.range AS cc
+                FROM fpb f, range(64) r, range(64) c
+            ),
+            crossings AS (
+                SELECT ct.footprint_id, ct.category, ct.rr, ct.cc,
+                       SUM(CASE WHEN (e.y1 > ct.py) <> (e.y2 > ct.py)
+                                 AND ct.px < e.x1 + (ct.py - e.y1) / (e.y2 - e.y1) * (e.x2 - e.x1)
+                                THEN 1 ELSE 0 END) AS k
+                FROM centers ct
+                JOIN read_parquet('{EDGES_PARQUET}') e USING (footprint_id)
+                GROUP BY ct.footprint_id, ct.category, ct.rr, ct.cc
+            )
+            SELECT footprint_id, category,
+                   CAST(COUNT(*) FILTER (WHERE k % 2 = 1) AS BIGINT) AS filled_cells
+            FROM crossings GROUP BY footprint_id, category
+        """,
+        # the FULL flagship: 10-type erased decode → masked per-tile stats
+        # → level-8 Hilbert cell id (unrolled rotate-and-accumulate in SQL)
+        # → per-cell aggregate. avg_tile_mean is excluded on both sides
+        # (a float sum across tiles is summation-order-dependent).
+        "flagship_cells": _MEDIA + _GEO_PTS + _erased_tile_stats()
+        + """
+, gstats AS (
+    SELECT t.doc_id, t.span_idx, t.valid_count, t.nodata_count,
+           t.min_val, t.max_val, g.lon, g.lat
+    FROM etile t JOIN geo g ON g.doc_id = t.doc_id AND g.span_idx = t.span_idx
+)"""
+        + _hilbert_chain("gstats", level=8)
+        + """
+            SELECT cell_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tiles,
+                   CAST(SUM(valid_count) AS BIGINT) AS valid_count,
+                   CAST(SUM(nodata_count) AS BIGINT) AS nodata_count,
+                   MIN(min_val) AS min_val,
+                   MAX(max_val) AS max_val
+            FROM hcells GROUP BY cell_id
+        """,
+        "fingerprint_docs": _fingerprint_sql(),
         "tile_type_hist": _MEDIA
         + """
             , typed AS (

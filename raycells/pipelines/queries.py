@@ -306,10 +306,31 @@ def q_tile_type_hist(sf_dir: str):
 
 
 def q_flagship_cells(sf_dir: str):
-    """Full erased-cell flagship (all 10 cell types, Hilbert cell ids,
-    PIP join, salted aggregate). Not SQL-expressible → rows-only check;
-    value parity is pinned by tests/test_engine.py."""
-    return pl.flagship(pl.docs_dir_for_sf(sf_dir), with_join=False)
+    """Full erased-cell flagship (all 10 cell types, masked stats,
+    level-8 Hilbert cell ids, salted aggregate) — ORACLE-CHECKED: the
+    LCG decode, the per-type value mapping, the masked min/max fold and
+    the Hilbert rotate-and-accumulate are all reproduced in DuckDB SQL
+    (oracles._erased_tile_stats / _hilbert_chain). ``avg_tile_mean`` is
+    projected away on both sides: a float sum across tiles is
+    summation-order-dependent, so it can never hash-match (its value
+    parity is pinned in tests/test_engine.py instead)."""
+    agg = pl.flagship(pl.docs_dir_for_sf(sf_dir), with_join=False)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                # Hilbert ids fit in 62 bits → exact as int64 (the
+                # driver-side compare needs one signed type both sides)
+                "cell_id": pc.cast(t["cell_id"], pa.int64()),
+                "n_tiles": pc.cast(t["n_tiles"], pa.int64()),
+                "valid_count": pc.cast(t["valid_count"], pa.int64()),
+                "nodata_count": pc.cast(t["nodata_count"], pa.int64()),
+                "min_val": t["min_val"],
+                "max_val": t["max_val"],
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
 
 
 def q_pip_join_counts(sf_dir: str):

@@ -94,21 +94,19 @@ def test_query_matches_oracle(name, contract, con):
 def test_every_query_has_oracle_or_is_flagged(contract):
     queries, sqls = contract
     rows_only = set(queries) - set(sqls)
-    # non-SQL-expressible ops only (erased 10-type tiles, PIP rings,
-    # MinHash/SimHash/LSH, stubbed media codecs)
+    # genuinely non-SQL ops only: connected-component labelling
+    # (vectorize), approximate sketches (HLL, MinHash/SimHash/LSH/IVF —
+    # banding and float-sum estimates aren't ORDER-stable in SQL), and
+    # the stubbed media codecs. Everything else — including the 10-type
+    # erased decode, the exact PIP ring joins, the Hilbert cell ids and
+    # the rolling polynomial fingerprint — has a DuckDB oracle.
     assert rows_only == {
-        "flagship_cells",
-        "pip_join_counts",
-        "pip_join_cellcover",
-        "zonal_stats",
-        "rasterize_footprints",
         "vectorize_tiles",
         "minhash_pairs",
         "simhash_pairs",
         "embedding_dups",
         "ann_lsh",
         "ann_ivf",
-        "fingerprint_docs",
         "approx_distinct_custs",
         "media_features",
     }
