@@ -135,14 +135,21 @@ def _tiles_as_arrays(batch: pa.Table):
         yield k, ct, arr, m
 
 
-def tile_stats(batch: pa.Table) -> pa.Table:
-    """Erased-cell stats per tile: masked min/max (reference fold semantics,
-    inverted sentinels when fully masked), mean of valid cells converted to
-    Float64 (the reference arithmetic type), valid/nodata counts.
+_STATS_CHUNK = 64  # rows per reduction chunk (~2 MB working set, CLAUDE.md)
 
-    Grouped-vectorized: tiles of the same (cell_type, size) in the batch
-    are reduced as one matrix; the per-tile loop only touches group
-    boundaries."""
+
+def tile_stats(batch: pa.Table) -> pa.Table:
+    """Erased-cell stats per tile: masked min/max (reference fold semantics
+    — the (max_value, min_value) seeds PARTICIPATE, so an all-masked tile
+    returns inverted sentinels and +NaN cannot beat the float MAX seed),
+    mean of valid cells in Float64 (the reference arithmetic type),
+    valid/nodata counts.
+
+    Grouped-vectorized (mirrors tilestore.synth_tile_stats's layout): rows
+    group by (cell_type, size) — ≤ 20 groups per batch — and each group
+    reduces as chunked (C, n) matrices in the ORIGINAL dtype, so int64
+    values above 2^53 compare exactly and floats use total-order keys;
+    only the final per-tile result converts to float64."""
     n = batch.num_rows
     min_v = np.empty(n, dtype=np.float64)
     max_v = np.empty(n, dtype=np.float64)
@@ -150,15 +157,50 @@ def tile_stats(batch: pa.Table) -> pa.Table:
     valid_c = np.zeros(n, dtype=np.int64)
     nodata_c = np.zeros(n, dtype=np.int64)
 
-    for k, ct, arr, m in _tiles_as_arrays(batch):
-        lo, hi = kernels.min_max(arr, m)
-        min_v[k] = lo.to_f64()
-        max_v[k] = hi.to_f64()
-        nv = int(m.sum())
-        valid_c[k] = nv
-        nodata_c[k] = arr.shape[0] - nv
-        if nv:
-            mean_v[k] = arr[m].astype(np.float64).mean()
+    data = batch["data"].combine_chunks() if isinstance(batch["data"], pa.ChunkedArray) else batch["data"]
+    masks = batch["mask"].combine_chunks() if isinstance(batch["mask"], pa.ChunkedArray) else batch["mask"]
+    cts = batch["cell_type"].to_pylist()
+    sizes = batch["nrows"].to_numpy(zero_copy_only=False).astype(np.int64) * batch[
+        "ncols"
+    ].to_numpy(zero_copy_only=False)
+
+    groups: dict = {}
+    for k in range(n):
+        groups.setdefault((cts[k], int(sizes[k])), []).append(k)
+
+    for (ctname, sz), rows_list in groups.items():
+        ct = CellType.from_str(ctname)
+        lo_sent = ct.dtype.type(ct.max_value().value)  # inverted seeds
+        hi_sent = ct.dtype.type(ct.min_value().value)
+        key_lo = kernels.total_order_key(np.array([lo_sent], dtype=ct.dtype))[0]
+        key_hi = kernels.total_order_key(np.array([hi_sent], dtype=ct.dtype))[0]
+        rows = np.asarray(rows_list, dtype=np.int64)
+        for lo_i in range(0, rows.size, _STATS_CHUNK):
+            chunk = rows[lo_i : lo_i + _STATS_CHUNK]
+            g = chunk.size
+            mat = np.empty((g, sz), dtype=ct.dtype)
+            m = np.empty((g, sz), dtype=bool)
+            for j, r in enumerate(chunk):
+                mat[j] = np.frombuffer(data[r].as_buffer(), dtype=ct.dtype, count=sz)
+                m[j] = kernels.unpack_mask(masks[r].as_buffer(), sz)
+            keys = kernels.total_order_key(mat)
+            ar = np.arange(g)
+            kmin = np.where(m, keys, key_lo)
+            pos = np.argmin(kmin, axis=1)
+            ck = kmin[ar, pos]
+            mn = np.where(ck < key_lo, mat[ar, pos].astype(np.float64), np.float64(lo_sent))
+            kmax = np.where(m, keys, key_hi)
+            pos = np.argmax(kmax, axis=1)
+            ck = kmax[ar, pos]
+            mx = np.where(ck > key_hi, mat[ar, pos].astype(np.float64), np.float64(hi_sent))
+            nv = m.sum(axis=1)
+            sums = np.where(m, mat.astype(np.float64), 0.0).sum(axis=1)
+            min_v[chunk] = mn
+            max_v[chunk] = mx
+            valid_c[chunk] = nv
+            nodata_c[chunk] = sz - nv
+            with np.errstate(invalid="ignore", divide="ignore"):
+                mean_v[chunk] = np.where(nv > 0, sums / np.maximum(nv, 1), np.nan)
 
     keep = [
         c

@@ -25,7 +25,7 @@ import numpy as np
 
 from raycells.geo import cellid
 
-__all__ = ["KnnIndex", "brute_force_knn", "euclid_deg"]
+__all__ = ["KnnIndex", "brute_force_knn", "euclid_deg", "sharded_knn"]
 
 
 def euclid_deg(qlon, qlat, lon, lat) -> np.ndarray:
@@ -119,3 +119,137 @@ class KnnIndex:
             out_idx.append(idx)
             out_d.append(d)
         return out_idx, out_d
+
+
+def sharded_knn(points_ds, queries, k: int, parent_level: int = 3):
+    """Distributed kNN with NO driver-side point materialization — the
+    scale path the module docstring promises (SURVEY.md §2.9): points
+    shard by coarse parent cell (one filtered exchange per probe round),
+    each shard answers routed queries with a vectorized local top-k, and
+    only the per-shard top-k rows (≤ queries × k per shard) reach the
+    driver for the global merge. Probe rings expand until the kth-best
+    distance is closed out by the ring lower bound — the same
+    termination rule as ``KnnIndex.query_one``, so results are exact.
+
+    Partitioning assumption (documented per SURVEY.md §2.9): a shard =
+    one parent cell's points; dense city parents make big shards, which
+    costs a larger local top-k scan but never wrong answers.
+
+    ``points_ds``: Dataset with (seed int64, lon f64, lat f64) columns.
+    ``queries``: sequence of (query_id, qlon, qlat).
+    Returns a pa.Table (query_id, rank, seed), rank 1..k, ties → lowest
+    seed (DuckDB-oracle parity: ORDER BY dist, seed).
+    """
+    import pyarrow as pa
+
+    parent_deg = 180.0 / (1 << parent_level)
+    qids = [int(q[0]) for q in queries]
+    qlon = {int(q[0]): float(q[1]) for q in queries}
+    qlat = {int(q[0]): float(q[2]) for q in queries}
+    home = {
+        qid: int(
+            cellid.encode(
+                np.array([qlon[qid]]), np.array([qlat[qid]]), parent_level
+            )[0]
+        )
+        for qid in qids
+    }
+
+    cand_s = {qid: np.empty(0, dtype=np.int64) for qid in qids}
+    cand_d = {qid: np.empty(0, dtype=np.float64) for qid in qids}
+    probed: dict = {qid: set() for qid in qids}
+    active = set(qids)
+    R = 1
+    max_r = 1 << parent_level
+
+    while active:
+        # parent cells to probe this round (rings 0..R minus already-probed)
+        probe: dict = {}
+        for qid in active:
+            cells = set()
+            for r in range(0, R + 1):
+                cells.update(int(c) for c in cellid.ring(home[qid], r, parent_level))
+            new = cells - probed[qid]
+            probed[qid].update(new)
+            probe[qid] = new
+        qs_by_cell: dict = {}
+        for qid in active:
+            for c in probe[qid]:
+                qs_by_cell.setdefault(c, []).append(qid)
+        if qs_by_cell:
+            cell_arr = np.array(sorted(qs_by_cell), dtype=np.uint64)
+
+            def tag_and_filter(b: pa.Table) -> pa.Table:
+                lon = b["lon"].to_numpy(zero_copy_only=False)
+                lat = b["lat"].to_numpy(zero_copy_only=False)
+                p = cellid.encode(lon, lat, parent_level)
+                keep = np.isin(p, cell_arr)  # prune BEFORE the exchange
+                t = b.append_column(
+                    "_parent", pa.array(p.astype(np.int64), pa.int64())
+                )
+                return t.filter(pa.array(keep))
+
+            def shard_topk(g: pa.Table) -> pa.Table:
+                parent = int(g["_parent"][0].as_py())
+                lon = g["lon"].to_numpy(zero_copy_only=False)
+                lat = g["lat"].to_numpy(zero_copy_only=False)
+                seeds = g["seed"].to_numpy(zero_copy_only=False)
+                out_q, out_s, out_d = [], [], []
+                for qid in qs_by_cell.get(parent, ()):
+                    d = euclid_deg(qlon[qid], qlat[qid], lon, lat)
+                    top = np.lexsort((seeds, d))[: k]
+                    out_q.extend([qid] * len(top))
+                    out_s.append(seeds[top])
+                    out_d.append(d[top])
+                if not out_q:
+                    return pa.table(
+                        {
+                            "query_id": pa.array([], pa.int64()),
+                            "seed": pa.array([], pa.int64()),
+                            "dist": pa.array([], pa.float64()),
+                        }
+                    )
+                return pa.table(
+                    {
+                        "query_id": pa.array(np.asarray(out_q, np.int64)),
+                        "seed": pa.array(np.concatenate(out_s).astype(np.int64)),
+                        "dist": pa.array(np.concatenate(out_d)),
+                    }
+                )
+
+            part = (
+                points_ds.map_batches(tag_and_filter, batch_format="pyarrow")
+                .groupby("_parent")
+                .map_groups(shard_topk, batch_format="pyarrow")
+                .to_pandas()  # ≤ probed_cells × queries × k rows
+            )
+            for qid, sub in part.groupby("query_id", sort=False):
+                cand_s[qid] = np.concatenate(
+                    [cand_s[qid], sub["seed"].to_numpy().astype(np.int64)]
+                )
+                cand_d[qid] = np.concatenate([cand_d[qid], sub["dist"].to_numpy()])
+        # termination: kth best closed out by the unprobed-ring lower bound
+        done = set()
+        for qid in active:
+            if len(cand_d[qid]) >= k:
+                order = np.lexsort((cand_s[qid], cand_d[qid]))[:k]
+                if cand_d[qid][order[-1]] <= R * parent_deg or R >= max_r:
+                    done.add(qid)
+            elif R >= max_r:
+                done.add(qid)
+        active -= done
+        R += 1
+
+    out_q, out_r, out_s = [], [], []
+    for qid in qids:
+        order = np.lexsort((cand_s[qid], cand_d[qid]))[:k]
+        out_q.extend([qid] * len(order))
+        out_r.extend(range(1, len(order) + 1))
+        out_s.extend(cand_s[qid][order])
+    return pa.table(
+        {
+            "query_id": pa.array(np.asarray(out_q, np.int64)),
+            "rank": pa.array(np.asarray(out_r, np.int64)),
+            "seed": pa.array(np.asarray(out_s, np.int64)),
+        }
+    )

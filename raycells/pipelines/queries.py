@@ -32,7 +32,6 @@ import pyarrow.parquet as pq
 from raycells.engine import pipeline as pl
 from raycells.engine import shuffle as shuffle_mod
 from raycells.engine import stages
-from raycells.geo.knn import KnnIndex
 from raycells.io import docsource
 from raycells.sim.knn import topk_cosine
 from raycells.text import analysis as ta
@@ -473,39 +472,20 @@ def q_pip_join_cellcover(sf_dir: str):
 
 
 def q_knn_tiles(sf_dir: str):
-    """kNN tile lookup: ring-expansion over the cell-bucketed index for
-    the 3 city-center queries; ties broken by seed (oracle parity). The
-    index is built once from the small (seed, lon, lat) projection and
-    broadcast to KnnQuerier task stages (per-worker memoized state);
-    queries stream as a Dataset."""
-    import ray
-    import ray.data as rd
+    """kNN tile lookup, SHARDED (geo/knn.sharded_knn — the scale path):
+    tile points shard by coarse parent cell, queries route to the shards
+    their probe rings touch, each shard answers a vectorized local
+    top-k, and only per-shard top-k rows reach the driver for the global
+    merge. No driver-side point materialization anywhere; ties broken by
+    seed (oracle parity). The broadcast single-index variant
+    (KnnIndex + KnnQuerier) remains for query-stream workloads where the
+    point set is small enough to ship."""
+    from raycells.geo.knn import sharded_knn
 
-    ex = _exploded(sf_dir)
-    pts = ex.map_batches(
+    pts = _exploded(sf_dir).map_batches(
         lambda b: _seed_points(b), batch_format="pyarrow"
-    ).to_arrow_refs()
-    tbl = pa.concat_tables([ray.get(r) for r in pts])
-    seeds = tbl["seed"].to_numpy(zero_copy_only=False)
-    order = np.argsort(seeds, kind="stable")  # position order == seed order
-    index = KnnIndex(
-        tbl["lon"].to_numpy(zero_copy_only=False)[order],
-        tbl["lat"].to_numpy(zero_copy_only=False)[order],
-        seeds[order],
-        level=7,
     )
-    index_ref = ray.put(index)
-    queries_tbl = pa.table(
-        {
-            "query_id": pa.array([q[0] for q in KNN_QUERIES], pa.int64()),
-            "qlon": pa.array([q[1] for q in KNN_QUERIES]),
-            "qlat": pa.array([q[2] for q in KNN_QUERIES]),
-        }
-    )
-    return rd.from_arrow(queries_tbl).map_batches(
-        stages.broadcast_task(stages.KnnQuerier, index_ref, KNN_K),
-        batch_format="pyarrow",
-    )
+    return sharded_knn(pts, KNN_QUERIES, KNN_K, parent_level=3)
 
 
 def _seed_points(batch: pa.Table) -> pa.Table:

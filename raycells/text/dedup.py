@@ -295,11 +295,15 @@ def minhash_near_dup_pairs(
     of ``bands`` copies of the corpus. Real buckets are resolved inside
     each group and deduplicated candidate id pairs come out.
 
-    **Phase B — verify.** Candidate ids are broadcast, only their texts
-    are gathered (one filtered pass over the corpus), and exact shingle
-    Jaccard keeps pairs ≥ threshold. Scale assumption (standard for
-    LSH dedup): the candidate set is output-sized, orders of magnitude
-    smaller than the corpus — LSH bands are tuned so that is true.
+    **Phase B — verify, fully distributed.** Candidate pairs are
+    deduplicated with the same coarse-bucket exchange, the DISTINCT
+    candidate ids (16 B each — the only driver-side collection, bounded
+    by LSH design) broadcast as a semi-join prefilter over the corpus,
+    and each pair meets its two texts through TWO co-partitioned
+    ``hash_join`` exchanges (engine/joins.py) — pair ⋈ text(id_a) ⋈
+    text(id_b) — verified batch-local with exact shingle Jaccard. No
+    corpus-derived table is ever ``ray.get``-collected; only the final
+    verified pairs (the output) come back to the driver.
     Returns a pyarrow Table (id_a < id_b, jaccard)."""
     import ray
 
@@ -342,14 +346,6 @@ def minhash_near_dup_pairs(
         .groupby("_cbucket")
         .map_groups(pairs_of, batch_format="pyarrow")
     )
-    # candidates are output-sized (LSH design assumption) — dedupe the
-    # collected table driver-side instead of paying another groupby
-    # execution (a pair repeats once per colliding band)
-    cand_tbl = pa.concat_tables([ray.get(r) for r in cand.to_arrow_refs()])
-    cand_tbl = pa.Table.from_pandas(
-        cand_tbl.to_pandas().drop_duplicates(["id_a", "id_b"]),
-        preserve_index=False,
-    )
     empty = pa.table(
         {
             "id_a": pa.array([], pa.string()),
@@ -357,79 +353,43 @@ def minhash_near_dup_pairs(
             "jaccard": pa.array([], pa.float64()),
         }
     )
-    if cand_tbl.num_rows == 0:
-        return empty
 
-    id_a = cand_tbl["id_a"].to_pylist()
-    id_b = cand_tbl["id_b"].to_pylist()
-    wanted = np.asarray(sorted(set(id_a) | set(id_b)), dtype=object)
-    wanted_ref = ray.put(wanted)
+    def verify(batch: pa.Table) -> pa.Table:
+        # batch-local shingle cache: repeated ids inside a batch (a doc
+        # in many candidate pairs) shingle once
+        cache: dict = {}
 
-    def fetch_texts(batch: pa.Table) -> pa.Table:
-        w = ray.get(wanted_ref)
-        ids_np = np.asarray(batch[id_col].to_pylist(), dtype=object)
-        keep = np.isin(ids_np, w)
-        t = pa.table({id_col: batch[id_col], col: batch[col]})
-        return t.filter(pa.array(keep))
-
-    texts_tbl = pa.concat_tables(
-        [ray.get(r) for r in ds.map_batches(fetch_texts, batch_format="pyarrow").to_arrow_refs()]
-    )
-    # Distributed verify: the candidate-touched texts ride the object
-    # store once; pairs fan out over the cluster, each worker keeping a
-    # shingle cache. (Self-similar corpora can make the candidate set
-    # large — this fixture: 112k candidates for 256 true pairs — so the
-    # exact-Jaccard pass must parallelize, not run on the driver.)
-    texts_ref = ray.put(
-        dict(zip(texts_tbl[id_col].to_pylist(), texts_tbl[col].to_pylist()))
-    )
-
-    class VerifyPairs:
-        def __init__(self, ref, kk, thr):
-            self.text_of = ray.get(ref)
-            self.k = kk
-            self.threshold = thr
-            self.cache: dict = {}
-
-        def _shingles(self, i):
-            s = self.cache.get(i)
+        def sh(i, t):
+            s = cache.get(i)
             if s is None:
-                s = self.cache[i] = char_shingles(self.text_of[i], self.k)
+                s = cache[i] = char_shingles(t, k)
             return s
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a_in = batch["id_a"].to_pylist()
-            b_in = batch["id_b"].to_pylist()
-            a_out, b_out, j_out = [], [], []
-            for a, b in zip(a_in, b_in):
-                jac = jaccard(self._shingles(a), self._shingles(b))
-                if jac >= threshold:
-                    a_out.append(a)
-                    b_out.append(b)
-                    j_out.append(jac)
-            return pa.table(
-                {
-                    "id_a": pa.array(a_out, pa.string()),
-                    "id_b": pa.array(b_out, pa.string()),
-                    "jaccard": pa.array(j_out, pa.float64()),
-                }
-            )
-
-    import ray.data as rd
-
-    from raycells.engine.stages import broadcast_task
-
-    n_blocks = max(1, min(64, cand_tbl.num_rows // 2048))
-    verified = (
-        rd.from_arrow(cand_tbl)
-        .repartition(n_blocks)
-        .map_batches(
-            broadcast_task(VerifyPairs, texts_ref, k, threshold),
-            batch_format="pyarrow",
+        a_in = batch["id_a"].to_pylist()
+        b_in = batch["id_b"].to_pylist()
+        ta_in = batch["text_a"].to_pylist()
+        tb_in = batch["text_b"].to_pylist()
+        a_out, b_out, j_out = [], [], []
+        for a, b, ta, tb in zip(a_in, b_in, ta_in, tb_in):
+            jac = jaccard(sh(a, ta), sh(b, tb))
+            if jac >= threshold:
+                a_out.append(a)
+                b_out.append(b)
+                j_out.append(jac)
+        return pa.table(
+            {
+                "id_a": pa.array(a_out, pa.string()),
+                "id_b": pa.array(b_out, pa.string()),
+                "jaccard": pa.array(j_out, pa.float64()),
+            }
         )
+
+    out = _verify_join_collect(
+        cand, ds, id_col=id_col, payload_col=col,
+        payload_names=("text_a", "text_b"), verify_fn=verify,
+        id_type=pa.string(), empty=empty,
     )
-    out = pa.concat_tables([ray.get(r) for r in verified.to_arrow_refs()])
-    if out.num_rows == 0:
+    if out is None or out.num_rows == 0:
         return empty
     order = np.lexsort(
         (
@@ -438,6 +398,80 @@ def minhash_near_dup_pairs(
         )
     )
     return out.take(pa.array(order))
+
+
+def _verify_join_collect(
+    cand_ds, corpus_ds, *, id_col, payload_col, payload_names, verify_fn,
+    id_type, empty,
+):
+    """Shared distributed Phase-B skeleton for the near-dup verifiers:
+
+    1. distributed pair dedup (coarse-bucket exchange) + bounded
+       materialize — the candidate set is output-sized by LSH design;
+    2. DISTINCT candidate ids (the one driver-side collection: 16 B/id)
+       broadcast as a semi-join prefilter over the corpus;
+    3. pair ⋈ payload(id_a) ⋈ payload(id_b) via two co-partitioned
+       ``hash_join`` exchanges — payloads stream block-to-block, never
+       to the driver;
+    4. ``verify_fn`` per batch; only the verified pairs are collected.
+
+    Returns the verified pa.Table (or None when there are no candidates).
+    """
+    import ray
+    import pandas as pd
+
+    from raycells.engine.joins import hash_join
+
+    cand = _dedupe_pairs(cand_ds, []).materialize()
+    if cand.count() == 0:
+        return None
+
+    def pair_ids(b: pa.Table) -> pa.Table:
+        u = np.unique(
+            np.concatenate(
+                [
+                    b["id_a"].to_numpy(zero_copy_only=False),
+                    b["id_b"].to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        return pa.table({"_id": pa.array(u, id_type)})
+
+    ids_df = cand.map_batches(pair_ids, batch_format="pyarrow").to_pandas()
+    wanted = np.unique(ids_df["_id"].to_numpy())
+    wanted_ref = ray.put(wanted)
+
+    def fetch(name):
+        def fetch_payloads(batch: pa.Table) -> pa.Table:
+            w = ray.get(wanted_ref)
+            ids_np = batch[id_col].to_numpy(zero_copy_only=False)
+            keep = np.isin(ids_np, w)
+            t = pa.table({"_pid": batch[id_col], name: batch[payload_col]})
+            return t.filter(pa.array(keep))
+
+        return fetch_payloads
+
+    name_a, name_b = payload_names
+    side_a = corpus_ds.map_batches(fetch(name_a), batch_format="pyarrow")
+    side_b = corpus_ds.map_batches(fetch(name_b), batch_format="pyarrow")
+    with_a = hash_join(
+        cand, side_a,
+        key_left="id_a", key_right="_pid",
+        keep_left=["id_a", "id_b"], keep_right=[name_a],
+    )
+    with_ab = hash_join(
+        with_a, side_b,
+        key_left="id_b", key_right="_pid",
+        keep_left=["id_a", "id_b", name_a], keep_right=[name_b],
+    )
+    verified = with_ab.map_batches(verify_fn, batch_format="pyarrow")
+    # Ray can surface schema-less empty blocks from empty groupby buckets;
+    # drop them before the concat (they carry no rows by construction)
+    tabs = [ray.get(r) for r in verified.to_arrow_refs()]
+    tabs = [t for t in tabs if t.num_rows > 0]
+    if not tabs:
+        return None
+    return pa.concat_tables(tabs)
 
 
 # ---------------------------------------------------------------------------
@@ -575,10 +609,12 @@ def embedding_near_dup_pairs(
     buckets and yields deduplicated candidate id pairs. The shuffle
     moves 16 B per (vector, table) instead of the vector payload.
 
-    **Phase B — verify.** Candidate-touched vectors ride the object
-    store once (``ray.put``); pairs fan out and exact cosine ≥ threshold
-    filters, each worker caching unit vectors. More tables → higher
-    recall; the candidate set is output-sized by LSH design."""
+    **Phase B — verify, fully distributed** (the shared
+    ``_verify_join_collect`` skeleton): distributed pair dedup →
+    DISTINCT-candidate-id broadcast prefilter → pair ⋈ vector(id_a) ⋈
+    vector(id_b) co-partitioned hash joins → exact cosine ≥ threshold
+    per batch. Only the verified pairs reach the driver. More tables →
+    higher recall; the candidate set is output-sized by LSH design."""
     import ray
 
     rng = np.random.default_rng(seed)
@@ -626,7 +662,6 @@ def embedding_near_dup_pairs(
         .groupby("_cbucket")
         .map_groups(pairs_of, batch_format="pyarrow")
     )
-    cand_tbl = pa.concat_tables([ray.get(r) for r in cand.to_arrow_refs()])
     empty = pa.table(
         {
             "id_a": pa.array([], pa.int64()),
@@ -634,64 +669,38 @@ def embedding_near_dup_pairs(
             "cosine": pa.array([], pa.float64()),
         }
     )
-    if cand_tbl.num_rows == 0:
-        return empty
-    cdf = cand_tbl.to_pandas().drop_duplicates(["id_a", "id_b"])
-    wanted = np.unique(np.concatenate([cdf["id_a"].values, cdf["id_b"].values]))
-    wanted_ref = ray.put(wanted)
 
-    def fetch_vecs(batch: pa.Table) -> pa.Table:
-        w = ray.get(wanted_ref)
-        keep = np.isin(batch[id_col].to_numpy(zero_copy_only=False), w)
-        return pa.table({id_col: batch[id_col], col: batch[col]}).filter(
-            pa.array(keep)
+    def verify(batch: pa.Table) -> pa.Table:
+        a_in = batch["id_a"].to_numpy(zero_copy_only=False)
+        b_in = batch["id_b"].to_numpy(zero_copy_only=False)
+        if len(a_in) == 0:
+            return empty
+        va = np.asarray(batch["vec_a"].to_pylist(), dtype=np.float64)
+        vb = np.asarray(batch["vec_b"].to_pylist(), dtype=np.float64)
+        # normalize-then-dot, the exact float path the pinned brute-force
+        # oracle uses (unit vectors first, then the product sum)
+        na = np.linalg.norm(va, axis=1)
+        nb = np.linalg.norm(vb, axis=1)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        ua = va / na[:, None]
+        ub = vb / nb[:, None]
+        sims = np.round((ua * ub).sum(axis=1), 6)
+        hit = sims >= threshold
+        return pa.table(
+            {
+                "id_a": pa.array(a_in[hit].astype(np.int64)),
+                "id_b": pa.array(b_in[hit].astype(np.int64)),
+                "cosine": pa.array(sims[hit]),
+            }
         )
 
-    vec_tbl = pa.concat_tables(
-        [ray.get(r) for r in ds.map_batches(fetch_vecs, batch_format="pyarrow").to_arrow_refs()]
+    out = _verify_join_collect(
+        cand, ds, id_col=id_col, payload_col=col,
+        payload_names=("vec_a", "vec_b"), verify_fn=verify,
+        id_type=pa.int64(), empty=empty,
     )
-    emb = np.asarray(vec_tbl[col].to_pylist(), dtype=np.float64)
-    norm = np.linalg.norm(emb, axis=1)
-    norm[norm == 0] = 1.0
-    unit_ref = ray.put(
-        dict(zip(vec_tbl[id_col].to_pylist(), emb / norm[:, None]))
-    )
-
-    class VerifyCosine:
-        def __init__(self, ref, thr):
-            self.unit_of = ray.get(ref)
-            self.threshold = thr
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a_in = batch["id_a"].to_numpy(zero_copy_only=False)
-            b_in = batch["id_b"].to_numpy(zero_copy_only=False)
-            ua = np.stack([self.unit_of[i] for i in a_in])
-            ub = np.stack([self.unit_of[i] for i in b_in])
-            sims = np.round((ua * ub).sum(axis=1), 6)
-            hit = sims >= self.threshold
-            return pa.table(
-                {
-                    "id_a": pa.array(a_in[hit], pa.int64()),
-                    "id_b": pa.array(b_in[hit], pa.int64()),
-                    "cosine": pa.array(sims[hit]),
-                }
-            )
-
-    import ray.data as rd
-
-    from raycells.engine.stages import broadcast_task
-
-    n_blocks = max(1, min(64, len(cdf) // 2048))
-    verified = (
-        rd.from_arrow(pa.Table.from_pandas(cdf, preserve_index=False))
-        .repartition(n_blocks)
-        .map_batches(
-            broadcast_task(VerifyCosine, unit_ref, threshold),
-            batch_format="pyarrow",
-        )
-    )
-    out = pa.concat_tables([ray.get(r) for r in verified.to_arrow_refs()])
-    if out.num_rows == 0:
+    if out is None or out.num_rows == 0:
         return empty
     order = np.lexsort(
         (out["id_b"].to_numpy(zero_copy_only=False),

@@ -217,3 +217,32 @@ def test_vectorize_respects_mask():
     regions = raster.vectorize(vals, mask)
     assert len(regions) == 1
     assert regions[0]["cell_count"] == 4
+
+
+def test_sharded_knn_matches_brute_force(ray_session):
+    """The distributed sharded kNN (geo/knn.sharded_knn) must be EXACT:
+    per-shard local top-k + ring-bounded probe expansion returns the
+    same (seed, rank) rows as all-pairs brute force, including a sparse
+    far-south query that forces multi-round ring expansion."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    lon = np.concatenate([rng.normal(-74, 0.5, n // 2), rng.uniform(-180, 180, n // 2)])
+    lat = np.concatenate([rng.normal(40.7, 0.5, n // 2), rng.uniform(-85, 85, n // 2)])
+    seeds = rng.permutation(n).astype(np.int64)  # seeds ≠ positions
+    pts = rd.from_arrow(
+        pa.table({"seed": seeds, "lon": lon, "lat": lat})
+    ).repartition(4)
+    queries = ((0, -74.0, 40.7), (1, 0.0, 0.0), (2, 175.0, -84.0))
+    k = 6
+    got = knn.sharded_knn(pts, queries, k, parent_level=3).to_pandas()
+    qlon = np.array([q[1] for q in queries])
+    qlat = np.array([q[2] for q in queries])
+    # brute-force oracle with the same tie rule (dist, then seed)
+    for qi, (qid, _, _) in enumerate(queries):
+        d = knn.euclid_deg(qlon[qi], qlat[qi], lon, lat)
+        want = seeds[np.lexsort((seeds, d))[:k]]
+        have = got[got["query_id"] == qid].sort_values("rank")["seed"].to_numpy()
+        assert list(have) == list(want), qid

@@ -86,3 +86,43 @@ def test_stats_chunk_boundary_independence():
     for col in ("min_val", "max_val", "valid_count", "mean_val"):
         joined = np.concatenate([halves[0][col], halves[1][col]])
         assert np.array_equal(whole[col], joined), col
+
+
+def test_tile_stats_grouped_matches_scalar_fold_edge_cases():
+    """The grouped-vectorized tile_stats must keep the reference fold
+    semantics per tile: participating (max, min) seeds (all-masked →
+    inverted sentinels; +NaN loses the min to the float MAX seed but
+    wins the max under total order), exact int64 compares above 2^53."""
+    from raycells.cells import kernels
+    from raycells.cells.ctype import CellType
+
+    tiles = [
+        # (cell_type, values, mask)
+        ("Float32", np.array([np.nan, 1.5, -2.0], np.float32), np.array([True, True, True])),
+        ("Float32", np.array([np.nan, np.nan], np.float32), np.array([True, True])),
+        ("Float64", np.array([3.0, 4.0], np.float64), np.array([False, False])),  # all masked
+        ("Int64", np.array([2**62 + 3, 2**62 + 1], np.int64), np.array([True, True])),
+        ("UInt64", np.array([2**63 + 5, 7], np.uint64), np.array([True, False])),
+    ]
+    batch = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(len(tiles))]),
+            "span_idx": pa.array(np.zeros(len(tiles), np.int32)),
+            "data": pa.array([v.tobytes() for _, v, _ in tiles], pa.large_binary()),
+            "mask": pa.array(
+                [kernels.pack_mask(m) for _, _, m in tiles], pa.large_binary()
+            ),
+            "cell_type": pa.array([c for c, _, _ in tiles]),
+            "nrows": pa.array([1] * len(tiles), pa.int32()),
+            "ncols": pa.array([len(v) for _, v, _ in tiles], pa.int32()),
+        }
+    )
+    got = stages.tile_stats(batch)
+    for i, (ctname, v, m) in enumerate(tiles):
+        lo, hi = kernels.min_max(v, m)
+        want_lo, want_hi = lo.to_f64(), hi.to_f64()
+        got_lo = got["min_val"][i].as_py()
+        got_hi = got["max_val"][i].as_py()
+        assert (got_lo == want_lo) or (np.isnan(got_lo) and np.isnan(want_lo)), (i, ctname)
+        assert (got_hi == want_hi) or (np.isnan(got_hi) and np.isnan(want_hi)), (i, ctname)
+        assert got["valid_count"][i].as_py() == int(m.sum())
