@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_dense_cells": q.q_top_dense_cells,
         "ndvi_stats": q.q_ndvi_stats,
         "resample_tiles": q.q_resample_tiles,
+        "resample_bilinear": q.q_resample_bilinear,
         "tile_type_hist": q.q_tile_type_hist,
         "knn_tiles": q.q_knn_tiles,
         "flagship_cells": q.q_flagship_cells,

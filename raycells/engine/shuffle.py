@@ -27,9 +27,51 @@ __all__ = [
     "merge_cell_agg",
     "salted_cell_aggregate",
     "salted_aggregate",
+    "estimate_salt",
 ]
 
 DEFAULT_SALT = 8
+
+# a single partial-merge task should own at most ~this many rows of one
+# hot key (SURVEY §7.5's p95_target); the pre-pass sizes S from it
+SALT_TARGET_ROWS = 1 << 16
+SALT_MAX = 64
+SALT_SAMPLE_ROWS = 1 << 16
+
+
+def estimate_salt(
+    ds,
+    key: str,
+    target: int = SALT_TARGET_ROWS,
+    sample_rows: int = SALT_SAMPLE_ROWS,
+) -> int:
+    """SURVEY §7.5 salt-factor pre-pass: ``S = ceil(hot_key_rows /
+    target)`` with the hot-key count estimated from a bounded sample —
+    a constant salt is wrong under real skew (too small: one reducer
+    owns the hot city cell; too large: the partial table inflates by S×
+    for every COLD key).
+
+    Cheap by construction: the sample is ``limit(sample_rows)`` (streams
+    only the first blocks), the per-key counts reduce inside one
+    map_batches, and the hot share scales to the full row count taken
+    from READ METADATA (``ds.count()`` on an un-transformed read is a
+    metadata lookup, not a scan). Clamped to [1, SALT_MAX]."""
+    total = ds.count()
+    if not total:
+        return 1
+    n = min(sample_rows, total)
+
+    def key_counts(b: pa.Table) -> pa.Table:
+        vals = b[key].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(vals, return_counts=True)
+        return pa.table({"k": pa.array(uniq), "n": pa.array(cnt.astype(np.int64))})
+
+    sample = ds.limit(n).map_batches(key_counts, batch_format="pyarrow").to_pandas()
+    if sample.empty:
+        return 1
+    hot_share = sample.groupby("k")["n"].sum().max() / sample["n"].sum()
+    hot_rows = hot_share * total
+    return int(np.clip(int(np.ceil(hot_rows / target)), 1, SALT_MAX))
 
 
 def from_pandas_clean(df: pd.DataFrame) -> pa.Table:
@@ -155,14 +197,20 @@ def salted_aggregate(
     mins: Sequence[str] = (),
     maxs: Sequence[str] = (),
     count_alias: str = "n_rows",
-    salt: int = DEFAULT_SALT,
+    salt=DEFAULT_SALT,
     salt_col: str = "doc_id",
 ):
     """Generic two-stage salted aggregate: map-side partials on
     (key, hash(salt_col) % salt) → shuffle the partials → final merge per
     key. Column names survive verbatim (oracle parity); the count column
-    is named ``count_alias``."""
+    is named ``count_alias``. ``salt="auto"`` runs the §7.5
+    ``estimate_salt`` pre-pass — use it when the input is a raw read or
+    an already-materialized Dataset (the pre-pass re-executes the input
+    pipeline's first blocks, so it is free on reads but NOT on a stream
+    with an expensive decode upstream; those pin an int)."""
     sums, mins, maxs = list(sums), list(mins), list(maxs)
+    if salt == "auto":
+        salt = estimate_salt(ds, key)
 
     def partial(batch: pa.Table) -> pa.Table:
         cols = {"key": batch[key].to_numpy(zero_copy_only=False)}

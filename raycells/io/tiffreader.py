@@ -95,38 +95,69 @@ def read_tiff(path: str) -> Tuple[np.ndarray, Optional[float]]:
     return arr, nodata
 
 
-def _windowed(arr: np.ndarray, window, window_size, out_size) -> np.ndarray:
-    """Nearest-neighbor windowed resample — the full
-    ``read_cells(window, window_size, size)`` semantics (GDAL source
-    index floor((dst + 0.5) · w / ow), same mapping as
-    ``tilestore.window_indices``)."""
+def _windowed(arr: np.ndarray, window, window_size, out_size, resample="nearest") -> np.ndarray:
+    """Windowed resampled read — the full ``read_cells(window,
+    window_size, size, e_resample_alg)`` semantics
+    (/root/reference/src/gdal/rasterband.rs:37-43,82-103).
+
+    ``nearest`` (GDAL default): source index floor((dst + 0.5) · w / ow),
+    same mapping as ``tilestore.window_indices``. ``bilinear``
+    (GRA_Bilinear): src = (dst + 0.5) · scale − 0.5 with edge-replicate
+    clamping; returns float64 (interpolation is float math — callers
+    convert back through the cell lattice if an integer buffer is
+    wanted, which is where our API deviates from GDAL's silent
+    round-to-band-type)."""
     (c0, r0), (w, h), (ow, oh) = window, window_size, out_size
-    cols = c0 + np.floor((np.arange(ow) + 0.5) * w / ow).astype(np.int64)
-    rows = r0 + np.floor((np.arange(oh) + 0.5) * h / oh).astype(np.int64)
-    return arr[rows[:, None], cols[None, :]].reshape(-1)
+    if resample == "nearest":
+        cols = c0 + np.floor((np.arange(ow) + 0.5) * w / ow).astype(np.int64)
+        rows = r0 + np.floor((np.arange(oh) + 0.5) * h / oh).astype(np.int64)
+        return arr[rows[:, None], cols[None, :]].reshape(-1)
+    if resample == "bilinear":
+        sx = (np.arange(ow) + 0.5) * w / ow - 0.5
+        sy = (np.arange(oh) + 0.5) * h / oh - 0.5
+        x0f = np.floor(sx).astype(np.int64)
+        y0f = np.floor(sy).astype(np.int64)
+        fx = sx - x0f
+        fy = sy - y0f
+        x0 = c0 + np.clip(x0f, 0, w - 1)
+        x1 = c0 + np.clip(x0f + 1, 0, w - 1)
+        y0 = r0 + np.clip(y0f, 0, h - 1)
+        y1 = r0 + np.clip(y0f + 1, 0, h - 1)
+        a = arr.astype(np.float64)
+        top = (1.0 - fx)[None, :] * a[y0[:, None], x0[None, :]] + fx[None, :] * a[
+            y0[:, None], x1[None, :]
+        ]
+        bot = (1.0 - fx)[None, :] * a[y1[:, None], x0[None, :]] + fx[None, :] * a[
+            y1[:, None], x1[None, :]
+        ]
+        return ((1.0 - fy)[:, None] * top + fy[:, None] * bot).reshape(-1)
+    raise ValueError(f"unsupported resample algorithm: {resample!r}")
 
 
 def read_cells(
-    path: str, window=None, window_size=None, out_size=None
+    path: str, window=None, window_size=None, out_size=None, resample="nearest"
 ) -> CellBuffer:
     """``read_cells``: full raster by default; pass (window, window_size,
-    out_size) for a windowed nearest-neighbor resampled read."""
+    out_size) for a windowed resampled read (``resample`` = "nearest" or
+    "bilinear"; bilinear yields a Float64 buffer)."""
     arr, _ = read_tiff(path)
     if window is None:
         return CellBuffer(arr.reshape(-1))
-    return CellBuffer(_windowed(arr, window, window_size, out_size))
+    return CellBuffer(_windowed(arr, window, window_size, out_size, resample))
 
 
 def read_cells_masked(
-    path: str, window=None, window_size=None, out_size=None
+    path: str, window=None, window_size=None, out_size=None, resample="nearest"
 ) -> MaskedCellBuffer:
     """``read_cells_masked``: band nodata (GDAL_NODATA tag) → mask via
-    ``from_vec_with_nodata``; no tag → all-valid mask."""
+    ``from_vec_with_nodata``; no tag → all-valid mask. Bilinear reads
+    interpolate the RAW band (nodata participates, as GDAL does without
+    a mask) and mask outputs that exactly equal the nodata value."""
     arr, nodata = read_tiff(path)
     flat = (
         arr.reshape(-1)
         if window is None
-        else _windowed(arr, window, window_size, out_size)
+        else _windowed(arr, window, window_size, out_size, resample)
     )
     if nodata is None:
         return MaskedCellBuffer(CellBuffer(flat), Mask.fill(flat.size, True))

@@ -130,6 +130,66 @@ def window_indices(
     return (rows[:, None] * TILE_W + cols[None, :]).ravel()
 
 
+def bilinear_coords(
+    window: Tuple[int, int], window_size: Tuple[int, int], out_size: Tuple[int, int]
+):
+    """Corner indices + weights for a GDAL-style bilinear windowed read
+    (GRA_Bilinear — the second ``e_resample_alg`` the reference's
+    ``read_cells`` accepts, rasterband.rs:42): source coordinate
+    ``src = (dst + 0.5) · scale − 0.5``, edge-replicate clamping.
+    Returns flat (i00, i01, i10, i11) indices into the 64×64 tile plus
+    per-output-cell fractional weights (wx, wy). For integer scale
+    factors the weights are exact binary fractions (e.g. 0.5 at 2×), so
+    outputs are exact doubles of integer operands — SQL-reproducible."""
+    (c0, r0), (w, h), (ow, oh) = window, window_size, out_size
+    sx = (np.arange(ow) + 0.5) * w / ow - 0.5
+    sy = (np.arange(oh) + 0.5) * h / oh - 0.5
+    x0f = np.floor(sx).astype(np.int64)
+    y0f = np.floor(sy).astype(np.int64)
+    fx = sx - x0f
+    fy = sy - y0f
+    x0 = np.clip(x0f, 0, w - 1)
+    x1 = np.clip(x0f + 1, 0, w - 1)
+    y0 = np.clip(y0f, 0, h - 1)
+    y1 = np.clip(y0f + 1, 0, h - 1)
+    col0, col1 = c0 + x0, c0 + x1
+    row0, row1 = r0 + y0, r0 + y1
+    i00 = (row0[:, None] * TILE_W + col0[None, :]).ravel()
+    i01 = (row0[:, None] * TILE_W + col1[None, :]).ravel()
+    i10 = (row1[:, None] * TILE_W + col0[None, :]).ravel()
+    i11 = (row1[:, None] * TILE_W + col1[None, :]).ravel()
+    wx = np.tile(fx, oh)
+    wy = np.repeat(fy, ow)
+    return i00, i01, i10, i11, wx, wy
+
+
+def synth_band_window_bilinear(
+    seeds: np.ndarray,
+    band: int,
+    window: Tuple[int, int],
+    window_size: Tuple[int, int],
+    out_size: Tuple[int, int],
+) -> np.ndarray:
+    """(len(seeds), ow·oh) float64: the band tile's window resampled to
+    ``out_size`` by BILINEAR interpolation over the raw band values (the
+    nodata sentinel 0 participates, as GDAL does when no mask is set).
+    Each output is (1−wy)·((1−wx)·v00 + wx·v01) + wy·((1−wx)·v10 + wx·v11)
+    — at 2× scale every weight is 0.5, so 4·out = v00+v01+v10+v11 exactly
+    (the DuckDB oracle's integer formulation)."""
+    i00, i01, i10, i11, wx, wy = bilinear_coords(window, window_size, out_size)
+    s = np.asarray(seeds, dtype=np.int64)[:, None]
+
+    def corner(idx: np.ndarray) -> np.ndarray:
+        i = idx[None, :]
+        v = 1 + (s * MUL_A + (i + band * 101) * MUL_I) % VAL_MOD
+        v[(s + i * MASK_MUL) % MASK_MOD == 0] = 0
+        return v.astype(np.float64)
+
+    top = (1.0 - wx) * corner(i00) + wx * corner(i01)
+    bot = (1.0 - wx) * corner(i10) + wx * corner(i11)
+    return (1.0 - wy) * top + wy * bot
+
+
 def synth_band_window(
     seeds: np.ndarray,
     band: int,

@@ -38,6 +38,31 @@ MEDIA_SCHEMA = pa.schema(
 _DECODE_BATCH = 64  # large payloads ⇒ small batches (heap = B × payload × pool)
 
 
+def _binary_segments(arr):
+    """Zero-copy (flat uint8 view, offsets int64) of a large_binary
+    column — the decode stages index into this instead of calling
+    ``.as_py()`` per row (per-row Python was the r1 media bottleneck)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int64, count=len(arr) + 1 + arr.offset)[
+        arr.offset :
+    ]
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    return data, off
+
+
+def _binary_column(n: int, out_off: np.ndarray, out_flat: np.ndarray):
+    """Build a large_binary array directly from (offsets, flat bytes)."""
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), n, [None, pa.py_buffer(out_off), pa.py_buffer(out_flat)]
+    )
+
+
 def synth_media_batch(seeds: np.ndarray, media_type: str = "image") -> pa.Table:
     """Deterministic fake media rows (PRNG keyed by seed only — idempotent
     under retries). The payload is a raw uint8 plane, standing in for an
@@ -78,26 +103,36 @@ class MediaDecoder:
         return np.frombuffer(payload, dtype=np.uint8)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payloads = batch["payload"]
         n = batch.num_rows
-        mean_v = np.empty(n)
-        std_v = np.empty(n)
-        nbytes = np.empty(n, dtype=np.int64)
-        for i in range(n):
-            raw = payloads[i].as_py()
-            arr = (
-                self._decode_real(raw, batch["media_type"][i].as_py())
-                if self.real_codec
-                else self._decode_fake(raw)
-            )
-            mean_v[i] = arr.mean() if arr.size else 0.0
-            std_v[i] = arr.std() if arr.size else 0.0
-            nbytes[i] = len(raw)
+        if self.real_codec:
+            # the codec boundary stays per-payload by nature; everything
+            # below (the fake path) shows the vectorized shape
+            for i in range(n):
+                self._decode_real(
+                    batch["payload"][i].as_py(), batch["media_type"][i].as_py()
+                )
+        data, off = _binary_segments(batch["payload"])
+        lens = np.diff(off)
+        # segment mean/std over the flat byte view: one reduceat per
+        # moment instead of a per-row Python decode loop
+        x = data.astype(np.float64)
+        starts = np.minimum(off[:-1], max(len(x) - 1, 0))
+        if len(x):
+            sums = np.add.reduceat(x, starts)
+            sumsq = np.add.reduceat(x * x, starts)
+        else:
+            sums = np.zeros(n)
+            sumsq = np.zeros(n)
+        nz = lens > 0
+        denom = np.maximum(lens, 1).astype(np.float64)
+        mean_v = np.where(nz, sums / denom, 0.0)
+        var = np.maximum(sumsq / denom - mean_v * mean_v, 0.0)
+        std_v = np.where(nz, np.sqrt(var), 0.0)
         out = dict(zip(batch.column_names, batch.columns))
         out.pop("payload")  # decoded stats replace the heavy payload column
         out.update(
             {
-                "n_bytes": pa.array(nbytes),
+                "n_bytes": pa.array(lens.astype(np.int64)),
                 "pixel_mean": pa.array(np.round(mean_v, 6)),
                 "pixel_std": pa.array(np.round(std_v, 6)),
             }
@@ -113,27 +148,34 @@ class ImageResize:
         self.out_h, self.out_w = out_h, out_w
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        hs = batch["height"].to_numpy(zero_copy_only=False)
-        ws = batch["width"].to_numpy(zero_copy_only=False)
-        out_payload, out_h, out_w = [], [], []
-        for i in range(batch.num_rows):
-            raw = batch["payload"][i].as_py()
-            if batch["media_type"][i].as_py() != "image":
-                out_payload.append(raw)
-                out_h.append(int(hs[i]))
-                out_w.append(int(ws[i]))
-                continue
-            img = np.frombuffer(raw, dtype=np.uint8)
-            img = img[: hs[i] * ws[i]].reshape(hs[i], ws[i])
-            yi = (np.arange(self.out_h) * hs[i] // self.out_h).astype(np.int64)
-            xi = (np.arange(self.out_w) * ws[i] // self.out_w).astype(np.int64)
-            out_payload.append(img[np.ix_(yi, xi)].tobytes())
-            out_h.append(self.out_h)
-            out_w.append(self.out_w)
+        n = batch.num_rows
+        hs = batch["height"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ws = batch["width"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mt = np.asarray(batch["media_type"].to_pylist(), dtype=object)
+        is_img = mt == "image"
+        data, off = _binary_segments(batch["payload"])
+        lens = np.diff(off)
+        out_lens = np.where(is_img, self.out_h * self.out_w, lens)
+        out_off = np.zeros(n + 1, np.int64)
+        np.cumsum(out_lens, out=out_off[1:])
+        out_flat = np.empty(out_off[-1], np.uint8)
+        # pass-through rows: straight memcpy of the source segment
+        for i in np.nonzero(~is_img)[0]:
+            out_flat[out_off[i] : out_off[i + 1]] = data[off[i] : off[i + 1]]
+        # image rows: ONE fancy-indexed gather per (h, w) group — the
+        # gather matrix is (rows, out_h*out_w) indices into the flat view
+        for h, w in {(int(a), int(b)) for a, b in zip(hs[is_img], ws[is_img])}:
+            rows = np.nonzero(is_img & (hs == h) & (ws == w))[0]
+            yi = np.arange(self.out_h, dtype=np.int64) * h // self.out_h
+            xi = np.arange(self.out_w, dtype=np.int64) * w // self.out_w
+            flat_idx = (yi[:, None] * w + xi[None, :]).ravel()
+            res = data[off[rows][:, None] + flat_idx[None, :]]
+            dst = out_off[rows][:, None] + np.arange(res.shape[1])[None, :]
+            out_flat[dst] = res
         out = dict(zip(batch.column_names, batch.columns))
-        out["payload"] = pa.array(out_payload, pa.large_binary())
-        out["height"] = pa.array(out_h, pa.int32())
-        out["width"] = pa.array(out_w, pa.int32())
+        out["payload"] = _binary_column(n, out_off, out_flat)
+        out["height"] = pa.array(np.where(is_img, self.out_h, hs).astype(np.int32))
+        out["width"] = pa.array(np.where(is_img, self.out_w, ws).astype(np.int32))
         return pa.table(out)
 
 
@@ -145,21 +187,31 @@ class FrameSampler:
         self.stride = stride
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_payload, out_frames = [], []
-        for i in range(batch.num_rows):
-            raw = np.frombuffer(batch["payload"][i].as_py(), dtype=np.uint8)
-            nf = int(batch["n_frames"][i].as_py())
-            if batch["media_type"][i].as_py() != "video" or nf <= 1:
-                out_payload.append(raw.tobytes())
-                out_frames.append(nf)
-                continue
-            frame = raw.size // nf
-            frames = raw[: frame * nf].reshape(nf, frame)[:: self.stride]
-            out_payload.append(frames.tobytes())
-            out_frames.append(frames.shape[0])
+        n = batch.num_rows
+        nf_in = batch["n_frames"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mt = np.asarray(batch["media_type"].to_pylist(), dtype=object)
+        data, off = _binary_segments(batch["payload"])
+        lens = np.diff(off)
+        is_vid = (mt == "video") & (nf_in > 1)
+        frame = np.where(nf_in > 0, lens // np.maximum(nf_in, 1), 0)
+        nf_out = np.where(is_vid, (nf_in + self.stride - 1) // self.stride, nf_in)
+        out_lens = np.where(is_vid, nf_out * frame, lens)
+        out_off = np.zeros(n + 1, np.int64)
+        np.cumsum(out_lens, out=out_off[1:])
+        out_flat = np.empty(out_off[-1], np.uint8)
+        for i in np.nonzero(~is_vid)[0]:
+            out_flat[out_off[i] : out_off[i + 1]] = data[off[i] : off[i + 1]]
+        # video rows: one gather per (n_frames, frame_size) group
+        for nf, fsz in {(int(a), int(b)) for a, b in zip(nf_in[is_vid], frame[is_vid])}:
+            rows = np.nonzero(is_vid & (nf_in == nf) & (frame == fsz))[0]
+            kept = np.arange(0, nf, self.stride, dtype=np.int64)
+            flat_idx = (kept[:, None] * fsz + np.arange(fsz, dtype=np.int64)[None, :]).ravel()
+            res = data[off[rows][:, None] + flat_idx[None, :]]
+            dst = out_off[rows][:, None] + np.arange(res.shape[1])[None, :]
+            out_flat[dst] = res
         out = dict(zip(batch.column_names, batch.columns))
-        out["payload"] = pa.array(out_payload, pa.large_binary())
-        out["n_frames"] = pa.array(out_frames, pa.int32())
+        out["payload"] = _binary_column(n, out_off, out_flat)
+        out["n_frames"] = pa.array(nf_out.astype(np.int32))
         return pa.table(out)
 
 

@@ -488,6 +488,35 @@ def build() -> dict:
                    CAST(MAX(v) AS BIGINT) AS max_rs
             FROM vals GROUP BY doc_id, span_idx, seed
         """,
+        # windowed BILINEAR read at exactly 2× scale: every weight is
+        # 0.5, so 4·out = sum of the 4 source pixels — pure integers.
+        # out cell (rr, cc) reads sources (16+2rr+dr, 16+2cc+dc), dr,dc ∈ {0,1}
+        "resample_bilinear": _MEDIA
+        + """
+            , grid AS (
+                SELECT m.doc_id, m.span_idx, m.seed,
+                       r.range AS rr, c.range AS cc,
+                       (16 + 2 * r.range + dr.range) * 64
+                       + (16 + 2 * c.range + dc.range) AS i
+                FROM media m, range(16) r, range(16) c, range(2) dr, range(2) dc
+            ),
+            vals AS (
+                SELECT doc_id, span_idx, seed, rr, cc,
+                       CASE WHEN (seed + i * 7) % 33 = 0 THEN 0
+                            ELSE 1 + (seed * 2654435761 + (i + 404) * 40503) % 65520
+                       END AS v
+                FROM grid
+            ),
+            outcells AS (
+                SELECT doc_id, span_idx, seed, CAST(SUM(v) AS BIGINT) AS v4
+                FROM vals GROUP BY doc_id, span_idx, seed, rr, cc
+            )
+            SELECT doc_id, span_idx, seed,
+                   CAST(SUM(v4) AS BIGINT) AS sum_bl4,
+                   CAST(MIN(v4) AS BIGINT) AS min_bl4,
+                   CAST(MAX(v4) AS BIGINT) AS max_bl4
+            FROM outcells GROUP BY doc_id, span_idx, seed
+        """,
         "ndvi_stats": _MEDIA
         + """
             , cells AS (

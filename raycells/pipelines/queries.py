@@ -237,6 +237,35 @@ def q_resample_tiles(sf_dir: str):
     return _exploded(sf_dir).map_batches(resample_stats, batch_format="pyarrow")
 
 
+def q_resample_bilinear(sf_dir: str):
+    """Windowed BILINEAR resampled read (reference ``read_cells``'s
+    ``e_resample_alg`` beyond the NearestNeighbour default,
+    rasterband.rs:42): the (16,16)+(32,32) window of band 4 resampled to
+    16×16 at exactly 2× scale, where every bilinear weight is 0.5 —
+    4·out = v00+v01+v10+v11 exactly, so the per-tile stats are integers
+    and the DuckDB oracle reproduces them bit-for-bit."""
+    from raycells.io import tilestore
+
+    WINDOW, WSIZE, OSIZE = (16, 16), (32, 32), (16, 16)
+
+    def bilinear_stats(b: pa.Table) -> pa.Table:
+        seeds = tilestore.seed_of_refs(b["media_ref"])
+        v = tilestore.synth_band_window_bilinear(seeds, 4, WINDOW, WSIZE, OSIZE)
+        v4 = np.rint(v * 4.0).astype(np.int64)  # exact: weights are 1/2
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "span_idx": pc.cast(b["span_idx"], pa.int64()),
+                "seed": pa.array(seeds, pa.int64()),
+                "sum_bl4": pa.array(v4.sum(axis=1)),
+                "min_bl4": pa.array(v4.min(axis=1)),
+                "max_bl4": pa.array(v4.max(axis=1)),
+            }
+        )
+
+    return _exploded(sf_dir).map_batches(bilinear_stats, batch_format="pyarrow")
+
+
 def q_cell_agg_band(sf_dir: str):
     """Per-grid-cell salted two-stage aggregate of band-tile stats — the
     oracle-checked version of the (doc, cell, tile) assignment shuffle."""
@@ -1161,7 +1190,9 @@ def q_media_features(sf_dir: str):
     tables = [
         synth_media_batch(np.arange(k, n, 3, dtype=np.int64), kinds[k]) for k in range(3)
     ]
-    ds = rd.from_arrow(pa.concat_tables(tables))
+    # ≥ pool-size input blocks: a single from_arrow block starves the
+    # min-2-actor pools (the r1 bench logged the Ray warning for it)
+    ds = rd.from_arrow(pa.concat_tables(tables)).repartition(8)
     feats = media_pipeline(ds)
     return feats.drop_columns(["pixel_mean", "pixel_std"]).sort("media_id")
 

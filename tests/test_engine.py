@@ -347,3 +347,41 @@ def test_flagship_partitioned_sink(docs_dir, ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got[expect.columns], expect, check_dtype=False, check_exact=True
     )
+
+
+def test_estimate_salt_adapts_to_skew(ray_session):
+    """SURVEY §7.5: the salt factor must come from a count pre-pass, not
+    a constant. A 100×-skewed key distribution at a small p95 target
+    must yield S > DEFAULT_SALT, and salting with the estimated S must
+    cap every (key, salt) partial at ~hot/S rows — balanced — where the
+    fixed SALT=8 leaves hot/8-row partials."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raycells.engine import shuffle as sh
+
+    hot, cold_keys, cold_each = 20000, 40, 200  # hot key has 100× a cold key
+    keys = np.concatenate(
+        [np.zeros(hot, np.int64)]
+        + [np.full(cold_each, k, np.int64) for k in range(1, cold_keys + 1)]
+    )
+    rng = np.random.default_rng(3)
+    doc = rng.integers(0, 1 << 60, keys.size).astype(np.int64)
+    ds = rd.from_arrow(
+        pa.table({"cell_id": keys, "doc_id": doc.astype(str)})
+    ).repartition(8)
+
+    target = 1024
+    s_auto = sh.estimate_salt(ds, "cell_id", target=target, sample_rows=keys.size)
+    assert s_auto > sh.DEFAULT_SALT  # 20000/1024 → 20
+    assert s_auto >= int(np.ceil(hot / target)) * 0.5  # sampling slack
+
+    def hot_partial_sizes(salt):
+        h = (pd.util.hash_array(doc[keys == 0].astype(str).astype(object)) % salt).astype(np.int64)
+        return np.bincount(h, minlength=salt)
+
+    balanced = hot_partial_sizes(s_auto)
+    fixed = hot_partial_sizes(sh.DEFAULT_SALT)
+    assert balanced.max() < fixed.max() / 2  # ≥2× better balance
+    assert balanced.max() <= hot / s_auto * 1.5

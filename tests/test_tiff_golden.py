@@ -82,3 +82,52 @@ def test_windowed_resampled_read():
         window=(0, 0), window_size=(186, 169), out_size=(186, 169),
     )
     assert m.counts()[1] == 4
+
+
+def test_read_cells_bilinear_window():
+    """Bilinear windowed read over the reference's real chip: at exactly
+    2× downscale every weight is 0.5, so each output must equal the mean
+    of its 2×2 source block; a fractional (non-integer-scale) read is
+    checked against a direct hand-evaluated interpolation."""
+    import numpy as np
+
+    from raycells.io.tiffreader import read_tiff
+    from raycells.cells.ctype import CellType
+
+    arr, _ = read_tiff(f"{DATA}/L8-Elkton-VA-B4.tiff")
+    # 2x downscale of a 32x32 window at (8, 8)
+    out = read_cells(
+        f"{DATA}/L8-Elkton-VA-B4.tiff",
+        window=(8, 8), window_size=(32, 32), out_size=(16, 16),
+        resample="bilinear",
+    )
+    assert out.cell_type is CellType.Float64
+    got = out.to_vec(CellType.Float64).reshape(16, 16)
+    win = arr[8:40, 8:40].astype(np.float64)
+    want = (win[0::2, 0::2] + win[0::2, 1::2] + win[1::2, 0::2] + win[1::2, 1::2]) / 4
+    assert np.array_equal(got, want)
+    # fractional scale (32 → 10): hand-evaluate one output cell
+    out2 = read_cells(
+        f"{DATA}/L8-Elkton-VA-B4.tiff",
+        window=(8, 8), window_size=(32, 32), out_size=(10, 10),
+        resample="bilinear",
+    ).to_vec(CellType.Float64).reshape(10, 10)
+    d = 3
+    s = (d + 0.5) * 32 / 10 - 0.5  # same src coord in both axes
+    x0 = int(np.floor(s)); f = s - x0
+    a = arr.astype(np.float64)
+    v = (1 - f) * ((1 - f) * a[8 + x0, 8 + x0] + f * a[8 + x0, 8 + x0 + 1]) + f * (
+        (1 - f) * a[8 + x0 + 1, 8 + x0] + f * a[8 + x0 + 1, 8 + x0 + 1]
+    )
+    assert out2[d, d] == v
+
+
+def test_read_cells_rejects_unknown_resample():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_cells(
+            f"{DATA}/L8-Elkton-VA-B4.tiff",
+            window=(0, 0), window_size=(8, 8), out_size=(4, 4),
+            resample="cubic",
+        )
