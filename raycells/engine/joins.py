@@ -126,6 +126,17 @@ def hash_join(
                 {c: pa.array([], l_types[c]) for c in keep_left}
                 | {c: pa.array([], r_types[c]) for c in keep_right}
             )
+        # merge on plain numpy keys when possible: pandas merges on
+        # nullable-int extension keys are several times slower, and join
+        # keys are non-null in every caller (cast both sides or neither —
+        # mixed-dtype merge keys are their own trap)
+        if all(
+            isinstance(f["_k"].dtype, pd.api.extensions.ExtensionDtype)
+            and not f["_k"].isna().any()
+            for f in (left, right)
+        ):
+            left["_k"] = left["_k"].astype(left["_k"].dtype.numpy_dtype)
+            right["_k"] = right["_k"].astype(right["_k"].dtype.numpy_dtype)
         merged = left.merge(right, on="_k", how=how)
         out = merged[[*keep_left, *keep_right]].copy()
         out = _restore_ints(

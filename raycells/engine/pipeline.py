@@ -128,10 +128,15 @@ def join_stage(ds, footprints_table: Optional[pa.Table] = None, concurrency=None
     # memoized in a module cache that survives across executions in
     # Ray's reused task workers — actor pools pay ~1-2 s startup per
     # execution here for no benefit (CLAUDE.md platform notes).
+    #
+    # NO explicit batch_size: map_batches stages FUSE and adopt the
+    # largest batch_size, so a 4096 here coalesced the pinned-64-block
+    # read→decode→join chain into ~17 giant serial tasks (measured 7.9 s
+    # vs 0.7 s at sf0.1/32 CPUs). Per-block batches keep one task per
+    # read block — parallelism stays pinned to the read.
     return ds.map_batches(
         stages.pip_join_task(ref),
         batch_format="pyarrow",
-        batch_size=4096,
     )
 
 

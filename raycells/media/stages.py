@@ -215,26 +215,73 @@ class FrameSampler:
         return pa.table(out)
 
 
-def media_pipeline(ds, resize_to=(8, 8), frame_stride: int = 2, concurrency: int = 2):
+_STAGE_CACHE: dict = {}  # (class, args) → instance, reused task workers
+_STAGE_CACHE_MAX = 16
+
+
+def _task_stage(cls, *args):
+    """Run a media stage class as a TASK stage with the instance memoized
+    per worker: these stubbed constructors are cheap, and on this
+    platform actor pools pay ~1-2 s startup per execution (CLAUDE.md) —
+    the wrong trade until ``__init__`` really opens codec handles. The
+    class API is identical either way; ``media_pipeline(actors=True)``
+    flips back to pools for a real-codec build."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        key = (cls.__module__, cls.__qualname__, args)
+        inst = _STAGE_CACHE.get(key)
+        if inst is None:
+            if len(_STAGE_CACHE) >= _STAGE_CACHE_MAX:
+                _STAGE_CACHE.clear()
+            inst = _STAGE_CACHE[key] = cls(*args)
+        return inst(batch)
+
+    return fn
+
+
+def media_pipeline(
+    ds, resize_to=(8, 8), frame_stride: int = 2, concurrency: int = 2,
+    actors: bool = False,
+):
     """The multimodal reference pipeline: resize → frame-sample → decode
-    features. All actor pools, small batches, binary payloads end-to-end."""
+    features, small batches, binary payloads end-to-end. Task stages with
+    per-worker memoized instances by default; ``actors=True`` runs the
+    same classes as actor pools — the right shape once ``__init__``
+    genuinely loads codecs/models (the stubs here construct in
+    microseconds, so pools would only add their per-execution startup)."""
+    if actors:
+        ds = ds.map_batches(
+            ImageResize,
+            fn_constructor_args=resize_to,
+            batch_format="pyarrow",
+            batch_size=_DECODE_BATCH,
+            concurrency=concurrency,
+        )
+        ds = ds.map_batches(
+            FrameSampler,
+            fn_constructor_args=(frame_stride,),
+            batch_format="pyarrow",
+            batch_size=_DECODE_BATCH,
+            concurrency=concurrency,
+        )
+        return ds.map_batches(
+            MediaDecoder,
+            batch_format="pyarrow",
+            batch_size=_DECODE_BATCH,
+            concurrency=concurrency,
+        )
     ds = ds.map_batches(
-        ImageResize,
-        fn_constructor_args=resize_to,
+        _task_stage(ImageResize, *resize_to),
         batch_format="pyarrow",
         batch_size=_DECODE_BATCH,
-        concurrency=concurrency,
     )
     ds = ds.map_batches(
-        FrameSampler,
-        fn_constructor_args=(frame_stride,),
+        _task_stage(FrameSampler, frame_stride),
         batch_format="pyarrow",
         batch_size=_DECODE_BATCH,
-        concurrency=concurrency,
     )
     return ds.map_batches(
-        MediaDecoder,
+        _task_stage(MediaDecoder),
         batch_format="pyarrow",
         batch_size=_DECODE_BATCH,
-        concurrency=concurrency,
     )

@@ -400,6 +400,51 @@ def minhash_near_dup_pairs(
     return out.take(pa.array(order))
 
 
+# candidate-touched payload sets at or under this ride the object store
+# as broadcast block refs (each worker reads them zero-copy); above it,
+# the co-partitioned hash-join path takes over
+_VERIFY_BROADCAST_BYTES = 256 << 20
+
+
+class _AttachPayloads:
+    """Broadcast-task stage: append payload_a/payload_b columns to a
+    candidate-pair batch from worker-local state built ONCE per worker
+    out of the materialized (bounded) payload blocks — plasma reads in
+    the workers, nothing through the driver."""
+
+    def __init__(self, _ref0, refs, id_col, payload_col, payload_names):
+        # _ref0 is broadcast_task's mandatory lead ref (also refs[0])
+        import ray
+
+        self.names = payload_names
+        lookup: dict = {}
+        for r in ref_list(refs):
+            t = ray.get(r)
+            if t.num_rows == 0:
+                continue
+            ids = t[id_col].to_pylist()
+            vals = t[payload_col].to_pylist()
+            lookup.update(zip(ids, vals))
+        self.lookup = lookup
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        name_a, name_b = self.names
+        a = batch["id_a"].to_pylist()
+        b = batch["id_b"].to_pylist()
+        return pa.table(
+            {
+                "id_a": batch["id_a"],
+                "id_b": batch["id_b"],
+                name_a: pa.array([self.lookup[i] for i in a]),
+                name_b: pa.array([self.lookup[i] for i in b]),
+            }
+        )
+
+
+def ref_list(refs):
+    return list(refs) if isinstance(refs, (list, tuple)) else [refs]
+
+
 def _verify_join_collect(
     cand_ds, corpus_ds, *, id_col, payload_col, payload_names, verify_fn,
     id_type, empty,
@@ -410,20 +455,27 @@ def _verify_join_collect(
        materialize — the candidate set is output-sized by LSH design;
     2. DISTINCT candidate ids (the one driver-side collection: 16 B/id)
        broadcast as a semi-join prefilter over the corpus;
-    3. pair ⋈ payload(id_a) ⋈ payload(id_b) via two co-partitioned
-       ``hash_join`` exchanges — payloads stream block-to-block, never
-       to the driver;
+    3. each pair meets its two payloads — ADAPTIVELY by measured size:
+       candidate-touched payloads under ``_VERIFY_BROADCAST_BYTES``
+       stay in the object store as materialized blocks whose REFS
+       broadcast to the verify workers (zero exchanges; each worker
+       reads the blocks zero-copy — nothing is collected on the
+       driver); a larger payload set takes the scale path, two
+       co-partitioned ``hash_join`` exchanges
+       (pair ⋈ payload(id_a) ⋈ payload(id_b));
     4. ``verify_fn`` per batch; only the verified pairs are collected.
 
     Returns the verified pa.Table (or None when there are no candidates).
     """
     import ray
-    import pandas as pd
+    import ray.data as rd
 
     from raycells.engine.joins import hash_join
+    from raycells.engine.stages import broadcast_task
 
     cand = _dedupe_pairs(cand_ds, []).materialize()
-    if cand.count() == 0:
+    n_cand = cand.count()
+    if n_cand == 0:
         return None
 
     def pair_ids(b: pa.Table) -> pa.Table:
@@ -441,29 +493,53 @@ def _verify_join_collect(
     wanted = np.unique(ids_df["_id"].to_numpy())
     wanted_ref = ray.put(wanted)
 
-    def fetch(name):
+    def fetch(pid_name, name):
         def fetch_payloads(batch: pa.Table) -> pa.Table:
             w = ray.get(wanted_ref)
             ids_np = batch[id_col].to_numpy(zero_copy_only=False)
             keep = np.isin(ids_np, w)
-            t = pa.table({"_pid": batch[id_col], name: batch[payload_col]})
+            t = pa.table({pid_name: batch[id_col], name: batch[payload_col]})
             return t.filter(pa.array(keep))
 
         return fetch_payloads
 
     name_a, name_b = payload_names
-    side_a = corpus_ds.map_batches(fetch(name_a), batch_format="pyarrow")
-    side_b = corpus_ds.map_batches(fetch(name_b), batch_format="pyarrow")
-    with_a = hash_join(
-        cand, side_a,
-        key_left="id_a", key_right="_pid",
-        keep_left=["id_a", "id_b"], keep_right=[name_a],
-    )
-    with_ab = hash_join(
-        with_a, side_b,
-        key_left="id_b", key_right="_pid",
-        keep_left=["id_a", "id_b", name_a], keep_right=[name_b],
-    )
+    touched = corpus_ds.map_batches(
+        fetch(id_col, payload_col), batch_format="pyarrow"
+    ).materialize()  # bounded: candidate-touched rows only
+
+    if touched.size_bytes() <= _VERIFY_BROADCAST_BYTES:
+        refs = tuple(touched.to_arrow_refs())
+        n_blocks = max(1, min(64, n_cand // 2048))
+        with_ab = (
+            cand.repartition(n_blocks)
+            .map_batches(
+                broadcast_task(
+                    _AttachPayloads, refs[0], refs,
+                    id_col, payload_col, payload_names,
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    else:
+        side_a = touched.map_batches(
+            lambda b: pa.table({"_pid": b[id_col], name_a: b[payload_col]}),
+            batch_format="pyarrow",
+        )
+        side_b = touched.map_batches(
+            lambda b: pa.table({"_pid": b[id_col], name_b: b[payload_col]}),
+            batch_format="pyarrow",
+        )
+        with_a = hash_join(
+            cand, side_a,
+            key_left="id_a", key_right="_pid",
+            keep_left=["id_a", "id_b"], keep_right=[name_a],
+        )
+        with_ab = hash_join(
+            with_a, side_b,
+            key_left="id_b", key_right="_pid",
+            keep_left=["id_a", "id_b", name_a], keep_right=[name_b],
+        )
     verified = with_ab.map_batches(verify_fn, batch_format="pyarrow")
     # Ray can surface schema-less empty blocks from empty groupby buckets;
     # drop them before the concat (they carry no rows by construction)
