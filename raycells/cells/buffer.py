@@ -111,15 +111,18 @@ class CellBuffer:
         return kernels.convert(self.data, ct)
 
     def extend(self, values: Iterable) -> None:
-        """Append, converting each element to the buffer's type; raises on
-        unrepresentable values (buffer.rs:205-221 panics)."""
+        """Append, converting each element to the buffer's type via exact
+        num-traits ``to_<prim>`` semantics (buffer.rs:205-221 —
+        ``.unwrap()`` panics on unrepresentable): integer range checks
+        run in the integer domain (values above 2^53 convert exactly,
+        never through an f64 round trip) and fractional floats truncate
+        toward zero, matching ``to_i64``/``to_u64``."""
         ct = self.cell_type
         new = []
         for v in values:
             cv = CellValue.new(v)
-            f = cv.to_f64()
-            t = ct.dtype.type(f)
-            if ct.is_integral and float(t) != f:
+            t = cv.to_primitive(ct)
+            if t is None:
                 raise NarrowingError(cv.cell_type, ct)
             new.append(t)
         self.data = np.concatenate([self.data, np.array(new, dtype=ct.dtype)])

@@ -297,6 +297,31 @@ class CellValue:
         i = int(f)  # int() truncates toward zero, matching num-traits
         return i if 0 <= i < 2**64 else None
 
+    def to_primitive(self, dst: "CellType"):
+        """num-traits ``to_<prim>`` conversion (value.rs ToPrimitive /
+        buffer.rs:205-221 Extend): integer→integer checks the EXACT
+        integer range (no f64 round trip, so int64 values above 2^53
+        convert exactly); float→integer truncates toward zero within the
+        exclusive float range (MIN − 1, MAX + 1) — num-traits'
+        ``impl_to_primitive_float_to_*`` rule; →float is the
+        lossy-allowed ``as`` cast. Returns None when unrepresentable."""
+        if dst.is_integral:
+            info = np.iinfo(dst.dtype)
+            if self.cell_type.is_integral:
+                i = int(self.value)
+            else:
+                f = float(self.value)
+                if math.isnan(f) or math.isinf(f):
+                    return None
+                # same IEEE bound expressions as the Rust macro
+                if not (float(info.min) - 1.0 < f < float(info.max) + 1.0):
+                    return None
+                i = int(f)  # truncates toward zero
+            if not (info.min <= i <= info.max):
+                return None
+            return dst.dtype.type(i)
+        return dst.dtype.type(self.value)
+
     @staticmethod
     def zero() -> "CellValue":
         """``Zero`` impl parity: ``UInt8(0)`` (value.rs:159-184)."""

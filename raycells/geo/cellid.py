@@ -237,3 +237,129 @@ def grid_cell(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
     gy = np.floor((np.asarray(lat) + 90.0) / GRID_RES).astype(np.int64)
     gx = np.clip(gx, 0, GRID_NX - 1)
     return gy * GRID_NX + gx
+
+
+# ---------------------------------------------------------------------------
+# cube-face (true S2-style) projection backend — SURVEY §7.4's promised
+# face projection. The equirectangular single-face grid above stays the
+# default (the SQL oracles reproduce it); this backend fixes its polar
+# distortion: cells project gnomonically onto 6 cube faces with the S2
+# quadratic ST transform, so max/min cell ground-area ratio is bounded
+# (~2.1) instead of unbounded at the poles. Published scheme only
+# (s2geometry's s2coords tables, re-derived).
+#
+# ID layout (S2CellId mechanics): 3 face bits at the top, Hilbert
+# position below, trailing set bit marks the level — parent()/children()
+# /level_of() above work unchanged on cube ids.
+# ---------------------------------------------------------------------------
+
+
+def _lonlat_to_xyz(lon, lat):
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    cp = np.cos(phi)
+    return cp * np.cos(lam), cp * np.sin(lam), np.sin(phi)
+
+
+def _xyz_to_face_uv(x, y, z):
+    """S2 face layout: 0:+x 1:+y 2:+z 3:−x 4:−y 5:−z, with the published
+    per-face (u, v) axes (s2coords FaceXYZtoUV)."""
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    face = np.where(
+        (ax >= ay) & (ax >= az),
+        np.where(x >= 0, 0, 3),
+        np.where(ay >= az, np.where(y >= 0, 1, 4), np.where(z >= 0, 2, 5)),
+    )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = np.select(
+            [face == 0, face == 1, face == 2, face == 3, face == 4, face == 5],
+            [y / x, -x / y, -x / z, z / x, z / y, -y / z],
+        )
+        v = np.select(
+            [face == 0, face == 1, face == 2, face == 3, face == 4, face == 5],
+            [z / x, z / y, -y / z, y / x, -x / y, -x / z],
+        )
+    return face.astype(np.int64), u, v
+
+
+def _face_uv_to_xyz(face, u, v):
+    x = np.select(
+        [face == 0, face == 1, face == 2, face == 3, face == 4, face == 5],
+        [np.ones_like(u), -u, -u, -np.ones_like(u), v, v],
+    )
+    y = np.select(
+        [face == 0, face == 1, face == 2, face == 3, face == 4, face == 5],
+        [u, np.ones_like(u), -v, -v, -np.ones_like(u), u],
+    )
+    z = np.select(
+        [face == 0, face == 1, face == 2, face == 3, face == 4, face == 5],
+        [v, v, np.ones_like(u), -u, -u, -np.ones_like(u)],
+    )
+    return x, y, z
+
+
+def _uv_to_st(u):
+    """S2 quadratic projection: near-uniform cell areas across a face."""
+    u = np.asarray(u, dtype=np.float64)
+    return np.where(u >= 0, 0.5 * np.sqrt(1.0 + 3.0 * u), 1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u))
+
+
+def _st_to_uv(s):
+    s = np.asarray(s, dtype=np.float64)
+    return np.where(
+        s >= 0.5, (4.0 * s * s - 1.0) / 3.0, (1.0 - 4.0 * (1.0 - s) * (1.0 - s)) / 3.0
+    )
+
+
+_FACE_SHIFT = np.uint64(61)
+
+
+def encode_cube(lon: np.ndarray, lat: np.ndarray, level: int) -> np.ndarray:
+    """(lon, lat) → uint64 cube-face cell id at ``level``."""
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be in [0, {MAX_LEVEL}]")
+    face, u, v = _xyz_to_face_uv(*_lonlat_to_xyz(lon, lat))
+    n = 1 << level
+    i = np.clip(np.floor(_uv_to_st(u) * n).astype(np.int64), 0, n - 1).astype(np.uint64)
+    j = np.clip(np.floor(_uv_to_st(v) * n).astype(np.int64), 0, n - 1).astype(np.uint64)
+    d = xy2d(level, i, j)
+    sh = _shift(level)
+    return (
+        (face.astype(np.uint64) << _FACE_SHIFT)
+        | (d << (sh + np.uint64(1)))
+        | (np.uint64(1) << sh)
+    )
+
+
+def decode_cube(cell: np.ndarray):
+    """cube cell id → (lon, lat, level) of the cell center (homogeneous
+    level per call, like :func:`decode`)."""
+    cell = np.asarray(cell, dtype=np.uint64)
+    face = (cell >> _FACE_SHIFT).astype(np.int64)
+    pos = cell & ((np.uint64(1) << _FACE_SHIFT) - np.uint64(1))
+    lev = level_of(pos)
+    lev0 = int(np.min(lev)) if cell.size else MAX_LEVEL
+    if cell.size and int(np.max(lev)) != lev0:
+        raise ValueError("decode requires a homogeneous level per call")
+    sh = _shift(lev0)
+    d = pos >> (sh + np.uint64(1))
+    i, j = d2xy(lev0, d)
+    n = 1 << lev0
+    u = _st_to_uv((i.astype(np.float64) + 0.5) / n)
+    v = _st_to_uv((j.astype(np.float64) + 0.5) / n)
+    x, y, z = _face_uv_to_xyz(face, u, v)
+    r = np.sqrt(x * x + y * y + z * z)
+    lat = np.degrees(np.arcsin(z / r))
+    lon = np.degrees(np.arctan2(y, x))
+    return lon, lat, np.full(cell.shape, lev0, dtype=np.int64)
+
+
+def encode_with_projection(lon, lat, level: int, projection: str = "equirect"):
+    """Narrow dispatch point (SURVEY §7.4): ``equirect`` is the default
+    single-face grid every oracle reproduces; ``cube`` is the S2-style
+    face projection for polar-safe partitioning keys."""
+    if projection == "equirect":
+        return encode(lon, lat, level)
+    if projection == "cube":
+        return encode_cube(lon, lat, level)
+    raise ValueError(f"unknown projection: {projection!r}")

@@ -144,11 +144,41 @@ def test_from_cell_values_first_element_rule():
 
 
 def test_extend():
+    """Extend uses num-traits ``to_<prim>`` (buffer.rs:205-221), which is
+    NOT the widening-only ``convert``: fractional floats truncate toward
+    zero ((1.5f64).to_u8() == Some(1)), the exclusive float range is
+    (MIN−1, MAX+1), and integer checks are exact above 2^53."""
     buf = CellBuffer.from_vec(np.array([1, 2], dtype=np.uint8))
     buf.extend([np.uint8(3), np.uint8(4)])
     assert len(buf) == 4 and buf.get(3) == CellValue(CT.UInt8, 4)
+    buf.extend([np.float64(1.5), np.float64(-0.5)])  # truncate toward zero
+    assert buf.get(4) == CellValue(CT.UInt8, 1)
+    assert buf.get(5) == CellValue(CT.UInt8, 0)
     with pytest.raises(NarrowingError):
-        buf.extend([np.float64(1.5)])
+        buf.extend([np.float64(-1.0)])  # not > MIN−1 = −1.0
+    with pytest.raises(NarrowingError):
+        buf.extend([np.float64(256.0)])
+    with pytest.raises(NarrowingError):
+        buf.extend([np.float64(float("nan"))])
+    with pytest.raises(NarrowingError):
+        buf.extend([np.int16(-5)])
+
+
+def test_extend_exact_above_2p53():
+    """int64/uint64 extends must range-check in the INTEGER domain: an
+    f64 round trip would silently corrupt or mis-judge values >= 2^53
+    (r1 advice pin)."""
+    big = 2**62 + 12345678901
+    buf = CellBuffer.from_vec(np.array([1], dtype=np.int64))
+    buf.extend([np.uint64(big)])
+    assert int(buf.data[1]) == big  # exact, not the f64 rounding
+    with pytest.raises(NarrowingError):
+        buf.extend([np.uint64(2**63)])  # one past i64::MAX
+    u = CellBuffer.from_vec(np.array([1], dtype=np.uint64))
+    u.extend([np.uint64(2**64 - 1)])
+    assert int(u.data[1]) == 2**64 - 1
+    with pytest.raises(NarrowingError):
+        u.extend([np.int64(-1)])
 
 
 def test_to_vec_round_trip():

@@ -246,3 +246,68 @@ def test_sharded_knn_matches_brute_force(ray_session):
         want = seeds[np.lexsort((seeds, d))[:k]]
         have = got[got["query_id"] == qid].sort_values("rank")["seed"].to_numpy()
         assert list(have) == list(want), qid
+
+
+# ---- cube-face projection backend ----
+
+def test_cube_encode_round_trip_and_faces():
+    """encode_cube→decode_cube center stays inside the source cell; all
+    6 faces appear; parent/children mechanics work unchanged on cube ids
+    (same trailing-bit layout)."""
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-180, 180, 500)
+    lat = rng.uniform(-89.9, 89.9, 500)
+    level = 10
+    ids = cellid.encode_cube(lon, lat, level)
+    faces = np.unique(ids >> np.uint64(61))
+    assert len(faces) == 6
+    clon, clat, lev = cellid.decode_cube(ids)
+    assert (lev == level).all()
+    # re-encoding the center must give the same cell
+    again = cellid.encode_cube(clon, clat, level)
+    assert np.array_equal(again, ids)
+    # parent mechanics: parent of a child id contains the child position
+    pid = cellid.parent(ids)
+    assert (cellid.level_of(pid & ((np.uint64(1) << np.uint64(61)) - np.uint64(1))) == level - 1).all()
+
+
+def test_cube_projection_bounds_polar_distortion():
+    """The point of the face projection: near-pole cells keep bounded
+    ground area. Compare the ground area spread (max/min over a lat
+    sweep) of equirect vs cube cells at one level — equirect blows up
+    near the pole; cube stays within a small constant."""
+    level = 8
+    lats = np.linspace(0.0, 89.0, 90)
+    lons = np.full_like(lats, 13.0)
+
+    def area_spread(encoder, decoder):
+        # approximate a cell's ground area by the cos(lat)-weighted size
+        # of its (lon, lat) bounding box via its 4 child centers
+        ids = encoder(lons, lats, level)
+        areas = []
+        for cid in ids:
+            ch = cellid.children(int(cid))
+            clon, clat, _ = decoder(ch)
+            dlon = (clon.max() - clon.min()) * 2
+            dlat = (clat.max() - clat.min()) * 2
+            areas.append(dlon * dlat * np.cos(np.radians(clat.mean())))
+        areas = np.asarray(areas)
+        return areas.max() / areas.min()
+
+    eq = area_spread(cellid.encode, lambda c: cellid.decode(np.asarray(c, np.uint64)))
+    cu = area_spread(cellid.encode_cube, cellid.decode_cube)
+    assert eq > 10  # equirect: pole cells shrink with cos(lat)
+    assert cu < 4  # cube + quadratic ST: bounded spread
+
+
+def test_encode_with_projection_dispatch():
+    lon = np.array([10.0]); lat = np.array([45.0])
+    assert cellid.encode_with_projection(lon, lat, 8)[0] == cellid.encode(lon, lat, 8)[0]
+    assert (
+        cellid.encode_with_projection(lon, lat, 8, "cube")[0]
+        == cellid.encode_cube(lon, lat, 8)[0]
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cellid.encode_with_projection(lon, lat, 8, "icosahedron")
