@@ -290,6 +290,66 @@ FROM fp GROUP BY source
 """
 
 
+def _hll_sql(group_col: str, key_col: str, table: str, alias: str, p: int = 12) -> str:
+    """The HyperLogLog sketch reproduced end-to-end in SQL (sim/hll.py):
+    murmur3 finalizer in HUGEINT with explicit mod-2^64 wraps and a
+    32-bit-split mulmod, register index/rank from UBIGINT bit ops
+    (rank via length(bin(rest))), per-register MAX, and the estimator's
+    harmonic sum as the EXACT integer Σ2^(64−rho) — the same order-free
+    formulation hll_estimate uses, so the two sides agree bit-for-bit."""
+    m = 1 << p
+    m64 = "CAST('18446744073709551616' AS HUGEINT)"
+    c1 = 0xFF51AFD7ED558CCD
+    c2 = 0xC4CEB9FE1A85EC53
+    rest_mod = 1 << (64 - p)  # h mod 2^(64-p), then << p
+
+    def mulmod(expr: str, c: int) -> str:
+        return (
+            f"CAST(((CAST({expr} AS HUGEINT) % 4294967296) * {c} % {m64}"
+            f" + ((CAST({expr} AS HUGEINT) // 4294967296 * {c}) % 4294967296)"
+            f" * 4294967296) % {m64} AS UBIGINT)"
+        )
+
+    return f"""
+WITH keys AS (
+    SELECT {group_col} AS g, CAST({key_col} AS UBIGINT) AS k FROM {table}
+),
+h1 AS (SELECT g, xor(k, k >> 33) AS h FROM keys),
+h2 AS (SELECT g, {mulmod('h', c1)} AS h FROM h1),
+h3 AS (SELECT g, xor(h, h >> 33) AS h FROM h2),
+h4 AS (SELECT g, {mulmod('h', c2)} AS h FROM h3),
+h5 AS (SELECT g, xor(h, h >> 33) AS h FROM h4),
+rhos AS (
+    SELECT g, CAST(h >> {64 - p} AS BIGINT) AS idx,
+           CASE WHEN h % {rest_mod} = 0 THEN {64 - p + 1}
+                ELSE 65 - length(bin((h % {rest_mod}) * {1 << p}))
+           END AS rho
+    FROM h5
+),
+reg AS (SELECT g, idx, MAX(rho) AS rho FROM rhos GROUP BY g, idx),
+agg AS (
+    SELECT g,
+           SUM(CAST(power(2.0, 64 - rho) AS HUGEINT)) AS used_sum,
+           COUNT(*) AS n_used
+    FROM reg GROUP BY g
+),
+raw AS (
+    SELECT g, {m} - n_used AS zeros,
+           0.7213 / (1 + 1.079 / {m}) * {m} * {m} * 18446744073709551616.0
+           / CAST(used_sum + ({m} - n_used) * {m64} AS DOUBLE) AS e
+    FROM agg
+),
+corrected AS (
+    SELECT g,
+           CASE WHEN e <= 2.5 * {m} AND zeros > 0
+                THEN {m} * ln({m}.0 / zeros) ELSE e END AS e
+    FROM raw
+)
+SELECT g AS {group_col}, CAST(FLOOR(e + 0.5) AS BIGINT) AS {alias}
+FROM corrected
+"""
+
+
 _LANG_SCORE = """
     len(list_filter(string_split(text, ' '), x -> x = '{w}'))
 """
@@ -426,6 +486,21 @@ def build() -> dict:
             FROM hcells GROUP BY cell_id
         """,
         "fingerprint_docs": _fingerprint_sql(),
+        # vectorize: on the synthetic band mask (one residue class mod 33)
+        # no two nodata cells are 4-adjacent, so every connected region is
+        # a singleton — the label count equals the masked-cell count
+        "vectorize_tiles": _MEDIA
+        + """
+            , vcells AS (
+                SELECT m.doc_id, m.span_idx, m.seed, r.range AS i
+                FROM media m, range(4096) r
+                WHERE m.seed % 7 = 0
+            )
+            SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+                   CAST(COUNT(*) FILTER (WHERE (seed + i * 7) % 33 = 0) AS BIGINT)
+                       AS n_nodata_regions
+            FROM vcells GROUP BY doc_id, span_idx
+        """,
         "tile_type_hist": _MEDIA
         + """
             , typed AS (
@@ -720,6 +795,9 @@ def build() -> dict:
                    CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
             FROM orders GROUP BY o_orderpriority
         """,
+        "approx_distinct_custs": _hll_sql(
+            "o_orderpriority", "o_custkey", "orders", "approx_custs"
+        ),
         "top_parts_by_brand": """
             SELECT p_brand, rank, p_partkey, price_c FROM (
                 SELECT p_brand, p_partkey,

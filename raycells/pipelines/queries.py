@@ -179,14 +179,26 @@ def q_rasterize_footprints(sf_dir: str):
 
 
 def q_vectorize_tiles(sf_dir: str):
-    """Vectorize (cells→vector): per decoded tile, extract connected
-    valid-cell regions and their boundary rings; per-tile region count
-    (rows-only; round-trip pinned in tests/test_geo.py)."""
+    """Vectorize (cells→vector): per decoded tile, run 4-connected
+    region labelling over the nodata cells; per-tile region count.
+
+    ORACLE-CHECKED: the synthetic band mask is one residue class
+    mod 33 of the flat index, and 33 divides neither 1 nor 64, so no
+    two nodata cells are ever 4-adjacent — every region is a singleton
+    and the label count equals the masked-cell count, which IS
+    SQL-expressible. The labeller's general (multi-cell, merged-region)
+    behavior is pinned separately in tests/test_geo.py with crafted
+    masks. The input is bounded by a DETERMINISTIC seed filter
+    (order-independent, unlike limit()) — vectorization is heavier per
+    tile."""
     from raycells.geo.raster import connected_components
     from raycells.io import tilestore
 
     def regions(b: pa.Table) -> pa.Table:
         seeds = tilestore.seed_of_refs(b["media_ref"])
+        keep = seeds % 7 == 0
+        b = b.filter(pa.array(keep))
+        seeds = seeds[keep]
         v = tilestore.synth_band_values(seeds, 4)
         n_regions = np.empty(len(seeds), dtype=np.int64)
         for k in range(len(seeds)):
@@ -201,10 +213,7 @@ def q_vectorize_tiles(sf_dir: str):
             }
         )
 
-    # vectorization is heavier per tile — bound the input at bench scales
-    return _exploded(sf_dir).limit(2000).repartition(8).map_batches(
-        regions, batch_format="pyarrow"
-    )
+    return _exploded(sf_dir).map_batches(regions, batch_format="pyarrow")
 
 
 def q_resample_tiles(sf_dir: str):

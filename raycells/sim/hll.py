@@ -60,11 +60,18 @@ def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 def hll_estimate(regs: np.ndarray) -> float:
     """Standard HLL estimator with the small-range (linear counting)
-    correction."""
+    correction, computed ORDER-FREE: the harmonic sum Σ2^−reg is
+    assembled as the exact integer Σ2^(64−reg) (every term is a dyadic
+    rational; a float accumulation would vary with summation order), so
+    the estimate is a deterministic function of the register MULTISET —
+    bit-identical across partitionings and reproducible by the DuckDB
+    oracle."""
     m = regs.size
     alpha = 0.7213 / (1 + 1.079 / m)
-    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
-    zeros = int((regs == 0).sum())
+    counts = np.bincount(regs.astype(np.int64), minlength=65)
+    int_sum = sum(int(c) << (64 - r) for r, c in enumerate(counts) if c)
+    est = alpha * m * m * 2.0**64 / float(int_sum)
+    zeros = int(counts[0])
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)
     return float(est)
@@ -122,11 +129,15 @@ def approx_distinct(ds, group_col: str, distinct_col: str, p: int = DEFAULT_P,
             regs = np.frombuffer(blob, dtype=np.uint8)
             final[g] = hll_merge(final[g], regs) if g in final else regs
     groups = sorted(final)
+    # floor(x + 0.5), not round(): Python round() is half-to-even while
+    # SQL ROUND is half-away — floor(+0.5) is the one rule both engines
+    # express identically
     return pa.table(
         {
             group_col: pa.array(groups),
             alias: pa.array(
-                [int(round(hll_estimate(final[g]))) for g in groups], pa.int64()
+                [int(np.floor(hll_estimate(final[g]) + 0.5)) for g in groups],
+                pa.int64(),
             ),
         }
     )

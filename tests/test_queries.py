@@ -94,20 +94,19 @@ def test_query_matches_oracle(name, contract, con):
 def test_every_query_has_oracle_or_is_flagged(contract):
     queries, sqls = contract
     rows_only = set(queries) - set(sqls)
-    # genuinely non-SQL ops only: connected-component labelling
-    # (vectorize), approximate sketches (HLL, MinHash/SimHash/LSH/IVF —
-    # banding and float-sum estimates aren't ORDER-stable in SQL), and
-    # the stubbed media codecs. Everything else — including the 10-type
-    # erased decode, the exact PIP ring joins, the Hilbert cell ids and
-    # the rolling polynomial fingerprint — has a DuckDB oracle.
+    # genuinely non-SQL ops only: blake2b token/content hashes (SimHash),
+    # RNG-derived LSH planes and k-means training (ann_*), numpy-RNG
+    # media payloads. Everything else — the 10-type erased decode, exact
+    # PIP ring joins, Hilbert cell ids, the rolling polynomial
+    # fingerprint, the HLL sketch (murmur finalizer + exact-integer
+    # harmonic sum), and the degenerate-by-construction vectorize count
+    # — has a DuckDB oracle.
     assert rows_only == {
-        "vectorize_tiles",
         "minhash_pairs",
         "simhash_pairs",
         "embedding_dups",
         "ann_lsh",
         "ann_ivf",
-        "approx_distinct_custs",
         "media_features",
     }
     assert not set(sqls) - set(queries)
