@@ -33,11 +33,18 @@ oracles in raycells/pipelines/oracles.py):
   asof_latest_order, priority_revenue (hash join), events_rolling7,
   distinct_custs, top_parts_by_brand, customers_no_orders — all
   oracle-checked.
-- near-dup / sketch / multimodal:  fingerprint_docs (rolling
-  polynomial hash evaluated in HUGEINT SQL) — oracle-checked;
-  minhash_pairs, simhash_pairs, embedding_dups, ann_lsh, ann_ivf,
-  approx_distinct_custs, media_features — rows-only (approximate
-  sketches / stubbed codecs; recall/tolerance/value pins in tests/).
+- near-dup / sketch / multimodal — MOSTLY oracle-checked:
+  fingerprint_docs (rolling polynomial hash in HUGEINT SQL),
+  minhash_pairs (MinHash+LSH end-to-end in SQL: shingle hashes, 64
+  universal-hash minima, band fold, bucket pairs, exact Jaccard),
+  embedding_dups (2^-20-quantized vectors + integer LCG sign-LSH +
+  integer-cosine verify — every similarity an exact int64-derived
+  double), approx_distinct_custs (HLL murmur finalizer + exact-integer
+  harmonic-sum estimator), vectorize_tiles (singleton-region identity
+  on the synthetic mask). Rows-only: simhash_pairs (blake2b token
+  hashes), ann_lsh / ann_ivf (RNG planes / k-means training),
+  media_features (numpy-RNG payloads) — recall/tolerance/value pins in
+  tests/.
 """
 
 from __future__ import annotations
@@ -57,6 +64,9 @@ def _ensure_docs() -> None:
 
     ensure_bbox_parquet()
     ensure_edges_parquet()
+    from raycells.text.dedup import ensure_minhash_params_parquet
+
+    ensure_minhash_params_parquet()
 
 
 def entry() -> Any:

@@ -350,6 +350,146 @@ FROM corrected
 """
 
 
+MINHASH_PARAMS_PARQUET = "/tmp/raycells_docs/minhash_params.parquet"
+
+
+def _minhash_sql(threshold: float = 0.5, bands: int = 16, r: int = 4, k: int = 5) -> str:
+    """MinHash+LSH near-dup reproduced END-TO-END in SQL
+    (text/dedup.minhash_near_dup_pairs): 5-byte shingle hashes with the
+    uint64-wrapping power table, the 64 universal-hash minima in the
+    Mersenne field (a, b from the dumped params table — products stay
+    under 2^125, HUGEINT-safe), the band fold as a base-31 polynomial
+    (ring-hom: one mod 2^64 at the end equals the iterated wraps),
+    bucket-collision candidate pairs, exact shingle-Jaccard verify.
+    Texts are ASCII (ord(char) == utf-8 byte). Assumes every text has
+    ≥ k bytes (this corpus: min 47)."""
+    m64 = "CAST('18446744073709551616' AS HUGEINT)"
+    mersenne = (1 << 61) - 1
+    gold = 0x9E3779B97F4A7C15
+    base = 1099511628211
+    pows = [pow(base, j, 1 << 64) for j in range(k)]
+    shingle_terms = " + ".join(
+        f"CAST(ord(substr(text, CAST(r.range + {j + 1} AS INT), 1)) AS HUGEINT)"
+        f" * {pows[j]}"
+        for j in range(k)
+    )
+    band_weights = " ".join(
+        f"WHEN {j} THEN {31 ** (r - 1 - j)}" for j in range(r)
+    )
+    return f"""
+WITH docs AS (
+    SELECT CAST(doc_id AS VARCHAR) AS dk, text,
+           CAST(length(text) AS BIGINT) AS n
+    FROM documents
+),
+sh_raw AS (
+    SELECT dk, ({shingle_terms}) % {m64} AS h
+    FROM docs, range(8192) r WHERE r.range <= n - {k}
+),
+shingles AS (SELECT DISTINCT dk, h FROM sh_raw),
+sigs AS (
+    SELECT s.dk, p.perm,
+           MIN(CAST((((s.h * p.a) % {m64} + p.b) % {m64}) % {mersenne}
+               AS UBIGINT)) AS sig
+    FROM shingles s, read_parquet('{MINHASH_PARAMS_PARQUET}') p
+    GROUP BY s.dk, p.perm
+),
+banded AS (
+    SELECT dk, perm // {r} AS band,
+           CAST(SUM(((CAST(sig AS HUGEINT) * {gold}) % {m64})
+                    * CASE perm % {r} {band_weights} END) % {m64}
+               AS UBIGINT) AS band_hash
+    FROM sigs GROUP BY dk, band
+),
+cand AS (
+    SELECT DISTINCT x.dk AS id_a, y.dk AS id_b
+    FROM banded x
+    JOIN banded y
+      ON x.band = y.band AND x.band_hash = y.band_hash AND x.dk < y.dk
+),
+inter AS (
+    SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS i
+    FROM cand c
+    JOIN shingles sa ON sa.dk = c.id_a
+    JOIN shingles sb ON sb.dk = c.id_b AND sb.h = sa.h
+    GROUP BY c.id_a, c.id_b
+),
+sizes AS (SELECT dk, CAST(COUNT(*) AS BIGINT) AS sz FROM shingles GROUP BY dk),
+scored AS (
+    SELECT c.id_a, c.id_b,
+           CAST(COALESCE(i.i, 0) AS DOUBLE)
+           / (za.sz + zb.sz - COALESCE(i.i, 0)) AS jaccard
+    FROM cand c
+    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN sizes za ON za.dk = c.id_a
+    JOIN sizes zb ON zb.dk = c.id_b
+)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}
+"""
+
+
+def _embedding_dups_sql(
+    threshold: float = 0.35, n_planes: int = 8, n_tables: int = 8
+) -> str:
+    """Embedding near-dup reproduced in SQL (text/dedup.
+    embedding_near_dup_pairs): 2^-20 quantization, integer LCG sign-LSH
+    planes, per-table bucket fold, bucket-collision candidate pairs, and
+    the INTEGER-cosine verify — every similarity is an exact function of
+    int64 dot products, so it is bit-identical to the numpy side."""
+    quant = 1 << 20
+    n_bits = n_planes * n_tables
+    bit_weights = " ".join(
+        f"WHEN {j} THEN {1 << (n_planes - 1 - j)}" for j in range(n_planes)
+    )
+    return f"""
+WITH comps AS (
+    SELECT vec_id, unnest(embedding) AS ev,
+           CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d
+    FROM embeddings
+),
+eq AS (
+    SELECT vec_id, d,
+           CAST(floor(CAST(ev AS DOUBLE) * {float(quant)} + 0.5) AS BIGINT) AS e
+    FROM comps
+),
+bits AS (
+    SELECT e.vec_id, j.range AS j,
+           CASE WHEN SUM(e.e * (((e.d * 2654435761 + j.range * 40503 + 999331)
+                                 % {2 * quant + 1}) - {quant})) > 0
+                THEN 1 ELSE 0 END AS bit
+    FROM eq e, range({n_bits}) j
+    GROUP BY e.vec_id, j.range
+),
+lsh_keys AS (
+    SELECT vec_id,
+           SUM(bit * CASE j % {n_planes} {bit_weights} END) * {n_tables}
+           + j // {n_planes} AS key
+    FROM bits GROUP BY vec_id, j // {n_planes}
+),
+cand AS (
+    SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+    FROM lsh_keys x JOIN lsh_keys y ON x.key = y.key AND x.vec_id < y.vec_id
+),
+norms AS (SELECT vec_id, SUM(e * e) AS n2 FROM eq GROUP BY vec_id),
+dots AS (
+    SELECT c.id_a, c.id_b, SUM(ea.e * eb.e) AS dab
+    FROM cand c
+    JOIN eq ea ON ea.vec_id = c.id_a
+    JOIN eq eb ON eb.vec_id = c.id_b AND eb.d = ea.d
+    GROUP BY c.id_a, c.id_b
+),
+scored AS (
+    SELECT d.id_a, d.id_b,
+           CAST(d.dab AS DOUBLE)
+           / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.id_a
+    JOIN norms nb ON nb.vec_id = d.id_b
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
+"""
+
+
 _LANG_SCORE = """
     len(list_filter(string_split(text, ' '), x -> x = '{w}'))
 """
@@ -486,6 +626,8 @@ def build() -> dict:
             FROM hcells GROUP BY cell_id
         """,
         "fingerprint_docs": _fingerprint_sql(),
+        "minhash_pairs": _minhash_sql(),
+        "embedding_dups": _embedding_dups_sql(),
         # vectorize: on the synthetic band mask (one residue class mod 33)
         # no two nodata cells are 4-adjacent, so every connected region is
         # a singleton — the label count equals the masked-cell count

@@ -197,6 +197,39 @@ def minhash_signature(text: str, n_perm: int = 64, k: int = 5) -> np.ndarray:
     return MinHasher(n_perm).signature(char_shingles(text, k))
 
 
+MINHASH_PARAMS_PARQUET = "/tmp/raycells_docs/minhash_params.parquet"
+
+
+def ensure_minhash_params_parquet(
+    path: str = MINHASH_PARAMS_PARQUET, n_perm: int = 64
+) -> str:
+    """Dump the MinHasher permutation constants (perm index, a, b — all
+    < 2^61, int64-safe) once, idempotently: with the constants in a
+    table, the ENTIRE MinHash+LSH pipeline — shingle hashing, the 64
+    universal-hash minima, band folding, bucket candidate pairs and the
+    exact-Jaccard verify — is reproducible in DuckDB SQL (the
+    ``minhash_pairs`` oracle)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    mh = MinHasher(n_perm)
+    tbl = pa.table(
+        {
+            "perm": pa.array(np.arange(n_perm, dtype=np.int64)),
+            "a": pa.array(mh.a.astype(np.int64)),
+            "b": pa.array(mh.b.astype(np.int64)),
+        }
+    )
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
 def lsh_bands(signatures: np.ndarray, bands: int = 16) -> np.ndarray:
     """(n, n_perm) signatures → (n, bands) band-hash matrix. Each band
     hashes rows_per_band signature slots into one uint64 bucket key."""
@@ -666,6 +699,45 @@ def simhash_near_dup_pairs(ds, col: str = "text", id_col: str = "doc_id", max_ha
 # embedding cosine near-dup (sign-LSH buckets)
 # ---------------------------------------------------------------------------
 
+EMB_QUANT = 1 << 20  # embedding quantization scale (exact in float64)
+
+
+def quantize_embeddings(emb: np.ndarray) -> np.ndarray:
+    """floor(x·2^20 + 0.5) per component — the 2^-20-quantized integer
+    view of an embedding. Exact in both numpy and SQL (the product and
+    floor are identical IEEE doubles), and integer dot products of
+    quantized 64-dim vectors stay < 2^47, so every similarity derived
+    from them is an exact, engine-independent function."""
+    return np.floor(np.asarray(emb, dtype=np.float64) * float(EMB_QUANT) + 0.5).astype(
+        np.int64
+    )
+
+
+def lsh_planes_int(dim: int, n_bits: int) -> np.ndarray:
+    """Deterministic integer sign-LSH hyperplanes: an LCG over
+    (dim, bit) in [−2^20, 2^20]. Sign-LSH needs only a spread-out plane
+    family, so integer LCG planes work as well as RNG gaussians — and
+    integer planes × quantized vectors make every bucket bit EXACT
+    (and SQL-reproducible: the embedding_dups oracle evaluates the same
+    formula)."""
+    d = np.arange(dim, dtype=np.int64)[:, None]
+    j = np.arange(n_bits, dtype=np.int64)[None, :]
+    return ((d * 2654435761 + j * 40503 + 999331) % (2 * EMB_QUANT + 1)) - EMB_QUANT
+
+
+def int_cosine(eq_a: np.ndarray, eq_b: np.ndarray) -> np.ndarray:
+    """Cosine of quantized integer vectors: all three dot products are
+    exact int64, so dab / (sqrt(na)·sqrt(nb)) is bit-identical across
+    engines (quantization error vs the float cosine is ~1e-6 —
+    irrelevant for near-dup thresholds, decisive for oracle parity)."""
+    dab = (eq_a * eq_b).sum(axis=1).astype(np.float64)
+    na = (eq_a * eq_a).sum(axis=1).astype(np.float64)
+    nb = (eq_b * eq_b).sum(axis=1).astype(np.float64)
+    na[na == 0] = 1.0
+    nb[nb == 0] = 1.0
+    return dab / (np.sqrt(na) * np.sqrt(nb))
+
+
 def embedding_near_dup_pairs(
     ds,
     col: str = "embedding",
@@ -674,32 +746,31 @@ def embedding_near_dup_pairs(
     n_planes: int = 8,
     n_tables: int = 8,
     dim: int = 64,
-    seed: int = _RNG_SEED,
 ):
     """Near-duplicate vectors, two-phase so the exchange never carries
     embeddings (mirrors ``minhash_near_dup_pairs``):
 
     **Phase A — candidates.** Multi-table sign-LSH (``n_tables``
-    independent ``n_planes``-plane sets — the banding trick) emits only
-    ``(bucket, id)`` rows; the coarse-bucket groupby resolves real
-    buckets and yields deduplicated candidate id pairs. The shuffle
-    moves 16 B per (vector, table) instead of the vector payload.
+    independent ``n_planes``-plane sets — the banding trick) over the
+    2^-20-QUANTIZED integer vectors with deterministic integer planes:
+    every bucket bit is exact integer arithmetic, reproducible under
+    retries AND by the DuckDB oracle. Emits only ``(bucket, id)`` rows;
+    the coarse-bucket groupby resolves real buckets and yields
+    deduplicated candidate id pairs.
 
     **Phase B — verify, fully distributed** (the shared
     ``_verify_join_collect`` skeleton): distributed pair dedup →
-    DISTINCT-candidate-id broadcast prefilter → pair ⋈ vector(id_a) ⋈
-    vector(id_b) co-partitioned hash joins → exact cosine ≥ threshold
-    per batch. Only the verified pairs reach the driver. More tables →
-    higher recall; the candidate set is output-sized by LSH design."""
-    import ray
-
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes * n_tables))
+    DISTINCT-candidate-id broadcast prefilter → payloads meet pairs
+    adaptively (broadcast block refs / co-partitioned hash joins) →
+    integer-cosine ≥ threshold per batch. Only the verified pairs reach
+    the driver. More tables → higher recall; the candidate set is
+    output-sized by LSH design."""
+    planes = lsh_planes_int(dim, n_planes * n_tables)
 
     def add_lsh_bucket(batch: pa.Table) -> pa.Table:
-        emb = np.asarray(batch[col].to_pylist(), dtype=np.float64)
-        n = len(emb)
-        sig = (emb @ planes > 0).astype(np.int64).reshape(n, n_tables, n_planes)
+        eq = quantize_embeddings(np.asarray(batch[col].to_pylist(), dtype=np.float64))
+        n = len(eq)
+        sig = (eq @ planes > 0).astype(np.int64).reshape(n, n_tables, n_planes)
         bucket = np.zeros((n, n_tables), dtype=np.int64)
         for p in range(n_planes):
             bucket = (bucket << 1) | sig[:, :, p]
@@ -751,17 +822,9 @@ def embedding_near_dup_pairs(
         b_in = batch["id_b"].to_numpy(zero_copy_only=False)
         if len(a_in) == 0:
             return empty
-        va = np.asarray(batch["vec_a"].to_pylist(), dtype=np.float64)
-        vb = np.asarray(batch["vec_b"].to_pylist(), dtype=np.float64)
-        # normalize-then-dot, the exact float path the pinned brute-force
-        # oracle uses (unit vectors first, then the product sum)
-        na = np.linalg.norm(va, axis=1)
-        nb = np.linalg.norm(vb, axis=1)
-        na[na == 0] = 1.0
-        nb[nb == 0] = 1.0
-        ua = va / na[:, None]
-        ub = vb / nb[:, None]
-        sims = np.round((ua * ub).sum(axis=1), 6)
+        eq_a = quantize_embeddings(np.asarray(batch["vec_a"].to_pylist(), dtype=np.float64))
+        eq_b = quantize_embeddings(np.asarray(batch["vec_b"].to_pylist(), dtype=np.float64))
+        sims = int_cosine(eq_a, eq_b)
         hit = sims >= threshold
         return pa.table(
             {
