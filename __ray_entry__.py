@@ -33,18 +33,19 @@ oracles in raycells/pipelines/oracles.py):
   asof_latest_order, priority_revenue (hash join), events_rolling7,
   distinct_custs, top_parts_by_brand, customers_no_orders — all
   oracle-checked.
-- near-dup / sketch / multimodal — MOSTLY oracle-checked:
+- near-dup / sketch / multimodal — ALL oracle-checked except one:
   fingerprint_docs (rolling polynomial hash in HUGEINT SQL),
   minhash_pairs (MinHash+LSH end-to-end in SQL: shingle hashes, 64
   universal-hash minima, band fold, bucket pairs, exact Jaccard),
-  embedding_dups (2^-20-quantized vectors + integer LCG sign-LSH +
-  integer-cosine verify — every similarity an exact int64-derived
-  double), approx_distinct_custs (HLL murmur finalizer + exact-integer
-  harmonic-sum estimator), vectorize_tiles (singleton-region identity
-  on the synthetic mask). Rows-only: simhash_pairs (blake2b token
-  hashes), ann_lsh / ann_ivf (RNG planes / k-means training),
-  media_features (numpy-RNG payloads) — recall/tolerance/value pins in
-  tests/.
+  simhash_pairs (polynomial token hashes, sign-bit fold, 16-bit-chunk
+  pigeonhole, bit_count Hamming), embedding_dups and ann_lsh
+  (2^-20-quantized vectors + integer LCG sign-LSH + integer-cosine —
+  every bucket bit and similarity an exact int64-derived value),
+  approx_distinct_custs (HLL murmur finalizer + exact-integer
+  harmonic-sum estimator), media_features (the plumbing metadata the
+  pipeline emits is shape arithmetic). Rows-only: ann_ivf alone
+  (iterative k-means training is genuinely non-SQL; recall and
+  exhaustive-probe exactness pinned in tests/test_sim.py).
 """
 
 from __future__ import annotations

@@ -490,6 +490,165 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
 """
 
 
+def _simhash_sql(max_hamming: int = 8) -> str:
+    """SimHash near-dup reproduced in SQL (text/dedup.simhash_near_dup_
+    pairs): polynomial token hashes (the same HUGEINT mod-2^64 evaluation
+    as the fingerprint oracle), token-frequency-weighted sign bits, the
+    16-bit-chunk pigeonhole bucketing, and a bit_count(xor) Hamming
+    verify. Token split on single spaces (this corpus' tokenization,
+    already proven by the token_stats oracle)."""
+    seed = 14695981039346656037
+    base = 1099511628211
+    m64 = "CAST('18446744073709551616' AS HUGEINT)"
+    s_hi, s_lo = divmod(seed, 1 << 32)
+    return f"""
+WITH docs AS (
+    SELECT CAST(doc_id AS VARCHAR) AS dk, text FROM documents
+),
+toks AS (
+    SELECT dk, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT dk, unnest(string_split(text, ' ')) AS tok FROM docs)
+    WHERE tok <> '' GROUP BY dk, tok
+),
+tok_list AS (
+    SELECT tok, CAST(length(tok) AS BIGINT) AS n
+    FROM (SELECT DISTINCT tok FROM toks)
+),
+tpows AS (
+    WITH RECURSIVE p(k, v) AS (
+        SELECT CAST(0 AS BIGINT) AS k, CAST(1 AS HUGEINT) AS v
+        UNION ALL
+        SELECT k + 1, (v * {base}) % {m64} FROM p
+        WHERE k < (SELECT MAX(n) FROM tok_list)
+    )
+    SELECT k, v FROM p
+),
+tterms AS (
+    SELECT tb.tok, SUM((tb.b * p.v) % {m64}) AS acc
+    FROM (
+        SELECT tok, n, r.range AS i,
+               CAST(ord(substr(tok, CAST(r.range + 1 AS INT), 1)) AS HUGEINT) AS b
+        FROM tok_list, range(64) r WHERE r.range < n
+    ) tb
+    JOIN tpows p ON p.k = tb.n - 1 - tb.i
+    GROUP BY tb.tok
+),
+thash AS (
+    SELECT t.tok,
+           CAST(( (({s_lo} * pn.v) % {m64}
+                   + ((({s_hi} * pn.v) % 4294967296) * 4294967296)) % {m64}
+                 + COALESCE(tt.acc, 0) ) % {m64} AS UBIGINT) AS th
+    FROM tok_list t
+    JOIN tpows pn ON pn.k = t.n
+    LEFT JOIN tterms tt ON tt.tok = t.tok
+),
+shbits AS (
+    SELECT x.dk, j.range AS j,
+           CASE WHEN SUM(x.cnt * (2 * CAST((h.th >> j.range) & 1 AS BIGINT) - 1)) > 0
+                THEN 1 ELSE 0 END AS bit
+    FROM toks x
+    JOIN thash h ON h.tok = x.tok
+    CROSS JOIN range(64) j
+    GROUP BY x.dk, j.range
+),
+shvals AS (
+    SELECT dk,
+           CAST(SUM(bit * CAST(power(2.0, j) AS HUGEINT)) AS UBIGINT) AS sh
+    FROM shbits GROUP BY dk
+),
+chunks AS (
+    SELECT dk, sh, c.range AS c,
+           CAST((sh >> (16 * c.range)) & 65535 AS BIGINT) AS v
+    FROM shvals, range(4) c
+),
+cand AS (
+    SELECT DISTINCT x.dk AS id_a, y.dk AS id_b
+    FROM chunks x JOIN chunks y ON x.c = y.c AND x.v = y.v AND x.dk < y.dk
+),
+scored AS (
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN shvals a ON a.dk = c.id_a
+    JOIN shvals b ON b.dk = c.id_b
+)
+SELECT id_a, id_b, hamming FROM scored WHERE hamming <= {max_hamming}
+"""
+
+
+def _ann_lsh_sql(k: int = 10, n_planes: int = 8) -> str:
+    """Sign-LSH ANN reproduced in SQL (sim/knn.lsh_topk): quantized
+    integer vectors, LCG plane bits, the query's bucket ± 1-bit
+    multiprobes, integer-cosine ranking (exact doubles both sides —
+    IEEE multiplication is commutative, so sqrt(nq)·sqrt(nv) matches
+    numpy's operand order)."""
+    quant = 1 << 20
+    bit_weights = " ".join(
+        f"WHEN {j} THEN {1 << (n_planes - 1 - j)}" for j in range(n_planes)
+    )
+    return f"""
+WITH comps AS (
+    SELECT vec_id, unnest(embedding) AS ev,
+           CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d
+    FROM embeddings
+),
+eq AS (
+    SELECT vec_id, d,
+           CAST(floor(CAST(ev AS DOUBLE) * {float(quant)} + 0.5) AS BIGINT) AS e
+    FROM comps
+),
+bits AS (
+    SELECT e.vec_id, j.range AS j,
+           CASE WHEN SUM(e.e * (((e.d * 2654435761 + j.range * 40503 + 999331)
+                                 % {2 * quant + 1}) - {quant})) > 0
+                THEN 1 ELSE 0 END AS bit
+    FROM eq e, range({n_planes}) j
+    GROUP BY e.vec_id, j.range
+),
+buckets AS (
+    SELECT vec_id,
+           CAST(SUM(bit * CASE j {bit_weights} END) AS BIGINT) AS bucket
+    FROM bits GROUP BY vec_id
+),
+probes AS (
+    SELECT vec_id AS query_id, bucket AS probe FROM buckets WHERE vec_id < 3
+    UNION
+    SELECT vec_id AS query_id,
+           xor(bucket, CAST(power(2.0, r.range) AS BIGINT)) AS probe
+    FROM buckets, range({n_planes}) r WHERE vec_id < 3
+),
+cand AS (
+    SELECT DISTINCT p.query_id, b.vec_id
+    FROM probes p JOIN buckets b ON b.bucket = p.probe
+),
+norms AS (SELECT vec_id, SUM(e * e) AS n2 FROM eq GROUP BY vec_id),
+dots AS (
+    SELECT c.query_id, c.vec_id, SUM(ea.e * eb.e) AS dab
+    FROM cand c
+    JOIN eq ea ON ea.vec_id = c.query_id
+    JOIN eq eb ON eb.vec_id = c.vec_id AND eb.d = ea.d
+    GROUP BY c.query_id, c.vec_id
+),
+sims AS (
+    SELECT d.query_id, d.vec_id,
+           CAST(d.dab AS DOUBLE)
+           / (sqrt(CAST(nv.n2 AS DOUBLE)) * sqrt(CAST(nq.n2 AS DOUBLE))) AS sim
+    FROM dots d
+    JOIN norms nq ON nq.vec_id = d.query_id
+    JOIN norms nv ON nv.vec_id = d.vec_id
+),
+ranked AS (
+    SELECT query_id, vec_id,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, vec_id
+           ) AS BIGINT) AS rank
+    FROM sims
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, vec_id, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 _LANG_SCORE = """
     len(list_filter(string_split(text, ' '), x -> x = '{w}'))
 """
@@ -628,6 +787,8 @@ def build() -> dict:
         "fingerprint_docs": _fingerprint_sql(),
         "minhash_pairs": _minhash_sql(),
         "embedding_dups": _embedding_dups_sql(),
+        "simhash_pairs": _simhash_sql(),
+        "ann_lsh": _ann_lsh_sql(),
         # vectorize: on the synthetic band mask (one residue class mod 33)
         # no two nodata cells are 4-adjacent, so every connected region is
         # a singleton — the label count equals the masked-cell count
@@ -969,6 +1130,45 @@ def build() -> dict:
                   AND o.o_orderpriority = '1-URGENT'
             )
             GROUP BY c_mktsegment
+        """,
+        # multimodal plumbing: the pipeline's OUTPUT (payload column
+        # dropped, float stats projected away in the query) is pure
+        # shape-metadata arithmetic — resize 32×32→8×8 (64 B), audio
+        # passthrough (8000 B), video frame-sample 8→4 of 16×16 frames
+        # (1024 B) — so the schema/metadata propagation through all
+        # three stages is fully value-checkable in SQL
+        "media_features": f"""
+            WITH nsel AS (
+                -- the media row count follows the scale factor the same
+                -- way q_media_features keys it (docs-table size → n);
+                -- reading the docs glob keeps this oracle valid when the
+                -- test gate rewrites the path to another sf
+                SELECT CASE COUNT(*) WHEN 500 THEN 60 WHEN 5000 THEN 300
+                                     WHEN 50000 THEN 3000 ELSE 60 END AS n
+                FROM read_parquet('{DOCS_GLOB}')
+            ),
+            m AS (
+                SELECT r.range AS s,
+                       CASE r.range % 3 WHEN 0 THEN 'image'
+                                        WHEN 1 THEN 'audio'
+                                        ELSE 'video' END AS media_type
+                FROM range(3000) r, nsel WHERE r.range < nsel.n
+            )
+            SELECT 'media-' || s AS media_id, media_type,
+                   CAST(CASE media_type WHEN 'image' THEN 8
+                                        WHEN 'audio' THEN 1
+                                        ELSE 16 END AS INTEGER) AS height,
+                   CAST(CASE media_type WHEN 'image' THEN 8
+                                        WHEN 'audio' THEN 8000
+                                        ELSE 16 END AS INTEGER) AS width,
+                   CAST(CASE media_type WHEN 'video' THEN 4
+                                        ELSE 1 END AS INTEGER) AS n_frames,
+                   CAST(CASE media_type WHEN 'audio' THEN 8000
+                                        ELSE 0 END AS INTEGER) AS sample_rate,
+                   CAST(CASE media_type WHEN 'image' THEN 64
+                                        WHEN 'audio' THEN 8000
+                                        ELSE 1024 END AS BIGINT) AS n_bytes
+            FROM m
         """,
         "knn_embeddings": """
             WITH q AS (

@@ -132,19 +132,25 @@ def lsh_topk(
     n_planes: int = 8,
     multiprobe: int = 1,
     dim: int = 64,
-    seed: int = 0x5EED_C0DE,
 ) -> pa.Table:
     """Scale-path ANN: sign-LSH bucket both sides, brute-force within the
     query's bucket ± ``multiprobe`` flipped-bit probes.
 
-    The vector side gets a bucket column inside ``map_batches``; the
-    filter to probed buckets prunes the scan BEFORE the matmul, so at
-    scale only ~(probes / 2^n_planes) of the data is touched per query.
-    Recall < 1 by construction (approximate); tested ≥ 0.9@k=10."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes))
+    Buckets come from deterministic integer LCG planes over the
+    2^-20-quantized vectors and ranking uses the integer cosine
+    (text/dedup.quantize_embeddings / lsh_planes_int / int_cosine): every
+    bit and every similarity is an exact int64-derived value, so the
+    whole ANN query is reproducible by the DuckDB oracle and under Ray
+    retries. The vector side gets a bucket column inside ``map_batches``;
+    the filter to probed buckets prunes the scan BEFORE the dot products,
+    so at scale only ~(probes / 2^n_planes) of the data is touched per
+    query. Recall < 1 by construction (approximate); tested ≥ 0.9@k=10."""
+    from raycells.text.dedup import int_cosine, lsh_planes_int, quantize_embeddings
+
+    planes = lsh_planes_int(dim, n_planes)
     qm = np.asarray(query_matrix, dtype=np.float64)
-    qsig = (qm @ planes > 0).astype(np.int64)
+    qq = quantize_embeddings(qm)
+    qsig = (qq @ planes > 0).astype(np.int64)
     qbuckets = np.zeros(len(qm), dtype=np.int64)
     for p in range(n_planes):
         qbuckets = (qbuckets << 1) | qsig[:, p]
@@ -157,9 +163,9 @@ def lsh_topk(
     wanted = sorted(set().union(*probe_sets))
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        emb = np.asarray(batch[col].to_pylist(), dtype=np.float64)
-        sig = (emb @ planes > 0).astype(np.int64)
-        bucket = np.zeros(len(emb), dtype=np.int64)
+        eq = quantize_embeddings(np.asarray(batch[col].to_pylist(), dtype=np.float64))
+        sig = (eq @ planes > 0).astype(np.int64)
+        bucket = np.zeros(len(eq), dtype=np.int64)
         for p in range(n_planes):
             bucket = (bucket << 1) | sig[:, p]
         keep = np.isin(bucket, wanted)
@@ -175,17 +181,16 @@ def lsh_topk(
     pruned = ds.map_batches(bucketize, batch_format="pyarrow")
     # per-query top-k over its probed buckets only
     tbl = pa.concat_tables(_gather(pruned))
-    emb = np.asarray(tbl[col].to_pylist(), dtype=np.float64)
+    eq = quantize_embeddings(np.asarray(tbl[col].to_pylist(), dtype=np.float64))
     ids = tbl[id_col].to_numpy(zero_copy_only=False)
     buckets = tbl["bucket"].to_numpy(zero_copy_only=False)
-    unit = _unit(emb)
-    uq = _unit(qm)
     out_q, out_id, out_s, out_r = [], [], [], []
     for qi, probes in enumerate(probe_sets):
         sel = np.isin(buckets, list(probes))
         if not sel.any():
             continue
-        sims = np.round(unit[sel] @ uq[qi], ROUND)
+        n_sel = int(sel.sum())
+        sims = int_cosine(eq[sel], np.broadcast_to(qq[qi], (n_sel, qq.shape[1])))
         order = np.lexsort((ids[sel], -sims))[: min(k, sims.size)]
         out_q.append(np.full(len(order), query_ids[qi]))
         out_id.append(ids[sel][order])

@@ -591,23 +591,28 @@ _TOKEN_HASHES: dict = {}  # token → uint64 (Zipfian vocab; reused workers)
 _TOKEN_HASHES_MAX = 1 << 20
 
 
-def _token_hash(w: str) -> int:
-    import hashlib
+def _token_hashes(tokens: np.ndarray) -> np.ndarray:
+    """Per-token 64-bit hash = the rolling polynomial fingerprint
+    (text/analysis.fingerprint64) — SQL-expressible, which makes the
+    whole SimHash pipeline oracle-checkable (a blake2b here would be a
+    black box to DuckDB). Memoized per worker: vocabularies are Zipfian."""
+    from raycells.text.analysis import fingerprint64
 
-    h = _TOKEN_HASHES.get(w)
-    if h is None:
-        if len(_TOKEN_HASHES) >= _TOKEN_HASHES_MAX:
+    out = np.empty(len(tokens), dtype=np.uint64)
+    missing = [w for w in tokens if w not in _TOKEN_HASHES]
+    if missing:
+        if len(_TOKEN_HASHES) + len(missing) >= _TOKEN_HASHES_MAX:
             _TOKEN_HASHES.clear()
-        h = _TOKEN_HASHES[w] = int.from_bytes(
-            hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
-        )
-    return h
+        _TOKEN_HASHES.update(zip(missing, fingerprint64(missing)))
+    for k, w in enumerate(tokens):
+        out[k] = _TOKEN_HASHES[w]
+    return out
 
 
 def simhash64(texts: List[str]) -> np.ndarray:
     """64-bit token-frequency simhash per text, fully vectorized per row:
-    token hashes (memoized per worker — vocabularies are Zipfian) →
-    ±1 bit matrix → weighted column sums → sign bits."""
+    polynomial token hashes (memoized per worker) → ±1 bit matrix →
+    weighted column sums → sign bits."""
     out = np.empty(len(texts), dtype=np.uint64)
     bit_idx = np.arange(64, dtype=np.uint64)
     for k, t in enumerate(texts):
@@ -616,7 +621,7 @@ def simhash64(texts: List[str]) -> np.ndarray:
             out[k] = 0
             continue
         uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-        th = np.array([_token_hash(w) for w in uniq], dtype=np.uint64)
+        th = _token_hashes(uniq)
         bits = (th[:, None] >> bit_idx[None, :]) & np.uint64(1)  # (T, 64)
         v = ((bits.astype(np.int64) * 2 - 1) * counts[:, None]).sum(axis=0)
         out[k] = np.uint64(((v > 0).astype(np.uint64) << bit_idx).sum())

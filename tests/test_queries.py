@@ -94,20 +94,14 @@ def test_query_matches_oracle(name, contract, con):
 def test_every_query_has_oracle_or_is_flagged(contract):
     queries, sqls = contract
     rows_only = set(queries) - set(sqls)
-    # genuinely non-SQL ops only: blake2b token hashes (SimHash),
-    # RNG-derived LSH planes / k-means training (ann_*), numpy-RNG media
-    # payloads. Everything else has a DuckDB oracle — including the
-    # 10-type erased decode, the exact PIP ring joins, the Hilbert cell
-    # ids, the rolling polynomial fingerprint, the HLL sketch (murmur
-    # finalizer + exact-integer harmonic sum), MinHash+LSH end-to-end
-    # (shingles → 64 universal-hash minima → band fold → Jaccard) and
-    # the quantized-integer-cosine embedding near-dup.
-    assert rows_only == {
-        "simhash_pairs",
-        "ann_lsh",
-        "ann_ivf",
-        "media_features",
-    }
+    # ONE genuinely non-SQL op remains: IVF's iterative k-means training
+    # (stateful, multi-pass). Everything else has a DuckDB oracle —
+    # the 10-type erased decode, exact PIP ring joins, Hilbert cell ids,
+    # bilinear resample, the rolling polynomial fingerprint, the HLL
+    # sketch, MinHash+LSH end-to-end, SimHash (polynomial token hashes +
+    # bit_count Hamming), the quantized-integer-cosine embedding
+    # near-dup, sign-LSH ANN, and the media plumbing metadata.
+    assert rows_only == {"ann_ivf"}
     assert not set(sqls) - set(queries)
 
 
