@@ -428,6 +428,40 @@ SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}
 """
 
 
+_M64 = "CAST('18446744073709551616' AS HUGEINT)"
+
+
+def _mulmod64(expr: str, c: int) -> str:
+    """(expr · c) mod 2^64 in HUGEINT via a 32-bit split of expr."""
+    return (
+        f"CAST(((CAST({expr} AS HUGEINT) % 4294967296) * {c} % {_M64}"
+        f" + ((CAST({expr} AS HUGEINT) // 4294967296 * {c}) % 4294967296)"
+        f" * 4294967296) % {_M64} AS UBIGINT)"
+    )
+
+
+def _murmur_planes_cte(dim: int, n_bits: int, quant: int) -> str:
+    """CTE chain ``planes`` (d, j, w): the integer sign-LSH hyperplane
+    weights — murmur3 finalizer of the flat (d, j) index mapped to
+    [−quant, quant], mirroring text/dedup.lsh_planes_int."""
+    c1 = 0xFF51AFD7ED558CCD
+    c2 = 0xC4CEB9FE1A85EC53
+    return f"""
+pl0 AS (
+    SELECT d.range AS d, j.range AS j,
+           CAST(d.range * {n_bits} + j.range AS UBIGINT) AS h
+    FROM range({dim}) d, range({n_bits}) j
+),
+pl1 AS (SELECT d, j, xor(h, h >> 33) AS h FROM pl0),
+pl2 AS (SELECT d, j, {_mulmod64('h', c1)} AS h FROM pl1),
+pl3 AS (SELECT d, j, xor(h, h >> 33) AS h FROM pl2),
+pl4 AS (SELECT d, j, {_mulmod64('h', c2)} AS h FROM pl3),
+pl5 AS (SELECT d, j, xor(h, h >> 33) AS h FROM pl4),
+planes AS (
+    SELECT d, j, CAST(h % {2 * quant + 1} AS BIGINT) - {quant} AS w FROM pl5
+)"""
+
+
 def _embedding_dups_sql(
     threshold: float = 0.35, n_planes: int = 8, n_tables: int = 8
 ) -> str:
@@ -452,13 +486,12 @@ eq AS (
            CAST(floor(CAST(ev AS DOUBLE) * {float(quant)} + 0.5) AS BIGINT) AS e
     FROM comps
 ),
+{_murmur_planes_cte(64, n_bits, quant)},
 bits AS (
-    SELECT e.vec_id, j.range AS j,
-           CASE WHEN SUM(e.e * (((e.d * 2654435761 + j.range * 40503 + 999331)
-                                 % {2 * quant + 1}) - {quant})) > 0
-                THEN 1 ELSE 0 END AS bit
-    FROM eq e, range({n_bits}) j
-    GROUP BY e.vec_id, j.range
+    SELECT e.vec_id, p.j,
+           CASE WHEN SUM(e.e * p.w) > 0 THEN 1 ELSE 0 END AS bit
+    FROM eq e JOIN planes p ON p.d = e.d
+    GROUP BY e.vec_id, p.j
 ),
 lsh_keys AS (
     SELECT vec_id,
@@ -597,13 +630,12 @@ eq AS (
            CAST(floor(CAST(ev AS DOUBLE) * {float(quant)} + 0.5) AS BIGINT) AS e
     FROM comps
 ),
+{_murmur_planes_cte(64, n_planes, quant)},
 bits AS (
-    SELECT e.vec_id, j.range AS j,
-           CASE WHEN SUM(e.e * (((e.d * 2654435761 + j.range * 40503 + 999331)
-                                 % {2 * quant + 1}) - {quant})) > 0
-                THEN 1 ELSE 0 END AS bit
-    FROM eq e, range({n_planes}) j
-    GROUP BY e.vec_id, j.range
+    SELECT e.vec_id, p.j,
+           CASE WHEN SUM(e.e * p.w) > 0 THEN 1 ELSE 0 END AS bit
+    FROM eq e JOIN planes p ON p.d = e.d
+    GROUP BY e.vec_id, p.j
 ),
 buckets AS (
     SELECT vec_id,

@@ -719,15 +719,21 @@ def quantize_embeddings(emb: np.ndarray) -> np.ndarray:
 
 
 def lsh_planes_int(dim: int, n_bits: int) -> np.ndarray:
-    """Deterministic integer sign-LSH hyperplanes: an LCG over
-    (dim, bit) in [−2^20, 2^20]. Sign-LSH needs only a spread-out plane
-    family, so integer LCG planes work as well as RNG gaussians — and
-    integer planes × quantized vectors make every bucket bit EXACT
-    (and SQL-reproducible: the embedding_dups oracle evaluates the same
-    formula)."""
-    d = np.arange(dim, dtype=np.int64)[:, None]
-    j = np.arange(n_bits, dtype=np.int64)[None, :]
-    return ((d * 2654435761 + j * 40503 + 999331) % (2 * EMB_QUANT + 1)) - EMB_QUANT
+    """Deterministic integer sign-LSH hyperplanes in [−2^20, 2^20]:
+    murmur3-finalizer mix of the flat (dim, bit) index. The mixer
+    decorrelates planes as well as RNG gaussians (measured: 73k
+    in-bucket pairs on the sf0.1 embeddings vs 73k gaussian — a plain
+    LCG here left planes as shifted copies of each other and produced
+    1.86 M pairs), while staying an exact integer function both numpy
+    and the DuckDB oracles evaluate identically."""
+    from raycells.sim.hll import _hash64
+
+    key = (
+        np.arange(dim, dtype=np.int64)[:, None] * n_bits
+        + np.arange(n_bits, dtype=np.int64)[None, :]
+    )
+    h = _hash64(key.reshape(-1)).reshape(dim, n_bits)
+    return (h % np.uint64(2 * EMB_QUANT + 1)).astype(np.int64) - EMB_QUANT
 
 
 def int_cosine(eq_a: np.ndarray, eq_b: np.ndarray) -> np.ndarray:
