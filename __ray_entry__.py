@@ -33,19 +33,20 @@ oracles in raycells/pipelines/oracles.py):
   asof_latest_order, priority_revenue (hash join), events_rolling7,
   distinct_custs, top_parts_by_brand, customers_no_orders — all
   oracle-checked.
-- near-dup / sketch / multimodal — ALL oracle-checked except one:
+- near-dup / sketch / multimodal — ALL oracle-checked:
   fingerprint_docs (rolling polynomial hash in HUGEINT SQL),
   minhash_pairs (MinHash+LSH end-to-end in SQL: shingle hashes, 64
   universal-hash minima, band fold, bucket pairs, exact Jaccard),
   simhash_pairs (polynomial token hashes, sign-bit fold, 16-bit-chunk
   pigeonhole, bit_count Hamming), embedding_dups and ann_lsh
-  (2^-20-quantized vectors + integer LCG sign-LSH + integer-cosine —
-  every bucket bit and similarity an exact int64-derived value),
+  (2^-20-quantized vectors + murmur-mixed integer sign-LSH planes +
+  integer-cosine — every bucket bit and similarity an exact
+  int64-derived value), ann_ivf (content-keyed seeding + ten UNROLLED
+  exact-integer Lloyd k-means iterations as materialized SQL CTEs),
   approx_distinct_custs (HLL murmur finalizer + exact-integer
   harmonic-sum estimator), media_features (the plumbing metadata the
-  pipeline emits is shape arithmetic). Rows-only: ann_ivf alone
-  (iterative k-means training is genuinely non-SQL; recall and
-  exhaustive-probe exactness pinned in tests/test_sim.py).
+  pipeline emits is shape arithmetic). Every one of the 46 driver
+  queries hash-matches DuckDB.
 """
 
 from __future__ import annotations

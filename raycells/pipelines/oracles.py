@@ -681,6 +681,155 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _ann_ivf_sql(
+    k: int = 10, n_centroids: int = 16, nprobe: int = 4, n_iters: int = 10
+) -> str:
+    """IVF ANN reproduced in SQL (sim/ivf.py): content-keyed seeding
+    (murmur of the Σe·(d+1) fingerprint), ``n_iters`` UNROLLED Lloyd
+    iterations over the quantized integer vectors — centroids are exact
+    integer sum vectors, assignment maximizes dot/|s| with ties → lowest
+    c, empty clusters carry their previous sums — then nprobe-pruned
+    candidate lists and integer-cosine ranking. Every number both
+    engines compare is an exact-int-derived double. Assumes the training
+    sample is the whole table (true at oracle scales: ≤ train_rows)."""
+    quant = 1 << 20
+    m64 = _M64
+    c1 = 0xFF51AFD7ED558CCD
+    c2 = 0xC4CEB9FE1A85EC53
+    parts = [
+        f"""
+WITH comps AS (
+    SELECT vec_id, unnest(embedding) AS ev,
+           CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d
+    FROM embeddings
+),
+-- MATERIALIZED: the unrolled Lloyd iterations reference eq dozens of
+-- times; inlined CTEs would rescan (and re-open) the parquet per use
+eq AS MATERIALIZED (
+    SELECT vec_id, d,
+           CAST(floor(CAST(ev AS DOUBLE) * {float(quant)} + 0.5) AS BIGINT) AS e
+    FROM comps
+),
+fkeys AS (
+    SELECT vec_id,
+           CAST(SUM(((CAST(e AS HUGEINT) * (d + 1)) % {m64} + {m64}) % {m64})
+                % {m64} AS UBIGINT) AS h
+    FROM eq GROUP BY vec_id
+),
+mk1 AS (SELECT vec_id, xor(h, h >> 33) AS h FROM fkeys),
+mk2 AS (SELECT vec_id, {_mulmod64('h', c1)} AS h FROM mk1),
+mk3 AS (SELECT vec_id, xor(h, h >> 33) AS h FROM mk2),
+mk4 AS (SELECT vec_id, {_mulmod64('h', c2)} AS h FROM mk3),
+mk5 AS (SELECT vec_id, xor(h, h >> 33) AS mk FROM mk4),
+skeys AS (
+    SELECT mk, CAST(ROW_NUMBER() OVER (ORDER BY mk) - 1 AS BIGINT) AS c
+    FROM (SELECT DISTINCT mk FROM mk5 ORDER BY mk LIMIT {n_centroids})
+),
+seed_rows AS (
+    SELECT s.c, MIN(m.vec_id) AS vid
+    FROM skeys s JOIN mk5 m ON m.mk = s.mk GROUP BY s.c
+),
+cents0 AS MATERIALIZED (
+    SELECT sr.c, e.d, e.e AS s
+    FROM seed_rows sr JOIN eq e ON e.vec_id = sr.vid
+)"""
+    ]
+    for i in range(n_iters):
+        parts.append(
+            f"""
+, nrm{i} AS MATERIALIZED (
+    SELECT c, CASE WHEN SUM(CAST(s AS HUGEINT) * s) = 0 THEN 1.0
+                   ELSE sqrt(CAST(SUM(CAST(s AS HUGEINT) * s) AS DOUBLE))
+              END AS nrm
+    FROM cents{i} GROUP BY c
+),
+asg{i} AS MATERIALIZED (
+    SELECT vec_id, c FROM (
+        SELECT dt.vec_id, dt.c,
+               ROW_NUMBER() OVER (
+                   PARTITION BY dt.vec_id ORDER BY dt.dot / n.nrm DESC, dt.c
+               ) AS rn
+        FROM (
+            SELECT e.vec_id, ct.c, CAST(SUM(e.e * ct.s) AS DOUBLE) AS dot
+            FROM eq e JOIN cents{i} ct ON ct.d = e.d
+            GROUP BY e.vec_id, ct.c
+        ) dt JOIN nrm{i} n ON n.c = dt.c
+    ) WHERE rn = 1
+),
+ns{i} AS MATERIALIZED (
+    SELECT a.c, e.d, CAST(SUM(e.e) AS BIGINT) AS s
+    FROM asg{i} a JOIN eq e ON e.vec_id = a.vec_id GROUP BY a.c, e.d
+),
+cents{i + 1} AS MATERIALIZED (
+    SELECT o.c, o.d, COALESCE(n.s, o.s) AS s
+    FROM cents{i} o LEFT JOIN ns{i} n ON n.c = o.c AND n.d = o.d
+)"""
+        )
+    fin = n_iters
+    parts.append(
+        f"""
+, nrmF AS (
+    SELECT c, CASE WHEN SUM(CAST(s AS HUGEINT) * s) = 0 THEN 1.0
+                   ELSE sqrt(CAST(SUM(CAST(s AS HUGEINT) * s) AS DOUBLE))
+              END AS nrm
+    FROM cents{fin} GROUP BY c
+),
+allsims AS (
+    SELECT dt.vec_id, dt.c, dt.dot / n.nrm AS sim
+    FROM (
+        SELECT e.vec_id, ct.c, CAST(SUM(e.e * ct.s) AS DOUBLE) AS dot
+        FROM eq e JOIN cents{fin} ct ON ct.d = e.d
+        GROUP BY e.vec_id, ct.c
+    ) dt JOIN nrmF n ON n.c = dt.c
+),
+asgF AS (
+    SELECT vec_id, c FROM (
+        SELECT vec_id, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c) AS rn
+        FROM allsims
+    ) WHERE rn = 1
+),
+probes AS (
+    SELECT vec_id AS query_id, c FROM (
+        SELECT vec_id, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c) AS rn
+        FROM allsims WHERE vec_id < 3
+    ) WHERE rn <= {nprobe}
+),
+cand AS (
+    SELECT DISTINCT p.query_id, a.vec_id
+    FROM probes p JOIN asgF a ON a.c = p.c
+),
+norms AS (SELECT vec_id, SUM(e * e) AS n2 FROM eq GROUP BY vec_id),
+dotsq AS (
+    SELECT cd.query_id, cd.vec_id, SUM(ea.e * eb.e) AS dab
+    FROM cand cd
+    JOIN eq ea ON ea.vec_id = cd.query_id
+    JOIN eq eb ON eb.vec_id = cd.vec_id AND eb.d = ea.d
+    GROUP BY cd.query_id, cd.vec_id
+),
+simsq AS (
+    SELECT d.query_id, d.vec_id,
+           CAST(d.dab AS DOUBLE)
+           / (sqrt(CAST(nv.n2 AS DOUBLE)) * sqrt(CAST(nq.n2 AS DOUBLE))) AS sim
+    FROM dotsq d
+    JOIN norms nq ON nq.vec_id = d.query_id
+    JOIN norms nv ON nv.vec_id = d.vec_id
+),
+ranked AS (
+    SELECT query_id, vec_id,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, vec_id
+           ) AS BIGINT) AS rank
+    FROM simsq
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, vec_id, rank
+FROM ranked WHERE rank <= {k}
+"""
+    )
+    return "".join(parts)
+
+
 _LANG_SCORE = """
     len(list_filter(string_split(text, ' '), x -> x = '{w}'))
 """
@@ -821,6 +970,7 @@ def build() -> dict:
         "embedding_dups": _embedding_dups_sql(),
         "simhash_pairs": _simhash_sql(),
         "ann_lsh": _ann_lsh_sql(),
+        "ann_ivf": _ann_ivf_sql(),
         # vectorize: on the synthetic band mask (one residue class mod 33)
         # no two nodata cells are 4-adjacent, so every connected region is
         # a singleton — the label count equals the masked-cell count

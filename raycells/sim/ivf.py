@@ -8,13 +8,25 @@ only its ``nprobe`` nearest lists, so the pruned scan touches
 ~(nprobe / n_centroids) of the data — the filter runs BEFORE any
 candidate leaves the worker.
 
+EXACT-ARITHMETIC TRAINING (what makes ``ann_ivf`` oracle-checkable and
+bit-stable under Ray retries): Lloyd iterations run over the
+2^-20-quantized integer vectors; a centroid is its cluster's exact
+integer SUM vector (order-free — float means would vary with summation
+order), assignment maximizes dot(x, s_c)/|s_c| (≡ cosine: |x| is
+constant per row) where the dot is exact int64 and the norm the sqrt of
+an exact integer, and seeding picks the rows with the smallest murmur
+hash of a content fingerprint (order-free for distinct vectors;
+duplicate vectors share a seed slot by construction). Every comparison
+both numpy and DuckDB make is between identical IEEE doubles.
+
 At 100 TB the training sample stays a driver-side constant (it does not
 grow with the data), the centroid matrix is a few MB broadcast once, and
 the per-batch assignment is a single (B,d)@(d,C) matmul — the same
 streaming profile as the brute-force baseline, minus the pruned rows.
 
-All similarities are float64 rounded to 6 decimals with vec_id
-tie-break, matching the ranking convention in ``sim/knn.py``.
+Final ranking uses the integer cosine of the quantized vectors
+(text/dedup.int_cosine), vec_id tie-break — the exact convention the
+``ann_lsh`` oracle shares.
 """
 
 from __future__ import annotations
@@ -22,32 +34,67 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from raycells.sim.knn import ROUND, _gather, _unit
+from raycells.sim.knn import _gather
 
-__all__ = ["train_centroids", "ivf_topk"]
+__all__ = ["train_centroids_int", "ivf_topk", "content_keys"]
 
 
-def train_centroids(
-    sample: np.ndarray, n_centroids: int, n_iters: int = 10, seed: int = 0xC357
+def content_keys(eq: np.ndarray) -> np.ndarray:
+    """Order-free per-row content fingerprint: murmur3 finalizer of
+    Σ eq[d]·(d+1) (mod 2^64). Used to seed k-means deterministically
+    from row CONTENT, not sample position."""
+    from raycells.sim.hll import _hash64
+
+    w = np.arange(1, eq.shape[1] + 1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        f = (eq.astype(np.uint64) * w[None, :]).sum(axis=1, dtype=np.uint64)
+    return _hash64(f.view(np.int64))
+
+
+def _cent_norms(sums: np.ndarray) -> np.ndarray:
+    """sqrt of the EXACT Σs² per centroid (python-int accumulation — s²
+    can exceed int64), converted to float64 once; 0 → 1 guard."""
+    n2 = np.array(
+        [float(sum(int(v) * int(v) for v in row)) for row in sums], dtype=np.float64
+    )
+    n = np.sqrt(n2)
+    n[n == 0] = 1.0
+    return n
+
+
+def _assign(eq: np.ndarray, sums: np.ndarray) -> np.ndarray:
+    """argmax_c dot(x, s_c)/|s_c|, ties → lowest c. The dot is exact
+    int64 (|e| < 2^21, |s| < 2^40 headroom), the division identical
+    IEEE both engines."""
+    dots = (eq @ sums.T).astype(np.float64)
+    sims = dots / _cent_norms(sums)[None, :]
+    return np.argmax(sims, axis=1)
+
+
+def train_centroids_int(
+    eq: np.ndarray, n_centroids: int, n_iters: int = 10
 ) -> np.ndarray:
-    """Plain Lloyd k-means on a unit-normalized sample (so L2 argmin ==
-    cosine argmax), deterministic: k-means++-free seeding by evenly
-    spaced sample rows after a seeded shuffle. Returns (C, d) unit
-    centroids."""
-    rng = np.random.default_rng(seed)
-    x = _unit(np.asarray(sample, dtype=np.float64))
-    n = len(x)
-    n_centroids = min(n_centroids, n)
-    idx = rng.permutation(n)[:n_centroids]
-    cents = x[np.sort(idx)].copy()
+    """Lloyd k-means over quantized integer vectors with exact sums.
+    Returns the (C, d) int64 centroid SUM matrix (the rational centroid
+    is sums/count, but only dot(x, s)/|s| is ever needed). Empty
+    clusters keep their previous sums. Seeds: rows with the
+    ``n_centroids`` smallest DISTINCT content keys (first occurrence in
+    sample order — samples are id-ordered, so SQL's MIN(vec_id) row is
+    the same one)."""
+    keys = content_keys(eq)
+    uniq = np.unique(keys)[:n_centroids]
+    init_rows = [int(np.nonzero(keys == kv)[0][0]) for kv in uniq]
+    sums = eq[init_rows].astype(np.int64).copy()
+    c_n = len(init_rows)
     for _ in range(n_iters):
-        assign = np.argmax(x @ cents.T, axis=1)
-        for c in range(n_centroids):
-            m = assign == c
-            if m.any():
-                cents[c] = x[m].mean(axis=0)
-        cents = _unit(cents)
-    return cents
+        assign = _assign(eq, sums)
+        new_sums = np.zeros_like(sums)
+        np.add.at(new_sums, assign, eq)
+        counts = np.bincount(assign, minlength=c_n)
+        empty = counts == 0
+        new_sums[empty] = sums[empty]
+        sums = new_sums
+    return sums
 
 
 def ivf_topk(
@@ -60,37 +107,44 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     train_rows: int = 2048,
-    seed: int = 0xC357,
 ) -> pa.Table:
     """IVF cosine top-k: train coarse centroids on a bounded sample,
     assign + prune per batch against the probed lists, then per-query
     top-k over the surviving candidates. Approximate (recall < 1 when a
-    true neighbor's list is not probed); tested ≥ 0.9@k=10."""
+    true neighbor's list is not probed); tested ≥ 0.8@k=10 and exactly
+    equal to brute force when nprobe == n_centroids."""
+    from raycells.text.dedup import int_cosine, quantize_embeddings
+
     train = np.asarray(
         [r[col] for r in ds.limit(train_rows).select_columns([col]).take_all()],
         dtype=np.float64,
     )
-    cents = train_centroids(train, n_centroids, seed=seed)
+    eq_train = quantize_embeddings(train)
+    sums = train_centroids_int(eq_train, n_centroids)
 
-    qm = _unit(np.asarray(query_matrix, dtype=np.float64))
-    qsims = qm @ cents.T  # (Q, C)
-    nprobe = min(nprobe, len(cents))
-    probe_lists = np.argsort(-qsims, axis=1)[:, :nprobe]  # (Q, nprobe)
+    qq = quantize_embeddings(np.asarray(query_matrix, dtype=np.float64))
+    qsims = (qq @ sums.T).astype(np.float64) / _cent_norms(sums)[None, :]
+    nprobe = min(nprobe, len(sums))
+    probe_lists = np.argsort(-qsims, axis=1, kind="stable")[:, :nprobe]  # ties → low c
     wanted = np.unique(probe_lists)
 
     import ray
 
-    cents_ref = ray.put(cents)
+    cents_ref = ray.put(sums)
     wanted_ref = ray.put(wanted)
 
     class AssignPrune:
         def __init__(self, c_ref, w_ref):
-            self.cents = ray.get(c_ref)
+            self.sums = ray.get(c_ref)
             self.wanted = ray.get(w_ref)
+            self.norms = _cent_norms(self.sums)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            emb = np.asarray(batch[col].to_pylist(), dtype=np.float64)
-            cid = np.argmax(_unit(emb) @ self.cents.T, axis=1)
+            eq = quantize_embeddings(
+                np.asarray(batch[col].to_pylist(), dtype=np.float64)
+            )
+            sims = (eq @ self.sums.T).astype(np.float64) / self.norms[None, :]
+            cid = np.argmax(sims, axis=1)
             keep = np.isin(cid, self.wanted)
             t = pa.table(
                 {
@@ -109,15 +163,16 @@ def ivf_topk(
         batch_size=4096,
     )
     tbl = pa.concat_tables(_gather(pruned))
-    emb = _unit(np.asarray(tbl[col].to_pylist(), dtype=np.float64))
+    eq = quantize_embeddings(np.asarray(tbl[col].to_pylist(), dtype=np.float64))
     ids = tbl[id_col].to_numpy(zero_copy_only=False)
     cids = tbl["cid"].to_numpy(zero_copy_only=False)
     out_q, out_id, out_s, out_r = [], [], [], []
-    for qi in range(len(qm)):
+    for qi in range(len(qq)):
         sel = np.isin(cids, probe_lists[qi])
         if not sel.any():
             continue
-        sims = np.round(emb[sel] @ qm[qi], ROUND)
+        n_sel = int(sel.sum())
+        sims = int_cosine(eq[sel], np.broadcast_to(qq[qi], (n_sel, qq.shape[1])))
         order = np.lexsort((ids[sel], -sims))[: min(k, sims.size)]
         out_q.append(np.full(len(order), query_ids[qi]))
         out_id.append(ids[sel][order])

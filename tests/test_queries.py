@@ -94,14 +94,14 @@ def test_query_matches_oracle(name, contract, con):
 def test_every_query_has_oracle_or_is_flagged(contract):
     queries, sqls = contract
     rows_only = set(queries) - set(sqls)
-    # ONE genuinely non-SQL op remains: IVF's iterative k-means training
-    # (stateful, multi-pass). Everything else has a DuckDB oracle —
-    # the 10-type erased decode, exact PIP ring joins, Hilbert cell ids,
-    # bilinear resample, the rolling polynomial fingerprint, the HLL
-    # sketch, MinHash+LSH end-to-end, SimHash (polynomial token hashes +
-    # bit_count Hamming), the quantized-integer-cosine embedding
-    # near-dup, sign-LSH ANN, and the media plumbing metadata.
-    assert rows_only == {"ann_ivf"}
+    # EVERY query has a DuckDB oracle: the 10-type erased decode, exact
+    # PIP ring joins, Hilbert cell ids, bilinear resample, the rolling
+    # polynomial fingerprint, the HLL sketch, MinHash+LSH end-to-end,
+    # SimHash (polynomial token hashes + bit_count Hamming), the
+    # quantized-integer-cosine embedding near-dup, sign-LSH ANN, the
+    # media plumbing metadata, and IVF ANN (content-keyed seeding + ten
+    # UNROLLED exact-integer Lloyd iterations in SQL).
+    assert rows_only == set()
     assert not set(sqls) - set(queries)
 
 
