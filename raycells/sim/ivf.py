@@ -130,59 +130,65 @@ def ivf_topk(
 
     import ray
 
-    cents_ref = ray.put(sums)
-    wanted_ref = ray.put(wanted)
+    from raycells.sim.knn import _merge_topk
 
-    class AssignPrune:
-        def __init__(self, c_ref, w_ref):
-            self.sums = ray.get(c_ref)
-            self.wanted = ray.get(w_ref)
+    state_ref = ray.put((sums, wanted, probe_lists, qq, np.asarray(query_ids)))
+
+    class AssignPruneTopK:
+        """Assign → prune → PER-BATCH per-query top-k in one stage: the
+        exchange back to the driver carries ≤ k·Q rows per block (top-k
+        of the union == top-k of the per-block top-k's), never the
+        pruned candidate set — the driver only merges partials."""
+
+        def __init__(self, s_ref):
+            self.sums, self.wanted, self.probe_lists, self.qq, self.qid = ray.get(
+                s_ref
+            )
             self.norms = _cent_norms(self.sums)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             eq = quantize_embeddings(
                 np.asarray(batch[col].to_pylist(), dtype=np.float64)
             )
-            sims = (eq @ self.sums.T).astype(np.float64) / self.norms[None, :]
-            cid = np.argmax(sims, axis=1)
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            sims_c = (eq @ self.sums.T).astype(np.float64) / self.norms[None, :]
+            cid = np.argmax(sims_c, axis=1)
             keep = np.isin(cid, self.wanted)
-            t = pa.table(
+            eq, ids, cid = eq[keep], ids[keep], cid[keep]
+            out_q, out_id, out_s = [], [], []
+            for qi in range(len(self.qq)):
+                sel = np.isin(cid, self.probe_lists[qi])
+                if not sel.any():
+                    continue
+                n_sel = int(sel.sum())
+                sims = int_cosine(
+                    eq[sel], np.broadcast_to(self.qq[qi], (n_sel, self.qq.shape[1]))
+                )
+                order = np.lexsort((ids[sel], -sims))[: min(k, sims.size)]
+                out_q.append(np.full(len(order), self.qid[qi]))
+                out_id.append(ids[sel][order])
+                out_s.append(sims[order])
+            if not out_q:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        id_col: pa.array([], batch.schema.field(id_col).type),
+                        "sim": pa.array([], pa.float64()),
+                    }
+                )
+            return pa.table(
                 {
-                    id_col: batch[id_col],
-                    col: batch[col],
-                    "cid": pa.array(cid.astype(np.int64)),
+                    "query_id": pa.array(np.concatenate(out_q).astype(np.int64)),
+                    id_col: pa.array(np.concatenate(out_id)),
+                    "sim": pa.array(np.concatenate(out_s)),
                 }
             )
-            return t.filter(pa.array(keep))
 
     from raycells.engine.stages import broadcast_task
 
-    pruned = ds.map_batches(
-        broadcast_task(AssignPrune, cents_ref, wanted_ref),
+    partial = ds.map_batches(
+        broadcast_task(AssignPruneTopK, state_ref),
         batch_format="pyarrow",
         batch_size=4096,
     )
-    tbl = pa.concat_tables(_gather(pruned))
-    eq = quantize_embeddings(np.asarray(tbl[col].to_pylist(), dtype=np.float64))
-    ids = tbl[id_col].to_numpy(zero_copy_only=False)
-    cids = tbl["cid"].to_numpy(zero_copy_only=False)
-    out_q, out_id, out_s, out_r = [], [], [], []
-    for qi in range(len(qq)):
-        sel = np.isin(cids, probe_lists[qi])
-        if not sel.any():
-            continue
-        n_sel = int(sel.sum())
-        sims = int_cosine(eq[sel], np.broadcast_to(qq[qi], (n_sel, qq.shape[1])))
-        order = np.lexsort((ids[sel], -sims))[: min(k, sims.size)]
-        out_q.append(np.full(len(order), query_ids[qi]))
-        out_id.append(ids[sel][order])
-        out_s.append(sims[order])
-        out_r.append(np.arange(1, len(order) + 1, dtype=np.int64))
-    return pa.table(
-        {
-            "query_id": pa.array(np.concatenate(out_q)),
-            id_col: pa.array(np.concatenate(out_id)),
-            "sim": pa.array(np.concatenate(out_s)),
-            "rank": pa.array(np.concatenate(out_r)),
-        }
-    )
+    return _merge_topk(_gather(partial), query_ids, id_col, k)

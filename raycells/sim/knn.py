@@ -122,6 +122,43 @@ def _gather(ds):
     return [ray.get(ref) for ref in ds.to_arrow_refs()]
 
 
+def _merge_topk(tabs, query_ids, id_col: str, k: int) -> pa.Table:
+    """Driver-side final merge of per-block top-k partials: global
+    top-k per query by (sim DESC, id ASC), ranks 1..k."""
+    tabs = [t for t in tabs if t.num_rows > 0]
+    if not tabs:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+    t = pa.concat_tables(tabs)
+    qid = t["query_id"].to_numpy(zero_copy_only=False)
+    vid = t[id_col].to_numpy(zero_copy_only=False)
+    sim = t["sim"].to_numpy(zero_copy_only=False)
+    out_q, out_id, out_s, out_r = [], [], [], []
+    for q in query_ids:
+        sel = qid == q
+        if not sel.any():
+            continue
+        order = np.lexsort((vid[sel], -sim[sel]))[:k]
+        out_q.append(np.full(len(order), q))
+        out_id.append(vid[sel][order])
+        out_s.append(sim[sel][order])
+        out_r.append(np.arange(1, len(order) + 1, dtype=np.int64))
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q).astype(np.int64)),
+            id_col: pa.array(np.concatenate(out_id)),
+            "sim": pa.array(np.concatenate(out_s)),
+            "rank": pa.array(np.concatenate(out_r)),
+        }
+    )
+
+
 def lsh_topk(
     ds,
     query_matrix: np.ndarray,
@@ -178,29 +215,44 @@ def lsh_topk(
         )
         return t.filter(pa.array(keep))
 
-    pruned = ds.map_batches(bucketize, batch_format="pyarrow")
-    # per-query top-k over its probed buckets only
-    tbl = pa.concat_tables(_gather(pruned))
-    eq = quantize_embeddings(np.asarray(tbl[col].to_pylist(), dtype=np.float64))
-    ids = tbl[id_col].to_numpy(zero_copy_only=False)
-    buckets = tbl["bucket"].to_numpy(zero_copy_only=False)
-    out_q, out_id, out_s, out_r = [], [], [], []
-    for qi, probes in enumerate(probe_sets):
-        sel = np.isin(buckets, list(probes))
-        if not sel.any():
-            continue
-        n_sel = int(sel.sum())
-        sims = int_cosine(eq[sel], np.broadcast_to(qq[qi], (n_sel, qq.shape[1])))
-        order = np.lexsort((ids[sel], -sims))[: min(k, sims.size)]
-        out_q.append(np.full(len(order), query_ids[qi]))
-        out_id.append(ids[sel][order])
-        out_s.append(sims[order])
-        out_r.append(np.arange(1, len(order) + 1, dtype=np.int64))
-    return pa.table(
-        {
-            "query_id": pa.array(np.concatenate(out_q)),
-            id_col: pa.array(np.concatenate(out_id)),
-            "sim": pa.array(np.concatenate(out_s)),
-            "rank": pa.array(np.concatenate(out_r)),
-        }
+    def local_topk(batch: pa.Table) -> pa.Table:
+        # per-batch per-query top-k over the batch's probed candidates:
+        # the exchange back to the driver carries ≤ k·Q rows per block
+        # (top-k of the union == top-k of the per-block top-k's), never
+        # the pruned candidate set itself
+        eq_b = quantize_embeddings(
+            np.asarray(batch[col].to_pylist(), dtype=np.float64)
+        )
+        ids_b = batch[id_col].to_numpy(zero_copy_only=False)
+        buckets_b = batch["bucket"].to_numpy(zero_copy_only=False)
+        out_q, out_id, out_s = [], [], []
+        for qi, probes in enumerate(probe_sets):
+            sel = np.isin(buckets_b, list(probes))
+            if not sel.any():
+                continue
+            n_sel = int(sel.sum())
+            sims = int_cosine(eq_b[sel], np.broadcast_to(qq[qi], (n_sel, qq.shape[1])))
+            order = np.lexsort((ids_b[sel], -sims))[: min(k, sims.size)]
+            out_q.append(np.full(len(order), query_ids[qi]))
+            out_id.append(ids_b[sel][order])
+            out_s.append(sims[order])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    id_col: pa.array([], batch.schema.field(id_col).type),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q).astype(np.int64)),
+                id_col: pa.array(np.concatenate(out_id)),
+                "sim": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    partial = ds.map_batches(bucketize, batch_format="pyarrow").map_batches(
+        local_topk, batch_format="pyarrow"
     )
+    return _merge_topk(_gather(partial), query_ids, id_col, k)
