@@ -983,9 +983,13 @@ def q_events_daily(sf_dir: str):
 def q_knn_embeddings(sf_dir: str):
     """Brute-force cosine top-k: queries = embeddings of vec_id 0..2,
     broadcast once; per-batch matmul top-k; tiny final merge."""
-    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    qmask = pc.less(emb["vec_id"], 3)
-    q = emb.filter(qmask)
+    # row-group-pruned driver read: only the 3 query vectors leave
+    # storage, not the whole embedding table
+    q = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 3)],
+    )
     qids = q["vec_id"].to_numpy(zero_copy_only=False)
     qmat = np.asarray(q["embedding"].to_pylist(), dtype=np.float64)
     ds = _read(sf_dir, "embeddings", SMALL_TABLE_BLOCKS, columns=["vec_id", "embedding"])
@@ -1035,8 +1039,11 @@ def q_ann_lsh(sf_dir: str):
     tests/test_sim.py)."""
     from raycells.sim.knn import lsh_topk
 
-    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    q = emb.filter(pc.less(emb["vec_id"], 3))
+    q = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 3)],  # pruned read: queries only
+    )
     qids = q["vec_id"].to_numpy(zero_copy_only=False)
     qmat = np.asarray(q["embedding"].to_pylist(), dtype=np.float64)
     ds = _read(sf_dir, "embeddings", SMALL_TABLE_BLOCKS, columns=["vec_id", "embedding"])
@@ -1056,8 +1063,11 @@ def q_ann_ivf(sf_dir: str):
     and exhaustive-probe exactness pinned in tests/test_sim.py)."""
     from raycells.sim.ivf import ivf_topk
 
-    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    q = emb.filter(pc.less(emb["vec_id"], 3))
+    q = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 3)],  # pruned read: queries only
+    )
     qids = q["vec_id"].to_numpy(zero_copy_only=False)
     qmat = np.asarray(q["embedding"].to_pylist(), dtype=np.float64)
     ds = _read(sf_dir, "embeddings", SMALL_TABLE_BLOCKS, columns=["vec_id", "embedding"])
