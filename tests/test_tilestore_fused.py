@@ -126,3 +126,48 @@ def test_tile_stats_grouped_matches_scalar_fold_edge_cases():
         assert (got_lo == want_lo) or (np.isnan(got_lo) and np.isnan(want_lo)), (i, ctname)
         assert (got_hi == want_hi) or (np.isnan(got_hi) and np.isnan(want_hi)), (i, ctname)
         assert got["valid_count"][i].as_py() == int(m.sum())
+
+
+def test_tile_stats_grouped_matches_scalar_fold_random():
+    """Property-style sweep: grouped tile_stats == per-tile kernels.min_max
+    fold across all 10 cell types, random payloads (incl. NaNs in float
+    tiles) and random masks, mixed sizes in one batch."""
+    from raycells.cells import kernels
+    from raycells.cells.ctype import CELL_TYPES
+
+    rng = np.random.default_rng(23)
+    tiles = []
+    for rep in range(3):
+        for ct in CELL_TYPES:
+            n = int(rng.integers(3, 40))
+            if ct.is_integral:
+                info = np.iinfo(ct.dtype)
+                v = rng.integers(
+                    int(info.min), int(info.max), n, dtype=ct.dtype,
+                    endpoint=True,
+                )
+            else:
+                v = (rng.standard_normal(n) * 1e3).astype(ct.dtype)
+                v[rng.random(n) < 0.2] = np.nan
+            m = rng.random(n) < 0.7
+            tiles.append((ct.name, v, m))
+    batch = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(len(tiles))]),
+            "span_idx": pa.array(np.zeros(len(tiles), np.int32)),
+            "data": pa.array([v.tobytes() for _, v, _ in tiles], pa.large_binary()),
+            "mask": pa.array(
+                [kernels.pack_mask(m) for _, _, m in tiles], pa.large_binary()
+            ),
+            "cell_type": pa.array([c for c, _, _ in tiles]),
+            "nrows": pa.array([1] * len(tiles), pa.int32()),
+            "ncols": pa.array([len(v) for _, v, _ in tiles], pa.int32()),
+        }
+    )
+    got = stages.tile_stats(batch)
+    for i, (ctname, v, m) in enumerate(tiles):
+        lo, hi = kernels.min_max(v, m)
+        for want, col in ((lo.to_f64(), "min_val"), (hi.to_f64(), "max_val")):
+            g = got[col][i].as_py()
+            assert (g == want) or (np.isnan(g) and np.isnan(want)), (i, ctname, col)
+        assert got["valid_count"][i].as_py() == int(m.sum()), (i, ctname)
