@@ -16,17 +16,26 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
-# the cheap end of the oracle-checked set (full set runs in the driver gate)
+# ALL oracle-checked queries (the driver gate runs the same pairs at
+# sf0.01; band_tile_stats is the one skip — its 28M-cell SQL belongs to
+# the gate, and cell_agg_band covers the identical decode formula)
 CHECKED = [
     "explode_media",
     "span_digest",
     "cell_agg_band",
     "ndvi_stats",
     "resample_tiles",
+    "resample_bilinear",
     "tile_type_hist",
     "knn_tiles",
     "bbox_join_counts",
     "top_dense_cells",
+    "flagship_cells",
+    "pip_join_counts",
+    "pip_join_cellcover",
+    "zonal_stats",
+    "rasterize_footprints",
+    "vectorize_tiles",
     "lineitem_pricing",
     "orders_by_segment",
     "revenue_by_nation",
@@ -44,9 +53,17 @@ CHECKED = [
     "asof_latest_order",
     "events_rolling7",
     "distinct_custs",
+    "approx_distinct_custs",
     "top_parts_by_brand",
     "customers_no_orders",
     "priority_revenue",
+    "minhash_pairs",
+    "simhash_pairs",
+    "embedding_dups",
+    "ann_lsh",
+    "ann_ivf",
+    "fingerprint_docs",
+    "media_features",
 ]
 
 
