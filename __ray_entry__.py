@@ -37,6 +37,9 @@ oracles in raycells/pipelines/oracles.py):
   fingerprint_docs (rolling polynomial hash in HUGEINT SQL),
   minhash_pairs (MinHash+LSH end-to-end in SQL: shingle hashes, 64
   universal-hash minima, band fold, bucket pairs, exact Jaccard),
+  ngram_jaccard (EXACT prefix-filter set-similarity join, recall 1.0:
+  hash-ordered shingle prefixes + integer size filter + exact-integer
+  threshold, mirrored CTE-for-CTE in SQL),
   simhash_pairs (polynomial token hashes, sign-bit fold, 16-bit-chunk
   pigeonhole, bit_count Hamming), embedding_dups and ann_lsh
   (2^-20-quantized vectors + murmur-mixed integer sign-LSH planes +
@@ -128,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_revenue": q.q_priority_revenue,
         # near-dup + multimodal (rows-only checks)
         "minhash_pairs": q.q_minhash_pairs,
+        "ngram_jaccard": q.q_ngram_jaccard,
         "simhash_pairs": q.q_simhash_pairs,
         "embedding_dups": q.q_embedding_dups,
         "ann_lsh": q.q_ann_lsh,

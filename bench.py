@@ -124,6 +124,7 @@ PIPELINES = {
     "dedup_exact": "q_dedup_exact",
     "knn_embeddings": "q_knn_embeddings",
     "minhash_pairs": "q_minhash_pairs",
+    "ngram_jaccard": "q_ngram_jaccard",
     "simhash_pairs": "q_simhash_pairs",
     "embedding_dups": "q_embedding_dups",
     "priority_revenue": "q_priority_revenue",

@@ -301,7 +301,11 @@ def _face_uv_to_xyz(face, u, v):
 def _uv_to_st(u):
     """S2 quadratic projection: near-uniform cell areas across a face."""
     u = np.asarray(u, dtype=np.float64)
-    return np.where(u >= 0, 0.5 * np.sqrt(1.0 + 3.0 * u), 1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u))
+    with np.errstate(invalid="ignore"):  # np.where evaluates both branches;
+        # the off-branch sqrt of a negative is discarded
+        return np.where(
+            u >= 0, 0.5 * np.sqrt(1.0 + 3.0 * u), 1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u)
+        )
 
 
 def _st_to_uv(s):

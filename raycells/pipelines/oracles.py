@@ -428,6 +428,70 @@ SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}
 """
 
 
+def _ngram_jaccard_sql(num: int = 4, den: int = 5, k: int = 5) -> str:
+    """Exact prefix-filter n-gram Jaccard join reproduced in SQL
+    (text/dedup.ngram_jaccard_near_dup_pairs): the same 5-byte shingle
+    hashes as the MinHash oracle, hash-ascending prefix of length
+    ``sz − ⌈num·sz/den⌉ + 1`` per doc (row_number over HUGEINT h — the
+    uint64 order numpy sorts by), candidate pairs on shared prefix
+    shingles with the integer size filter, exact intersection/union
+    verify with the integer threshold cut. jaccard is the elementwise
+    double quotient of exact ints — identical IEEE on both engines."""
+    m64 = "CAST('18446744073709551616' AS HUGEINT)"
+    base = 1099511628211
+    pows = [pow(base, j, 1 << 64) for j in range(k)]
+    shingle_terms = " + ".join(
+        f"CAST(ord(substr(text, CAST(r.range + {j + 1} AS INT), 1)) AS HUGEINT)"
+        f" * {pows[j]}"
+        for j in range(k)
+    )
+    return f"""
+WITH docs AS (
+    SELECT CAST(doc_id AS VARCHAR) AS dk, text,
+           CAST(length(text) AS BIGINT) AS n
+    FROM documents
+),
+sh_raw AS (
+    SELECT dk, ({shingle_terms}) % {m64} AS h
+    FROM docs, range(8192) r WHERE r.range <= n - {k}
+),
+shingles AS MATERIALIZED (SELECT DISTINCT dk, h FROM sh_raw),
+sizes AS (SELECT dk, CAST(COUNT(*) AS BIGINT) AS sz FROM shingles GROUP BY dk),
+ranked AS (
+    SELECT s.dk, s.h, z.sz,
+           row_number() OVER (PARTITION BY s.dk ORDER BY s.h) AS rn
+    FROM shingles s JOIN sizes z ON z.dk = s.dk
+),
+prefix AS (
+    SELECT dk, h, sz FROM ranked
+    WHERE rn <= sz - (({num} * sz + {den - 1}) // {den}) + 1
+),
+cand AS (
+    SELECT DISTINCT x.dk AS id_a, y.dk AS id_b
+    FROM prefix x JOIN prefix y
+      ON x.h = y.h AND x.dk < y.dk
+     AND {den} * LEAST(x.sz, y.sz) >= {num} * GREATEST(x.sz, y.sz)
+),
+inter AS (
+    SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS i
+    FROM cand c
+    JOIN shingles sa ON sa.dk = c.id_a
+    JOIN shingles sb ON sb.dk = c.id_b AND sb.h = sa.h
+    GROUP BY c.id_a, c.id_b
+),
+scored AS (
+    SELECT c.id_a, c.id_b, COALESCE(i.i, 0) AS i,
+           za.sz + zb.sz - COALESCE(i.i, 0) AS u
+    FROM cand c
+    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN sizes za ON za.dk = c.id_a
+    JOIN sizes zb ON zb.dk = c.id_b
+)
+SELECT id_a, id_b, CAST(i AS DOUBLE) / u AS jaccard
+FROM scored WHERE {den} * i >= {num} * u
+"""
+
+
 _M64 = "CAST('18446744073709551616' AS HUGEINT)"
 
 
@@ -967,6 +1031,7 @@ def build() -> dict:
         """,
         "fingerprint_docs": _fingerprint_sql(),
         "minhash_pairs": _minhash_sql(),
+        "ngram_jaccard": _ngram_jaccard_sql(),
         "embedding_dups": _embedding_dups_sql(),
         "simhash_pairs": _simhash_sql(),
         "ann_lsh": _ann_lsh_sql(),

@@ -1018,6 +1018,22 @@ def q_minhash_pairs(sf_dir: str):
     )
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """EXACT n-gram Jaccard near-dup pairs (J ≥ 4/5) via the
+    prefix-filter set-similarity join — recall 1.0 by construction, in
+    contrast to minhash_pairs' probabilistic LSH recall. Oracle:
+    oracles._ngram_jaccard_sql (exact-integer prefix/size/threshold
+    arithmetic on both engines)."""
+    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["doc_id", "text"])
+    with_id = ds.map_batches(
+        lambda b: b.append_column("doc_key", pc.cast(b["doc_id"], pa.string())),
+        batch_format="pyarrow",
+    )
+    return dd.ngram_jaccard_near_dup_pairs(
+        with_id, col="text", id_col="doc_key", threshold=(4, 5)
+    )
+
+
 def q_simhash_pairs(sf_dir: str):
     ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["doc_id", "text"])
     with_id = ds.map_batches(

@@ -58,6 +58,7 @@ CHECKED = [
     "customers_no_orders",
     "priority_revenue",
     "minhash_pairs",
+    "ngram_jaccard",
     "simhash_pairs",
     "embedding_dups",
     "ann_lsh",

@@ -136,6 +136,42 @@ def test_minhash_near_dup_pipeline(docs_ds):
     assert not any("d2" in p for pair in got for p in pair)
 
 
+def test_ngram_jaccard_small_fixture(docs_ds):
+    pairs = dd.ngram_jaccard_near_dup_pairs(docs_ds, threshold=(4, 5)).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert ("d0", "d5") in got  # exact dup (J = 1)
+    assert all(a < b for a, b in got)
+    assert not any("d2" in p for pair in got for p in pair)
+
+
+def test_ngram_jaccard_exact_recall_sf0001(ray_session):
+    """The prefix-filter join is EXACT: its output equals brute-force
+    all-pairs Jaccard (integer-threshold form) over the sf0.001 corpus —
+    ids AND jaccard values. This is the recall-1.0 guarantee LSH lacks."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    ids = [str(i) for i in t["doc_id"].to_pylist()]
+    texts = t["text"].to_pylist()
+    sets = [dd.char_shingles(x, 5) for x in texts]
+    num, den = 4, 5
+    want = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            i = np.intersect1d(sets[x], sets[y], assume_unique=True).size
+            u = sets[x].size + sets[y].size - i
+            if den * i >= num * u:
+                a, b = sorted((ids[x], ids[y]))
+                want[(a, b)] = i / u if u else 1.0
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.string()), "text": t["text"]}))
+    out = dd.ngram_jaccard_near_dup_pairs(ds, threshold=(num, den)).to_pandas()
+    got = {(a, b): j for a, b, j in zip(out["id_a"], out["id_b"], out["jaccard"])}
+    assert got == want and len(want) > 0
+
+
 def test_simhash_near_dup_pipeline(docs_ds):
     pairs = dd.simhash_near_dup_pairs(docs_ds, max_hamming=3).to_pandas()
     got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
