@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ndvi_stats": q.q_ndvi_stats,
         "resample_tiles": q.q_resample_tiles,
         "resample_bilinear": q.q_resample_bilinear,
+        "resample_cubic": q.q_resample_cubic,
         "tile_type_hist": q.q_tile_type_hist,
         "knn_tiles": q.q_knn_tiles,
         "flagship_cells": q.q_flagship_cells,

@@ -103,7 +103,9 @@ def _windowed(arr: np.ndarray, window, window_size, out_size, resample="nearest"
     ``nearest`` (GDAL default): source index floor((dst + 0.5) · w / ow),
     same mapping as ``tilestore.window_indices``. ``bilinear``
     (GRA_Bilinear): src = (dst + 0.5) · scale − 0.5 with edge-replicate
-    clamping; returns float64 (interpolation is float math — callers
+    clamping. ``cubic`` (GRA_Cubic): 4×4 cubic convolution over the
+    same src mapping (weights in ``_cubic_weights``). The interpolating
+    variants return float64 (interpolation is float math — callers
     convert back through the cell lattice if an integer buffer is
     wanted, which is where our API deviates from GDAL's silent
     round-to-band-type)."""
@@ -131,15 +133,50 @@ def _windowed(arr: np.ndarray, window, window_size, out_size, resample="nearest"
             y1[:, None], x1[None, :]
         ]
         return ((1.0 - fy)[:, None] * top + fy[:, None] * bot).reshape(-1)
+    if resample == "cubic":
+        sx = (np.arange(ow) + 0.5) * w / ow - 0.5
+        sy = (np.arange(oh) + 0.5) * h / oh - 0.5
+        x0f = np.floor(sx).astype(np.int64)
+        y0f = np.floor(sy).astype(np.int64)
+        wx = _cubic_weights(sx - x0f)  # (4, ow)
+        wy = _cubic_weights(sy - y0f)  # (4, oh)
+        a = arr.astype(np.float64)
+        out = np.zeros((oh, ow))
+        for dy in range(4):
+            yy = r0 + np.clip(y0f + dy - 1, 0, h - 1)
+            row = np.zeros((oh, ow))
+            for dx in range(4):
+                xx = c0 + np.clip(x0f + dx - 1, 0, w - 1)
+                row += wx[dx][None, :] * a[yy[:, None], xx[None, :]]
+            out += wy[dy][:, None] * row
+        return out.reshape(-1)
     raise ValueError(f"unsupported resample algorithm: {resample!r}")
+
+
+def _cubic_weights(t: np.ndarray) -> np.ndarray:
+    """(4, n) GDAL GRA_Cubic tap weights (4-point cubic convolution,
+    Keys kernel with A = −0.5 — Catmull-Rom) for fractional offsets
+    ``t`` ∈ [0, 1); taps sit at floor−1 … floor+2, edge-replicated.
+    At t = 0.5 (exact 2× downscale) the weights are exactly
+    (−1, 9, 9, −1)/16, so 256·out is an integer combination of the 16
+    source pixels — the property the DuckDB oracle exploits."""
+    return np.stack(
+        [
+            ((-0.5 * t + 1.0) * t - 0.5) * t,
+            (1.5 * t - 2.5) * t * t + 1.0,
+            ((-1.5 * t + 2.0) * t + 0.5) * t,
+            (0.5 * t - 0.5) * t * t,
+        ]
+    )
 
 
 def read_cells(
     path: str, window=None, window_size=None, out_size=None, resample="nearest"
 ) -> CellBuffer:
     """``read_cells``: full raster by default; pass (window, window_size,
-    out_size) for a windowed resampled read (``resample`` = "nearest" or
-    "bilinear"; bilinear yields a Float64 buffer)."""
+    out_size) for a windowed resampled read (``resample`` = "nearest",
+    "bilinear" or "cubic"; the interpolating variants yield a Float64
+    buffer)."""
     arr, _ = read_tiff(path)
     if window is None:
         return CellBuffer(arr.reshape(-1))

@@ -190,6 +190,45 @@ def synth_band_window_bilinear(
     return (1.0 - wy) * top + wy * bot
 
 
+def synth_band_window_cubic(
+    seeds: np.ndarray,
+    band: int,
+    window: Tuple[int, int],
+    window_size: Tuple[int, int],
+    out_size: Tuple[int, int],
+) -> np.ndarray:
+    """(len(seeds), ow·oh) float64: the band tile's window resampled to
+    ``out_size`` by GDAL-style CUBIC convolution (GRA_Cubic, the Keys
+    kernel with A = −0.5 — the third ``e_resample_alg`` the reference's
+    ``read_cells`` accepts, rasterband.rs:42). Taps at floor−1…floor+2
+    per axis, edge-replicate clamped to the window. At exact 2×
+    downscale every 1-D weight is in {−1/16, 9/16}, so 256·out is an
+    integer combination of the 16 source pixels (the DuckDB oracle's
+    formulation); partial sums are exact multiples of 1/256, so the
+    float accumulation below is bit-exact regardless of order."""
+    from raycells.io.tiffreader import _cubic_weights
+
+    (c0, r0), (w, h), (ow, oh) = window, window_size, out_size
+    sx = (np.arange(ow) + 0.5) * w / ow - 0.5
+    sy = (np.arange(oh) + 0.5) * h / oh - 0.5
+    x0f = np.floor(sx).astype(np.int64)
+    y0f = np.floor(sy).astype(np.int64)
+    wx = _cubic_weights(sx - x0f)  # (4, ow)
+    wy = _cubic_weights(sy - y0f)  # (4, oh)
+    s = np.asarray(seeds, dtype=np.int64)[:, None]
+    out = np.zeros((len(s), oh * ow))
+    for dy in range(4):
+        rows = r0 + np.clip(y0f + dy - 1, 0, h - 1)
+        for dx in range(4):
+            cols = c0 + np.clip(x0f + dx - 1, 0, w - 1)
+            i = (rows[:, None] * TILE_W + cols[None, :]).reshape(1, -1)
+            v = 1 + (s * MUL_A + (i + band * 101) * MUL_I) % VAL_MOD
+            v[(s + i * MASK_MUL) % MASK_MOD == 0] = 0
+            wt = (wy[dy][:, None] * wx[dx][None, :]).reshape(-1)
+            out += wt[None, :] * v
+    return out
+
+
 def synth_band_window(
     seeds: np.ndarray,
     band: int,

@@ -1142,6 +1142,38 @@ def build() -> dict:
                    CAST(MAX(v4) AS BIGINT) AS max_bl4
             FROM outcells GROUP BY doc_id, span_idx, seed
         """,
+        # windowed CUBIC read at exactly 2× scale: 1-D tap weights are
+        # (−1, 9, 9, −1)/16 (Keys A=−0.5 at t=0.5), so 256·out =
+        # Σ wy·wx·v over the 4×4 taps with integer weights. Taps per
+        # axis at 2·out−1 … 2·out+2, edge-replicated within the window.
+        "resample_cubic": _MEDIA
+        + """
+            , grid AS (
+                SELECT m.doc_id, m.span_idx, m.seed,
+                       r.range AS rr, c.range AS cc,
+                       (16 + LEAST(GREATEST(2 * r.range + dr.range - 1, 0), 31)) * 64
+                       + (16 + LEAST(GREATEST(2 * c.range + dc.range - 1, 0), 31)) AS i,
+                       (CASE dr.range WHEN 0 THEN -1 WHEN 1 THEN 9 WHEN 2 THEN 9 ELSE -1 END)
+                       * (CASE dc.range WHEN 0 THEN -1 WHEN 1 THEN 9 WHEN 2 THEN 9 ELSE -1 END) AS wt
+                FROM media m, range(16) r, range(16) c, range(4) dr, range(4) dc
+            ),
+            vals AS (
+                SELECT doc_id, span_idx, seed, rr, cc,
+                       wt * CASE WHEN (seed + i * 7) % 33 = 0 THEN 0
+                                 ELSE 1 + (seed * 2654435761 + (i + 404) * 40503) % 65520
+                            END AS wv
+                FROM grid
+            ),
+            outcells AS (
+                SELECT doc_id, span_idx, seed, CAST(SUM(wv) AS BIGINT) AS v256
+                FROM vals GROUP BY doc_id, span_idx, seed, rr, cc
+            )
+            SELECT doc_id, span_idx, seed,
+                   CAST(SUM(v256) AS BIGINT) AS sum_cu256,
+                   CAST(MIN(v256) AS BIGINT) AS min_cu256,
+                   CAST(MAX(v256) AS BIGINT) AS max_cu256
+            FROM outcells GROUP BY doc_id, span_idx, seed
+        """,
         "ndvi_stats": _MEDIA
         + """
             , cells AS (

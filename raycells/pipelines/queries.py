@@ -275,6 +275,36 @@ def q_resample_bilinear(sf_dir: str):
     return _exploded(sf_dir).map_batches(bilinear_stats, batch_format="pyarrow")
 
 
+def q_resample_cubic(sf_dir: str):
+    """Windowed CUBIC-convolution resampled read (GRA_Cubic, the Keys
+    A=−0.5 kernel — reference ``read_cells``'s ``e_resample_alg``,
+    rasterband.rs:42): the (16,16)+(32,32) window of band 4 resampled
+    to 16×16 at exactly 2× scale, where every 1-D tap weight is
+    −1/16 or 9/16 — 256·out is an integer combination of the 16 source
+    pixels, so per-tile stats are integers and the DuckDB oracle
+    reproduces them bit-for-bit."""
+    from raycells.io import tilestore
+
+    WINDOW, WSIZE, OSIZE = (16, 16), (32, 32), (16, 16)
+
+    def cubic_stats(b: pa.Table) -> pa.Table:
+        seeds = tilestore.seed_of_refs(b["media_ref"])
+        v = tilestore.synth_band_window_cubic(seeds, 4, WINDOW, WSIZE, OSIZE)
+        v256 = np.rint(v * 256.0).astype(np.int64)  # exact: weights are /16
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "span_idx": pc.cast(b["span_idx"], pa.int64()),
+                "seed": pa.array(seeds, pa.int64()),
+                "sum_cu256": pa.array(v256.sum(axis=1)),
+                "min_cu256": pa.array(v256.min(axis=1)),
+                "max_cu256": pa.array(v256.max(axis=1)),
+            }
+        )
+
+    return _exploded(sf_dir).map_batches(cubic_stats, batch_format="pyarrow")
+
+
 def q_cell_agg_band(sf_dir: str):
     """Per-grid-cell salted two-stage aggregate of band-tile stats — the
     oracle-checked version of the (doc, cell, tile) assignment shuffle."""

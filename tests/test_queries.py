@@ -26,6 +26,7 @@ CHECKED = [
     "ndvi_stats",
     "resample_tiles",
     "resample_bilinear",
+    "resample_cubic",
     "tile_type_hist",
     "knn_tiles",
     "bbox_join_counts",

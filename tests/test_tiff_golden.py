@@ -122,6 +122,51 @@ def test_read_cells_bilinear_window():
     assert out2[d, d] == v
 
 
+def test_read_cells_cubic_window():
+    """Cubic (GRA_Cubic, Keys A=−0.5) windowed read over the reference's
+    real chip: at exactly 2× downscale the 1-D tap weights are
+    (−1, 9, 9, −1)/16, so 256·out is an integer combination of the 16
+    source pixels — checked against a direct hand evaluation including
+    the edge-replicated border taps."""
+    import numpy as np
+
+    from raycells.io.tiffreader import read_tiff
+    from raycells.cells.ctype import CellType
+
+    arr, _ = read_tiff(f"{DATA}/L8-Elkton-VA-B4.tiff")
+    out = read_cells(
+        f"{DATA}/L8-Elkton-VA-B4.tiff",
+        window=(8, 8), window_size=(32, 32), out_size=(16, 16),
+        resample="cubic",
+    )
+    assert out.cell_type is CellType.Float64
+    got = out.to_vec(CellType.Float64).reshape(16, 16)
+    a = arr.astype(np.int64)
+    w1d = np.array([-1, 9, 9, -1], dtype=np.int64)
+    for rr, cc in [(0, 0), (0, 7), (7, 0), (5, 9), (15, 15)]:
+        ys = np.clip(2 * rr + np.arange(4) - 1, 0, 31) + 8
+        xs = np.clip(2 * cc + np.arange(4) - 1, 0, 31) + 8
+        want256 = (w1d[:, None] * w1d[None, :] * a[np.ix_(ys, xs)]).sum()
+        assert got[rr, cc] * 256 == want256
+
+
+def test_synth_cubic_matches_tiff_kernel():
+    """The tile-store synthetic cubic read must apply the SAME kernel as
+    the real-raster reader: evaluate one synthetic tile both ways."""
+    import numpy as np
+
+    from raycells.io import tilestore
+    from raycells.io.tiffreader import _windowed
+
+    seed = 4242
+    arr = tilestore.synth_band_values(np.array([seed]), band=4)[0].reshape(64, 64)
+    direct = _windowed(arr, (16, 16), (32, 32), (16, 16), resample="cubic")
+    synth = tilestore.synth_band_window_cubic(
+        np.array([seed]), 4, (16, 16), (32, 32), (16, 16)
+    )[0]
+    assert np.array_equal(direct, synth)
+
+
 def test_read_cells_rejects_unknown_resample():
     import pytest as _pytest
 
@@ -129,5 +174,5 @@ def test_read_cells_rejects_unknown_resample():
         read_cells(
             f"{DATA}/L8-Elkton-VA-B4.tiff",
             window=(0, 0), window_size=(8, 8), out_size=(4, 4),
-            resample="cubic",
+            resample="lanczos",
         )
