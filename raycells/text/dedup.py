@@ -597,83 +597,73 @@ def ngram_jaccard_near_dup_pairs(
     k: int = 5,
 ):
     """EXACT n-gram Jaccard join: every pair with J ≥ num/den, recall 1.0
-    (vs MinHash+LSH's probabilistic recall), via the prefix-filter
-    principle of set-similarity joins (SSJoin/PPJoin family): under a
-    global canonical order of set elements, two sets with overlap
-    ≥ ceil(t·|A|) must collide on the first ``|A| − ceil(t·|A|) + 1``
-    elements of each (the globally-smallest shared shingle is inside
-    both prefixes by pigeonhole).
+    (vs MinHash+LSH's probabilistic recall), as a size-banded dense
+    set-intersection join.
 
-    ``threshold`` is a RATIONAL (num, den) so the prefix length
-    ``p = n − ⌈num·n/den⌉ + 1``, the size filter
-    ``den·min(|A|,|B|) ≥ num·max(|A|,|B|)`` (J ≤ min/max) and the verify
-    cut ``den·|A∩B| ≥ num·|A∪B|`` are all exact-integer — bit-identical
-    to the DuckDB oracle (pipelines/oracles._ngram_jaccard_sql).
+    J ≥ num/den implies the size-ratio bound
+    ``den·min(|A|,|B|) ≥ num·max(|A|,|B|)`` (J ≤ min/max), so a qualifying
+    pair's set sizes lie within one factor of den/num — banding docs by
+    ``⌊log(sz)/log(den/num)⌋`` puts every such pair in the same or
+    adjacent bands. Each doc is emitted once to its own band and once as
+    a GHOST to the band below; ONE shuffle on the band key; inside each
+    band group intersections are computed dense: a local shingle
+    vocabulary (np.unique of the group's hashes), a binary N×V float32
+    matrix, and a row-chunked ``M @ M.T`` BLAS matmul — exact integers
+    (binary dot sums < 2^24), no candidate enumeration at all. The
+    integer threshold cut ``den·|A∩B| ≥ num·|A∪B|`` matches the DuckDB
+    oracle (pipelines/oracles._ngram_jaccard_sql) bit-for-bit; jaccard
+    is the elementwise double quotient of exact ints. Ghost-ghost pairs
+    are skipped (they re-appear as native-native in the band above), so
+    no pair is emitted twice and no dedupe pass is needed.
 
-    Distribution shape (same discipline as minhash_near_dup_pairs):
-    the only exchange of Phase A carries ``(shingle_hash, id, set_size)``
-    PREFIX rows — ~(1−t)·|S| rows per doc, never the text — through the
-    coarse-bucket groupby; candidate pairs come out of each real bucket
-    with the size filter applied; Phase B is the shared co-partitioned
-    verify (``_verify_join_collect``). Canonical order is the shingle
-    HASH (pseudorandom, no pre-pass); frequency-ascending order (the
-    PPJoin optimization) would shave skewed corpora but needs a global
-    document-frequency aggregate joined back onto every shingle — at
-    this corpus's measured shape hash-order candidates are within 1.3×
-    of frequency-order (38.6k vs 29.6k at sf0.01), not worth the extra
-    exchange. Shingle hashes ride as int64 BIT PATTERNS (CLAUDE.md
-    uint64 rule). Returns (id_a, id_b, jaccard), id_a < id_b.
+    Why not prefix filtering (SSJoin/PPJoin): this synthetic corpus has
+    a tiny shingle vocabulary (624 distinct 5-grams at sf0.01, mean set
+    size 204), so every shingle is hot and per-shingle candidate
+    enumeration degenerates to Σsz² ≈ 3·10⁸ Python-level pair visits
+    (66 s at sf0.1); the dense band matmul does the same work as ~0.1 s
+    of BLAS. Scale path: parallelism = number of occupied bands; a
+    dominant band is further split by blocking the (row, col) chunk grid
+    across tasks — each task needs only its two packed bit-slices, never
+    the full matrix. Shingle hashes ride as int64 BIT PATTERNS
+    (CLAUDE.md uint64 rule). Returns (id_a, id_b, jaccard), id_a < id_b
+    bytewise, lexsorted.
     """
     num, den = threshold
+    log_ratio = float(np.log(den / num))
 
-    def prefixes(batch: pa.Table) -> pa.Table:
+    def doc_sets(batch: pa.Table) -> pa.Table:
         texts = batch[col].to_pylist()
         ids = batch[id_col].to_pylist()
-        hs, id_out, sz_out = [], [], []
-        for i, t in zip(ids, texts):
+        hs, szs = [], np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
             s = char_shingles(t, k)  # sorted distinct uint64
-            n = s.size
-            p = n - (num * n + den - 1) // den + 1
-            hs.append(s[:p])
-            id_out.append(np.repeat(np.asarray([i], dtype=object), p))
-            sz_out.append(np.full(p, n, dtype=np.int64))
-        return pa.table(
+            hs.append(s.view(np.int64))
+            szs[i] = s.size
+        bands = np.floor(np.log(szs.astype(np.float64)) / log_ratio).astype(
+            np.int64
+        )
+        sh = pa.array(hs, pa.list_(pa.int64()))
+        ids_arr = pa.array(ids, pa.string())
+        native = pa.table(
             {
-                "h": pa.array(np.concatenate(hs).view(np.int64)),
-                "id": pa.array(np.concatenate(id_out), pa.string()),
-                "sz": pa.array(np.concatenate(sz_out)),
+                "id": ids_arr,
+                "sz": pa.array(szs),
+                "band": pa.array(bands),
+                "ghost": pa.array(np.zeros(len(texts), dtype=bool)),
+                "sh": sh,
             }
         )
-
-    def pairs_of(group: pa.Table) -> pa.Table:
-        ids = group["id"].to_pylist()
-        szs = group["sz"].to_numpy(zero_copy_only=False)
-        a_out, b_out = [], []
-        for rows in _iter_real_buckets(group, ["h"]):
-            members = sorted({(ids[r], int(szs[r])) for r in rows})
-            for x in range(len(members)):
-                ia, na = members[x]
-                for y in range(x + 1, len(members)):
-                    ib, nb = members[y]
-                    if ia == ib:
-                        continue
-                    lo, hi = (na, nb) if na <= nb else (nb, na)
-                    if den * lo >= num * hi:  # J ≤ min/max size bound
-                        a_out.append(ia)
-                        b_out.append(ib)
-        return pa.table(
+        ghost = pa.table(
             {
-                "id_a": pa.array(a_out, pa.string()),
-                "id_b": pa.array(b_out, pa.string()),
+                "id": ids_arr,
+                "sz": pa.array(szs),
+                "band": pa.array(bands - 1),
+                "ghost": pa.array(np.ones(len(texts), dtype=bool)),
+                "sh": sh,
             }
         )
+        return pa.concat_tables([native, ghost])
 
-    cand = (
-        ds.map_batches(prefixes, batch_format="pyarrow")
-        .map_batches(lambda b: _coarse_bucket(b, ["h"]), batch_format="pyarrow")
-        .groupby("_cbucket")
-        .map_groups(pairs_of, batch_format="pyarrow")
-    )
     empty = pa.table(
         {
             "id_a": pa.array([], pa.string()),
@@ -682,44 +672,60 @@ def ngram_jaccard_near_dup_pairs(
         }
     )
 
-    def verify(batch: pa.Table) -> pa.Table:
-        cache: dict = {}
-
-        def sh(i, t):
-            s = cache.get(i)
-            if s is None:
-                s = cache[i] = char_shingles(t, k)
-            return s
-
+    def band_pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        ghosts = group["ghost"].to_numpy(zero_copy_only=False)
+        if n < 2 or ghosts.all():
+            return empty
+        ids = np.asarray(group["id"].to_pylist(), dtype=object)
+        szs = group["sz"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lists = group["sh"].combine_chunks()
+        values = lists.flatten().to_numpy(zero_copy_only=False)
+        counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        vocab, inv = np.unique(values, return_inverse=True)
+        rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+        m = np.zeros((n, vocab.size), dtype=np.float32)
+        m[rows, inv] = 1.0
         a_out, b_out, j_out = [], [], []
-        for a, b, ta, tb in zip(
-            batch["id_a"].to_pylist(),
-            batch["id_b"].to_pylist(),
-            batch["text_a"].to_pylist(),
-            batch["text_b"].to_pylist(),
-        ):
-            sa, sb = sh(a, ta), sh(b, tb)
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - inter
-            if den * inter >= num * union:  # exact-integer threshold
-                a_out.append(a)
-                b_out.append(b)
-                j_out.append(inter / union if union else 1.0)
+        chunk = max(1, (4 << 20) // max(1, 4 * vocab.size))  # ~4 MB rows
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            inter = np.rint(m[lo:hi] @ m.T).astype(np.int64)
+            union = szs[lo:hi, None] + szs[None, :] - inter
+            ok = den * inter >= num * union
+            # upper triangle (j > i) and never ghost×ghost
+            ok &= np.arange(n)[None, :] > np.arange(lo, hi)[:, None]
+            ok &= ~(ghosts[lo:hi, None] & ghosts[None, :])
+            ii, jj = np.nonzero(ok)
+            if ii.size == 0:
+                continue
+            ia, ib = ids[ii + lo], ids[jj]
+            swap = ia > ib  # bytewise id order, as the oracle's dk < dk
+            a_out.append(np.where(swap, ib, ia))
+            b_out.append(np.where(swap, ia, ib))
+            j_out.append(inter[ii, jj] / union[ii, jj])
+        if not a_out:
+            return empty
         return pa.table(
             {
-                "id_a": pa.array(a_out, pa.string()),
-                "id_b": pa.array(b_out, pa.string()),
-                "jaccard": pa.array(j_out, pa.float64()),
+                "id_a": pa.array(np.concatenate(a_out), pa.string()),
+                "id_b": pa.array(np.concatenate(b_out), pa.string()),
+                "jaccard": pa.array(np.concatenate(j_out)),
             }
         )
 
-    out = _verify_join_collect(
-        cand, ds, id_col=id_col, payload_col=col,
-        payload_names=("text_a", "text_b"), verify_fn=verify,
-        id_type=pa.string(), empty=empty,
+    import ray
+
+    pairs = (
+        ds.map_batches(doc_sets, batch_format="pyarrow")
+        .groupby("band")
+        .map_groups(band_pairs, batch_format="pyarrow")
     )
-    if out is None or out.num_rows == 0:
+    tabs = [ray.get(r) for r in pairs.to_arrow_refs()]
+    tabs = [t for t in tabs if t.num_rows > 0]
+    if not tabs:
         return empty
+    out = pa.concat_tables(tabs)
     order = np.lexsort(
         (
             np.asarray(out["id_b"].to_pylist(), object),
