@@ -1440,10 +1440,16 @@ def q_priority_revenue(sf_dir: str):
 
     Plan note: a full per-orderkey pre-aggregation EXCHANGE before the
     join loses (measured 3 s vs 5 s — the second exchange's fixed cost
-    dominates), but a map-side within-batch combine is free of that
-    cost: lineitem parquet is orderkey-clustered, so the per-batch
-    pandas groupby collapses ~4× of the left side's rows BEFORE the
-    tagged-union shuffle (measured 3.7 s → 2.9 s at sf0.1)."""
+    dominates); a map-side within-batch combine is free of that cost
+    and is kept for the shape (it collapses multi-item batches at
+    bigger-block scale, though this testdata's lineitem is NOT
+    orderkey-clustered, so here it only trims ~3%). The real wins are
+    fixed-cost: this query's per-task compute is 6-10 ms, so the
+    default 64-block read made it SCHEDULING-bound (~350 tasks ×
+    ~10 ms driver overhead) — 8 read blocks cut the join 3.4 s → 1.1 s
+    — and a per-batch partial aggregate after the join shrinks the
+    final groupby's exchange from 580 k rows to blocks × 5 partials
+    (whole query 3.5 s → 1.3 s at sf0.1/32 CPUs)."""
     from ray.data.aggregate import Sum
 
     from raycells.engine.joins import hash_join
@@ -1463,9 +1469,10 @@ def q_priority_revenue(sf_dir: str):
         )
         return from_pandas_clean(out.reset_index())
 
-    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"]).map_batches(
-        combine_items, batch_format="pyarrow"
-    )
+    li = _read(
+        sf_dir, "lineitem", SMALL_TABLE_BLOCKS,
+        columns=["l_orderkey", "l_extendedprice"],
+    ).map_batches(combine_items, batch_format="pyarrow")
     orders = _read(
         sf_dir, "orders", SMALL_TABLE_BLOCKS, columns=["o_orderkey", "o_orderpriority"]
     )
@@ -1477,8 +1484,29 @@ def q_priority_revenue(sf_dir: str):
         keep_left=["price_c", "n_items"],
         keep_right=["o_orderpriority"],
     )
-    agg = joined.groupby("o_orderpriority").aggregate(
-        Sum("n_items", alias_name="n_items"), Sum("price_c", alias_name="revenue_c")
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_orderpriority": b["o_orderpriority"].to_numpy(
+                    zero_copy_only=False
+                ),
+                "price_c": b["price_c"].to_numpy(),
+                "n_items": b["n_items"].to_numpy(),
+            }
+        )
+        out = df.groupby("o_orderpriority", sort=False).agg(
+            revenue_c=("price_c", "sum"), n_items=("n_items", "sum")
+        )
+        return from_pandas_clean(out.reset_index())
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("revenue_c", alias_name="revenue_c"),
+        )
     )
 
     def finalize(t: pa.Table) -> pa.Table:
