@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_tiles": q.q_resample_tiles,
         "resample_bilinear": q.q_resample_bilinear,
         "resample_cubic": q.q_resample_cubic,
+        "resample_average": q.q_resample_average,
         "tile_type_hist": q.q_tile_type_hist,
         "knn_tiles": q.q_knn_tiles,
         "flagship_cells": q.q_flagship_cells,

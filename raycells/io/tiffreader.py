@@ -104,7 +104,9 @@ def _windowed(arr: np.ndarray, window, window_size, out_size, resample="nearest"
     same mapping as ``tilestore.window_indices``. ``bilinear``
     (GRA_Bilinear): src = (dst + 0.5) · scale − 0.5 with edge-replicate
     clamping. ``cubic`` (GRA_Cubic): 4×4 cubic convolution over the
-    same src mapping (weights in ``_cubic_weights``). The interpolating
+    same src mapping (weights in ``_cubic_weights``). ``average``
+    (GRA_Average): exact box mean per output cell (integer scale
+    factors only). The interpolating
     variants return float64 (interpolation is float math — callers
     convert back through the cell lattice if an integer buffer is
     wanted, which is where our API deviates from GDAL's silent
@@ -150,6 +152,22 @@ def _windowed(arr: np.ndarray, window, window_size, out_size, resample="nearest"
                 row += wx[dx][None, :] * a[yy[:, None], xx[None, :]]
             out += wy[dy][:, None] * row
         return out.reshape(-1)
+    if resample == "average":
+        # GRA_Average, integer-ratio case: each output cell is the box
+        # mean of its exact fx×fy source block. GDAL's general case
+        # weights fractional edge coverage; we support the exact-tiling
+        # ratios (ow | w and oh | h) and reject the rest loudly rather
+        # than approximate.
+        if w % ow or h % oh:
+            raise ValueError(
+                "average resample needs integer scale factors "
+                f"(window {w}x{h} -> out {ow}x{oh})"
+            )
+        fx, fy = w // ow, h // oh
+        a = arr[r0 : r0 + h, c0 : c0 + w].astype(np.float64)
+        return (
+            a.reshape(oh, fy, ow, fx).mean(axis=(1, 3)).reshape(-1)
+        )
     raise ValueError(f"unsupported resample algorithm: {resample!r}")
 
 
@@ -175,8 +193,8 @@ def read_cells(
 ) -> CellBuffer:
     """``read_cells``: full raster by default; pass (window, window_size,
     out_size) for a windowed resampled read (``resample`` = "nearest",
-    "bilinear" or "cubic"; the interpolating variants yield a Float64
-    buffer)."""
+    "bilinear", "cubic" or "average"; the interpolating variants yield
+    a Float64 buffer)."""
     arr, _ = read_tiff(path)
     if window is None:
         return CellBuffer(arr.reshape(-1))

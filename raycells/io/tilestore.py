@@ -229,6 +229,38 @@ def synth_band_window_cubic(
     return out
 
 
+def synth_band_window_average(
+    seeds: np.ndarray,
+    band: int,
+    window: Tuple[int, int],
+    window_size: Tuple[int, int],
+    out_size: Tuple[int, int],
+) -> np.ndarray:
+    """(len(seeds), ow·oh) float64: the band tile's window resampled to
+    ``out_size`` by GDAL-style AVERAGE (GRA_Average, the fourth
+    ``e_resample_alg`` the reference's ``read_cells`` accepts,
+    rasterband.rs:42), integer-ratio case: each output cell is the box
+    mean of its exact fx×fy source block. fx·fy·out is the integer SUM
+    of the block (the DuckDB oracle's formulation), so the division is
+    exact for power-of-two factors and bit-stable otherwise (single
+    division of an exact-integer sum)."""
+    (c0, r0), (w, h), (ow, oh) = window, window_size, out_size
+    if w % ow or h % oh:
+        raise ValueError(
+            "average resample needs integer scale factors "
+            f"(window {w}x{h} -> out {ow}x{oh})"
+        )
+    fx, fy = w // ow, h // oh
+    rows = r0 + np.arange(h)
+    cols = c0 + np.arange(w)
+    i = (rows[:, None] * TILE_W + cols[None, :]).reshape(1, -1)
+    s = np.asarray(seeds, dtype=np.int64)[:, None]
+    v = 1 + (s * MUL_A + (i + band * 101) * MUL_I) % VAL_MOD
+    v[(s + i * MASK_MUL) % MASK_MOD == 0] = 0
+    sums = v.reshape(len(s), oh, fy, ow, fx).sum(axis=(2, 4))
+    return (sums / (fx * fy)).reshape(len(s), oh * ow)
+
+
 def synth_band_window(
     seeds: np.ndarray,
     band: int,

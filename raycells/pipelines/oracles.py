@@ -1174,6 +1174,36 @@ def build() -> dict:
                    CAST(MAX(v256) AS BIGINT) AS max_cu256
             FROM outcells GROUP BY doc_id, span_idx, seed
         """,
+        # windowed AVERAGE read at a 4×2 integer factor: each output
+        # cell is the mean of its 4-wide × 2-tall source block, so
+        # 8·out = the block's integer sum. out cell (rr, cc) reads
+        # sources (16+2rr+dr, 16+4cc+dc), dr ∈ {0,1}, dc ∈ {0..3}.
+        "resample_average": _MEDIA
+        + """
+            , grid AS (
+                SELECT m.doc_id, m.span_idx, m.seed,
+                       r.range AS rr, c.range AS cc,
+                       (16 + 2 * r.range + dr.range) * 64
+                       + (16 + 4 * c.range + dc.range) AS i
+                FROM media m, range(16) r, range(8) c, range(2) dr, range(4) dc
+            ),
+            vals AS (
+                SELECT doc_id, span_idx, seed, rr, cc,
+                       CASE WHEN (seed + i * 7) % 33 = 0 THEN 0
+                            ELSE 1 + (seed * 2654435761 + (i + 404) * 40503) % 65520
+                       END AS v
+                FROM grid
+            ),
+            outcells AS (
+                SELECT doc_id, span_idx, seed, CAST(SUM(v) AS BIGINT) AS v8
+                FROM vals GROUP BY doc_id, span_idx, seed, rr, cc
+            )
+            SELECT doc_id, span_idx, seed,
+                   CAST(SUM(v8) AS BIGINT) AS sum_av8,
+                   CAST(MIN(v8) AS BIGINT) AS min_av8,
+                   CAST(MAX(v8) AS BIGINT) AS max_av8
+            FROM outcells GROUP BY doc_id, span_idx, seed
+        """,
         "ndvi_stats": _MEDIA
         + """
             , cells AS (

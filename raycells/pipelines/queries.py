@@ -305,6 +305,36 @@ def q_resample_cubic(sf_dir: str):
     return _exploded(sf_dir).map_batches(cubic_stats, batch_format="pyarrow")
 
 
+def q_resample_average(sf_dir: str):
+    """Windowed AVERAGE resampled read (GRA_Average — reference
+    ``read_cells``'s ``e_resample_alg``, rasterband.rs:42): the
+    (16,16)+(32,32) window of band 4 box-averaged to 8×16 (a non-square
+    4×2 factor, so the kernel is genuinely distinct from bilinear at
+    2×). Each output is the mean of its 4×2 source block — 8·out is the
+    integer block sum, so per-tile stats are integers and the DuckDB
+    oracle reproduces them bit-for-bit."""
+    from raycells.io import tilestore
+
+    WINDOW, WSIZE, OSIZE = (16, 16), (32, 32), (8, 16)
+
+    def average_stats(b: pa.Table) -> pa.Table:
+        seeds = tilestore.seed_of_refs(b["media_ref"])
+        v = tilestore.synth_band_window_average(seeds, 4, WINDOW, WSIZE, OSIZE)
+        v8 = np.rint(v * 8.0).astype(np.int64)  # exact: 8·mean = block sum
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "span_idx": pc.cast(b["span_idx"], pa.int64()),
+                "seed": pa.array(seeds, pa.int64()),
+                "sum_av8": pa.array(v8.sum(axis=1)),
+                "min_av8": pa.array(v8.min(axis=1)),
+                "max_av8": pa.array(v8.max(axis=1)),
+            }
+        )
+
+    return _exploded(sf_dir).map_batches(average_stats, batch_format="pyarrow")
+
+
 def q_cell_agg_band(sf_dir: str):
     """Per-grid-cell salted two-stage aggregate of band-tile stats — the
     oracle-checked version of the (doc, cell, tile) assignment shuffle."""

@@ -27,6 +27,7 @@ CHECKED = [
     "resample_tiles",
     "resample_bilinear",
     "resample_cubic",
+    "resample_average",
     "tile_type_hist",
     "knn_tiles",
     "bbox_join_counts",

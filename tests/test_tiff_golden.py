@@ -167,6 +167,52 @@ def test_synth_cubic_matches_tiff_kernel():
     assert np.array_equal(direct, synth)
 
 
+def test_read_cells_average_window():
+    """Average (GRA_Average, integer-ratio) windowed read over the
+    reference's real chip: each output cell must equal the exact box
+    mean of its fx×fy source block; non-integer factors are rejected."""
+    import numpy as np
+    import pytest as _pytest
+
+    from raycells.io.tiffreader import read_tiff
+    from raycells.cells.ctype import CellType
+
+    arr, _ = read_tiff(f"{DATA}/L8-Elkton-VA-B4.tiff")
+    out = read_cells(
+        f"{DATA}/L8-Elkton-VA-B4.tiff",
+        window=(8, 8), window_size=(32, 32), out_size=(8, 16),
+        resample="average",
+    )
+    assert out.cell_type is CellType.Float64
+    got = out.to_vec(CellType.Float64).reshape(16, 8)
+    win = arr[8:40, 8:40].astype(np.float64)
+    want = win.reshape(16, 2, 8, 4).mean(axis=(1, 3))
+    assert np.array_equal(got, want)
+    with _pytest.raises(ValueError):
+        read_cells(
+            f"{DATA}/L8-Elkton-VA-B4.tiff",
+            window=(8, 8), window_size=(32, 32), out_size=(10, 10),
+            resample="average",
+        )
+
+
+def test_synth_average_matches_tiff_kernel():
+    """The tile-store synthetic average read must apply the SAME kernel
+    as the real-raster reader: evaluate one synthetic tile both ways."""
+    import numpy as np
+
+    from raycells.io import tilestore
+    from raycells.io.tiffreader import _windowed
+
+    seed = 4242
+    arr = tilestore.synth_band_values(np.array([seed]), band=4)[0].reshape(64, 64)
+    direct = _windowed(arr, (16, 16), (32, 32), (8, 16), resample="average")
+    synth = tilestore.synth_band_window_average(
+        np.array([seed]), 4, (16, 16), (32, 32), (8, 16)
+    )[0]
+    assert np.array_equal(direct, synth)
+
+
 def test_read_cells_rejects_unknown_resample():
     import pytest as _pytest
 
