@@ -106,7 +106,11 @@ def _windowed(arr: np.ndarray, window, window_size, out_size, resample="nearest"
     clamping. ``cubic`` (GRA_Cubic): 4×4 cubic convolution over the
     same src mapping (weights in ``_cubic_weights``). ``average``
     (GRA_Average): exact box mean per output cell (integer scale
-    factors only). The interpolating
+    factors only). ``rms`` (GRIORA_RMS): sqrt of the box mean of
+    squares (integer factors only). ``mode`` (GRIORA_Mode): the box's
+    most frequent value, smallest-on-tie (a deterministic refinement of
+    GDAL's unspecified tie order), keeping the source dtype like
+    ``nearest``. The interpolating
     variants return float64 (interpolation is float math — callers
     convert back through the cell lattice if an integer buffer is
     wanted, which is where our API deviates from GDAL's silent
@@ -152,23 +156,50 @@ def _windowed(arr: np.ndarray, window, window_size, out_size, resample="nearest"
                 row += wx[dx][None, :] * a[yy[:, None], xx[None, :]]
             out += wy[dy][:, None] * row
         return out.reshape(-1)
-    if resample == "average":
-        # GRA_Average, integer-ratio case: each output cell is the box
-        # mean of its exact fx×fy source block. GDAL's general case
-        # weights fractional edge coverage; we support the exact-tiling
-        # ratios (ow | w and oh | h) and reject the rest loudly rather
-        # than approximate.
+    if resample in ("average", "rms", "mode"):
+        # Box-reduction algorithms, integer-ratio case: each output
+        # cell reduces its exact fx×fy source block. GDAL's general
+        # case weights fractional edge coverage; we support the
+        # exact-tiling ratios (ow | w and oh | h) and reject the rest
+        # loudly rather than approximate.
         if w % ow or h % oh:
             raise ValueError(
-                "average resample needs integer scale factors "
+                f"{resample} resample needs integer scale factors "
                 f"(window {w}x{h} -> out {ow}x{oh})"
             )
         fx, fy = w // ow, h // oh
-        a = arr[r0 : r0 + h, c0 : c0 + w].astype(np.float64)
-        return (
-            a.reshape(oh, fy, ow, fx).mean(axis=(1, 3)).reshape(-1)
+        win = arr[r0 : r0 + h, c0 : c0 + w]
+        if resample == "average":
+            a = win.astype(np.float64)
+            return a.reshape(oh, fy, ow, fx).mean(axis=(1, 3)).reshape(-1)
+        if resample == "rms":
+            a = win.astype(np.float64)
+            return np.sqrt(
+                (a * a).reshape(oh, fy, ow, fx).mean(axis=(1, 3))
+            ).reshape(-1)
+        # mode: sort each block, count runs of equal values; argmax of
+        # run length lands on the FIRST (= smallest) tied value.
+        k = fy * fx
+        blocks = (
+            win.reshape(oh, fy, ow, fx).transpose(0, 2, 1, 3).reshape(oh, ow, k)
         )
+        return _block_mode(blocks).reshape(-1)
     raise ValueError(f"unsupported resample algorithm: {resample!r}")
+
+
+def _block_mode(blocks: np.ndarray) -> np.ndarray:
+    """Mode along the last axis of ``blocks`` (…, k), smallest value on
+    a count tie. Vectorized: sort, assign run ids to equal-value runs,
+    count run lengths by one-hot sum, argmax over positions (first hit
+    in sorted order = smallest tied value)."""
+    k = blocks.shape[-1]
+    s = np.sort(blocks, axis=-1)
+    rid = np.zeros(s.shape, dtype=np.int64)
+    np.cumsum(s[..., 1:] != s[..., :-1], axis=-1, out=rid[..., 1:])
+    counts = (rid[..., :, None] == np.arange(k)).sum(axis=-2)  # per run id
+    per_elem = np.take_along_axis(counts, rid, axis=-1)
+    best = np.argmax(per_elem, axis=-1)
+    return np.take_along_axis(s, best[..., None], axis=-1)[..., 0]
 
 
 def _cubic_weights(t: np.ndarray) -> np.ndarray:
@@ -193,8 +224,8 @@ def read_cells(
 ) -> CellBuffer:
     """``read_cells``: full raster by default; pass (window, window_size,
     out_size) for a windowed resampled read (``resample`` = "nearest",
-    "bilinear", "cubic" or "average"; the interpolating variants yield
-    a Float64 buffer)."""
+    "bilinear", "cubic", "average", "rms" or "mode"; the float-math
+    variants yield a Float64 buffer, "mode" keeps the band dtype)."""
     arr, _ = read_tiff(path)
     if window is None:
         return CellBuffer(arr.reshape(-1))

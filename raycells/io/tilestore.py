@@ -261,6 +261,72 @@ def synth_band_window_average(
     return (sums / (fx * fy)).reshape(len(s), oh * ow)
 
 
+def _synth_window_blocks(
+    seeds: np.ndarray,
+    band: int,
+    window: Tuple[int, int],
+    window_size: Tuple[int, int],
+    out_size: Tuple[int, int],
+) -> np.ndarray:
+    """(len(seeds), oh, ow, fy·fx) int64: the window's raw band values
+    grouped into per-output-cell boxes for the integer-ratio
+    box-reduction resamples (average / rms / mode)."""
+    (c0, r0), (w, h), (ow, oh) = window, window_size, out_size
+    if w % ow or h % oh:
+        raise ValueError(
+            "box resample needs integer scale factors "
+            f"(window {w}x{h} -> out {ow}x{oh})"
+        )
+    fx, fy = w // ow, h // oh
+    rows = r0 + np.arange(h)
+    cols = c0 + np.arange(w)
+    i = (rows[:, None] * TILE_W + cols[None, :]).reshape(1, -1)
+    s = np.asarray(seeds, dtype=np.int64)[:, None]
+    v = 1 + (s * MUL_A + (i + band * 101) * MUL_I) % VAL_MOD
+    v[(s + i * MASK_MUL) % MASK_MOD == 0] = 0
+    return (
+        v.reshape(len(s), oh, fy, ow, fx)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(len(s), oh, ow, fy * fx)
+    )
+
+
+def synth_band_window_rms(
+    seeds: np.ndarray,
+    band: int,
+    window: Tuple[int, int],
+    window_size: Tuple[int, int],
+    out_size: Tuple[int, int],
+) -> np.ndarray:
+    """(len(seeds), ow·oh) float64: GDAL-style RMS resample
+    (GRIORA_RMS), integer-ratio case: sqrt of the box mean of squares.
+    The sum of squares is an exact integer and /8 is a power-of-two
+    division, so ``sqrt`` sees the identical double in numpy and DuckDB
+    — correctly-rounded IEEE sqrt makes the outputs bit-equal."""
+    b = _synth_window_blocks(seeds, band, window, window_size, out_size)
+    n = b.shape[0]
+    return np.sqrt((b * b).mean(axis=-1)).reshape(n, -1)
+
+
+def synth_band_window_mode(
+    seeds: np.ndarray,
+    band: int,
+    window: Tuple[int, int],
+    window_size: Tuple[int, int],
+    out_size: Tuple[int, int],
+) -> np.ndarray:
+    """(len(seeds), ow·oh) int64: GDAL-style Mode resample
+    (GRIORA_Mode), integer-ratio case: each output cell is its box's
+    most frequent value, smallest on a count tie (our deterministic
+    refinement of GDAL's unspecified tie order — same rule as the
+    real-raster reader and the DuckDB oracle)."""
+    from raycells.io.tiffreader import _block_mode
+
+    b = _synth_window_blocks(seeds, band, window, window_size, out_size)
+    n = b.shape[0]
+    return _block_mode(b).reshape(n, -1)
+
+
 def synth_band_window(
     seeds: np.ndarray,
     band: int,

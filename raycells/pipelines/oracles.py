@@ -1204,6 +1204,74 @@ def build() -> dict:
                    CAST(MAX(v8) AS BIGINT) AS max_av8
             FROM outcells GROUP BY doc_id, span_idx, seed
         """,
+        # windowed RMS read, 4×2 box: rms = sqrt(ssq / 8) where ssq is
+        # the box's exact-integer sum of squares; /8 is a power-of-two
+        # division and sqrt is correctly-rounded IEEE, so the doubles
+        # are bit-equal to numpy's. Only elementwise-derived floats are
+        # emitted (min/max — never float sums).
+        "resample_rms": _MEDIA
+        + """
+            , grid AS (
+                SELECT m.doc_id, m.span_idx, m.seed,
+                       r.range AS rr, c.range AS cc,
+                       (16 + 2 * r.range + dr.range) * 64
+                       + (16 + 4 * c.range + dc.range) AS i
+                FROM media m, range(16) r, range(8) c, range(2) dr, range(4) dc
+            ),
+            vals AS (
+                SELECT doc_id, span_idx, seed, rr, cc,
+                       CASE WHEN (seed + i * 7) % 33 = 0 THEN 0
+                            ELSE 1 + (seed * 2654435761 + (i + 404) * 40503) % 65520
+                       END AS v
+                FROM grid
+            ),
+            outcells AS (
+                SELECT doc_id, span_idx, seed,
+                       sqrt(CAST(SUM(v * v) AS DOUBLE) / 8) AS rms
+                FROM vals GROUP BY doc_id, span_idx, seed, rr, cc
+            )
+            SELECT doc_id, span_idx, seed,
+                   MIN(rms) AS min_rms,
+                   MAX(rms) AS max_rms
+            FROM outcells GROUP BY doc_id, span_idx, seed
+        """,
+        # windowed MODE read, 4×2 box: per output cell the most
+        # frequent value, smallest on tie (row_number ordered by count
+        # DESC then value ASC — the engine's documented tie rule).
+        "resample_mode": _MEDIA
+        + """
+            , grid AS (
+                SELECT m.doc_id, m.span_idx, m.seed,
+                       r.range AS rr, c.range AS cc,
+                       (16 + 2 * r.range + dr.range) * 64
+                       + (16 + 4 * c.range + dc.range) AS i
+                FROM media m, range(16) r, range(8) c, range(2) dr, range(4) dc
+            ),
+            vals AS (
+                SELECT doc_id, span_idx, seed, rr, cc,
+                       CASE WHEN (seed + i * 7) % 33 = 0 THEN 0
+                            ELSE 1 + (seed * 2654435761 + (i + 404) * 40503) % 65520
+                       END AS v
+                FROM grid
+            ),
+            counts AS (
+                SELECT doc_id, span_idx, seed, rr, cc, v,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM vals GROUP BY doc_id, span_idx, seed, rr, cc, v
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                           PARTITION BY doc_id, span_idx, seed, rr, cc
+                           ORDER BY cnt DESC, v ASC) AS rn
+                FROM counts
+            )
+            SELECT doc_id, span_idx, seed,
+                   CAST(SUM(v) AS BIGINT) AS sum_mode,
+                   CAST(MIN(v) AS BIGINT) AS min_mode,
+                   CAST(MAX(v) AS BIGINT) AS max_mode
+            FROM ranked WHERE rn = 1
+            GROUP BY doc_id, span_idx, seed
+        """,
         "ndvi_stats": _MEDIA
         + """
             , cells AS (

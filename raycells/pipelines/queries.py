@@ -335,6 +335,63 @@ def q_resample_average(sf_dir: str):
     return _exploded(sf_dir).map_batches(average_stats, batch_format="pyarrow")
 
 
+def q_resample_rms(sf_dir: str):
+    """Windowed RMS resampled read (GRIORA_RMS — the RasterIO resample
+    set the reference's ``read_cells`` passes through, rasterband.rs:
+    42): the (16,16)+(32,32) window of band 4 RMS-reduced to 8×16 with
+    a 4×2 box. Each output is sqrt(Σv²/8): the sum of squares is an
+    exact integer and /8 is a power-of-two division, so numpy and
+    DuckDB feed the identical double into a correctly-rounded IEEE
+    sqrt — the float min/max are bit-equal (elementwise-derived floats
+    only; nothing float-summed)."""
+    from raycells.io import tilestore
+
+    WINDOW, WSIZE, OSIZE = (16, 16), (32, 32), (8, 16)
+
+    def rms_stats(b: pa.Table) -> pa.Table:
+        seeds = tilestore.seed_of_refs(b["media_ref"])
+        v = tilestore.synth_band_window_rms(seeds, 4, WINDOW, WSIZE, OSIZE)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "span_idx": pc.cast(b["span_idx"], pa.int64()),
+                "seed": pa.array(seeds, pa.int64()),
+                "min_rms": pa.array(v.min(axis=1)),
+                "max_rms": pa.array(v.max(axis=1)),
+            }
+        )
+
+    return _exploded(sf_dir).map_batches(rms_stats, batch_format="pyarrow")
+
+
+def q_resample_mode(sf_dir: str):
+    """Windowed MODE resampled read (GRIORA_Mode, rasterband.rs:42):
+    the (16,16)+(32,32) window of band 4 mode-reduced to 8×16 with a
+    4×2 box — each output cell is its box's most frequent value,
+    smallest on a count tie (deterministic refinement of GDAL's
+    unspecified tie order, mirrored exactly by the DuckDB oracle's
+    ORDER BY cnt DESC, v ASC). Pure integers throughout."""
+    from raycells.io import tilestore
+
+    WINDOW, WSIZE, OSIZE = (16, 16), (32, 32), (8, 16)
+
+    def mode_stats(b: pa.Table) -> pa.Table:
+        seeds = tilestore.seed_of_refs(b["media_ref"])
+        v = tilestore.synth_band_window_mode(seeds, 4, WINDOW, WSIZE, OSIZE)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "span_idx": pc.cast(b["span_idx"], pa.int64()),
+                "seed": pa.array(seeds, pa.int64()),
+                "sum_mode": pa.array(v.sum(axis=1)),
+                "min_mode": pa.array(v.min(axis=1)),
+                "max_mode": pa.array(v.max(axis=1)),
+            }
+        )
+
+    return _exploded(sf_dir).map_batches(mode_stats, batch_format="pyarrow")
+
+
 def q_cell_agg_band(sf_dir: str):
     """Per-grid-cell salted two-stage aggregate of band-tile stats — the
     oracle-checked version of the (doc, cell, tile) assignment shuffle."""

@@ -28,6 +28,8 @@ CHECKED = [
     "resample_bilinear",
     "resample_cubic",
     "resample_average",
+    "resample_rms",
+    "resample_mode",
     "tile_type_hist",
     "knn_tiles",
     "bbox_join_counts",

@@ -213,6 +213,63 @@ def test_synth_average_matches_tiff_kernel():
     assert np.array_equal(direct, synth)
 
 
+def test_read_cells_rms_and_mode_window():
+    """RMS and Mode box resamples over the reference's real chip,
+    checked against direct per-block evaluations (mode tie rule:
+    smallest of the tied most-frequent values)."""
+    import collections
+
+    import numpy as np
+
+    from raycells.io.tiffreader import read_tiff
+    from raycells.cells.ctype import CellType
+
+    arr, _ = read_tiff(f"{DATA}/L8-Elkton-VA-B4.tiff")
+    win = arr[8:40, 8:40].astype(np.int64)
+    rms = read_cells(
+        f"{DATA}/L8-Elkton-VA-B4.tiff",
+        window=(8, 8), window_size=(32, 32), out_size=(8, 16),
+        resample="rms",
+    )
+    assert rms.cell_type is CellType.Float64
+    got = rms.to_vec(CellType.Float64).reshape(16, 8)
+    ssq = (win * win).reshape(16, 2, 8, 4).sum(axis=(1, 3))
+    assert np.array_equal(got, np.sqrt(ssq / 8.0))
+
+    mode = read_cells(
+        f"{DATA}/L8-Elkton-VA-B4.tiff",
+        window=(8, 8), window_size=(32, 32), out_size=(8, 16),
+        resample="mode",
+    )
+    got_m = mode.to_vec(CellType.Float64).reshape(16, 8).astype(np.int64)
+    for rr in range(16):
+        for cc in range(8):
+            block = win[2 * rr : 2 * rr + 2, 4 * cc : 4 * cc + 4].ravel()
+            cnt = collections.Counter(block.tolist())
+            top = max(cnt.values())
+            want = min(v for v, c in cnt.items() if c == top)
+            assert got_m[rr, cc] == want, (rr, cc)
+
+
+def test_synth_rms_mode_match_tiff_kernel():
+    """The tile-store synthetic RMS/Mode reads must apply the SAME
+    kernels as the real-raster reader on one synthetic tile."""
+    import numpy as np
+
+    from raycells.io import tilestore
+    from raycells.io.tiffreader import _windowed
+
+    seed = 4242
+    arr = tilestore.synth_band_values(np.array([seed]), band=4)[0].reshape(64, 64)
+    for alg, fn in (
+        ("rms", tilestore.synth_band_window_rms),
+        ("mode", tilestore.synth_band_window_mode),
+    ):
+        direct = _windowed(arr, (16, 16), (32, 32), (8, 16), resample=alg)
+        synth = fn(np.array([seed]), 4, (16, 16), (32, 32), (8, 16))[0]
+        assert np.array_equal(direct, synth), alg
+
+
 def test_read_cells_rejects_unknown_resample():
     import pytest as _pytest
 
