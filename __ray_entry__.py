@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_bilinear": q.q_resample_bilinear,
         "resample_cubic": q.q_resample_cubic,
         "resample_average": q.q_resample_average,
+        "resample_cubicspline": q.q_resample_cubicspline,
         "resample_rms": q.q_resample_rms,
         "resample_mode": q.q_resample_mode,
         "tile_type_hist": q.q_tile_type_hist,

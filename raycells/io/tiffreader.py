@@ -104,7 +104,10 @@ def _windowed(arr: np.ndarray, window, window_size, out_size, resample="nearest"
     same mapping as ``tilestore.window_indices``. ``bilinear``
     (GRA_Bilinear): src = (dst + 0.5) · scale − 0.5 with edge-replicate
     clamping. ``cubic`` (GRA_Cubic): 4×4 cubic convolution over the
-    same src mapping (weights in ``_cubic_weights``). ``average``
+    same src mapping (weights in ``_cubic_weights``). ``cubic_spline``
+    (GRIORA_CubicSpline): 4×4 cubic B-spline smoothing over the same
+    taps. ``lanczos`` (GRIORA_Lanczos): 6×6 windowed sinc (a = 3),
+    weights normalized per output. ``average``
     (GRA_Average): exact box mean per output cell (integer scale
     factors only). ``rms`` (GRIORA_RMS): sqrt of the box mean of
     squares (integer factors only). ``mode`` (GRIORA_Mode): the box's
@@ -139,20 +142,26 @@ def _windowed(arr: np.ndarray, window, window_size, out_size, resample="nearest"
             y1[:, None], x1[None, :]
         ]
         return ((1.0 - fy)[:, None] * top + fy[:, None] * bot).reshape(-1)
-    if resample == "cubic":
+    if resample in ("cubic", "cubic_spline", "lanczos"):
+        wfn, rad = {
+            "cubic": (_cubic_weights, 1),
+            "cubic_spline": (_bspline_weights, 1),
+            "lanczos": (_lanczos_weights, 2),
+        }[resample]
+        taps = 2 * rad + 2
         sx = (np.arange(ow) + 0.5) * w / ow - 0.5
         sy = (np.arange(oh) + 0.5) * h / oh - 0.5
         x0f = np.floor(sx).astype(np.int64)
         y0f = np.floor(sy).astype(np.int64)
-        wx = _cubic_weights(sx - x0f)  # (4, ow)
-        wy = _cubic_weights(sy - y0f)  # (4, oh)
+        wx = wfn(sx - x0f)  # (taps, ow)
+        wy = wfn(sy - y0f)  # (taps, oh)
         a = arr.astype(np.float64)
         out = np.zeros((oh, ow))
-        for dy in range(4):
-            yy = r0 + np.clip(y0f + dy - 1, 0, h - 1)
+        for dy in range(taps):
+            yy = r0 + np.clip(y0f + dy - rad, 0, h - 1)
             row = np.zeros((oh, ow))
-            for dx in range(4):
-                xx = c0 + np.clip(x0f + dx - 1, 0, w - 1)
+            for dx in range(taps):
+                xx = c0 + np.clip(x0f + dx - rad, 0, w - 1)
                 row += wx[dx][None, :] * a[yy[:, None], xx[None, :]]
             out += wy[dy][:, None] * row
         return out.reshape(-1)
@@ -219,13 +228,55 @@ def _cubic_weights(t: np.ndarray) -> np.ndarray:
     )
 
 
+def _bspline_weights(t: np.ndarray) -> np.ndarray:
+    """(4, n) GRIORA_CubicSpline tap weights: the cubic B-spline basis
+    B₃ evaluated at tap distances (1+t, t, 1−t, 2−t), taps at
+    floor−1 … floor+2. B-splines partition unity, so no normalization.
+    At t = 0.5 (exact 2× downscale) the weights are exactly
+    (1, 23, 23, 1)/48 as rationals, so 2304·out is an integer
+    combination of the 16 source pixels — not binary-exact in float,
+    but the accumulated error is ~1e-7 of the 0.5 rint margin, which
+    is how the DuckDB oracle recovers the exact integers."""
+    u = 1.0 - t
+    return np.stack(
+        [
+            u * u * u / 6.0,
+            (4.0 - 6.0 * t * t + 3.0 * t * t * t) / 6.0,
+            (4.0 - 6.0 * u * u + 3.0 * u * u * u) / 6.0,
+            t * t * t / 6.0,
+        ]
+    )
+
+
+def _lanczos_weights(t: np.ndarray) -> np.ndarray:
+    """(6, n) GRIORA_Lanczos (a = 3) tap weights at distances
+    (2+t, 1+t, t, 1−t, 2−t, 3−t), taps at floor−2 … floor+3,
+    normalized to sum 1 per output (the windowed sinc does not
+    partition unity). Transcendental weights — pytest-pinned, not
+    oracle-checked."""
+
+    def lz(d: np.ndarray) -> np.ndarray:
+        d = np.abs(d)
+        out = np.where(
+            d < 1e-12,
+            1.0,
+            np.sinc(d) * np.sinc(d / 3.0),
+        )
+        return np.where(d >= 3.0, 0.0, out)
+
+    w = np.stack([lz(t + 2), lz(t + 1), lz(t), lz(1 - t), lz(2 - t), lz(3 - t)])
+    return w / w.sum(axis=0, keepdims=True)
+
+
 def read_cells(
     path: str, window=None, window_size=None, out_size=None, resample="nearest"
 ) -> CellBuffer:
     """``read_cells``: full raster by default; pass (window, window_size,
     out_size) for a windowed resampled read (``resample`` = "nearest",
-    "bilinear", "cubic", "average", "rms" or "mode"; the float-math
-    variants yield a Float64 buffer, "mode" keeps the band dtype)."""
+    "bilinear", "cubic", "cubic_spline", "lanczos", "average", "rms" or
+    "mode" — the full RasterIO ``e_resample_alg`` set the reference
+    passes through, minus overview-only Gauss; the float-math variants
+    yield a Float64 buffer, "mode" keeps the band dtype)."""
     arr, _ = read_tiff(path)
     if window is None:
         return CellBuffer(arr.reshape(-1))

@@ -261,6 +261,45 @@ def synth_band_window_average(
     return (sums / (fx * fy)).reshape(len(s), oh * ow)
 
 
+def synth_band_window_cubicspline(
+    seeds: np.ndarray,
+    band: int,
+    window: Tuple[int, int],
+    window_size: Tuple[int, int],
+    out_size: Tuple[int, int],
+) -> np.ndarray:
+    """(len(seeds), ow·oh) float64: the band tile's window resampled by
+    GDAL-style CUBIC B-SPLINE smoothing (GRIORA_CubicSpline,
+    rasterband.rs:42). Taps at floor−1…floor+2 per axis, edge-replicate
+    clamped. At exact 2× downscale every 1-D weight is in {1/48, 23/48}
+    as a rational, so 2304·out is an integer combination of the 16
+    source pixels; 1/48 is not binary-exact, but the accumulated float
+    error (~1e-7) is far inside the 0.5 rint margin — callers recover
+    the exact integers with ``rint(out · 2304)`` (the DuckDB oracle's
+    formulation)."""
+    from raycells.io.tiffreader import _bspline_weights
+
+    (c0, r0), (w, h), (ow, oh) = window, window_size, out_size
+    sx = (np.arange(ow) + 0.5) * w / ow - 0.5
+    sy = (np.arange(oh) + 0.5) * h / oh - 0.5
+    x0f = np.floor(sx).astype(np.int64)
+    y0f = np.floor(sy).astype(np.int64)
+    wx = _bspline_weights(sx - x0f)  # (4, ow)
+    wy = _bspline_weights(sy - y0f)  # (4, oh)
+    s = np.asarray(seeds, dtype=np.int64)[:, None]
+    out = np.zeros((len(s), oh * ow))
+    for dy in range(4):
+        rows = r0 + np.clip(y0f + dy - 1, 0, h - 1)
+        for dx in range(4):
+            cols = c0 + np.clip(x0f + dx - 1, 0, w - 1)
+            i = (rows[:, None] * TILE_W + cols[None, :]).reshape(1, -1)
+            v = 1 + (s * MUL_A + (i + band * 101) * MUL_I) % VAL_MOD
+            v[(s + i * MASK_MUL) % MASK_MOD == 0] = 0
+            wt = (wy[dy][:, None] * wx[dx][None, :]).reshape(-1)
+            out += wt[None, :] * v
+    return out
+
+
 def _synth_window_blocks(
     seeds: np.ndarray,
     band: int,

@@ -1204,6 +1204,38 @@ def build() -> dict:
                    CAST(MAX(v8) AS BIGINT) AS max_av8
             FROM outcells GROUP BY doc_id, span_idx, seed
         """,
+        # windowed CUBIC-B-SPLINE read at 2× scale: 1-D tap weights are
+        # (1, 23, 23, 1)/48 (B₃ at t=0.5), so 2304·out = Σ wy·wx·v over
+        # the 4×4 taps with integer weights — same tap geometry as
+        # cubic, different kernel.
+        "resample_cubicspline": _MEDIA
+        + """
+            , grid AS (
+                SELECT m.doc_id, m.span_idx, m.seed,
+                       r.range AS rr, c.range AS cc,
+                       (16 + LEAST(GREATEST(2 * r.range + dr.range - 1, 0), 31)) * 64
+                       + (16 + LEAST(GREATEST(2 * c.range + dc.range - 1, 0), 31)) AS i,
+                       (CASE dr.range WHEN 0 THEN 1 WHEN 1 THEN 23 WHEN 2 THEN 23 ELSE 1 END)
+                       * (CASE dc.range WHEN 0 THEN 1 WHEN 1 THEN 23 WHEN 2 THEN 23 ELSE 1 END) AS wt
+                FROM media m, range(16) r, range(16) c, range(4) dr, range(4) dc
+            ),
+            vals AS (
+                SELECT doc_id, span_idx, seed, rr, cc,
+                       wt * CASE WHEN (seed + i * 7) % 33 = 0 THEN 0
+                                 ELSE 1 + (seed * 2654435761 + (i + 404) * 40503) % 65520
+                            END AS wv
+                FROM grid
+            ),
+            outcells AS (
+                SELECT doc_id, span_idx, seed, CAST(SUM(wv) AS BIGINT) AS v2304
+                FROM vals GROUP BY doc_id, span_idx, seed, rr, cc
+            )
+            SELECT doc_id, span_idx, seed,
+                   CAST(SUM(v2304) AS BIGINT) AS sum_bs2304,
+                   CAST(MIN(v2304) AS BIGINT) AS min_bs2304,
+                   CAST(MAX(v2304) AS BIGINT) AS max_bs2304
+            FROM outcells GROUP BY doc_id, span_idx, seed
+        """,
         # windowed RMS read, 4×2 box: rms = sqrt(ssq / 8) where ssq is
         # the box's exact-integer sum of squares; /8 is a power-of-two
         # division and sqrt is correctly-rounded IEEE, so the doubles

@@ -335,6 +335,36 @@ def q_resample_average(sf_dir: str):
     return _exploded(sf_dir).map_batches(average_stats, batch_format="pyarrow")
 
 
+def q_resample_cubicspline(sf_dir: str):
+    """Windowed CUBIC-B-SPLINE resampled read (GRIORA_CubicSpline,
+    rasterband.rs:42): the (16,16)+(32,32) window of band 4 smoothed to
+    16×16 at exactly 2× scale, where every 1-D tap weight is 1/48 or
+    23/48 — 2304·out is an integer combination of the 16 source pixels.
+    1/48 is not binary-exact, but the float accumulation error (~1e-7)
+    is far inside the 0.5 rint margin, so ``rint(out·2304)`` recovers
+    the exact integers the DuckDB oracle computes natively."""
+    from raycells.io import tilestore
+
+    WINDOW, WSIZE, OSIZE = (16, 16), (32, 32), (16, 16)
+
+    def spline_stats(b: pa.Table) -> pa.Table:
+        seeds = tilestore.seed_of_refs(b["media_ref"])
+        v = tilestore.synth_band_window_cubicspline(seeds, 4, WINDOW, WSIZE, OSIZE)
+        v2304 = np.rint(v * 2304.0).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "span_idx": pc.cast(b["span_idx"], pa.int64()),
+                "seed": pa.array(seeds, pa.int64()),
+                "sum_bs2304": pa.array(v2304.sum(axis=1)),
+                "min_bs2304": pa.array(v2304.min(axis=1)),
+                "max_bs2304": pa.array(v2304.max(axis=1)),
+            }
+        )
+
+    return _exploded(sf_dir).map_batches(spline_stats, batch_format="pyarrow")
+
+
 def q_resample_rms(sf_dir: str):
     """Windowed RMS resampled read (GRIORA_RMS — the RasterIO resample
     set the reference's ``read_cells`` passes through, rasterband.rs:

@@ -28,6 +28,7 @@ CHECKED = [
     "resample_bilinear",
     "resample_cubic",
     "resample_average",
+    "resample_cubicspline",
     "resample_rms",
     "resample_mode",
     "tile_type_hist",
