@@ -6,7 +6,14 @@ num_cpus=$RAY_GRAFT_CPUS or 32)`` and print ONE JSON line::
 
     {"metric": "flagship e2e sec", "value": N, "unit": "sec",
      "queries": {...per-pipeline sec...}, "sf": 0.1, "num_cpus": N,
-     "tiles": T, "tiles_per_sec": R}
+     "tiles": T, "tiles_per_sec": R,
+     "scaling": {"efficiency": E, ...8-vs-32-CPU fresh-process runs...}}
+
+The embedded ``scaling`` block (skipped when num_cpus < 32 or
+``GRAFT_BENCH_SCALING=0``) is a compact repeats-2 version of
+``--scaling`` so every driver-recorded BENCH_r{N}.json carries the
+north rule's N-vs-4N evidence, not just builder-claimed BASELINE.md
+numbers.
 
 ``--scaling``: run the flagship pipeline twice in FRESH processes at 8
 and 32 CPUs on the same input (the sandbox proxy for the north rule's
@@ -151,7 +158,7 @@ def run_all(sf_dir: str, num_cpus: int) -> dict:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    return {
+    out = {
         "metric": "flagship e2e sec (erased-cell decode + stats + cell-id + salted agg)",
         "value": round(flag["sec"], 3),
         "unit": "sec",
@@ -161,6 +168,26 @@ def run_all(sf_dir: str, num_cpus: int) -> dict:
         "tiles": flag["tiles"],
         "tiles_per_sec": round(flag["tiles"] / flag["sec"], 1),
     }
+    # Driver-verified scaling evidence (north rule's N-vs-4N criterion,
+    # sandbox proxy): embed a compact 8-vs-32-CPU fresh-process run in
+    # the default bench so per-round BENCH_r{N}.json records it, not
+    # just builder-claimed BASELINE.md numbers. Opt out with
+    # GRAFT_BENCH_SCALING=0 (e.g. when iterating on one query).
+    if os.environ.get("GRAFT_BENCH_SCALING", "1") != "0" and num_cpus >= 32:
+        try:
+            sc = run_scaling(sf_dir, repeats=2)
+            out["scaling"] = {
+                "efficiency": sc["value"],
+                "tiles_per_sec_lo": sc["tiles_per_sec_lo"],
+                "tiles_per_sec_hi": sc["tiles_per_sec_hi"],
+                "cpus_lo": sc["cpus_lo"],
+                "cpus_hi": sc["cpus_hi"],
+                "n_docs": sc["n_docs"],
+                "tiles": sc["tiles"],
+            }
+        except Exception as exc:  # never lose the main bench line to this
+            out["scaling"] = {"err": repr(exc)[:200]}
+    return out
 
 
 def run_one(sf_dir: str, num_cpus: int, docs_dir: str = None, repeats: int = 1) -> dict:
@@ -185,7 +212,7 @@ def run_one(sf_dir: str, num_cpus: int, docs_dir: str = None, repeats: int = 1) 
 SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "600000"))
 
 
-def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32, repeats: int = 3) -> dict:
     """Fresh process per parallelism level (clean Ray session each) — the
     sandbox proxy for the north rule's N-vs-4N-node criterion.
 
@@ -202,7 +229,7 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--one", "flagship",
              "--cpus", str(cpus), "--sf-dir", sf_dir, "--docs-dir", docs_dir,
-             "--repeats", "3"],
+             "--repeats", str(repeats)],
             capture_output=True, text=True, check=True,
         )
         out[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
