@@ -161,6 +161,26 @@ def sharded_knn(points_ds, queries, k: int, parent_level: int = 3):
     active = set(qids)
     R = 1
     max_r = 1 << parent_level
+    # Round 1 runs fused against the raw lineage (the common
+    # single-round case pays no extra execution). If ring expansion
+    # needs MORE rounds, materialize the narrow tagged projection once
+    # — (seed, lon, lat, _parent) only — so later rounds filter a small
+    # cached table instead of re-executing the full upstream pipeline
+    # (e.g. explode + decode) per round.
+    tagged = None
+
+    def tag_parent(b: pa.Table) -> pa.Table:
+        lon = b["lon"].to_numpy(zero_copy_only=False)
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        p = cellid.encode(lon, lat, parent_level)
+        return pa.table(
+            {
+                "seed": b["seed"],
+                "lon": b["lon"],
+                "lat": b["lat"],
+                "_parent": pa.array(p.astype(np.int64), pa.int64()),
+            }
+        )
 
     while active:
         # parent cells to probe this round (rings 0..R minus already-probed)
@@ -178,15 +198,24 @@ def sharded_knn(points_ds, queries, k: int, parent_level: int = 3):
                 qs_by_cell.setdefault(c, []).append(qid)
         if qs_by_cell:
             cell_arr = np.array(sorted(qs_by_cell), dtype=np.uint64)
+            if R > 1 and tagged is None:
+                tagged = points_ds.map_batches(
+                    tag_parent, batch_format="pyarrow"
+                ).materialize()
+            src = tagged if tagged is not None else points_ds
 
             def tag_and_filter(b: pa.Table) -> pa.Table:
-                lon = b["lon"].to_numpy(zero_copy_only=False)
-                lat = b["lat"].to_numpy(zero_copy_only=False)
-                p = cellid.encode(lon, lat, parent_level)
+                if "_parent" in b.column_names:  # already tagged (cached)
+                    p = b["_parent"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                    t = b
+                else:
+                    lon = b["lon"].to_numpy(zero_copy_only=False)
+                    lat = b["lat"].to_numpy(zero_copy_only=False)
+                    p = cellid.encode(lon, lat, parent_level)
+                    t = b.append_column(
+                        "_parent", pa.array(p.astype(np.int64), pa.int64())
+                    )
                 keep = np.isin(p, cell_arr)  # prune BEFORE the exchange
-                t = b.append_column(
-                    "_parent", pa.array(p.astype(np.int64), pa.int64())
-                )
                 return t.filter(pa.array(keep))
 
             def shard_topk(g: pa.Table) -> pa.Table:
@@ -218,7 +247,7 @@ def sharded_knn(points_ds, queries, k: int, parent_level: int = 3):
                 )
 
             part = (
-                points_ds.map_batches(tag_and_filter, batch_format="pyarrow")
+                src.map_batches(tag_and_filter, batch_format="pyarrow")
                 .groupby("_parent")
                 .map_groups(shard_topk, batch_format="pyarrow")
                 .to_pandas()  # ≤ probed_cells × queries × k rows

@@ -98,9 +98,19 @@ def synth_band_values(seeds: np.ndarray, band: int, n: int = TILE_N) -> np.ndarr
     """
     s = np.asarray(seeds, dtype=np.int64)[:, None]
     i = np.arange(n, dtype=np.int64)[None, :]
+    return _band_values_at(s, i, band).astype(np.uint16)
+
+
+def _band_values_at(s: np.ndarray, i: np.ndarray, band: int) -> np.ndarray:
+    """Raw LCG band values (int64, 0 = nodata) at broadcastable seed ×
+    flat-tile-index arrays — THE single definition of the tile-value
+    formula every resample kernel samples (SQL mirror in
+    ``synth_band_values``'s docstring; CLAUDE.md requires the formula
+    to stay SQL-reproducible, so change it HERE and in the oracles
+    only)."""
     v = 1 + (s * MUL_A + (i + band * 101) * MUL_I) % VAL_MOD
     v[(s + i * MASK_MUL) % MASK_MOD == 0] = 0
-    return v.astype(np.uint16)
+    return v
 
 
 def synth_band(seeds: np.ndarray, band: int) -> Dict[str, np.ndarray]:
@@ -180,10 +190,7 @@ def synth_band_window_bilinear(
     s = np.asarray(seeds, dtype=np.int64)[:, None]
 
     def corner(idx: np.ndarray) -> np.ndarray:
-        i = idx[None, :]
-        v = 1 + (s * MUL_A + (i + band * 101) * MUL_I) % VAL_MOD
-        v[(s + i * MASK_MUL) % MASK_MOD == 0] = 0
-        return v.astype(np.float64)
+        return _band_values_at(s, idx[None, :], band).astype(np.float64)
 
     top = (1.0 - wx) * corner(i00) + wx * corner(i01)
     bot = (1.0 - wx) * corner(i10) + wx * corner(i11)
@@ -208,22 +215,42 @@ def synth_band_window_cubic(
     float accumulation below is bit-exact regardless of order."""
     from raycells.io.tiffreader import _cubic_weights
 
+    return _synth_separable(
+        seeds, band, window, window_size, out_size, _cubic_weights, 1
+    )
+
+
+def _synth_separable(
+    seeds: np.ndarray,
+    band: int,
+    window: Tuple[int, int],
+    window_size: Tuple[int, int],
+    out_size: Tuple[int, int],
+    wfn,
+    rad: int,
+) -> np.ndarray:
+    """Shared separable-kernel windowed resample over the synthetic
+    band formula: ``wfn`` maps fractional offsets to (2·rad+2, n) 1-D
+    tap weights, taps at floor−rad … floor+rad+1 per axis,
+    edge-replicate clamped to the window — the same loop structure and
+    accumulation order as ``tiffreader._windowed``'s interpolating
+    branch."""
     (c0, r0), (w, h), (ow, oh) = window, window_size, out_size
+    taps = 2 * rad + 2
     sx = (np.arange(ow) + 0.5) * w / ow - 0.5
     sy = (np.arange(oh) + 0.5) * h / oh - 0.5
     x0f = np.floor(sx).astype(np.int64)
     y0f = np.floor(sy).astype(np.int64)
-    wx = _cubic_weights(sx - x0f)  # (4, ow)
-    wy = _cubic_weights(sy - y0f)  # (4, oh)
+    wx = wfn(sx - x0f)  # (taps, ow)
+    wy = wfn(sy - y0f)  # (taps, oh)
     s = np.asarray(seeds, dtype=np.int64)[:, None]
     out = np.zeros((len(s), oh * ow))
-    for dy in range(4):
-        rows = r0 + np.clip(y0f + dy - 1, 0, h - 1)
-        for dx in range(4):
-            cols = c0 + np.clip(x0f + dx - 1, 0, w - 1)
+    for dy in range(taps):
+        rows = r0 + np.clip(y0f + dy - rad, 0, h - 1)
+        for dx in range(taps):
+            cols = c0 + np.clip(x0f + dx - rad, 0, w - 1)
             i = (rows[:, None] * TILE_W + cols[None, :]).reshape(1, -1)
-            v = 1 + (s * MUL_A + (i + band * 101) * MUL_I) % VAL_MOD
-            v[(s + i * MASK_MUL) % MASK_MOD == 0] = 0
+            v = _band_values_at(s, i, band)
             wt = (wy[dy][:, None] * wx[dx][None, :]).reshape(-1)
             out += wt[None, :] * v
     return out
@@ -244,21 +271,9 @@ def synth_band_window_average(
     of the block (the DuckDB oracle's formulation), so the division is
     exact for power-of-two factors and bit-stable otherwise (single
     division of an exact-integer sum)."""
-    (c0, r0), (w, h), (ow, oh) = window, window_size, out_size
-    if w % ow or h % oh:
-        raise ValueError(
-            "average resample needs integer scale factors "
-            f"(window {w}x{h} -> out {ow}x{oh})"
-        )
-    fx, fy = w // ow, h // oh
-    rows = r0 + np.arange(h)
-    cols = c0 + np.arange(w)
-    i = (rows[:, None] * TILE_W + cols[None, :]).reshape(1, -1)
-    s = np.asarray(seeds, dtype=np.int64)[:, None]
-    v = 1 + (s * MUL_A + (i + band * 101) * MUL_I) % VAL_MOD
-    v[(s + i * MASK_MUL) % MASK_MOD == 0] = 0
-    sums = v.reshape(len(s), oh, fy, ow, fx).sum(axis=(2, 4))
-    return (sums / (fx * fy)).reshape(len(s), oh * ow)
+    b = _synth_window_blocks(seeds, band, window, window_size, out_size)
+    n, k = b.shape[0], b.shape[-1]
+    return (b.sum(axis=-1) / k).reshape(n, -1)
 
 
 def synth_band_window_cubicspline(
@@ -279,25 +294,9 @@ def synth_band_window_cubicspline(
     formulation)."""
     from raycells.io.tiffreader import _bspline_weights
 
-    (c0, r0), (w, h), (ow, oh) = window, window_size, out_size
-    sx = (np.arange(ow) + 0.5) * w / ow - 0.5
-    sy = (np.arange(oh) + 0.5) * h / oh - 0.5
-    x0f = np.floor(sx).astype(np.int64)
-    y0f = np.floor(sy).astype(np.int64)
-    wx = _bspline_weights(sx - x0f)  # (4, ow)
-    wy = _bspline_weights(sy - y0f)  # (4, oh)
-    s = np.asarray(seeds, dtype=np.int64)[:, None]
-    out = np.zeros((len(s), oh * ow))
-    for dy in range(4):
-        rows = r0 + np.clip(y0f + dy - 1, 0, h - 1)
-        for dx in range(4):
-            cols = c0 + np.clip(x0f + dx - 1, 0, w - 1)
-            i = (rows[:, None] * TILE_W + cols[None, :]).reshape(1, -1)
-            v = 1 + (s * MUL_A + (i + band * 101) * MUL_I) % VAL_MOD
-            v[(s + i * MASK_MUL) % MASK_MOD == 0] = 0
-            wt = (wy[dy][:, None] * wx[dx][None, :]).reshape(-1)
-            out += wt[None, :] * v
-    return out
+    return _synth_separable(
+        seeds, band, window, window_size, out_size, _bspline_weights, 1
+    )
 
 
 def _synth_window_blocks(
@@ -321,8 +320,7 @@ def _synth_window_blocks(
     cols = c0 + np.arange(w)
     i = (rows[:, None] * TILE_W + cols[None, :]).reshape(1, -1)
     s = np.asarray(seeds, dtype=np.int64)[:, None]
-    v = 1 + (s * MUL_A + (i + band * 101) * MUL_I) % VAL_MOD
-    v[(s + i * MASK_MUL) % MASK_MOD == 0] = 0
+    v = _band_values_at(s, i, band)
     return (
         v.reshape(len(s), oh, fy, ow, fx)
         .transpose(0, 1, 3, 2, 4)
@@ -379,10 +377,7 @@ def synth_band_window(
     a DuckDB oracle can reproduce the resampled read exactly."""
     idx = window_indices(window, window_size, out_size)
     s = np.asarray(seeds, dtype=np.int64)[:, None]
-    i = idx[None, :]
-    v = 1 + (s * MUL_A + (i + band * 101) * MUL_I) % VAL_MOD
-    v[(s + i * MASK_MUL) % MASK_MOD == 0] = 0
-    return v.astype(np.uint16)
+    return _band_values_at(s, idx[None, :], band).astype(np.uint16)
 
 
 # ---------------------------------------------------------------------------

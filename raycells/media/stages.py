@@ -105,24 +105,34 @@ class MediaDecoder:
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if self.real_codec:
-            # the codec boundary stays per-payload by nature; everything
-            # below (the fake path) shows the vectorized shape
-            for i in range(n):
-                self._decode_real(
-                    batch["payload"][i].as_py(), batch["media_type"][i].as_py()
-                )
-        data, off = _binary_segments(batch["payload"])
-        lens = np.diff(off)
-        # segment mean/std over the flat byte view: one reduceat per
-        # moment instead of a per-row Python decode loop
-        x = data.astype(np.float64)
-        starts = np.minimum(off[:-1], max(len(x) - 1, 0))
-        if len(x):
-            sums = np.add.reduceat(x, starts)
-            sumsq = np.add.reduceat(x * x, starts)
-        else:
+            # the codec boundary stays per-payload by nature: stats come
+            # from the DECODED tensors, row by row
+            lens = np.zeros(n, np.int64)
             sums = np.zeros(n)
             sumsq = np.zeros(n)
+            for i in range(n):
+                arr = self._decode_real(
+                    batch["payload"][i].as_py(), batch["media_type"][i].as_py()
+                ).astype(np.float64)
+                lens[i] = arr.size
+                sums[i] = arr.sum()
+                sumsq[i] = (arr * arr).sum()
+        else:
+            data, off = _binary_segments(batch["payload"])
+            lens = np.diff(off)
+            # segment mean/std over the flat byte view via exact cumsum
+            # differences (uint8 sums stay integer-exact in float64):
+            # one pass per moment instead of a per-row Python decode
+            # loop, and empty segments anywhere — including trailing —
+            # fall out as 0 (reduceat can't represent an empty trailing
+            # segment: clamping its start corrupts the previous row)
+            x = data.astype(np.float64)
+            cs = np.zeros(len(x) + 1)
+            np.cumsum(x, out=cs[1:])
+            cs2 = np.zeros(len(x) + 1)
+            np.cumsum(x * x, out=cs2[1:])
+            sums = cs[off[1:]] - cs[off[:-1]]
+            sumsq = cs2[off[1:]] - cs2[off[:-1]]
         nz = lens > 0
         denom = np.maximum(lens, 1).astype(np.float64)
         mean_v = np.where(nz, sums / denom, 0.0)

@@ -792,7 +792,11 @@ def _token_hashes(tokens: np.ndarray) -> np.ndarray:
     missing = [w for w in tokens if w not in _TOKEN_HASHES]
     if missing:
         if len(_TOKEN_HASHES) + len(missing) >= _TOKEN_HASHES_MAX:
+            # Eviction wipes previously-cached tokens this batch still
+            # needs — recompute the FULL request, not just `missing`,
+            # so the lookup loop below can never KeyError.
             _TOKEN_HASHES.clear()
+            missing = list(dict.fromkeys(tokens))
         _TOKEN_HASHES.update(zip(missing, fingerprint64(missing)))
     for k, w in enumerate(tokens):
         out[k] = _TOKEN_HASHES[w]

@@ -49,6 +49,63 @@ def test_decoder_stub_boundary():
         MediaDecoder(real_codec=True)(batch)
 
 
+def test_decoder_empty_trailing_payload():
+    """Empty payloads in ANY position — including the last row of the
+    batch — must yield 0 stats without corrupting their neighbors (a
+    reduceat formulation clamped the empty trailing segment's start
+    into the previous row, silently shifting its mean)."""
+    batch = pa.table(
+        {
+            "media_ref": pa.array(["a", "b", "c"]),
+            "media_type": pa.array(["image"] * 3),
+            "payload": pa.array([b"ab", b"", b""], pa.large_binary()),
+            "height": pa.array([1, 0, 0], pa.int32()),
+            "width": pa.array([2, 0, 0], pa.int32()),
+            "n_frames": pa.array([1, 1, 1], pa.int32()),
+            "sample_rate": pa.array([0, 0, 0], pa.int32()),
+        }
+    )
+    out = MediaDecoder()(batch)
+    assert out["n_bytes"].to_pylist() == [2, 0, 0]
+    assert out["pixel_mean"].to_pylist() == [97.5, 0.0, 0.0]  # (97+98)/2
+    assert out["pixel_std"].to_pylist() == [0.5, 0.0, 0.0]
+
+
+def test_decoder_real_codec_uses_decoded_tensor():
+    """The real-codec path must derive stats from the DECODED tensor,
+    not the raw encoded bytes (a prior version called the codec for
+    side effects and then ran the identity-codec stats)."""
+
+    class FakeCodec(MediaDecoder):
+        def _decode_real(self, payload, media_type):
+            # 'decode' -> constant plane, unlike the payload bytes
+            return np.full(4, 10.0)
+
+    batch = synth_media_batch(np.array([9]), "image")
+    out = FakeCodec(real_codec=True)(batch)
+    assert out["n_bytes"].to_pylist() == [4]
+    assert out["pixel_mean"].to_pylist() == [10.0]
+    assert out["pixel_std"].to_pylist() == [0.0]
+
+
+def test_token_hash_cache_eviction():
+    """Cache eviction mid-stream must not KeyError on tokens cached
+    before the wipe (regression: `missing` was computed pre-clear)."""
+    from raycells.text import dedup
+
+    old_max = dedup._TOKEN_HASHES_MAX
+    dedup._TOKEN_HASHES.clear()
+    try:
+        dedup._TOKEN_HASHES_MAX = 4
+        dedup._token_hashes(np.asarray(["a", "b", "c"], object))
+        out = dedup._token_hashes(np.asarray(["a", "d"], object))
+        ref = dedup._token_hashes(np.asarray(["a", "d"], object))
+        assert np.array_equal(out, ref)
+    finally:
+        dedup._TOKEN_HASHES_MAX = old_max
+        dedup._TOKEN_HASHES.clear()
+
+
 def test_media_pipeline_end_to_end(ray_session):
     import ray.data as rd
 
