@@ -100,49 +100,71 @@ def _trace_boundary(region: np.ndarray) -> np.ndarray:
     rows, cols = region.shape
     pad = np.zeros((rows + 2, cols + 2), dtype=bool)
     pad[1:-1, 1:-1] = region
-    edges = {}  # start vertex -> end vertex, oriented so region is on the left
+    # start vertex -> LIST of end vertices, oriented so the region is on
+    # the left. A vertex where the outer ring touches a hole ring
+    # diagonally (a saddle) has TWO outgoing edges — a plain dict would
+    # drop one and cross-link the cycles into a non-terminating walk.
+    edges: Dict[Tuple[int, int], List[Tuple[int, int]]] = {}
+
+    def add(a, b):
+        edges.setdefault(a, []).append(b)
 
     # horizontal edges: between (r-1, c) above and (r, c)
     up_diff = pad[1:, 1:-1] & ~pad[:-1, 1:-1]  # cell filled, above empty → top edge
     rr, cc = np.nonzero(up_diff)
-    for r, c in zip(rr, cc):  # top edge: right-to-left? keep region left → left-to-right
-        edges[(c, r)] = (c + 1, r)
+    for r, c in zip(rr, cc):  # top edge: keep region left → left-to-right
+        add((c, r), (c + 1, r))
     # bottom edges: filled cell is (rr-1, cc), the edge lies at y = rr
     down_diff = pad[:-1, 1:-1] & ~pad[1:, 1:-1]
     rr, cc = np.nonzero(down_diff)
     for r, c in zip(rr, cc):
-        edges[(c + 1, r)] = (c, r)
+        add((c + 1, r), (c, r))
     left_diff = pad[1:-1, 1:] & ~pad[1:-1, :-1]  # cell filled, left empty → left edge
     rr, cc = np.nonzero(left_diff)
     for r, c in zip(rr, cc):
-        edges[(c, r + 1)] = (c, r)
+        add((c, r + 1), (c, r))
     # right edges: filled cell is (rr, cc-1), the edge lies at x = cc
     right_diff = pad[1:-1, :-1] & ~pad[1:-1, 1:]
     rr, cc = np.nonzero(right_diff)
     for r, c in zip(rr, cc):
-        edges[(c, r)] = (c, r + 1)
+        add((c, r), (c, r + 1))
 
     if not edges:
         return np.empty((0, 2), dtype=np.int64)
-    # chain from the lexicographically smallest vertex (deterministic);
-    # outer ring is the longest chain (holes are separate cycles)
+    # chain cycles, consuming each edge exactly once (terminates by
+    # construction); at a saddle vertex pick the outgoing edge whose
+    # turn has positive cross product vs the incoming direction — that
+    # keeps the outer ring and the hole ring as separate cycles. The
+    # outer ring is the longest chain.
     best: List[Tuple[int, int]] = []
-    visited = set()
     for start in sorted(edges):
-        if start in visited:
-            continue
-        chain = [start]
-        cur = start
-        while True:
-            visited.add(cur)
-            nxt = edges.get(cur)
-            if nxt is None or nxt == start:
-                chain.append(nxt if nxt else cur)
-                break
-            chain.append(nxt)
-            cur = nxt
-        if len(chain) > len(best):
-            best = chain
+        while edges.get(start):
+            chain = [start]
+            prev = None
+            cur = start
+            while True:
+                outs = edges.get(cur)
+                if not outs:
+                    break  # open chain: only possible on malformed input
+                if len(outs) == 1 or prev is None:
+                    nxt = outs.pop(0)
+                else:
+                    din = (cur[0] - prev[0], cur[1] - prev[1])
+                    pick = 0
+                    for j, cand in enumerate(outs):
+                        dout = (cand[0] - cur[0], cand[1] - cur[1])
+                        if din[0] * dout[1] - din[1] * dout[0] > 0:
+                            pick = j
+                            break
+                    nxt = outs.pop(pick)
+                if not outs:
+                    edges.pop(cur, None)
+                chain.append(nxt)
+                if nxt == start:
+                    break
+                prev, cur = cur, nxt
+            if len(chain) > len(best):
+                best = chain
     return np.asarray(best, dtype=np.int64)
 
 

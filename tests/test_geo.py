@@ -219,6 +219,30 @@ def test_vectorize_respects_mask():
     assert regions[0]["cell_count"] == 4
 
 
+def test_vectorize_saddle_hole_terminates():
+    """A region whose hole touches the outside diagonally (a saddle
+    vertex carries TWO outgoing boundary edges) must trace to a closed,
+    even-odd-consistent pinched ring — a single-edge-per-vertex chain
+    walk cross-linked the cycles and never terminated (regression)."""
+    from raycells.geo.pip import points_in_polygon
+
+    for m in (
+        np.array([[1, 1, 1], [1, 0, 1], [0, 1, 1]], bool),  # NW/SE saddle
+        np.array([[0, 1, 1], [1, 0, 1], [1, 1, 1]], bool),  # NE/SW saddle
+        np.array(
+            [[1, 1, 1, 1], [1, 0, 1, 0], [0, 1, 1, 1], [1, 1, 1, 1]], bool
+        ),  # two pinched holes
+    ):
+        regions = raster.vectorize(np.ones(m.shape), mask=m)
+        assert len(regions) == 1
+        ring = regions[0]["ring"].astype(np.float64)
+        assert tuple(ring[0]) == tuple(ring[-1])  # closed
+        ys, xs = np.nonzero(m)
+        assert points_in_polygon(xs + 0.5, ys + 0.5, ring).all()
+        hy, hx = np.nonzero(~m)
+        assert not points_in_polygon(hx + 0.5, hy + 0.5, ring).any()
+
+
 def test_sharded_knn_matches_brute_force(ray_session):
     """The distributed sharded kNN (geo/knn.sharded_knn) must be EXACT:
     per-shard local top-k + ring-bounded probe expansion returns the
