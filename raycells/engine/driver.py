@@ -61,7 +61,15 @@ def process_fragment(frag_path: str, frag_out: str, level: int = 8) -> dict:
     xor = 0
     for d in digests["span_digest"]:
         xor ^= int(d, 16)
-    n_tiles = ex.count()
+    # tile count = Σ n_tiles over the per-cell aggregate just written —
+    # summing the few-thousand-row output parquet is free, where
+    # ``ex.count()`` re-executed the whole read+explode a third time
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    n_tiles = pc.sum(
+        pq.read_table(frag_out, columns=["n_tiles"])["n_tiles"]
+    ).as_py() or 0
     return {
         "rows_in": int(len(digests)),
         "tiles": int(n_tiles),

@@ -60,6 +60,21 @@ def _restore_ints(out: pd.DataFrame, col_types) -> pd.DataFrame:
     return out
 
 
+def _out_type(typ: pa.DataType) -> pa.DataType:
+    """The join OUTPUT type for a carried column: integer columns come
+    back from ``_restore_ints`` as int64, so empty buckets must emit
+    int64 as well or the Dataset holds blocks with conflicting schemas
+    (int32 from an empty bucket vs int64 everywhere else)."""
+    return pa.int64() if pa.types.is_integer(typ) else typ
+
+
+def _empty_join_table(keep_left, keep_right, l_types, r_types) -> pa.Table:
+    return pa.table(
+        {c: pa.array([], _out_type(l_types[c])) for c in keep_left}
+        | {c: pa.array([], _out_type(r_types[c])) for c in keep_right}
+    )
+
+
 def hash_join(
     left_ds,
     right_ds,
@@ -122,10 +137,7 @@ def hash_join(
             g.filter(pc.invert(lmask)).select(["_k", *keep_right])
         )
         if left.empty or (right.empty and how == "inner"):
-            return pa.table(
-                {c: pa.array([], l_types[c]) for c in keep_left}
-                | {c: pa.array([], r_types[c]) for c in keep_right}
-            )
+            return _empty_join_table(keep_left, keep_right, l_types, r_types)
         # merge on plain numpy keys when possible: pandas merges on
         # nullable-int extension keys are several times slower, and join
         # keys are non-null in every caller (cast both sides or neither —
@@ -221,8 +233,7 @@ def asof_join(
             g.filter(pc.invert(lmask)).select(["_k", "_on", *keep_right])
         )
         if left.empty or right.empty:
-            return pa.table({c: pa.array([], l_types[c]) for c in keep_left} |
-                            {c: pa.array([], r_types[c]) for c in keep_right})
+            return _empty_join_table(keep_left, keep_right, l_types, r_types)
         # merge_asof needs plain (non-extension) on/by dtypes; both are
         # non-null after the side split, so the cast is exact.
         for frame in (left, right):

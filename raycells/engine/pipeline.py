@@ -145,16 +145,23 @@ def flagship(
     level: int = DEFAULT_LEVEL,
     out_dir: Optional[str] = None,
     decode_concurrency: Optional[int] = None,
-    with_join: bool = True,
+    with_join: bool = False,
     num_blocks: Optional[int] = None,
 ):
     """The headline pipeline. Returns the per-cell aggregate Dataset
     (cell id → n_tiles, valid/nodata counts, min/max, avg tile mean).
 
+    ``with_join=True`` additionally runs the broadcast PIP join over the
+    per-tile stats stream and writes it under ``out_dir/join`` — it
+    REQUIRES ``out_dir`` (the join's only consumer is the sink; without
+    one the join stage would silently never execute).
+
     ``num_blocks`` pins the read parallelism: per-task driver overhead is
     high on this platform, so the block count stays FIXED (~2× the CPU
     count) instead of growing with the input — bigger inputs mean bigger
     blocks, not more tasks."""
+    if with_join and not out_dir:
+        raise ValueError("with_join=True requires out_dir (the join's consumer)")
     if num_blocks is None:
         num_blocks = 2 * _cluster_cpus()
     # projection-pushdown read: the flagship never touches span text, so
@@ -164,15 +171,17 @@ def flagship(
     if with_join:
         # the join consumer needs the per-tile stats stream; fused
         # stateless decode→stats as tasks, then the broadcast PIP join
-        # (task stage with memoized state)
+        # (task stage with memoized state). The stats stream feeds TWO
+        # consumers (join sink + aggregate) — materialize the narrow
+        # ~100 B/tile stats once so the decode doesn't re-execute per
+        # consumer (tile payloads are already gone at this point).
         stats = ex.map_batches(
             lambda b: stages.decode_stats(b, emit="stats", level=level),
             batch_format="pyarrow",
-        )
+        ).materialize()
         joined = join_stage(stats)
         agg = shuffle_mod.salted_cell_aggregate(stats, key="cell_id")
-        if out_dir:
-            joined.write_parquet(os.path.join(out_dir, "join"))
+        joined.write_parquet(os.path.join(out_dir, "join"))
     else:
         # fully fused fast path: decode→stats→cellid→partials in ONE task
         # operator (stateless synthetic decode; scratch persists in reused

@@ -232,10 +232,14 @@ GRID_NX = int(360 / GRID_RES)  # 1440
 
 def grid_cell(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
     """Flat quantized grid id — deliberately expressible in ANSI SQL:
-    ``floor((lat+90)/0.25) * 1440 + floor((lon+180)/0.25)``."""
+    ``floor((lat+90)/0.25) * 1440 + floor((lon+180)/0.25)``.
+
+    No clipping on EITHER axis, exactly like the SQL: lon=180 or lat=90
+    produce the out-of-range-but-consistent edge cells (1440 / row 720)
+    on both engines — a one-sided gx clip silently diverged from the
+    oracle at the lon=180 domain edge."""
     gx = np.floor((np.asarray(lon) + 180.0) / GRID_RES).astype(np.int64)
     gy = np.floor((np.asarray(lat) + 90.0) / GRID_RES).astype(np.int64)
-    gx = np.clip(gx, 0, GRID_NX - 1)
     return gy * GRID_NX + gx
 
 

@@ -98,7 +98,11 @@ class KnnIndex:
             if n_cand >= k:
                 idx = np.concatenate(cand)
                 d = euclid_deg(qlon, qlat, self.lon[idx], self.lat[idx])
-                top = np.lexsort((idx, d))[:k]  # ties → lowest index (oracle parity)
+                # ties → lowest KEY, not candidate position: the oracle
+                # convention is ORDER BY dist, seed, and sharded_knn /
+                # KnnQuerier emit keys — position order only matches
+                # when keys happen to be arange
+                top = np.lexsort((self.keys[idx], d))[:k]
                 best_kth = d[top[-1]] if len(top) == k else np.inf
                 # points in ring r+1 are ≥ r * cell_deg away from the query
                 if best_kth <= r * self.cell_deg:
@@ -108,7 +112,7 @@ class KnnIndex:
             return np.empty(0, dtype=np.int64), np.empty(0)
         idx = np.concatenate(cand)
         d = euclid_deg(qlon, qlat, self.lon[idx], self.lat[idx])
-        top = np.lexsort((idx, d))[:k]
+        top = np.lexsort((self.keys[idx], d))[:k]  # ties → lowest key
         return idx[top], d[top]
 
     def query(self, qlon: np.ndarray, qlat: np.ndarray, k: int):

@@ -35,20 +35,31 @@ def _hash64(values: np.ndarray) -> np.ndarray:
     return pd.util.hash_array(np.asarray(values, dtype=object))
 
 
+def _rank(rest: np.ndarray, p: int) -> np.ndarray:
+    """HLL rank of the left-aligned remaining bits: leading zeros + 1,
+    capped at 64-p+1 for rest == 0. Uses the float64 exponent for speed
+    but corrects it in the INTEGER domain: uint64→float64 rounds any
+    value within half-ulp below 2^e up to 2^e (one binade at most — 2^e
+    itself is exact), which made the rank off by one for p <= 9 where
+    `rest` multiples of 2^p can land inside the half-ulp window."""
+    lz = np.full(len(rest), 64 - p + 1, dtype=np.uint8)
+    nonzero = rest != 0
+    if nonzero.any():
+        bits = rest[nonzero]
+        exp = (np.frexp(bits.astype(np.float64))[1] - 1).astype(np.int64)
+        exp = np.minimum(exp, 63)  # 2^63..2^64 rounds up in float64
+        too_high = (bits >> exp.astype(np.uint64)) == 0
+        exp[too_high] -= 1
+        lz[nonzero] = (63 - exp + 1).astype(np.uint8)
+    return lz
+
+
 def hll_registers(values: np.ndarray, p: int = DEFAULT_P) -> np.ndarray:
     """(2^p,) uint8 register array for one batch of keys."""
     h = _hash64(values)
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
     rest = h << np.uint64(p)  # remaining 64-p bits, left-aligned
-    # rank = leading zeros of `rest` + 1, capped at 64-p+1 (rest == 0)
-    lz = np.full(len(h), 64 - p + 1, dtype=np.uint8)
-    nonzero = rest != 0
-    if nonzero.any():
-        # float64 exponent trick: for x > 0, leading zeros = 63 - floor(log2 x)
-        bits = rest[nonzero]
-        exp = (np.frexp(bits.astype(np.float64))[1] - 1).astype(np.int64)
-        exp = np.minimum(exp, 63)  # 2^63..2^64 rounds up in float64
-        lz[nonzero] = (63 - exp + 1).astype(np.uint8)
+    lz = _rank(rest, p)
     regs = np.zeros(1 << p, dtype=np.uint8)
     np.maximum.at(regs, idx, lz)
     return regs

@@ -186,9 +186,10 @@ def ivf_topk(
 
     from raycells.engine.stages import broadcast_task
 
+    # no explicit batch_size: per-block batches keep the task count
+    # pinned to the upstream read (CLAUDE.md fusion rule)
     partial = ds.map_batches(
         broadcast_task(AssignPruneTopK, state_ref),
         batch_format="pyarrow",
-        batch_size=4096,
     )
     return _merge_topk(_gather(partial), query_ids, id_col, k)

@@ -88,31 +88,15 @@ def topk_cosine(
     ref = ray.put({"query_id": np.asarray(query_ids), "matrix": np.asarray(query_matrix)})
     from raycells.engine.stages import broadcast_task
 
+    # no explicit batch_size: this cheap broadcast stage sits downstream
+    # of a pinned-block read, and per-block batches keep the task count
+    # pinned to the read (CLAUDE.md fusion rule — an explicit 4096 here
+    # coalesced the pinned blocks into fewer serial fused tasks)
     cand = ds.map_batches(
         broadcast_task(BruteForceTopK, ref, k, col, id_col),
         batch_format="pyarrow",
-        batch_size=4096,
     )
-    t = pa.concat_tables(_gather(cand))
-    qid = t["query_id"].to_numpy(zero_copy_only=False)
-    vid = t[id_col].to_numpy(zero_copy_only=False)
-    sim = t["sim"].to_numpy(zero_copy_only=False)
-    out_q, out_id, out_s, out_r = [], [], [], []
-    for q in np.unique(qid):
-        sel = qid == q
-        order = np.lexsort((vid[sel], -sim[sel]))[:k]
-        out_q.append(np.full(len(order), q))
-        out_id.append(vid[sel][order])
-        out_s.append(sim[sel][order])
-        out_r.append(np.arange(1, len(order) + 1, dtype=np.int64))
-    return pa.table(
-        {
-            "query_id": pa.array(np.concatenate(out_q)),
-            id_col: pa.array(np.concatenate(out_id)),
-            "sim": pa.array(np.concatenate(out_s)),
-            "rank": pa.array(np.concatenate(out_r)),
-        }
-    )
+    return _merge_topk(_gather(cand), np.asarray(query_ids), id_col, k)
 
 
 def _gather(ds):
@@ -159,6 +143,25 @@ def _merge_topk(tabs, query_ids, id_col: str, k: int) -> pa.Table:
     )
 
 
+def _hamming_flips(n_planes: int, multiprobe: int) -> list:
+    """XOR masks for every bucket within Hamming distance <= multiprobe
+    of a query bucket (multiprobe=1 → single-bit flips; 2 adds two-bit
+    flips, ...) — probe count grows as sum_{d<=m} C(n_planes, d). A
+    previous cap of ``min(multiprobe * n_planes, n_planes)`` made every
+    multiprobe >= 2 silently identical to 1."""
+    from itertools import combinations
+
+    depth = min(max(int(multiprobe), 0), n_planes)
+    flips = [0]
+    for d in range(1, depth + 1):
+        for bits in combinations(range(n_planes), d):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            flips.append(m)
+    return flips
+
+
 def lsh_topk(
     ds,
     query_matrix: np.ndarray,
@@ -191,12 +194,8 @@ def lsh_topk(
     qbuckets = np.zeros(len(qm), dtype=np.int64)
     for p in range(n_planes):
         qbuckets = (qbuckets << 1) | qsig[:, p]
-    probe_sets = []
-    for qb in qbuckets:
-        probes = {int(qb)}
-        for bit in range(min(multiprobe * n_planes, n_planes)):
-            probes.add(int(qb) ^ (1 << bit))
-        probe_sets.append(probes)
+    flips = _hamming_flips(n_planes, multiprobe)
+    probe_sets = [{int(qb) ^ m for m in flips} for qb in qbuckets]
     wanted = sorted(set().union(*probe_sets))
 
     def bucketize(batch: pa.Table) -> pa.Table:

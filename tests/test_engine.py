@@ -385,3 +385,23 @@ def test_estimate_salt_adapts_to_skew(ray_session):
     fixed = hot_partial_sizes(sh.DEFAULT_SALT)
     assert balanced.max() < fixed.max() / 2  # ≥2× better balance
     assert balanced.max() <= hot / s_auto * 1.5
+
+
+def test_flagship_with_join_requires_out_dir(ray_session, tmp_path):
+    """with_join builds a join stream whose only consumer is the sink —
+    without out_dir it silently never executed (regression): now it
+    raises, and with out_dir it writes the join output exactly once."""
+    docs_dir = pipeline.docs_dir_for_sf("/root/testdata/sf0.001")
+    with pytest.raises(ValueError, match="out_dir"):
+        pipeline.flagship(docs_dir, with_join=True)
+    out = str(tmp_path / "fj")
+    agg = pipeline.flagship(docs_dir, with_join=True, out_dir=out).to_pandas()
+    assert len(agg) > 0
+    import glob
+
+    files = glob.glob(os.path.join(out, "join", "*.parquet"))
+    assert files
+    import pyarrow.parquet as pq
+
+    joined = pq.read_table(files)
+    assert joined.num_rows > 0

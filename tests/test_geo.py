@@ -335,3 +335,35 @@ def test_encode_with_projection_dispatch():
 
     with _pytest.raises(ValueError):
         cellid.encode_with_projection(lon, lat, 8, "icosahedron")
+
+
+def test_knn_index_tiebreak_by_key_not_position():
+    """Equidistant candidates must rank by the caller's KEY (the oracle
+    is ORDER BY dist, seed) — not by array position, which only agrees
+    when keys happen to be sorted (regression)."""
+    from raycells.geo.knn import KnnIndex
+
+    lon = np.array([1.0, -1.0, 5.0])
+    lat = np.array([0.0, 0.0, 0.0])
+    keys = np.array([10, 3, 99])  # NOT position-ordered
+    index = KnnIndex(lon, lat, keys, level=3)
+    idx, d = index.query_one(0.0, 0.0, k=1)
+    assert keys[idx[0]] == 3  # both at dist 1.0 → lowest seed wins
+    idx2, _ = index.query_one(0.0, 0.0, k=2)
+    assert keys[idx2].tolist() == [3, 10]
+
+
+def test_grid_cell_matches_sql_formula_at_domain_edges():
+    """grid_cell must equal the unclipped SQL formula everywhere,
+    INCLUDING lon=180 / lat=90 (regression: a one-sided gx clip diverged
+    from the oracle at the antimeridian)."""
+    import math
+
+    lon = np.array([-180.0, 179.999, 180.0, 0.0, -0.25])
+    lat = np.array([-90.0, 89.999, 90.0, 0.0, -0.125])
+    got = cellid.grid_cell(lon, lat)
+    want = [
+        int(math.floor((la + 90.0) / 0.25) * 1440 + math.floor((lo + 180.0) / 0.25))
+        for lo, la in zip(lon, lat)
+    ]
+    assert got.tolist() == want

@@ -293,3 +293,46 @@ def test_asof_exact_above_2p53_and_null_first_carried(ray_session):
     assert out["lid"].tolist() == [1, 2]
     assert pd.isna(out["rv"][0]) and out["rv"][1] == big
     assert out["rid"].tolist() == [7, 8]
+
+
+def test_hash_join_int32_carried_schema_stable(ray_session):
+    """Empty buckets must emit the SAME output schema as non-empty ones:
+    _restore_ints widens carried integer columns to int64, so empty
+    buckets emitting the original int32 produced conflicting block
+    schemas in one Dataset (regression)."""
+    from raycells.engine.joins import hash_join
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 2, 3], pa.int64()),
+            "lv": pa.array([10, 20, 30], pa.int32()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1, 2], pa.int64()),
+            "rv": pa.array([7, 8], pa.int16()),
+        }
+    )
+    out = hash_join(
+        _ds(left),
+        _ds(right),
+        key_left="k",
+        key_right="k",
+        keep_left=["lv"],
+        keep_right=["rv"],
+        num_buckets=16,  # 3 keys over 16 buckets → most buckets empty
+    )
+    # a downstream groupby forces Ray to unify block schemas — this is
+    # where conflicting int32/int64 blocks blew up
+    agg = out.groupby("lv").count().to_pandas()
+    assert sorted(agg["lv"].tolist()) == [10, 20]
+    # every block — including the empty-bucket ones — carries int64
+    import ray
+
+    for ref in out.to_arrow_refs():
+        blk = ray.get(ref)
+        if blk.num_columns == 0:  # schema-less sentinel block
+            continue
+        assert blk.schema.field("lv").type == pa.int64()
+        assert blk.schema.field("rv").type == pa.int64()

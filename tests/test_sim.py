@@ -119,3 +119,69 @@ def test_hll_within_tolerance_of_exact(ray_session):
     for prio, row in exact.iterrows():
         est = got.loc[prio, "approx_custs"]
         assert abs(est - row["n"]) / row["n"] < 0.05, (prio, est, row["n"])
+
+
+def test_hamming_flips_multiprobe_depth():
+    """multiprobe >= 2 must actually widen the probe set (a previous cap
+    made every depth >= 2 identical to 1): depth d probes
+    sum_{i<=d} C(n, i) buckets, all within Hamming distance d."""
+    from math import comb
+
+    from raycells.sim.knn import _hamming_flips
+
+    for n in (4, 8):
+        for m in range(0, n + 1):
+            flips = _hamming_flips(n, m)
+            assert len(flips) == len(set(flips)) == sum(comb(n, d) for d in range(m + 1))
+            assert all(bin(f).count("1") <= m and f < (1 << n) for f in flips)
+    assert len(_hamming_flips(8, 2)) > len(_hamming_flips(8, 1))
+
+
+def test_topk_cosine_empty_dataset(ray_session):
+    """Zero candidate blocks must return the typed empty table, not
+    raise from np.concatenate([]) (regression — the inline merge lacked
+    _merge_topk's empty guard)."""
+    import ray.data as rd
+
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float64())),
+        }
+    )
+    out = topk_cosine(
+        rd.from_arrow(empty), np.ones((1, 4)), np.array([0]), k=3
+    ).to_pandas()
+    assert len(out) == 0
+    assert list(out.columns) == ["query_id", "vec_id", "sim", "rank"]
+
+
+def test_hll_rank_exact_across_binades():
+    """The float64-exponent rank must equal the exact integer rank for
+    adversarial values within half-ulp below a power of two (regression:
+    off-by-one for p <= 9) and for random uint64 values."""
+    from raycells.sim.hll import _rank
+
+    def exact(rest, p):
+        return np.array(
+            [64 - p + 1 if r == 0 else 64 - int(r).bit_length() + 1 for r in rest],
+            dtype=np.uint8,
+        )
+
+    for p in (4, 9, 12):
+        adversarial = np.array(
+            [
+                (1 << 63) - (1 << p),  # half-ulp below 2^63 → rounds up
+                (1 << 62) - (1 << p),
+                (1 << 63),
+                (1 << p),
+                0,
+                (1 << 64) - (1 << p),
+            ],
+            dtype=np.uint64,
+        )
+        np.testing.assert_array_equal(_rank(adversarial, p), exact(adversarial, p))
+        rng = np.random.default_rng(7)
+        rand = (rng.integers(0, 1 << 63, 4096, dtype=np.int64).view(np.uint64)
+                << np.uint64(p))
+        np.testing.assert_array_equal(_rank(rand, p), exact(rand, p))
