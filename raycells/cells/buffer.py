@@ -362,14 +362,7 @@ class MaskedCellBuffer:
             )
         else:
             rhs = other.data if isinstance(other, CellBuffer) else CellValue.new(other)
-            if isinstance(other, CellBuffer):
-                out, m = kernels.binop_masked(
-                    self.buffer.data, self.mask.data, rhs, None, op
-                )
-            else:
-                out, m = kernels.binop_masked(
-                    self.buffer.data, self.mask.data, rhs, None, op
-                )
+            out, m = kernels.binop_masked(self.buffer.data, self.mask.data, rhs, None, op)
         return MaskedCellBuffer(CellBuffer(out), Mask(m))
 
     def __add__(self, other):

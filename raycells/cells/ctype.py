@@ -336,9 +336,6 @@ class CellValue:
         return self.value == 0
 
     # ---- comparison: unify then total order ----
-    def _cmp_key(self):
-        return None  # placeholder; real compare below
-
     def _compare(self, other) -> int:
         other = CellValue.new(other)
         l, r = self.unify(other)
@@ -488,17 +485,20 @@ def gdal_cell_type(name_or_ct) -> "CellType":
 
 
 def gdal_nodata(value, cell_type) -> "NoData":
-    """Band nodata (an optional f64) → typed NoData, checked: a sentinel
-    unrepresentable in the band's cell type raises (GdalND conversion,
-    gdal/mod.rs:47-70). None → NoData.default()."""
+    """Band nodata (an optional f64) → typed NoData (GdalND conversion,
+    gdal/mod.rs:47-70). Integral sentinels are checked — an f64 that does
+    not round-trip through the band's integer type raises (num-traits
+    ``to_iN`` returns None out of range). Float sentinels follow
+    num-traits' float→float semantics: ALWAYS convert, saturating to
+    ±inf beyond the target range (Rust ``as`` cast) — so the stored
+    sentinel is the band-typed value, not the raw f64. None →
+    NoData.default()."""
     ct = gdal_cell_type(cell_type)
     if value is None:
         return NoData.default()
-    import numpy as np
-
     typed = ct.dtype.type(value)
     if not ct.is_integral:
-        return NoData.of(float(value))
+        return NoData.of(float(typed))
     if float(typed) != float(value):
         raise NoDataConversionError(
             f"nodata {value!r} is not representable in {ct.name}"

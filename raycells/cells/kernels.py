@@ -97,7 +97,8 @@ def binop_masked(
     buffer⊗buffer, unchanged for buffer⊗scalar (masked_buffer.rs:351-364)."""
     out = binop(a, b, op)
     if bmask is None:
-        mask = amask[: out.shape[0]]
+        # copy: the result must own its mask, not alias the operand's
+        mask = amask[: out.shape[0]].copy()
     else:
         n = out.shape[0]
         mask = amask[:n] & bmask[:n]

@@ -30,7 +30,7 @@ _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 
 
 
 def _read_tag_values(data: bytes, bo: str, typ: int, count: int, raw: bytes):
-    size = _TYPE_SIZES[typ] * count
+    size = _TYPE_SIZES.get(typ, 1) * count
     if size <= 4:
         payload = raw[:size]
     else:
@@ -38,7 +38,15 @@ def _read_tag_values(data: bytes, bo: str, typ: int, count: int, raw: bytes):
         payload = data[off : off + size]
     if typ == 2:  # ASCII
         return payload.rstrip(b"\x00").decode("ascii")
-    fmt = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}[typ]
+    if typ == 7:  # UNDEFINED: opaque bytes
+        return payload
+    if typ in (5, 10):  # (S)RATIONAL: numerator/denominator pairs
+        fmt = "II" if typ == 5 else "ii"
+        flat = struct.unpack(bo + fmt * count, payload)
+        return [(flat[2 * i], flat[2 * i + 1]) for i in range(count)]
+    fmt = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}.get(typ)
+    if fmt is None:  # unknown/BigTIFF-only type: keep raw, never crash the IFD walk
+        return payload
     return list(struct.unpack(bo + fmt * count, payload))
 
 

@@ -80,6 +80,8 @@ def synth_media_batch(seeds: np.ndarray, media_type: str = "image") -> pa.Table:
             h, w, nf, sr = 16, 16, 8, 0
             payload = rng.integers(0, 256, h * w * nf, dtype=np.uint8).tobytes()
         rows.append((f"media-{s}", media_type, payload, h, w, nf, sr))
+    if not rows:  # empty partition/shard → 0-row table, not a KeyError
+        return MEDIA_SCHEMA.empty_table()
     cols = list(zip(*rows))
     return pa.table(
         {f.name: pa.array(list(c), f.type) for f, c in zip(MEDIA_SCHEMA, cols)},

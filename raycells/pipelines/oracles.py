@@ -591,13 +591,19 @@ def _simhash_sql(max_hamming: int = 8) -> str:
     """SimHash near-dup reproduced in SQL (text/dedup.simhash_near_dup_
     pairs): polynomial token hashes (the same HUGEINT mod-2^64 evaluation
     as the fingerprint oracle), token-frequency-weighted sign bits, the
-    16-bit-chunk pigeonhole bucketing, and a bit_count(xor) Hamming
-    verify. Token split on single spaces (this corpus' tokenization,
-    already proven by the token_stats oracle)."""
+    (max_hamming+1)-chunk pigeonhole bucketing (full recall by
+    construction, mirroring dedup.simhash_chunk_params), and a
+    bit_count(xor) Hamming verify. Token split on single spaces (this
+    corpus' tokenization, already proven by the token_stats oracle)."""
+    from raycells.text.dedup import simhash_chunk_params
+
     seed = 14695981039346656037
     base = 1099511628211
     m64 = "CAST('18446744073709551616' AS HUGEINT)"
     s_hi, s_lo = divmod(seed, 1 << 32)
+    chunk_rows = ", ".join(
+        f"({c}, {s}, {m})" for c, (s, m) in enumerate(simhash_chunk_params(max_hamming))
+    )
     return f"""
 WITH docs AS (
     SELECT CAST(doc_id AS VARCHAR) AS dk, text FROM documents
@@ -653,10 +659,13 @@ shvals AS (
            CAST(SUM(bit * CAST(power(2.0, j) AS HUGEINT)) AS UBIGINT) AS sh
     FROM shbits GROUP BY dk
 ),
+chunk_params AS (
+    SELECT * FROM (VALUES {chunk_rows}) AS t(c, s, m)
+),
 chunks AS (
-    SELECT dk, sh, c.range AS c,
-           CAST((sh >> (16 * c.range)) & 65535 AS BIGINT) AS v
-    FROM shvals, range(4) c
+    SELECT dk, sh, p.c AS c,
+           CAST((sh >> p.s) & CAST(p.m AS UBIGINT) AS BIGINT) AS v
+    FROM shvals, chunk_params p
 ),
 cand AS (
     SELECT DISTINCT x.dk AS id_a, y.dk AS id_b
@@ -1334,15 +1343,15 @@ def build() -> dict:
         """,
         "global_stats": """
             SELECT CAST(count(*) AS BIGINT) AS n_rows,
-                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
-                   MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS min_price_c,
-                   MAX(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS max_price_c
+                   CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   MIN(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS min_price_c,
+                   MAX(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS max_price_c
             FROM lineitem
         """,
         "quantiles_qty": """
-            SELECT CAST(quantile_disc(CAST(ROUND(l_quantity) AS BIGINT), 0.5) AS BIGINT) AS p50,
-                   CAST(quantile_disc(CAST(ROUND(l_quantity) AS BIGINT), 0.9) AS BIGINT) AS p90,
-                   CAST(quantile_disc(CAST(ROUND(l_quantity) AS BIGINT), 0.99) AS BIGINT) AS p99,
+            SELECT CAST(quantile_disc(CAST(FLOOR(l_quantity + 0.5) AS BIGINT), 0.5) AS BIGINT) AS p50,
+                   CAST(quantile_disc(CAST(FLOOR(l_quantity + 0.5) AS BIGINT), 0.9) AS BIGINT) AS p90,
+                   CAST(quantile_disc(CAST(FLOOR(l_quantity + 0.5) AS BIGINT), 0.99) AS BIGINT) AS p99,
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM lineitem
         """,
@@ -1373,7 +1382,7 @@ def build() -> dict:
         "revenue_by_nation": """
             SELECT n.n_name,
                    CAST(count(*) AS BIGINT) AS n_orders,
-                   CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+                   CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
             FROM orders o
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -1382,10 +1391,10 @@ def build() -> dict:
         "lineitem_pricing": """
             WITH u AS (
                 SELECT l_returnflag, l_linestatus,
-                       CAST(ROUND(l_quantity) AS BIGINT) AS qty,
-                       CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS ep_c,
-                       CAST(ROUND(l_discount * 100) AS BIGINT) AS dc_c,
-                       CAST(ROUND(l_tax * 100) AS BIGINT) AS tx_c
+                       CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty,
+                       CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS ep_c,
+                       CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS dc_c,
+                       CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT) AS tx_c
                 FROM lineitem
             )
             SELECT l_returnflag, l_linestatus,
@@ -1398,7 +1407,7 @@ def build() -> dict:
         "orders_by_segment": """
             SELECT c.c_mktsegment,
                    CAST(count(*) AS BIGINT) AS n_orders,
-                   CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_totalprice_c
+                   CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_totalprice_c
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
         """,
@@ -1452,7 +1461,7 @@ def build() -> dict:
         """,
         "sample_lineitem": """
             WITH keyed AS (
-                SELECT CAST(ROUND(l_quantity) AS BIGINT) AS qty
+                SELECT CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty
                 FROM lineitem
                 WHERE ((l_orderkey * 7 + l_linenumber) * 2654435761) % 97 < 10
             )
@@ -1463,7 +1472,7 @@ def build() -> dict:
         "events_daily": """
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
                    CAST(count(*) AS BIGINT) AS n_events,
-                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
             FROM events GROUP BY event_type, day
         """,
         # as-of join: each event → the user's latest order at event time;
@@ -1513,10 +1522,10 @@ def build() -> dict:
         "top_parts_by_brand": """
             SELECT p_brand, rank, p_partkey, price_c FROM (
                 SELECT p_brand, p_partkey,
-                       CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_c,
+                       CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c,
                        CAST(ROW_NUMBER() OVER (
                            PARTITION BY p_brand
-                           ORDER BY CAST(ROUND(p_retailprice * 100) AS BIGINT) DESC,
+                           ORDER BY CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) DESC,
                                     p_partkey DESC
                        ) AS BIGINT) AS rank
                 FROM part
@@ -1525,7 +1534,7 @@ def build() -> dict:
         "priority_revenue": """
             SELECT o.o_orderpriority,
                    CAST(count(*) AS BIGINT) AS n_items,
-                   CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
                        AS revenue_c
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY o.o_orderpriority
@@ -1586,7 +1595,7 @@ def build() -> dict:
             ),
             sims AS (
                 SELECT q.query_id, e.vec_id,
-                       ROUND(list_cosine_similarity(q.qe, e.embedding), 6) AS sim
+                       FLOOR(list_cosine_similarity(q.qe, e.embedding) * 1000000 + 0.5) / 1000000 AS sim
                 FROM embeddings e CROSS JOIN q
             ),
             ranked AS (

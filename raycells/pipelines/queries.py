@@ -42,6 +42,16 @@ KNN_K = 8
 EMB_K = 10
 
 
+def _half_up(x):
+    """floor(x + 0.5): the CLAUDE.md cross-engine rounding recipe. Paired
+    oracles use the identical FLOOR(x + 0.5) expression tree, so both
+    engines agree even when a scaled value lands exactly on .5 (numpy
+    rint rounds halves to even, DuckDB ROUND away from zero). For
+    exactly-integral floats v < 2^52 this is v, so it is also safe on
+    the exact-integer resample sites."""
+    return np.floor(x + 0.5)
+
+
 def _strip_schema_metadata(t: pa.Table) -> pa.Table:
     """Drop the pandas schema metadata the driver's parquet files carry:
     the metadata dict makes ``hash(schema)`` raise, defeating Ray Data's
@@ -260,7 +270,7 @@ def q_resample_bilinear(sf_dir: str):
     def bilinear_stats(b: pa.Table) -> pa.Table:
         seeds = tilestore.seed_of_refs(b["media_ref"])
         v = tilestore.synth_band_window_bilinear(seeds, 4, WINDOW, WSIZE, OSIZE)
-        v4 = np.rint(v * 4.0).astype(np.int64)  # exact: weights are 1/2
+        v4 = _half_up(v * 4.0).astype(np.int64)  # exact: weights are 1/2
         return pa.table(
             {
                 "doc_id": b["doc_id"],
@@ -290,7 +300,7 @@ def q_resample_cubic(sf_dir: str):
     def cubic_stats(b: pa.Table) -> pa.Table:
         seeds = tilestore.seed_of_refs(b["media_ref"])
         v = tilestore.synth_band_window_cubic(seeds, 4, WINDOW, WSIZE, OSIZE)
-        v256 = np.rint(v * 256.0).astype(np.int64)  # exact: weights are /16
+        v256 = _half_up(v * 256.0).astype(np.int64)  # exact: weights are /16
         return pa.table(
             {
                 "doc_id": b["doc_id"],
@@ -320,7 +330,7 @@ def q_resample_average(sf_dir: str):
     def average_stats(b: pa.Table) -> pa.Table:
         seeds = tilestore.seed_of_refs(b["media_ref"])
         v = tilestore.synth_band_window_average(seeds, 4, WINDOW, WSIZE, OSIZE)
-        v8 = np.rint(v * 8.0).astype(np.int64)  # exact: 8·mean = block sum
+        v8 = _half_up(v * 8.0).astype(np.int64)  # exact: 8·mean = block sum
         return pa.table(
             {
                 "doc_id": b["doc_id"],
@@ -350,7 +360,7 @@ def q_resample_cubicspline(sf_dir: str):
     def spline_stats(b: pa.Table) -> pa.Table:
         seeds = tilestore.seed_of_refs(b["media_ref"])
         v = tilestore.synth_band_window_cubicspline(seeds, 4, WINDOW, WSIZE, OSIZE)
-        v2304 = np.rint(v * 2304.0).astype(np.int64)
+        v2304 = _half_up(v * 2304.0).astype(np.int64)
         return pa.table(
             {
                 "doc_id": b["doc_id"],
@@ -716,12 +726,12 @@ def q_global_stats(sf_dir: str):
         return pa.table(
             {
                 "qty": pa.array(
-                    np.rint(b["l_quantity"].to_numpy(zero_copy_only=False)).astype(
+                    _half_up(b["l_quantity"].to_numpy(zero_copy_only=False)).astype(
                         np.int64
                     )
                 ),
                 "price_c": pa.array(
-                    np.rint(
+                    _half_up(
                         b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
                     ).astype(np.int64)
                 ),
@@ -755,7 +765,7 @@ def q_quantiles_qty(sf_dir: str):
     ds = _read(sf_dir, "lineitem", columns=["l_quantity"])
 
     def counts(b: pa.Table) -> pa.Table:
-        qty = np.rint(b["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        qty = _half_up(b["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
         vals, n = np.unique(qty, return_counts=True)
         return pa.table({"qty": pa.array(vals), "n": pa.array(n.astype(np.int64))})
 
@@ -839,7 +849,7 @@ def q_revenue_by_nation(sf_dir: str):
             pos = np.clip(np.searchsorted(self.ck, ok), 0, len(self.ck) - 1)
             hit = self.ck[pos] == ok
             nname = np.where(hit, self.names[self.nk[pos]], None)
-            price_c = np.rint(
+            price_c = _half_up(
                 b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
             ).astype(np.int64)
             t = pa.table(
@@ -880,13 +890,13 @@ def q_lineitem_pricing(sf_dir: str):
         # exact integer units per row (prices/discounts/taxes have 2
         # decimals): summing int64 is order-independent, so the DuckDB
         # oracle matches bit-for-bit — no float-rounding coin flips.
-        ep_c = np.rint(
+        ep_c = _half_up(
             b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
         ).astype(np.int64)
-        dc_c = np.rint(b["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(
+        dc_c = _half_up(b["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(
             np.int64
         )
-        tx_c = np.rint(b["l_tax"].to_numpy(zero_copy_only=False) * 100).astype(
+        tx_c = _half_up(b["l_tax"].to_numpy(zero_copy_only=False) * 100).astype(
             np.int64
         )
         disc_e4 = ep_c * (100 - dc_c)
@@ -895,7 +905,7 @@ def q_lineitem_pricing(sf_dir: str):
                 "l_returnflag": b["l_returnflag"],
                 "l_linestatus": b["l_linestatus"],
                 "qty": pa.array(
-                    np.rint(b["l_quantity"].to_numpy(zero_copy_only=False)).astype(
+                    _half_up(b["l_quantity"].to_numpy(zero_copy_only=False)).astype(
                         np.int64
                     )
                 ),
@@ -954,7 +964,7 @@ def q_orders_by_segment(sf_dir: str):
             pos = np.clip(pos, 0, len(self.keys) - 1)
             hit = self.keys[pos] == ck
             seg = np.where(hit, self.segs[pos], None)
-            price_c = np.rint(
+            price_c = _half_up(
                 b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
             ).astype(np.int64)
             t = pa.table(
@@ -1097,7 +1107,7 @@ def q_events_daily(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
 
     def project(b: pa.Table) -> pa.Table:
-        value_c = np.rint(b["value"].to_numpy(zero_copy_only=False) * 100).astype(
+        value_c = _half_up(b["value"].to_numpy(zero_copy_only=False) * 100).astype(
             np.int64
         )
         return pa.table(
@@ -1305,7 +1315,7 @@ def q_sample_lineitem(sf_dir: str):
         t = pa.table(
             {
                 "qty": pa.array(
-                    np.rint(b["l_quantity"].to_numpy(zero_copy_only=False)).astype(
+                    _half_up(b["l_quantity"].to_numpy(zero_copy_only=False)).astype(
                         np.int64
                     )
                 ),
@@ -1394,12 +1404,11 @@ def q_asof_latest_order(sf_dir: str):
     bucket exchange on the key; vectorized merge_asof per bucket."""
     from raycells.engine.joins import asof_join
 
-    events = _read(sf_dir, "events", SMALL_TABLE_BLOCKS, columns=["event_id", "user_id", "ts"]).map_batches(
-        lambda b: b.select(["event_id", "user_id", "ts"]), batch_format="pyarrow"
+    events = _read(
+        sf_dir, "events", SMALL_TABLE_BLOCKS, columns=["event_id", "user_id", "ts"]
     )
-    orders = _read(sf_dir, "orders", SMALL_TABLE_BLOCKS, columns=["o_custkey", "o_orderdate", "o_orderkey"]).map_batches(
-        lambda b: b.select(["o_custkey", "o_orderdate", "o_orderkey"]),
-        batch_format="pyarrow",
+    orders = _read(
+        sf_dir, "orders", SMALL_TABLE_BLOCKS, columns=["o_custkey", "o_orderdate", "o_orderkey"]
     )
     out = asof_join(
         events,
@@ -1500,8 +1509,8 @@ def q_distinct_custs(sf_dir: str):
     key → per-bucket partial counts → tiny final sum."""
     from raycells.engine.joins import distinct_count
 
-    ds = _read(sf_dir, "orders", SMALL_TABLE_BLOCKS, columns=["o_orderpriority", "o_custkey"]).map_batches(
-        lambda b: b.select(["o_orderpriority", "o_custkey"]), batch_format="pyarrow"
+    ds = _read(
+        sf_dir, "orders", SMALL_TABLE_BLOCKS, columns=["o_orderpriority", "o_custkey"]
     )
     out = distinct_count(ds, "o_orderpriority", "o_custkey", alias="n_custs")
 
@@ -1576,7 +1585,7 @@ def q_priority_revenue(sf_dir: str):
         df = pd.DataFrame(
             {
                 "l_orderkey": b["l_orderkey"].to_numpy(),
-                "price_c": np.rint(b["l_extendedprice"].to_numpy() * 100).astype(
+                "price_c": _half_up(b["l_extendedprice"].to_numpy() * 100).astype(
                     np.int64
                 ),
             }

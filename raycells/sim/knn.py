@@ -24,7 +24,16 @@ import pyarrow as pa
 
 __all__ = ["BruteForceTopK", "topk_cosine", "lsh_topk"]
 
-ROUND = 6
+ROUND_SCALE = 1e6  # 6 decimals, applied as floor(x*1e6 + 0.5)/1e6
+
+
+def _round6(x: np.ndarray) -> np.ndarray:
+    """Half-up rounding to 6 decimals via the CLAUDE.md cross-engine
+    recipe floor(x·1e6 + 0.5)/1e6 — the DuckDB oracle evaluates the
+    identical IEEE expression tree (FLOOR(sim * 1000000 + 0.5) /
+    1000000), so both engines agree even at exact .5 boundaries where
+    np.round (half-to-even) and DuckDB ROUND (half-away) diverge."""
+    return np.floor(x * ROUND_SCALE + 0.5) / ROUND_SCALE
 
 
 def _unit(m: np.ndarray) -> np.ndarray:
@@ -53,7 +62,7 @@ class BruteForceTopK:
     def __call__(self, batch: pa.Table) -> pa.Table:
         emb = np.asarray(batch[self.col].to_pylist(), dtype=np.float64)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        sims = np.round(_unit(emb) @ self.qt, ROUND)  # (B, Q)
+        sims = _round6(_unit(emb) @ self.qt)  # (B, Q)
         k = min(self.k, sims.shape[0])
         # per-query local top-k: order by (-sim, vec_id)
         out_q, out_id, out_s = [], [], []

@@ -292,7 +292,7 @@ def _iter_real_buckets(group: pa.Table, cols):
             yield order[lo:hi]
 
 
-def _dedupe_pairs(pairs_ds, extra_cols):
+def _dedupe_pairs(pairs_ds):
     """Keep one row per (id_a, id_b): coarse-bucket shuffle + vectorized
     pandas drop_duplicates per bucket (pairs collide across bands/tables)."""
 
@@ -507,7 +507,7 @@ def _verify_join_collect(
     from raycells.engine.joins import hash_join
     from raycells.engine.stages import broadcast_task
 
-    cand = _dedupe_pairs(cand_ds, []).materialize()
+    cand = _dedupe_pairs(cand_ds).materialize()
     n_cand = cand.count()
     if n_cand == 0:
         return None
@@ -833,27 +833,44 @@ def _hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return _POPCNT_LUT[x.view(np.uint8).reshape(*x.shape, 8)].sum(axis=-1)
 
 
+def simhash_chunk_params(max_hamming: int):
+    """(shift, mask) per pigeonhole chunk: the 64 bits split into
+    `max_hamming + 1` near-equal contiguous chunks, so any pair within
+    Hamming ≤ max_hamming shares at least one exact chunk. max_hamming=3
+    gives the classic four 16-bit chunks. Chunk width shrinks as 64/(r+1):
+    beyond r≈8 the 7-bit buckets get dense — use a wider fingerprint
+    (128-bit simhash) rather than a larger r at corpus scale."""
+    nchunks = max_hamming + 1
+    bounds = [(64 * c) // nchunks for c in range(nchunks + 1)]
+    return [
+        (bounds[c], (1 << (bounds[c + 1] - bounds[c])) - 1) for c in range(nchunks)
+    ]
+
+
 def simhash_near_dup_pairs(ds, col: str = "text", id_col: str = "doc_id", max_hamming: int = 3):
-    """SimHash near-dup: bucket by each of the four 16-bit chunks (a pair
-    within Hamming ≤ 3 of 64 bits shares ≥ 1 exact chunk by pigeonhole),
+    """SimHash near-dup: bucket by each of `max_hamming + 1` contiguous
+    bit-chunks (a pair within Hamming ≤ r of 64 bits shares ≥ 1 exact
+    chunk by pigeonhole — full recall for ANY r, not just r ≤ 3),
     groupby(chunk_id, chunk_value), verify Hamming in-bucket."""
+    params = simhash_chunk_params(max_hamming)
+    nchunks = len(params)
 
     def add_chunks(batch: pa.Table) -> pa.Table:
         sh = simhash64(batch[col].to_pylist())
         ids = batch[id_col].to_pylist()
         n = len(ids)
-        chunk_id = np.tile(np.arange(4, dtype=np.int32), n)
-        chunks = np.empty(4 * n, dtype=np.int64)
-        for c in range(4):
-            chunks[c::4] = ((sh >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(
-                np.int64
-            )
+        chunk_id = np.tile(np.arange(nchunks, dtype=np.int32), n)
+        chunks = np.empty(nchunks * n, dtype=np.int64)
+        for c, (shift, mask) in enumerate(params):
+            chunks[c::nchunks] = (
+                (sh >> np.uint64(shift)) & np.uint64(mask)
+            ).astype(np.int64)
         return pa.table(
             {
                 "chunk_id": pa.array(chunk_id),
                 "chunk_val": pa.array(chunks),
-                id_col: pa.array(np.repeat(ids, 4)),
-                "simhash": pa.array(np.repeat(sh, 4).astype(np.int64)),
+                id_col: pa.array(np.repeat(ids, nchunks)),
+                "simhash": pa.array(np.repeat(sh, nchunks).astype(np.int64)),
             }
         )
 
@@ -891,7 +908,7 @@ def simhash_near_dup_pairs(ds, col: str = "text", id_col: str = "doc_id", max_ha
         .groupby("_cbucket")
         .map_groups(verify, batch_format="pyarrow")
     )
-    return _dedupe_pairs(pairs, ["hamming"])
+    return _dedupe_pairs(pairs)
 
 
 # ---------------------------------------------------------------------------

@@ -158,3 +158,17 @@ def test_gdal_subset_and_bridges():
         gdal_nodata(-1.0, "UInt16")  # unrepresentable in the band type
     with pytest.raises(NoDataConversionError):
         gdal_nodata(70000.0, "UInt16")
+
+
+def test_gdal_nodata_float_saturates_like_num_traits():
+    """num-traits f64→f32 always converts, saturating to ±inf (Rust `as`
+    cast, gdal/mod.rs:47-70): an overflowing Float32 sentinel becomes
+    inf, and a non-representable one is stored f32-rounded."""
+    import math
+
+    from raycells.cells.ctype import CellType, gdal_nodata
+
+    nd = gdal_nodata(1e300, "Float32")
+    assert math.isinf(nd.value(CellType.Float32))
+    nd2 = gdal_nodata(0.1, "Float32")
+    assert nd2.value(CellType.Float32) == float(np.float32(0.1))

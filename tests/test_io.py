@@ -148,3 +148,59 @@ def test_window_resample_matches_full_decode():
     cols = 16 + np.floor((np.arange(8) + 0.5) * 32 / 8).astype(int)
     manual = full[:, rows][:, :, cols].reshape(len(seeds), -1)
     assert (win == manual).all()
+
+
+def _craft_tiff(extra_tags=b"", n_extra=0):
+    """Minimal 4x4 uint8 striped little-endian TIFF with optional extra
+    IFD entries (each 12 bytes) appended before the next-IFD pointer."""
+    import struct
+
+    px = bytes(range(16))
+    n = 8 + n_extra
+    ifd_off = 8 + len(px)
+    entries = b""
+    for tag, typ, cnt, val in (
+        (256, 3, 1, 4),      # width
+        (257, 3, 1, 4),      # height
+        (258, 3, 1, 8),      # bits per sample
+        (259, 3, 1, 1),      # no compression
+        (262, 3, 1, 1),      # photometric
+        (273, 4, 1, 8),      # strip offset -> pixel data at byte 8
+        (277, 3, 1, 1),      # samples per pixel
+        (279, 4, 1, 16),     # strip byte count
+    ):
+        entries += struct.pack("<HHII", tag, typ, cnt, val)
+    head = struct.pack("<2sHI", b"II", 42, ifd_off)
+    return head + px + struct.pack("<H", n) + entries + extra_tags + struct.pack("<I", 0)
+
+
+def test_tiff_reader_tolerates_rational_and_unknown_tags(tmp_path):
+    """PIL/ImageMagick-written TIFFs carry RATIONAL XResolution/
+    YResolution (type 5) and UNDEFINED (type 7) tags by default; the
+    reader must decode the raster, not KeyError on the tag walk."""
+    import struct
+
+    from raycells.io.tiffreader import read_tiff
+
+    # RATIONAL with inline==False: count 1 -> 8 bytes, stored at offset.
+    # Place payload after the IFD: header(8)+px(16)+count(2)+11*12+next(4)=162
+    rat_off = 8 + 16 + 2 + 11 * 12 + 4
+    extra = struct.pack("<HHII", 282, 5, 1, rat_off)        # XResolution
+    extra += struct.pack("<HHII", 347, 7, 4, 0x01020304)     # UNDEFINED inline
+    extra += struct.pack("<HHII", 800, 99, 1, 0)             # unknown type
+    data = _craft_tiff(extra, n_extra=3) + struct.pack("<II", 72, 1)
+    p = tmp_path / "rational.tiff"
+    p.write_bytes(data)
+    arr, nodata = read_tiff(str(p))
+    assert arr.shape == (4, 4) and arr.dtype == np.uint8
+    assert (arr.ravel() == np.arange(16)).all()
+    assert nodata is None
+
+
+def test_tiff_reader_plain_crafted(tmp_path):
+    from raycells.io.tiffreader import read_tiff
+
+    p = tmp_path / "plain.tiff"
+    p.write_bytes(_craft_tiff())
+    arr, _ = read_tiff(str(p))
+    assert (arr.ravel() == np.arange(16)).all()

@@ -222,3 +222,20 @@ def test_from_buffer_and_pair_collectors():
     p.extend_pairs([(np.uint8(3), True)])
     assert len(p) == 3 and p.counts() == (2, 1)
     assert p.get_with_mask(2) == (p.get(2), True)
+
+
+def test_scalar_binop_result_owns_its_mask():
+    """buffer⊗scalar must COPY the operand mask (the reference result
+    owns its mask): mutating the result's mask may not leak into the
+    operand (kernels.binop_masked scalar path)."""
+    import numpy as np
+
+    from raycells import CellBuffer, Mask, MaskedCellBuffer
+
+    m = MaskedCellBuffer(
+        CellBuffer(np.array([1.0, 2.0, 3.0])), Mask(np.array([True, True, False]))
+    )
+    r = m + 1.0
+    assert not np.shares_memory(r.mask.data, m.mask.data)
+    r.mask.put(0, False)
+    assert m.mask.get(0) is True or m.mask.get(0) == True  # operand untouched

@@ -122,3 +122,13 @@ def test_media_pipeline_end_to_end(ray_session):
     assert (out[out.media_type == "image"]["n_bytes"] == 64).all()
     # videos were frame-sampled 8 → 4 frames of 16×16
     assert (out[out.media_type == "video"]["n_bytes"] == 1024).all()
+
+
+def test_synth_media_batch_empty_seeds():
+    """An empty partition/shard must yield a 0-row table with the media
+    schema, not a KeyError from the empty-dict pa.table path."""
+    from raycells.media.stages import MEDIA_SCHEMA, synth_media_batch
+
+    t = synth_media_batch(np.array([], dtype=np.int64))
+    assert t.num_rows == 0
+    assert t.schema == MEDIA_SCHEMA

@@ -196,3 +196,64 @@ def test_embedding_near_dup_pipeline(ray_session):
         rd.from_arrow(t), threshold=0.95
     ).to_pandas()
     assert (0, 20) in set(zip(pairs["id_a"], pairs["id_b"]))
+
+
+def test_simhash_chunk_params_pigeonhole():
+    """The chunking must guarantee recall for ANY max_hamming: r+1
+    chunks cover all 64 bits disjointly, so two hashes within Hamming
+    <= r always share an exact chunk — including the old failure mode of
+    r=8 with bits spread one-per-16-bit-chunk."""
+    for r in (1, 3, 8, 15):
+        params = dd.simhash_chunk_params(r)
+        assert len(params) == r + 1
+        covered = 0
+        for shift, mask in params:
+            covered |= mask << shift
+        assert covered == (1 << 64) - 1
+        # adversarial: r differing bits spread as far apart as possible
+        bits = [(64 * i) // r for i in range(r)]
+        a = np.uint64(0)
+        b = np.uint64(0)
+        for bit in bits:
+            b |= np.uint64(1) << np.uint64(min(bit, 63))
+        shared = any(
+            (int(a) >> s) & m == (int(b) >> s) & m for s, m in params
+        )
+        assert shared, f"r={r}: no shared chunk for {int(b):064b}"
+
+
+def test_simhash_pairs_match_brute_force_at_r8(ray_session):
+    """End-to-end exactness at max_hamming=8: pipeline output must equal
+    the brute-force all-pairs set (the old 4x16-bit layout lost pairs
+    whose 4-8 differing bits spread one-per-chunk)."""
+    import ray.data as rd
+
+    base = "the quick brown fox jumps over the lazy dog near a quiet river bank at dawn".split()
+    texts = [" ".join(base)]
+    rng = np.random.default_rng(7)
+    words = ["red", "blue", "tall", "old", "new", "wet", "dry", "hot"]
+    for _ in range(40):
+        t = list(base)
+        for j in rng.choice(len(base), rng.integers(1, 4), replace=False):
+            t[j] = words[rng.integers(0, len(words))]
+        texts.append(" ".join(t))
+    ids = [f"d{i:02d}" for i in range(len(texts))]
+    sh = dd.simhash64(texts)
+    want = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if bin(int(sh[i]) ^ int(sh[j])).count("1") <= 8:
+                want.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    assert len(want) >= 5  # the fixture must actually exercise the range
+    assert any(
+        bin(int(sh[i]) ^ int(sh[j])).count("1") >= 4
+        for i in range(len(texts))
+        for j in range(i + 1, len(texts))
+        if bin(int(sh[i]) ^ int(sh[j])).count("1") <= 8
+    )
+    t = pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+    pairs = dd.simhash_near_dup_pairs(
+        rd.from_arrow(t), id_col="doc_id", max_hamming=8
+    ).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert got == want
