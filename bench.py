@@ -175,6 +175,14 @@ def run_all(sf_dir: str, num_cpus: int) -> dict:
     # GRAFT_BENCH_SCALING=0 (e.g. when iterating on one query).
     if os.environ.get("GRAFT_BENCH_SCALING", "1") != "0" and num_cpus >= 32:
         try:
+            # the scaling subprocesses must be the ONLY load on the box
+            # (a resident 32-worker parent session measurably depressed
+            # efficiency): tear the parent session down first — run_all
+            # returns right after, so nothing needs it back
+            import ray
+
+            if ray.is_initialized():
+                ray.shutdown()
             sc = run_scaling(sf_dir, repeats=2)
             out["scaling"] = {
                 "efficiency": sc["value"],

@@ -32,11 +32,18 @@ def _manifest_dir(out_dir: str) -> str:
 
 
 def read_manifests(out_dir: str) -> Dict[str, dict]:
+    """Completed-fragment records, keyed by fragment file name. A
+    manifest that fails to parse (crash-corrupted state) is treated as
+    absent — its fragment counts as pending and re-runs — so every
+    caller shares ONE notion of 'done'."""
     out = {}
     for p in glob.glob(os.path.join(_manifest_dir(out_dir), "*.json")):
-        with open(p) as f:
-            m = json.load(f)
-        out[m["fragment"]] = m
+        try:
+            with open(p) as f:
+                m = json.load(f)
+            out[m["fragment"]] = m
+        except (json.JSONDecodeError, KeyError, OSError):
+            continue
     return out
 
 
@@ -54,11 +61,12 @@ def run_fragments(
     pending fragment; publish a manifest entry per completed fragment via
     atomic rename. Returns run summary (fragments done/skipped, metrics)."""
     os.makedirs(_manifest_dir(out_dir), exist_ok=True)
+    completed = read_manifests(out_dir)  # the ONE notion of done
     skipped, done = [], []
     for frag in fragment_paths(docs_dir):
         name = os.path.basename(frag)
         man_path = os.path.join(_manifest_dir(out_dir), name.replace(".parquet", ".json"))
-        if os.path.exists(man_path):
+        if name in completed:
             skipped.append(name)
             continue
         frag_out = os.path.join(out_dir, f"fragment={name.split('=')[1].split('.')[0]}")

@@ -46,6 +46,13 @@ def process_fragment(frag_path: str, frag_out: str, level: int = 8) -> dict:
         batch_format="pyarrow",
     )
     agg = shuffle_mod.merge_cell_agg(partials, key="key", key_out="cell_id")
+    # a kill after write_parquet but before the manifest publish leaves
+    # stale uuid-named files behind; write_parquet appends rather than
+    # truncates, so the re-run must start from an empty fragment dir or
+    # the output double-counts
+    import shutil
+
+    shutil.rmtree(frag_out, ignore_errors=True)
     os.makedirs(frag_out, exist_ok=True)
     agg.write_parquet(frag_out)
     pipe_sec = time.perf_counter() - t0

@@ -51,21 +51,33 @@ def _to_pandas_exact(t: pa.Table) -> pd.DataFrame:
 
 
 def _restore_ints(out: pd.DataFrame, col_types) -> pd.DataFrame:
-    """Normalize integer carried columns to int64 (nullable Int64 only
-    when misses are present) so the output schema is stable."""
+    """Normalize integer carried columns to 64-bit (nullable only when
+    misses are present) so the output schema is stable. uint64 keeps its
+    sign-ness — forcing it through int64 silently wraps values ≥ 2^63
+    to negatives; every other integer width fits int64 exactly."""
     for c, typ in col_types:
         if pa.types.is_integer(typ):
-            target = "Int64" if out[c].isna().any() else np.int64
+            if pa.types.is_unsigned_integer(typ) and typ.bit_width == 64:
+                target = "UInt64" if out[c].isna().any() else np.uint64
+            else:
+                target = "Int64" if out[c].isna().any() else np.int64
             out[c] = out[c].astype(target)
     return out
 
 
 def _out_type(typ: pa.DataType) -> pa.DataType:
     """The join OUTPUT type for a carried column: integer columns come
-    back from ``_restore_ints`` as int64, so empty buckets must emit
-    int64 as well or the Dataset holds blocks with conflicting schemas
-    (int32 from an empty bucket vs int64 everywhere else)."""
-    return pa.int64() if pa.types.is_integer(typ) else typ
+    back from ``_restore_ints`` as 64-bit of the same sign-ness, so
+    empty buckets must emit the same or the Dataset holds blocks with
+    conflicting schemas (int32 from an empty bucket vs int64 everywhere
+    else)."""
+    if pa.types.is_integer(typ):
+        return (
+            pa.uint64()
+            if pa.types.is_unsigned_integer(typ) and typ.bit_width == 64
+            else pa.int64()
+        )
+    return typ
 
 
 def _empty_join_table(keep_left, keep_right, l_types, r_types) -> pa.Table:

@@ -69,14 +69,12 @@ def _cluster_cpus() -> int:
         return 4
 
 
-def _pool_sizes():
-    """Size the two actor pools so reads/tasks never starve: decode gets
-    ~half the CPUs, join a quarter, ≥1 each, ≥1 CPU left for task stages.
-    A pool that reserves every CPU deadlocks the streaming executor."""
+def _decode_pool_size():
+    """Size the decode actor pool so reads/tasks never starve: ~half the
+    CPUs, ≥1, ≥1 CPU left for task stages. A pool that reserves every
+    CPU deadlocks the streaming executor."""
     cpus = _cluster_cpus()
-    decode = max(1, min(cpus // 2, cpus - 2))
-    join = max(1, cpus // 4)
-    return decode, join
+    return max(1, min(cpus // 2, cpus - 2))
 
 
 def decode_stage(
@@ -93,7 +91,7 @@ def decode_stage(
     partial aggregate) so stats consumers ship ~100 B/tile instead of
     ~30 KB/tile through the object store and skip per-operator latency."""
     if concurrency is None:
-        concurrency = _pool_sizes()[0]
+        concurrency = _decode_pool_size()
     return ds.map_batches(
         stages.TileDecoder,
         fn_constructor_kwargs={"emit": emit, "level": level, "salt": salt},
@@ -113,7 +111,7 @@ def cellid_stage(ds, level: int = DEFAULT_LEVEL):
     )
 
 
-def join_stage(ds, footprints_table: Optional[pa.Table] = None, concurrency=None):
+def join_stage(ds, footprints_table: Optional[pa.Table] = None):
     """Broadcast-PIP join: ray.put the polygon side once, actors fetch it in
     __init__."""
     import ray
@@ -207,13 +205,33 @@ def flagship(
     return agg
 
 
-def verify_span_invariant(docs_dir: str) -> bool:
-    """End-to-end span-sequence-equality check: digests of the source table
-    vs digests recomputed after a pass through Arrow batch boundaries."""
-    ds = read_docs(docs_dir)
-    src = ds.map_batches(docsource.span_digests, batch_format="pyarrow")
-    # a second independent read + digest (the 'sink side')
-    snk = read_docs(docs_dir).map_batches(docsource.span_digests, batch_format="pyarrow")
-    a = src.to_pandas().sort_values("doc_id").reset_index(drop=True)
-    b = snk.to_pandas().sort_values("doc_id").reset_index(drop=True)
-    return bool((a["span_digest"] == b["span_digest"]).all())
+def verify_span_invariant(docs_dir: str, scratch_dir: str = None) -> bool:
+    """End-to-end span-sequence-equality check: digests of the source
+    table vs digests recomputed after the docs actually FLOW THROUGH the
+    engine — object-store blocks → parquet sink → fresh read. This
+    catches span reorder/truncation/corruption in batching, block
+    serialization of the list<struct> column, or the sink path (a
+    double read of the same source would verify nothing but read
+    determinism)."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    src = read_docs(docs_dir).map_batches(
+        docsource.span_digests, batch_format="pyarrow"
+    )
+    out = scratch_dir or tempfile.mkdtemp(prefix="raycells_spanv_", dir="/tmp")
+    try:
+        read_docs(docs_dir).write_parquet(out)
+        snk = rd.read_parquet(out).map_batches(
+            docsource.span_digests, batch_format="pyarrow"
+        )
+        a = src.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = snk.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        return bool(
+            len(a) == len(b) and (a["span_digest"] == b["span_digest"]).all()
+        )
+    finally:
+        if scratch_dir is None:
+            shutil.rmtree(out, ignore_errors=True)

@@ -135,28 +135,6 @@ def add_bucket(batch: pa.Table, key: str, num_buckets: int = DEFAULT_BUCKETS) ->
     return batch.append_column("_bucket", pa.array(b))
 
 
-def combine_partials(batch: pa.Table) -> pa.Table:
-    """Tree-combine: re-combine several blocks' worth of partials into one
-    partial table per (key, salt). Block-level partials barely compress
-    when a block's row count is near the key space; coalescing many
-    blocks into one combine batch (map_batches batch_size) restores the
-    compression before the all-to-all shuffle."""
-    df = batch.to_pandas()
-    agg = {
-        "n_tiles": ("n_tiles", "sum"),
-        "sum_mean": ("sum_mean", "sum"),
-        "valid_count": ("valid_count", "sum"),
-        "nodata_count": ("nodata_count", "sum"),
-        "min_val": ("min_val", "min"),
-        "max_val": ("max_val", "max"),
-    }
-    out = df.groupby(["key", "salt"], sort=False).agg(**agg).reset_index()
-    return from_pandas_clean(out)
-
-
-COMBINE_BATCH = 1 << 18  # coalesce ~4-20 blocks per combine task
-
-
 def merge_cell_agg(
     ds, key: str = "key", key_out: str = "cell_id", num_buckets: int = DEFAULT_BUCKETS
 ):

@@ -37,9 +37,10 @@ class TileDecoder:
 
     Plays the role of the reference's ``RasterBandEx::read_cells_masked``
     (rasterband.rs:72-126): resolve ref → typed cell payload + validity
-    mask derived from the per-type nodata sentinel. Holds the per-cell-type
-    dispatch tables (the once-per-worker cost that justifies an actor pool,
-    like a GDAL dataset handle)."""
+    mask derived from the per-type nodata sentinel. The once-per-actor
+    cost that justifies a pool is the allocator/scratch warmup in
+    ``__init__`` (first-touch page faults are ~40× on this platform),
+    playing the role of a GDAL dataset handle."""
 
     def __init__(
         self,
@@ -48,10 +49,6 @@ class TileDecoder:
         level: int = 8,
         salt: int = 8,
     ):
-        # per-cell-type dispatch table: name → (numpy dtype, sentinel)
-        self.dispatch = {
-            ct.name: (ct.dtype, ct.default_nodata()) for ct in CELL_TYPES
-        }
         # emit: "tiles" (full payloads), "stats" (+per-tile stats+cellid),
         # "partials" (+map-side salted partial aggregate). Fusing the
         # whole per-tile chain into ONE operator matters on two axes: no
@@ -116,23 +113,6 @@ class BandDecoder:
             flat = pa.array(v.reshape(-1))
             cols[f"band{b}"] = pa.ListArray.from_arrays(offsets, flat)
         return pa.table(cols)
-
-
-def _tiles_as_arrays(batch: pa.Table):
-    """Zero-copy-decode the erased tile payloads of one batch, grouped by
-    (cell_type, length) so each group is one (G, n) matrix."""
-    data = batch["data"].combine_chunks() if isinstance(batch["data"], pa.ChunkedArray) else batch["data"]
-    masks = batch["mask"].combine_chunks() if isinstance(batch["mask"], pa.ChunkedArray) else batch["mask"]
-    cts = batch["cell_type"].to_pylist()
-    nrows = batch["nrows"].to_numpy(zero_copy_only=False)
-    ncols = batch["ncols"].to_numpy(zero_copy_only=False)
-    for k in range(batch.num_rows):
-        ct = CellType.from_str(cts[k])
-        n = int(nrows[k]) * int(ncols[k])
-        buf = data[k].as_buffer()
-        arr = np.frombuffer(buf, dtype=ct.dtype, count=n)
-        m = kernels.unpack_mask(masks[k].as_buffer(), n)
-        yield k, ct, arr, m
 
 
 _STATS_CHUNK = 64  # rows per reduction chunk (~2 MB working set, CLAUDE.md)

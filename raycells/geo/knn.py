@@ -104,8 +104,12 @@ class KnnIndex:
                 # when keys happen to be arange
                 top = np.lexsort((self.keys[idx], d))[:k]
                 best_kth = d[top[-1]] if len(top) == k else np.inf
-                # points in ring r+1 are ≥ r * cell_deg away from the query
-                if best_kth <= r * self.cell_deg:
+                # points in ring r+1 are ≥ r * cell_deg away from the
+                # query. STRICT <: an unprobed point at distance exactly
+                # best_kth could outrank the kth candidate on the seed
+                # tiebreak (oracle: ORDER BY dist, seed), so a boundary
+                # tie must probe one more ring
+                if best_kth < r * self.cell_deg:
                     return idx[top], d[top]
             r += 1
         if not cand:
@@ -266,7 +270,9 @@ def sharded_knn(points_ds, queries, k: int, parent_level: int = 3):
         for qid in active:
             if len(cand_d[qid]) >= k:
                 order = np.lexsort((cand_s[qid], cand_d[qid]))[:k]
-                if cand_d[qid][order[-1]] <= R * parent_deg or R >= max_r:
+                # strict <: a boundary-tied point in the next ring could
+                # win the seed tiebreak (see IndexShard.query_one)
+                if cand_d[qid][order[-1]] < R * parent_deg or R >= max_r:
                     done.add(qid)
             elif R >= max_r:
                 done.add(qid)

@@ -58,3 +58,46 @@ def test_driver_lineage_matches_source(docs_dir, tmp_path, ray_session):
     for d in digests["span_digest"].to_pylist():
         xor ^= int(d, 16)
     assert res["manifests"]["fragment=0.parquet"]["span_digest_xor"] == f"{xor:032x}"
+
+
+def test_midfragment_kill_rerun_does_not_double_count(docs_dir, tmp_path, ray_session):
+    """A kill after write_parquet but before the manifest publish leaves
+    stale output files; the re-run must start from a clean fragment dir
+    (write_parquet appends, it never truncates)."""
+    out = str(tmp_path / "out_kill")
+    frags = checkpoint.fragment_paths(docs_dir)
+    frag0_out = os.path.join(out, "fragment=0")
+    # simulate the interrupted first attempt: output exists, no manifest
+    driver.process_fragment(frags[0], frag0_out)
+    import pyarrow.compute as pc
+
+    tiles_once = pc.sum(
+        pq.read_table(frag0_out, columns=["n_tiles"])["n_tiles"]
+    ).as_py()
+    res = checkpoint.run_fragments(
+        docs_dir, out, lambda f, o: driver.process_fragment(f, o)
+    )
+    assert len(res["done"]) == 3  # fragment 0 re-ran (no manifest existed)
+    tiles_after = pc.sum(
+        pq.read_table(frag0_out, columns=["n_tiles"])["n_tiles"]
+    ).as_py()
+    assert tiles_after == tiles_once  # not doubled
+    assert res["manifests"]["fragment=0.parquet"]["tiles"] == tiles_once
+
+
+def test_corrupt_manifest_counts_as_pending(docs_dir, tmp_path, ray_session):
+    """A crash-truncated manifest must re-run its fragment in BOTH
+    pending_fragments and run_fragments (one shared notion of done)."""
+    out = str(tmp_path / "out_corrupt")
+    checkpoint.run_fragments(docs_dir, out, lambda f, o: driver.process_fragment(f, o))
+    man = os.path.join(out, "manifest", "fragment=1.json")
+    with open(man, "w") as f:
+        f.write('{"fragment": "fragment=1.parq')  # truncated mid-write
+    pending = checkpoint.pending_fragments(docs_dir, out)
+    assert [os.path.basename(p) for p in pending] == ["fragment=1.parquet"]
+    res = checkpoint.run_fragments(
+        docs_dir, out, lambda f, o: driver.process_fragment(f, o)
+    )
+    assert res["done"] == ["fragment=1.parquet"]
+    assert len(res["skipped"]) == 2
+    assert json.load(open(man))["fragment"] == "fragment=1.parquet"

@@ -68,7 +68,7 @@ def test_spatial_join_matches_bruteforce(docs_dir, ray_session):
             )
         )
     )
-    joined = pipeline.join_stage(ds, footprints_table=fps, concurrency=1).to_pandas()
+    joined = pipeline.join_stage(ds, footprints_table=fps).to_pandas()
     got = set(zip(joined["media_ref"], joined["doc_id"], joined["footprint_id"]))
 
     oracle = _oracle_tiles(docs_dir)
@@ -195,7 +195,7 @@ def test_cellcover_join_matches_broadcast(docs_dir, ray_session):
     stats2 = pipeline.explode_stage(pipeline.read_docs(docs_dir)).map_batches(
         lambda b: stages.decode_stats(b, emit="stats"), batch_format="pyarrow"
     )
-    bc = pipeline.join_stage(stats2, footprints_table=fps, concurrency=1).to_pandas()
+    bc = pipeline.join_stage(stats2, footprints_table=fps).to_pandas()
     expect = set(zip(bc["doc_id"], bc["span_idx"], bc["footprint_id"]))
     assert got == expect
     assert len(expect) > 0

@@ -336,3 +336,28 @@ def test_hash_join_int32_carried_schema_stable(ray_session):
             continue
         assert blk.schema.field("lv").type == pa.int64()
         assert blk.schema.field("rv").type == pa.int64()
+
+
+def test_hash_join_uint64_carried_column_exact(ray_session):
+    """A genuine uint64 carried column ≥ 2^63 must survive the pandas
+    round-trip with its sign-ness intact (int64 coercion silently wraps
+    it negative)."""
+    import ray.data as rd
+
+    from raycells.engine.joins import hash_join
+
+    big = np.uint64(2**63 + 5)
+    left = pa.table({"k": pa.array([1, 2], pa.int64()), "lv": pa.array([10, 20], pa.int64())})
+    right = pa.table(
+        {"k": pa.array([1, 2], pa.int64()), "rv": pa.array([big, np.uint64(7)], pa.uint64())}
+    )
+    out = hash_join(
+        rd.from_arrow(left),
+        rd.from_arrow(right),
+        key_left="k",
+        key_right="k",
+        keep_left=["lv"],
+        keep_right=["rv"],
+    ).to_pandas().sort_values("lv").reset_index(drop=True)
+    assert out["rv"].dtype == np.uint64
+    assert int(out.loc[0, "rv"]) == 2**63 + 5
