@@ -40,8 +40,8 @@ oracles in raycells/pipelines/oracles.py):
   ngram_jaccard (EXACT prefix-filter set-similarity join, recall 1.0:
   hash-ordered shingle prefixes + integer size filter + exact-integer
   threshold, mirrored CTE-for-CTE in SQL),
-  simhash_pairs (polynomial token hashes, sign-bit fold, 16-bit-chunk
-  pigeonhole, bit_count Hamming), embedding_dups and ann_lsh
+  simhash_pairs (polynomial token hashes, sign-bit fold,
+  max_hamming+1-chunk pigeonhole — full recall — bit_count Hamming), embedding_dups and ann_lsh
   (2^-20-quantized vectors + murmur-mixed integer sign-LSH planes +
   integer-cosine — every bucket bit and similarity an exact
   int64-derived value), ann_ivf (content-keyed seeding + ten UNROLLED

@@ -8,7 +8,8 @@ reads the synthesized interleaved-doc table from its deterministic /tmp
 path (written idempotently before any query runs).
 
 Column names/aliases match the Ray pipelines verbatim; float aggregates
-are ROUND()ed identically on both sides; everything else is integer.
+are rounded with the identical FLOOR(x + 0.5) expression tree on both
+sides (CLAUDE.md recipe); everything else is integer.
 The tile decode is reproducible in SQL because the tile store is pure
 int64 LCG arithmetic (raycells/io/tilestore.py docstrings carry the
 formulas).

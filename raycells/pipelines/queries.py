@@ -15,7 +15,8 @@ Each function takes ``sf_dir`` (a testdata scale dir) and returns a
 Column names match ``raycells.pipelines.oracles`` verbatim — the driver
 sorts columns by name and hashes values, so every computed column is
 named identically on both sides, integer where exactness matters, and
-ROUND()ed on BOTH sides where a float sum's summation order could differ.
+rounded via the shared FLOOR(x + 0.5) expression tree on BOTH sides
+where a float's representation could differ (CLAUDE.md recipe).
 """
 
 from __future__ import annotations

@@ -10,7 +10,8 @@ Ray-Data-first shapes (SURVEY.md §2.9 + training-data mandate):
   shuffle to co-locate candidates, exact n-gram Jaccard verify per real
   bucket.
 - **SimHash**: 64-bit token-weighted simhash per doc; near-dup pairs =
-  same 16-bit chunk (pigeonhole over Hamming ≤ 3) with Hamming verify.
+  same chunk among ``max_hamming + 1`` bit-chunks (pigeonhole — full
+  recall for any radius) with blocked-SWAR Hamming verify.
 - **embedding cosine**: multi-table sign-LSH buckets + in-bucket cosine.
 
 Every shuffle keys on a COARSE hash bucket (``_coarse_bucket``), never
