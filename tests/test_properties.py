@@ -120,3 +120,55 @@ def test_binop_float64_and_mask_and(seed):
     np.testing.assert_array_equal(
         out.buffer.data, a.astype(np.float64) + b.astype(np.float64)
     )
+
+
+@given(vals=st.lists(st.integers(0, 2**64 - 1), min_size=1, max_size=64))
+@settings(max_examples=60, deadline=None)
+def test_popcount64_matches_int_bit_count(vals):
+    """SWAR popcount == Python int.bit_count for arbitrary uint64."""
+    from raycells.text.dedup import _popcount64
+
+    arr = np.array(vals, dtype=np.uint64)
+    got = _popcount64(arr)
+    want = np.array([int(v).bit_count() for v in vals], dtype=np.uint8)
+    np.testing.assert_array_equal(got, want)
+
+
+@given(
+    a=st.integers(0, 2**64 - 1),
+    b=st.integers(0, 2**64 - 1),
+    r=st.integers(1, 16),
+)
+@settings(max_examples=120, deadline=None)
+def test_simhash_pigeonhole_guarantee(a, b, r):
+    """If hamming(a, b) <= r, a and b share at least one exact chunk
+    under simhash_chunk_params(r) — the recall guarantee the bucketing
+    relies on. Chunks must also tile all 64 bits disjointly."""
+    from raycells.text.dedup import simhash_chunk_params
+
+    params = simhash_chunk_params(r)
+    covered = 0
+    for s, m in params:
+        assert covered & (m << s) == 0  # disjoint
+        covered |= m << s
+    assert covered == (1 << 64) - 1
+    if (a ^ b).bit_count() <= r:
+        assert any((a >> s) & m == (b >> s) & m for s, m in params)
+
+
+@given(
+    x=st.floats(
+        min_value=-1e12, max_value=1e12, allow_nan=False, allow_infinity=False
+    )
+)
+@settings(max_examples=80, deadline=None)
+def test_half_up_matches_duckdb_floor_recipe(x):
+    """_half_up evaluates the identical IEEE tree as the oracle-side
+    FLOOR(x + 0.5) — the cross-engine rounding recipe."""
+    import duckdb
+
+    from raycells.pipelines.queries import _half_up
+
+    got = float(_half_up(np.float64(x)))
+    want = duckdb.sql(f"SELECT FLOOR(CAST({x!r} AS DOUBLE) + 0.5)").fetchone()[0]
+    assert got == want
