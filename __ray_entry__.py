@@ -20,14 +20,16 @@ oracles in raycells/pipelines/oracles.py):
   flagship_cells (full 10-type erased decode + Hilbert cell ids,
   both reproduced in SQL), pip_join_counts / pip_join_cellcover /
   zonal_stats (exact even-odd ray cast over the unnested footprint
-  edge table), rasterize_footprints (center-sample containment) —
-  ALL oracle-checked; vectorize_tiles — rows-only
-  (connected-component labelling isn't SQL; round-trip pinned in
-  tests/test_geo.py).
+  edge table), rasterize_footprints (center-sample containment),
+  vectorize_tiles (the synthetic mask's regions are singletons by
+  construction; multi-cell labelling pinned in tests/test_geo.py) —
+  ALL oracle-checked.
 - tabular family over the driver's parquet views:  lineitem_pricing,
   orders_by_segment, revenue_by_nation, global_stats, quantiles_qty,
   sessionize, dedup_exact, token_stats, normalize_text,
-  sample_lineitem, lang_id, events_daily, events_props_k,
+  sample_lineitem, stratified_sample (exact-n-per-stratum hash rank),
+  tfidf_terms (integer-quantized tf×idf, broadcast vocabulary),
+  lang_id, events_daily, events_props_k,
   knn_embeddings — oracle-checked.
 - co-partitioned join/window family (engine/joins.py):
   asof_latest_order, priority_revenue (hash join), events_rolling7,
@@ -48,7 +50,7 @@ oracles in raycells/pipelines/oracles.py):
   exact-integer Lloyd k-means iterations as materialized SQL CTEs),
   approx_distinct_custs (HLL murmur finalizer + exact-integer
   harmonic-sum estimator), media_features (the plumbing metadata the
-  pipeline emits is shape arithmetic). Every one of the 46 driver
+  pipeline emits is shape arithmetic). Every one of the 53 driver
   queries hash-matches DuckDB.
 """
 
@@ -122,6 +124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": q.q_token_stats,
         "normalize_text": q.q_normalize_text,
         "sample_lineitem": q.q_sample_lineitem,
+        "stratified_sample": q.q_stratified_sample,
+        "tfidf_terms": q.q_tfidf_terms,
         "lang_id": q.q_lang_id,
         "events_daily": q.q_events_daily,
         "events_props_k": q.q_events_props_k,

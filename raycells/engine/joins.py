@@ -312,20 +312,29 @@ def distinct_count(ds, group_col: str, distinct_col: str, alias: str = "n_distin
     return final
 
 
-def grouped_topk(ds, group_col: str, k: int, order_col: str, tiebreak_col: str):
-    """Top-k rows per group by (order_col DESC, tiebreak_col DESC):
-    per-batch partial top-k (each batch can only contribute its own best
-    k per group) → one small final merge task. The final table is
-    O(groups × k); the exchange moves only the per-batch survivors."""
+def grouped_topk(
+    ds,
+    group_col: str,
+    k: int,
+    order_col: str,
+    tiebreak_col: str,
+    ascending=(False, False),
+):
+    """Top-k rows per group by (order_col, tiebreak_col) in the given
+    per-column directions (default DESC, DESC): per-batch partial top-k
+    (each batch can only contribute its own best k per group) → one
+    small final merge task. The final table is O(groups × k); the
+    exchange moves only the per-batch survivors."""
+    asc = list(ascending)
 
     def partial_topk(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
-        df = df.sort_values([order_col, tiebreak_col], ascending=False, kind="stable")
+        df = df.sort_values([order_col, tiebreak_col], ascending=asc, kind="stable")
         return from_pandas_clean(df.groupby(group_col, sort=False).head(k))
 
     def final_topk(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
-        df = df.sort_values([order_col, tiebreak_col], ascending=False, kind="stable")
+        df = df.sort_values([order_col, tiebreak_col], ascending=asc, kind="stable")
         df = df.groupby(group_col, sort=False).head(k)
         df["rank"] = df.groupby(group_col, sort=False).cumcount() + 1
         return from_pandas_clean(df)

@@ -1470,6 +1470,59 @@ def build() -> dict:
                    CAST(SUM(qty) AS BIGINT) AS sum_qty
             FROM keyed
         """,
+        # exact-n-per-stratum deterministic sample (q_stratified_sample):
+        # the same integer hash, ranked (hash, key) per segment
+        "stratified_sample": """
+            WITH keyed AS (
+                SELECT c_mktsegment,
+                       CAST(c_custkey AS BIGINT) AS c_custkey,
+                       (CAST(c_custkey AS BIGINT) * 2654435761) % 1000003
+                           AS strat_hash
+                FROM customer
+            ),
+            ranked AS (
+                SELECT *,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY c_mktsegment
+                           ORDER BY strat_hash, c_custkey) AS BIGINT) AS rank
+                FROM keyed
+            )
+            SELECT c_mktsegment, c_custkey, strat_hash, rank
+            FROM ranked WHERE rank <= 40
+        """,
+        # integer-quantized TF-IDF (q_tfidf_terms): tf × (N·10⁶ // df),
+        # all integer — same string_split(' ') tokenization the
+        # token_stats oracle already proves
+        "tfidf_terms": """
+            WITH docs AS (
+                SELECT CAST(doc_id AS VARCHAR) AS dk, text FROM documents
+            ),
+            toks AS (
+                SELECT dk, tok, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM (SELECT dk, unnest(string_split(text, ' ')) AS tok
+                      FROM docs)
+                WHERE tok <> '' GROUP BY dk, tok
+            ),
+            dfreq AS (
+                SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+                FROM toks GROUP BY tok
+            ),
+            scored AS (
+                SELECT t.dk, t.tok, t.tf, d.df,
+                       t.tf * ((SELECT CAST(COUNT(*) AS BIGINT) FROM docs)
+                               * 1000000 // d.df) AS tfidf_e6
+                FROM toks t JOIN dfreq d ON d.tok = t.tok
+            ),
+            ranked AS (
+                SELECT dk AS doc_key, tok AS token, tf, df, tfidf_e6,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY dk
+                           ORDER BY tfidf_e6 DESC, tok) AS BIGINT) AS rank
+                FROM scored
+            )
+            SELECT doc_key, token, tf, df, tfidf_e6, rank
+            FROM ranked WHERE rank <= 3
+        """,
         "events_daily": """
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
                    CAST(count(*) AS BIGINT) AS n_events,

@@ -1703,3 +1703,119 @@ def q_customers_no_orders(sf_dir: str):
         )
 
     return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_stratified_sample(sf_dir: str):
+    """Exact-n-per-stratum deterministic sample — the training-data
+    stratified-downsampling primitive: rank rows inside each market
+    segment by an integer hash of the key (SQL-identical arithmetic, no
+    RNG state) and keep the first 40 per stratum. Reproducible across
+    engines, retries and partitionings; per-batch partial top-k keeps
+    the exchange O(blocks × strata × n), never corpus-sized."""
+    from raycells.engine.joins import grouped_topk
+
+    n_per = 40
+    ds = _read(
+        sf_dir, "customer", SMALL_TABLE_BLOCKS, columns=["c_custkey", "c_mktsegment"]
+    )
+
+    def keyed(b: pa.Table) -> pa.Table:
+        key = pc.cast(b["c_custkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        h = (key * 2654435761) % 1000003  # < 2^63 for any 32-bit key
+        return pa.table(
+            {
+                "c_mktsegment": b["c_mktsegment"],
+                "c_custkey": pa.array(key),
+                "strat_hash": pa.array(h.astype(np.int64)),
+            }
+        )
+
+    out = grouped_topk(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        "c_mktsegment",
+        n_per,
+        "strat_hash",
+        "c_custkey",
+        ascending=(True, True),
+    )
+    return out.map_batches(
+        lambda b: b.select(["c_mktsegment", "c_custkey", "strat_hash", "rank"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_tfidf_terms(sf_dir: str):
+    """Integer-quantized TF-IDF top-3 terms per document:
+    ``tfidf_e6 = tf × (N·10⁶ // df)`` — every factor an exact integer,
+    so the ranking is reproducible in SQL with no float anywhere.
+    Shape at scale: per-doc term counts are batch-local (no exchange);
+    document frequency is ONE coarse-bucket salted aggregate over
+    (token, doc) pairs; the resulting vocabulary table is the canonical
+    broadcast small side (``ray.put`` once, read per worker — swap in a
+    co-partitioned join when the vocabulary outgrows broadcast); per-doc
+    top-k moves only per-batch survivors."""
+    import ray
+
+    from raycells.engine.joins import grouped_topk
+    from raycells.engine import stages as stages_mod
+
+    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["doc_id", "text"])
+    n_docs = ds.count()  # metadata-cheap pass, no decode upstream
+
+    def doc_term_counts(b: pa.Table) -> pa.Table:
+        dk = pc.cast(b["doc_id"], pa.string()).to_numpy(zero_copy_only=False)
+        _, flat, parent = ta._split(b["text"])
+        toks = flat.to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"doc_key": dk[parent], "token": toks})
+        df = df[df["token"] != ""]
+        out = (
+            df.groupby(["doc_key", "token"], sort=False)
+            .size()
+            .rename("tf")
+            .reset_index()
+        )
+        out["tf"] = out["tf"].astype(np.int64)
+        return shuffle_mod.from_pandas_clean(out)
+
+    pairs = ds.map_batches(doc_term_counts, batch_format="pyarrow")
+    # df(token): pairs are per-doc distinct, so a row count per token IS
+    # the document frequency; vocabulary-sized result
+    vocab = shuffle_mod.salted_aggregate(
+        pairs, key="token", count_alias="df", salt_col="doc_key"
+    ).to_pandas()
+    ref = ray.put(
+        {
+            "tokens": vocab["token"].to_numpy(),
+            "idf_e6": ((n_docs * 1_000_000) // vocab["df"].to_numpy()).astype(
+                np.int64
+            ),
+            "df": vocab["df"].to_numpy().astype(np.int64),
+        }
+    )
+
+    class Score:
+        def __init__(self, r):
+            v = ray.get(r)
+            order = np.argsort(v["tokens"])
+            self.tokens = v["tokens"][order]
+            self.idf = v["idf_e6"][order]
+            self.df = v["df"][order]
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            toks = b["token"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.tokens, toks)
+            tf = b["tf"].to_numpy(zero_copy_only=False)
+            return b.append_column(
+                "df", pa.array(self.df[pos], pa.int64())
+            ).append_column("tfidf_e6", pa.array(tf * self.idf[pos], pa.int64()))
+
+    scored = pairs.map_batches(
+        stages_mod.broadcast_task(Score, ref), batch_format="pyarrow"
+    )
+    out = grouped_topk(
+        scored, "doc_key", 3, "tfidf_e6", "token", ascending=(False, True)
+    )
+    return out.map_batches(
+        lambda b: b.select(["doc_key", "token", "tf", "df", "tfidf_e6", "rank"]),
+        batch_format="pyarrow",
+    )

@@ -51,6 +51,8 @@ CHECKED = [
     "token_stats",
     "normalize_text",
     "sample_lineitem",
+    "stratified_sample",
+    "tfidf_terms",
     "lang_id",
     "events_daily",
     "events_props_k",
