@@ -429,6 +429,44 @@ SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}
 """
 
 
+def _dedup_clusters_sql() -> str:
+    """Near-dup cluster resolution over the MinHash pair list
+    (pipelines/queries.q_dedup_clusters): connected components by
+    recursive min-label propagation — a node adopts any smaller
+    reachable label, so each node's MIN(lbl) is its component minimum
+    (the component min is smaller than every other member, so the
+    restriction lbl < dst never blocks its propagation). Canonical id
+    and the Python union-find's ``min(members)`` are both lexicographic
+    VARCHAR minima."""
+    return f"""
+WITH pairs AS MATERIALIZED (
+    SELECT id_a, id_b FROM ({_minhash_sql()})
+),
+edges AS MATERIALIZED (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach AS (
+    WITH RECURSIVE r(id, lbl) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst AS id, r.lbl
+        FROM r JOIN edges e ON e.src = r.id
+        WHERE r.lbl < e.dst
+    )
+    SELECT id, MIN(lbl) AS canon_key FROM r GROUP BY id
+),
+sized AS (
+    SELECT canon_key, CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM reach GROUP BY canon_key
+)
+SELECT r.id AS doc_key, r.canon_key, s.cluster_size
+FROM reach r JOIN sized s USING (canon_key)
+"""
+
+
 def _ngram_jaccard_sql(num: int = 4, den: int = 5, k: int = 5) -> str:
     """Exact prefix-filter n-gram Jaccard join reproduced in SQL
     (text/dedup.ngram_jaccard_near_dup_pairs): the same 5-byte shingle
@@ -1041,6 +1079,7 @@ def build() -> dict:
         """,
         "fingerprint_docs": _fingerprint_sql(),
         "minhash_pairs": _minhash_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
         "ngram_jaccard": _ngram_jaccard_sql(),
         "embedding_dups": _embedding_dups_sql(),
         "simhash_pairs": _simhash_sql(),

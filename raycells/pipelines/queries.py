@@ -1819,3 +1819,49 @@ def q_tfidf_terms(sf_dir: str):
         lambda b: b.select(["doc_key", "token", "tf", "df", "tfidf_e6", "rank"]),
         batch_format="pyarrow",
     )
+
+
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup CLUSTER resolution — dedup that picks winners: the
+    verified MinHash pair list is resolved into connected components,
+    canonical representative = lexicographic-min doc id, one row per
+    member with its canon and cluster size. The union-find runs on the
+    pair list, which is OUTPUT-sized by LSH design (the corpus never
+    leaves the cluster); if components ever outgrow one machine, the
+    same semantics distribute as iterative min-label propagation — the
+    exact computation the oracle's recursive CTE expresses."""
+    pairs = q_minhash_pairs(sf_dir)
+    a = pairs["id_a"].to_pylist()
+    b = pairs["id_b"].to_pylist()
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for x, y in zip(a, b):
+        parent.setdefault(x, x)
+        parent.setdefault(y, y)
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            if ry < rx:
+                rx, ry = ry, rx
+            parent[ry] = rx
+    comp: dict = {}
+    for x in parent:
+        comp.setdefault(find(x), []).append(x)
+    rows = []
+    for members in comp.values():
+        canon = min(members)  # lexicographic, matching SQL MIN(VARCHAR)
+        for m in members:
+            rows.append((m, canon, len(members)))
+    rows.sort()
+    return pa.table(
+        {
+            "doc_key": pa.array([r[0] for r in rows], pa.string()),
+            "canon_key": pa.array([r[1] for r in rows], pa.string()),
+            "cluster_size": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )

@@ -65,6 +65,7 @@ CHECKED = [
     "customers_no_orders",
     "priority_revenue",
     "minhash_pairs",
+    "dedup_clusters",
     "ngram_jaccard",
     "simhash_pairs",
     "embedding_dups",
