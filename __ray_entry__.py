@@ -41,6 +41,8 @@ oracles in raycells/pipelines/oracles.py):
   universal-hash minima, band fold, bucket pairs, exact Jaccard),
   dedup_clusters (union-find cluster resolution over those pairs;
   recursive-CTE min-label propagation in SQL),
+  decontaminate (token-window blocklist hashing — benchmark overlap
+  flagging, windows from the same token-fingerprint CTEs),
   ngram_jaccard (EXACT prefix-filter set-similarity join, recall 1.0:
   hash-ordered shingle prefixes + integer size filter + exact-integer
   threshold, mirrored CTE-for-CTE in SQL),
@@ -52,7 +54,7 @@ oracles in raycells/pipelines/oracles.py):
   exact-integer Lloyd k-means iterations as materialized SQL CTEs),
   approx_distinct_custs (HLL murmur finalizer + exact-integer
   harmonic-sum estimator), media_features (the plumbing metadata the
-  pipeline emits is shape arithmetic). Every one of the 54 driver
+  pipeline emits is shape arithmetic). Every one of the 55 driver
   queries hash-matches DuckDB.
 """
 
@@ -143,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # near-dup + multimodal (rows-only checks)
         "minhash_pairs": q.q_minhash_pairs,
         "dedup_clusters": q.q_dedup_clusters,
+        "decontaminate": q.q_decontaminate,
         "ngram_jaccard": q.q_ngram_jaccard,
         "simhash_pairs": q.q_simhash_pairs,
         "embedding_dups": q.q_embedding_dups,

@@ -429,6 +429,85 @@ SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}
 """
 
 
+def _decontaminate_sql(w: int = 4, mod: int = 101) -> str:
+    """Benchmark decontamination reproduced in SQL
+    (pipelines/queries.q_decontaminate): the same polynomial token
+    fingerprints as the simhash oracle, window hash = Σ (th·31^i mod
+    2^64) mod 2^64 over each w-token window (per-term wrap then summed
+    wrap — exactly numpy's uint64 elementwise-multiply + sum), blocklist
+    = distinct window hashes of docs with doc_id % {mod} == 0, hits
+    counted per non-benchmark doc."""
+    seed = 14695981039346656037
+    base = 1099511628211
+    m64 = "CAST('18446744073709551616' AS HUGEINT)"
+    s_hi, s_lo = divmod(seed, 1 << 32)
+    p31_rows = ", ".join(f"({i}, {31**i})" for i in range(w))
+    return f"""
+WITH docs AS (
+    SELECT CAST(doc_id AS VARCHAR) AS dk, CAST(doc_id AS BIGINT) AS did,
+           text
+    FROM documents
+),
+tl AS MATERIALIZED (
+    SELECT dk, did, string_split(text, ' ') AS toks FROM docs
+),
+tpos AS MATERIALIZED (
+    SELECT dk, did, r.range AS pos,
+           list_extract(toks, CAST(r.range + 1 AS INT)) AS tok
+    FROM tl, range(512) r WHERE r.range < len(toks)
+),
+tok_list AS (
+    SELECT tok, CAST(length(tok) AS BIGINT) AS n
+    FROM (SELECT DISTINCT tok FROM tpos WHERE tok <> '')
+),
+tpows AS (
+    WITH RECURSIVE p(k, v) AS (
+        SELECT CAST(0 AS BIGINT) AS k, CAST(1 AS HUGEINT) AS v
+        UNION ALL
+        SELECT k + 1, (v * {base}) % {m64} FROM p
+        WHERE k < (SELECT MAX(n) FROM tok_list)
+    )
+    SELECT k, v FROM p
+),
+tterms AS (
+    SELECT tb.tok, SUM((tb.b * p.v) % {m64}) AS acc
+    FROM (
+        SELECT tok, n, r.range AS i,
+               CAST(ord(substr(tok, CAST(r.range + 1 AS INT), 1)) AS HUGEINT) AS b
+        FROM tok_list, range(64) r WHERE r.range < n
+    ) tb
+    JOIN tpows p ON p.k = tb.n - 1 - tb.i
+    GROUP BY tb.tok
+),
+thash AS MATERIALIZED (
+    SELECT t.tok,
+           CAST(( (({s_lo} * pn.v) % {m64}
+                   + ((({s_hi} * pn.v) % 4294967296) * 4294967296)) % {m64}
+                 + COALESCE(tt.acc, 0) ) % {m64} AS UBIGINT) AS th
+    FROM tok_list t
+    JOIN tpows pn ON pn.k = t.n
+    LEFT JOIN tterms tt ON tt.tok = t.tok
+),
+p31 AS (SELECT * FROM (VALUES {p31_rows}) AS t(i, v)),
+wh AS MATERIALIZED (
+    SELECT t.dk, t.did, t.pos AS s,
+           CAST(SUM((CAST(h.th AS HUGEINT) * p.v) % {m64}) % {m64}
+                AS UBIGINT) AS h
+    FROM tpos t
+    JOIN tpos u ON u.dk = t.dk AND u.pos BETWEEN t.pos AND t.pos + {w - 1}
+    JOIN thash h ON h.tok = u.tok
+    JOIN p31 p ON p.i = u.pos - t.pos
+    GROUP BY t.dk, t.did, t.pos
+    HAVING COUNT(*) = {w}
+),
+blockset AS (SELECT DISTINCT h FROM wh WHERE did % {mod} = 0)
+SELECT w.dk AS doc_key, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM wh w JOIN blockset b ON b.h = w.h
+WHERE w.did % {mod} <> 0
+GROUP BY w.dk
+"""
+
+
 def _dedup_clusters_sql() -> str:
     """Near-dup cluster resolution over the MinHash pair list
     (pipelines/queries.q_dedup_clusters): connected components by
@@ -1080,6 +1159,7 @@ def build() -> dict:
         "fingerprint_docs": _fingerprint_sql(),
         "minhash_pairs": _minhash_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
+        "decontaminate": _decontaminate_sql(),
         "ngram_jaccard": _ngram_jaccard_sql(),
         "embedding_dups": _embedding_dups_sql(),
         "simhash_pairs": _simhash_sql(),

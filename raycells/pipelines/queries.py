@@ -1865,3 +1865,76 @@ def q_dedup_clusters(sf_dir: str):
             "cluster_size": pa.array([r[2] for r in rows], pa.int64()),
         }
     )
+
+
+DECON_W = 4  # window tokens (real corpora use ~13; sized to this fixture)
+DECON_MOD = 101  # benchmark subset = doc_id % DECON_MOD == 0
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination — flag training docs sharing any
+    DECON_W-token window with a held-out 'benchmark' subset
+    (doc_id % DECON_MOD == 0). The
+    blocklist of window hashes is the canonical broadcast small side
+    (built from the tiny benchmark subset, ``ray.put`` once, binary-
+    searched per batch); training docs stream through one task stage and
+    only contaminated (doc_key, n_hits) rows come back. Window hash =
+    Σ token_fp·31^i mod 2^64 — exact integers end-to-end, reproduced in
+    SQL from the same token-fingerprint CTE the simhash oracle proves."""
+    import ray
+
+    from raycells.engine import stages as stages_mod
+    from raycells.text.analysis import window_hashes
+
+    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["doc_id", "text"])
+
+    def is_bench(b: pa.Table) -> pa.Table:
+        did = (
+            pc.cast(b["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        return b.append_column("is_bench", pa.array(did % DECON_MOD == 0))
+
+    tagged = ds.map_batches(is_bench, batch_format="pyarrow")
+    bench = tagged.filter(expr="is_bench == True").to_pandas()
+    block = np.unique(
+        np.concatenate(
+            [window_hashes(t, DECON_W) for t in bench["text"]]
+            or [np.empty(0, dtype=np.uint64)]
+        )
+    )
+    ref = ray.put(block)
+
+    class Flag:
+        def __init__(self, r):
+            self.block = ray.get(r)  # sorted unique uint64
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keys, hits = [], []
+            dk = pc.cast(b["doc_id"], pa.string()).to_pylist()
+            keep = pc.invert(b["is_bench"]).to_numpy(zero_copy_only=False)
+            texts = b["text"].to_pylist()
+            for i in np.nonzero(keep)[0]:
+                wh = window_hashes(texts[i], DECON_W)
+                if wh.size == 0:
+                    continue
+                pos = np.searchsorted(self.block, wh)
+                pos[pos == self.block.size] = 0
+                n = int((self.block[pos] == wh).sum()) if self.block.size else 0
+                if n:
+                    keys.append(dk[i])
+                    hits.append(n)
+            return pa.table(
+                {
+                    "doc_key": pa.array(keys, pa.string()),
+                    "n_hits": pa.array(hits, pa.int64()),
+                }
+            )
+
+    out = tagged.map_batches(
+        stages_mod.broadcast_task(Flag, ref), batch_format="pyarrow"
+    ).to_arrow_refs()
+    import ray as _ray
+
+    t = pa.concat_tables([_ray.get(r) for r in out])
+    order = np.lexsort((np.asarray(t["doc_key"].to_pylist(), dtype=object),))
+    return t.take(pa.array(order))

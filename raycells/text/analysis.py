@@ -241,3 +241,26 @@ def add_fingerprints(batch: pa.Table, col: str = "text") -> pa.Table:
     uint64 keys > 2^63 fall back to pickled object blocks)."""
     fps = fingerprint64(batch[col].to_pylist()).view(np.int64)
     return batch.append_column("fingerprint", pa.array(fps, pa.int64()))
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (token-window hashing)
+# ---------------------------------------------------------------------------
+
+_WIN_BASE = np.uint64(31)
+
+
+def window_hashes(text: str, w: int = 8) -> np.ndarray:
+    """64-bit hash per w-token window: Σ token_fp(tok[s+i])·31^i mod 2^64
+    (token fingerprints = the SQL-expressible rolling polynomial, memoized
+    per worker via dedup._token_hashes). < w tokens → no windows."""
+    from raycells.text.dedup import _token_hashes
+
+    toks = text.split(" ")
+    if len(toks) < w:
+        return np.empty(0, dtype=np.uint64)
+    th = _token_hashes(np.asarray(toks, dtype=object))
+    win = np.lib.stride_tricks.sliding_window_view(th, w)
+    with np.errstate(over="ignore"):
+        pows = _WIN_BASE ** np.arange(w, dtype=np.uint64)
+        return (win * pows[None, :]).sum(axis=1, dtype=np.uint64)

@@ -66,6 +66,7 @@ CHECKED = [
     "priority_revenue",
     "minhash_pairs",
     "dedup_clusters",
+    "decontaminate",
     "ngram_jaccard",
     "simhash_pairs",
     "embedding_dups",
