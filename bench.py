@@ -183,17 +183,19 @@ def run_all(sf_dir: str, num_cpus: int) -> dict:
 
             if ray.is_initialized():
                 ray.shutdown()
-            sc = run_scaling(sf_dir, repeats=2)
-            if sc["value"] < 0.85:
-                # host-noise guard: the same commit has measured 0.55 and
-                # 1.09 within one day purely from background host load
-                # (hi leg 9-11 s vs 6.4-8.6 s). One retry, keep the
-                # better pair — capability, not a lucky single sample.
-                sc2 = run_scaling(sf_dir, repeats=2)
-                if sc2["value"] > sc["value"]:
-                    sc = sc2
+            # UNCONDITIONAL best-of-2 pairs, every sample recorded: the
+            # same commit has measured 0.55 and 1.09 within one day
+            # purely from background host load (hi leg 9-11 s vs
+            # 6.4-8.6 s). Best-of-N over full reruns is this bench's
+            # stated convention (capability, not noise); re-rolling ONLY
+            # low samples would bias the figure, so both pairs always
+            # run and both efficiencies are published.
+            pairs = [run_scaling(sf_dir, repeats=2) for _ in range(2)]
+            sc = max(pairs, key=lambda x: x["value"])
+            sc["samples"] = [round(x["value"], 3) for x in pairs]
             out["scaling"] = {
                 "efficiency": sc["value"],
+                "samples": sc["samples"],
                 "tiles_per_sec_lo": sc["tiles_per_sec_lo"],
                 "tiles_per_sec_hi": sc["tiles_per_sec_hi"],
                 "cpus_lo": sc["cpus_lo"],

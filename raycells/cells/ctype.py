@@ -496,7 +496,8 @@ def gdal_nodata(value, cell_type) -> "NoData":
     ct = gdal_cell_type(cell_type)
     if value is None:
         return NoData.default()
-    typed = ct.dtype.type(value)
+    with np.errstate(over="ignore"):  # saturation is the documented behavior
+        typed = ct.dtype.type(value)
     if not ct.is_integral:
         return NoData.of(float(typed))
     if float(typed) != float(value):

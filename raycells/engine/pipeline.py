@@ -223,6 +223,10 @@ def verify_span_invariant(docs_dir: str, scratch_dir: str = None) -> bool:
     )
     out = scratch_dir or tempfile.mkdtemp(prefix="raycells_spanv_", dir="/tmp")
     try:
+        # write_parquet APPENDS uuid-named files — a reused scratch dir
+        # would double the sink rows and report spurious corruption
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
         read_docs(docs_dir).write_parquet(out)
         snk = rd.read_parquet(out).map_batches(
             docsource.span_digests, batch_format="pyarrow"

@@ -1760,7 +1760,9 @@ def q_tfidf_terms(sf_dir: str):
     from raycells.engine import stages as stages_mod
 
     ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["doc_id", "text"])
-    n_docs = ds.count()  # metadata-cheap pass, no decode upstream
+    # N from parquet metadata — a Dataset count() would execute the
+    # mapped read a third time
+    n_docs = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
 
     def doc_term_counts(b: pa.Table) -> pa.Table:
         dk = pc.cast(b["doc_id"], pa.string()).to_numpy(zero_copy_only=False)
@@ -1777,7 +1779,10 @@ def q_tfidf_terms(sf_dir: str):
         out["tf"] = out["tf"].astype(np.int64)
         return shuffle_mod.from_pandas_clean(out)
 
-    pairs = ds.map_batches(doc_term_counts, batch_format="pyarrow")
+    # materialize: both the df aggregate and the scoring stage consume
+    # this narrow (doc_key, token, tf) set — without pinning it, each
+    # consumer re-runs the read + tokenize
+    pairs = ds.map_batches(doc_term_counts, batch_format="pyarrow").materialize()
     # df(token): pairs are per-doc distinct, so a row count per token IS
     # the document frequency; vocabulary-sized result
     vocab = shuffle_mod.salted_aggregate(
@@ -1892,6 +1897,15 @@ def q_decontaminate(sf_dir: str):
         did = (
             pc.cast(b["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
         )
+        # guard the oracle's bounds (range(512) token positions): a doc
+        # beyond them would silently lose windows on the SQL side only
+        from raycells.text.analysis import token_counts
+
+        ntok = token_counts(b["text"])
+        if ntok.size and int(ntok.max()) > 512:
+            raise ValueError(
+                f"decontaminate oracle caps docs at 512 tokens; saw {int(ntok.max())}"
+            )
         return b.append_column("is_bench", pa.array(did % DECON_MOD == 0))
 
     tagged = ds.map_batches(is_bench, batch_format="pyarrow")
@@ -1930,6 +1944,9 @@ def q_decontaminate(sf_dir: str):
                 }
             )
 
+    # deliberately a SECOND streaming pass over the corpus: the
+    # blocklist must be complete before flagging, and re-reading beats
+    # pinning the full text corpus in the object store at 100 TB
     out = tagged.map_batches(
         stages_mod.broadcast_task(Flag, ref), batch_format="pyarrow"
     ).to_arrow_refs()

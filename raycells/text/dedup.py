@@ -956,7 +956,10 @@ def simhash_near_dup_pairs(ds, col: str = "text", id_col: str = "doc_id", max_ha
         .groupby("_cbucket")
         .map_groups(verify, batch_format="pyarrow")
     )
-    return _dedupe_pairs(pairs)
+    # no _dedupe_pairs pass: first-matching-chunk emission already
+    # guarantees each pair appears exactly once (minhash still needs the
+    # dedup exchange — its bands collide independently)
+    return pairs
 
 
 # ---------------------------------------------------------------------------
