@@ -11,7 +11,8 @@ def ray_session():
     """One Ray session for the whole pytest run (never per-test)."""
     import ray
 
-    if not ray.is_initialized():
+    owned = not ray.is_initialized()
+    if owned:
         ray.init(
             address="local",
             num_cpus=4,
@@ -20,4 +21,5 @@ def ray_session():
             logging_level="ERROR",
         )
     yield
-    ray.shutdown()
+    if owned:  # never tear down a session someone else started
+        ray.shutdown()

@@ -113,6 +113,7 @@ def test_salted_agg_matches_unsalted(docs_dir, ray_session):
     assert np.array_equal(got["valid_count"].values, expect["valid_count"].values)
     assert np.allclose(got["avg_tile_mean"].values, expect["avg_tile_mean"].values)
     assert np.array_equal(got["min_val"].values, expect["min_val"].values)
+    assert np.array_equal(got["max_val"].values, expect["max_val"].values)
 
 
 def test_checkpoint_resume_byte_identical(docs_dir, ray_session, tmp_path):
@@ -281,8 +282,15 @@ def test_flagship_partitioning_invariance(docs_dir, ray_session):
         shuffle.salted_cell_aggregate(stats, key="cell_id", salt=13)
         .to_pandas().sort_values("cell_id").reset_index(drop=True)
     )
+    # int columns exactly; float columns (min/max are elementwise-exact,
+    # avg is a ratio of exact sums) to tight tolerance — a wrong merge on
+    # ANY output column must fail salt invariance
     int_cols = [c for c in s1.columns if s1[c].dtype.kind in "i"]
     pd.testing.assert_frame_equal(s1[int_cols], s2[int_cols], check_exact=True)
+    flt_cols = [c for c in s1.columns if s1[c].dtype.kind == "f"]
+    assert flt_cols, "expected float output columns (min/max/avg)"
+    for c in flt_cols:
+        np.testing.assert_allclose(s1[c].values, s2[c].values, rtol=1e-12)
 
 
 def test_flagship_correct_under_task_retry(docs_dir, ray_session, tmp_path):

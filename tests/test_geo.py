@@ -46,8 +46,10 @@ def test_encode_level_round_trip():
         ids = cellid.encode(lon, lat, level)
         assert np.all(cellid.level_of(ids) == level)
         dlon, dlat, dlev = cellid.decode(ids)
-        # decoded center within one cell of the input
-        assert np.all(np.abs(dlon - lon) <= 360.0 / (1 << level) if level else True)
+        # decoded center within one cell of the input — BOTH axes
+        if level:
+            assert np.all(np.abs(dlon - lon) <= 360.0 / (1 << level))
+            assert np.all(np.abs(dlat - lat) <= 180.0 / (1 << level))
         assert np.all(dlev == level)
 
 
@@ -164,6 +166,7 @@ def test_knn_matches_brute_force():
         got_idx, got_d = index.query(qlon, qlat, k)
         for q in range(len(qlon)):
             assert list(got_idx[q]) == list(bf_idx[q]), (q, k)
+            np.testing.assert_allclose(got_d[q], bf_d[q], rtol=1e-12)
 
 
 def test_knn_fewer_points_than_k():
@@ -191,7 +194,9 @@ def test_connected_components():
     assert n == 3
     assert labels[0, 0] == labels[1, 1]
     assert labels[4, 4] == labels[5, 5]
-    assert labels[0, 0] != labels[4, 4] != labels[0, 5]
+    # all three components carry DISTINCT labels (a chained != would
+    # skip the first-vs-third comparison)
+    assert len({labels[0, 0], labels[4, 4], labels[0, 5]}) == 3
 
 
 def test_vectorize_rasterize_round_trip():

@@ -88,24 +88,6 @@ def test_decoder_real_codec_uses_decoded_tensor():
     assert out["pixel_std"].to_pylist() == [0.0]
 
 
-def test_token_hash_cache_eviction():
-    """Cache eviction mid-stream must not KeyError on tokens cached
-    before the wipe (regression: `missing` was computed pre-clear)."""
-    from raycells.text import dedup
-
-    old_max = dedup._TOKEN_HASHES_MAX
-    dedup._TOKEN_HASHES.clear()
-    try:
-        dedup._TOKEN_HASHES_MAX = 4
-        dedup._token_hashes(np.asarray(["a", "b", "c"], object))
-        out = dedup._token_hashes(np.asarray(["a", "d"], object))
-        ref = dedup._token_hashes(np.asarray(["a", "d"], object))
-        assert np.array_equal(out, ref)
-    finally:
-        dedup._TOKEN_HASHES_MAX = old_max
-        dedup._TOKEN_HASHES.clear()
-
-
 def test_media_pipeline_end_to_end(ray_session):
     import ray.data as rd
 

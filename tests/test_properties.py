@@ -68,8 +68,8 @@ def test_nodata_mask_roundtrip(ct, seed):
     mb = MaskedCellBuffer.from_vec_with_nodata(vals.copy(), NoData.default())
     back = mb.to_vec_with_nodata(ct, NoData.default())
     if ct.is_integral:
-        np.testing.assert_array_equal(back, np.where(
-            vals == sentinel, sentinel, vals))
+        # identity round-trip (sentinel positions included)
+        np.testing.assert_array_equal(back, vals)
     else:
         nanmask = np.isnan(vals)
         assert np.isnan(back[nanmask]).all()

@@ -130,6 +130,11 @@ def test_every_query_has_oracle_or_is_flagged(contract):
     # UNROLLED exact-integer Lloyd iterations in SQL).
     assert rows_only == set()
     assert not set(sqls) - set(queries)
+    # CHECKED must track the registry: a new query silently excluded from
+    # the local parity gate would only fail at the (slow) driver gate
+    assert set(queries) - set(CHECKED) == {"band_tile_stats"}, (
+        "add new queries to CHECKED (band_tile_stats is the one documented skip)"
+    )
 
 
 def test_entry_smoke(ray_session):

@@ -257,3 +257,21 @@ def test_simhash_pairs_match_brute_force_at_r8(ray_session):
     ).to_pandas()
     got = set(zip(pairs["id_a"], pairs["id_b"]))
     assert got == want
+
+
+def test_token_hash_cache_eviction():
+    """Cache eviction mid-stream must not KeyError on tokens cached
+    before the wipe (regression: `missing` was computed pre-clear)."""
+    from raycells.text import dedup
+
+    old_max = dedup._TOKEN_HASHES_MAX
+    dedup._TOKEN_HASHES.clear()
+    try:
+        dedup._TOKEN_HASHES_MAX = 4
+        dedup._token_hashes(np.asarray(["a", "b", "c"], object))
+        out = dedup._token_hashes(np.asarray(["a", "d"], object))
+        ref = dedup._token_hashes(np.asarray(["a", "d"], object))
+        assert np.array_equal(out, ref)
+    finally:
+        dedup._TOKEN_HASHES_MAX = old_max
+        dedup._TOKEN_HASHES.clear()

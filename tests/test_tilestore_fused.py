@@ -4,8 +4,28 @@
 import numpy as np
 import pyarrow as pa
 
+from raycells.cells import kernels
+from raycells.cells.ctype import CELL_TYPES
 from raycells.engine import stages
 from raycells.io import tilestore
+
+
+def _stats_batch(tiles):
+    """(cell_type, values, mask) triples → the tile_stats input table
+    (shared by the edge-case and random-sweep folds)."""
+    return pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(len(tiles))]),
+            "span_idx": pa.array(np.zeros(len(tiles), np.int32)),
+            "data": pa.array([v.tobytes() for _, v, _ in tiles], pa.large_binary()),
+            "mask": pa.array(
+                [kernels.pack_mask(m) for _, _, m in tiles], pa.large_binary()
+            ),
+            "cell_type": pa.array([c for c, _, _ in tiles]),
+            "nrows": pa.array([1] * len(tiles), pa.int32()),
+            "ncols": pa.array([len(v) for _, v, _ in tiles], pa.int32()),
+        }
+    )
 
 
 def _tiles_table(seeds):
@@ -104,19 +124,7 @@ def test_tile_stats_grouped_matches_scalar_fold_edge_cases():
         ("Int64", np.array([2**62 + 3, 2**62 + 1], np.int64), np.array([True, True])),
         ("UInt64", np.array([2**63 + 5, 7], np.uint64), np.array([True, False])),
     ]
-    batch = pa.table(
-        {
-            "doc_id": pa.array([f"d{i}" for i in range(len(tiles))]),
-            "span_idx": pa.array(np.zeros(len(tiles), np.int32)),
-            "data": pa.array([v.tobytes() for _, v, _ in tiles], pa.large_binary()),
-            "mask": pa.array(
-                [kernels.pack_mask(m) for _, _, m in tiles], pa.large_binary()
-            ),
-            "cell_type": pa.array([c for c, _, _ in tiles]),
-            "nrows": pa.array([1] * len(tiles), pa.int32()),
-            "ncols": pa.array([len(v) for _, v, _ in tiles], pa.int32()),
-        }
-    )
+    batch = _stats_batch(tiles)
     got = stages.tile_stats(batch)
     for i, (ctname, v, m) in enumerate(tiles):
         lo, hi = kernels.min_max(v, m)
@@ -151,19 +159,7 @@ def test_tile_stats_grouped_matches_scalar_fold_random():
                 v[rng.random(n) < 0.2] = np.nan
             m = rng.random(n) < 0.7
             tiles.append((ct.name, v, m))
-    batch = pa.table(
-        {
-            "doc_id": pa.array([f"d{i}" for i in range(len(tiles))]),
-            "span_idx": pa.array(np.zeros(len(tiles), np.int32)),
-            "data": pa.array([v.tobytes() for _, v, _ in tiles], pa.large_binary()),
-            "mask": pa.array(
-                [kernels.pack_mask(m) for _, _, m in tiles], pa.large_binary()
-            ),
-            "cell_type": pa.array([c for c, _, _ in tiles]),
-            "nrows": pa.array([1] * len(tiles), pa.int32()),
-            "ncols": pa.array([len(v) for _, v, _ in tiles], pa.int32()),
-        }
-    )
+    batch = _stats_batch(tiles)
     got = stages.tile_stats(batch)
     for i, (ctname, v, m) in enumerate(tiles):
         lo, hi = kernels.min_max(v, m)
