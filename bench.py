@@ -137,6 +137,10 @@ PIPELINES = {
     "priority_revenue": "q_priority_revenue",
     "bbox_join_counts": "q_bbox_join_counts",
     "media_features": "q_media_features",
+    "tfidf_terms": "q_tfidf_terms",
+    "stratified_sample": "q_stratified_sample",
+    "dedup_clusters": "q_dedup_clusters",
+    "decontaminate": "q_decontaminate",
 }
 
 
