@@ -172,3 +172,87 @@ def test_half_up_matches_duckdb_floor_recipe(x):
     got = float(_half_up(np.float64(x)))
     want = duckdb.sql(f"SELECT FLOOR(CAST({x!r} AS DOUBLE) + 0.5)").fetchone()[0]
     assert got == want
+
+
+@given(
+    toks=st.lists(
+        st.text(alphabet="abcdefg", min_size=1, max_size=6), min_size=0, max_size=30
+    ),
+    w=st.integers(2, 8),
+)
+@settings(max_examples=60, deadline=None)
+def test_window_hashes_match_naive(toks, w):
+    """window_hashes == the scalar definition Σ token_fp·31^i mod 2^64
+    for arbitrary token sequences and window widths."""
+    from raycells.text.analysis import fingerprint64, window_hashes
+
+    text = " ".join(toks)
+    got = window_hashes(text, w)
+    toks2 = text.split(" ")  # includes the '' token for empty text
+    if len(toks2) < w:
+        assert got.size == 0
+        return
+    fps = fingerprint64(toks2)
+    want = [
+        sum(int(fps[s + i]) * 31**i for i in range(w)) % 2**64
+        for s in range(len(toks2) - w + 1)
+    ]
+    assert [int(x) for x in got] == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)), min_size=1, max_size=40
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_dedup_clusters_union_find_matches_brute_force(edges):
+    """The union-find in q_dedup_clusters must produce exactly the
+    brute-force connected components with lexicographic-min canons."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from raycells.pipelines import queries as q
+
+    pairs = pa.table(
+        {
+            "id_a": pa.array([f"n{min(a, b):02d}" for a, b in edges if a != b]),
+            "id_b": pa.array([f"n{max(a, b):02d}" for a, b in edges if a != b]),
+        }
+    )
+    if pairs.num_rows == 0:
+        return
+    # drive the same union-find the query uses, via monkeypatched pairs
+    orig = q.q_minhash_pairs
+    q.q_minhash_pairs = lambda sf: pairs
+    try:
+        out = q.q_dedup_clusters("unused").to_pandas()
+    finally:
+        q.q_minhash_pairs = orig
+    # brute force: BFS components over the same edges
+    adj: dict = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        x, y = f"n{min(a, b):02d}", f"n{max(a, b):02d}"
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    seen, want = set(), {}
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        comp, stack = [], [start]
+        while stack:
+            v = stack.pop()
+            if v in seen:
+                continue
+            seen.add(v)
+            comp.append(v)
+            stack.extend(adj[v] - seen)
+        canon = min(comp)
+        for m in comp:
+            want[m] = (canon, len(comp))
+    got = {
+        r.doc_key: (r.canon_key, r.cluster_size) for r in out.itertuples()
+    }
+    assert got == want
