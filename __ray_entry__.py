@@ -28,6 +28,7 @@ oracles in raycells/pipelines/oracles.py):
   orders_by_segment, revenue_by_nation, global_stats, quantiles_qty,
   sessionize, dedup_exact, token_stats, normalize_text,
   sample_lineitem, stratified_sample (exact-n-per-stratum hash rank),
+  grouped_quantiles, top_bigrams (n-gram LM statistics),
   tfidf_terms (integer-quantized tf×idf, broadcast vocabulary),
   lang_id, events_daily, events_props_k,
   knn_embeddings — oracle-checked.
@@ -54,7 +55,7 @@ oracles in raycells/pipelines/oracles.py):
   exact-integer Lloyd k-means iterations as materialized SQL CTEs),
   approx_distinct_custs (HLL murmur finalizer + exact-integer
   harmonic-sum estimator), media_features (the plumbing metadata the
-  pipeline emits is shape arithmetic). Every one of the 55 driver
+  pipeline emits is shape arithmetic). Every one of the 57 driver
   queries hash-matches DuckDB.
 """
 
@@ -123,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": q.q_revenue_by_nation,
         "global_stats": q.q_global_stats,
         "quantiles_qty": q.q_quantiles_qty,
+        "grouped_quantiles": q.q_grouped_quantiles,
         "sessionize": q.q_sessionize,
         "dedup_exact": q.q_dedup_exact,
         "token_stats": q.q_token_stats,
@@ -130,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_lineitem": q.q_sample_lineitem,
         "stratified_sample": q.q_stratified_sample,
         "tfidf_terms": q.q_tfidf_terms,
+        "top_bigrams": q.q_top_bigrams,
         "lang_id": q.q_lang_id,
         "events_daily": q.q_events_daily,
         "events_props_k": q.q_events_props_k,

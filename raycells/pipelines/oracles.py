@@ -1591,6 +1591,14 @@ def build() -> dict:
         """,
         # exact-n-per-stratum deterministic sample (q_stratified_sample):
         # the same integer hash, ranked (hash, key) per segment
+        "grouped_quantiles": """
+            SELECT l_returnflag,
+                   CAST(quantile_disc(CAST(FLOOR(l_quantity + 0.5) AS BIGINT), 0.5) AS BIGINT) AS p50,
+                   CAST(quantile_disc(CAST(FLOOR(l_quantity + 0.5) AS BIGINT), 0.9) AS BIGINT) AS p90,
+                   CAST(quantile_disc(CAST(FLOOR(l_quantity + 0.5) AS BIGINT), 0.99) AS BIGINT) AS p99,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
+        """,
         "stratified_sample": """
             WITH keyed AS (
                 SELECT c_mktsegment,
@@ -1612,6 +1620,30 @@ def build() -> dict:
         # integer-quantized TF-IDF (q_tfidf_terms): tf × (N·10⁶ // df),
         # all integer — same string_split(' ') tokenization the
         # token_stats oracle already proves
+        "top_bigrams": """
+            WITH tl AS MATERIALIZED (
+                SELECT CAST(doc_id AS VARCHAR) AS dk,
+                       string_split(text, ' ') AS toks
+                FROM documents
+            ),
+            tpos AS MATERIALIZED (
+                SELECT dk, r.range AS pos,
+                       list_extract(toks, CAST(r.range + 1 AS INT)) AS tok
+                FROM tl, range(512) r WHERE r.range < len(toks)
+            ),
+            big AS (
+                SELECT a.tok || ' ' || b.tok AS bigram,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM tpos a JOIN tpos b ON b.dk = a.dk AND b.pos = a.pos + 1
+                GROUP BY 1
+            ),
+            ranked AS (
+                SELECT bigram, n,
+                       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, bigram) AS BIGINT) AS rank
+                FROM big
+            )
+            SELECT bigram, n, rank FROM ranked WHERE rank <= 20
+        """,
         "tfidf_terms": """
             WITH docs AS (
                 SELECT CAST(doc_id AS VARCHAR) AS dk, text FROM documents

@@ -1955,3 +1955,97 @@ def q_decontaminate(sf_dir: str):
     t = pa.concat_tables([_ray.get(r) for r in out])
     order = np.lexsort((np.asarray(t["doc_key"].to_pylist(), dtype=object),))
     return t.take(pa.array(order))
+
+
+def q_grouped_quantiles(sf_dir: str):
+    """Per-group exact quantiles over a discrete domain (the grouped
+    variant of q_quantiles_qty): per-batch (group, value) count partials
+    → one small composite-key groupby → driver-side cumulative pick per
+    group at ceil(q·n) (quantile_disc convention). The exchange moves
+    one row per distinct (group, value) per batch — groups × values
+    sized, never row sized."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        qty = _half_up(b["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        flags = b["l_returnflag"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"l_returnflag": flags, "qty": qty})
+        out = df.groupby(["l_returnflag", "qty"], sort=False).size().rename("n").reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        return shuffle_mod.from_pandas_clean(out)
+
+    hist = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby(["l_returnflag", "qty"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    for flag, sub in hist.groupby("l_returnflag", sort=True):
+        sub = sub.sort_values("qty")
+        total = int(sub["n"].sum())
+        cum = sub["n"].cumsum().to_numpy()
+        vals = sub["qty"].to_numpy()
+
+        def pick(q):
+            return int(vals[np.searchsorted(cum, int(np.ceil(q * total)))])
+
+        rows.append((flag, pick(0.5), pick(0.9), pick(0.99), total))
+    return pa.table(
+        {
+            "l_returnflag": pa.array([r[0] for r in rows], pa.string()),
+            "p50": pa.array([r[1] for r in rows], pa.int64()),
+            "p90": pa.array([r[2] for r in rows], pa.int64()),
+            "p99": pa.array([r[3] for r in rows], pa.int64()),
+            "n_rows": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
+def q_top_bigrams(sf_dir: str):
+    """Token-bigram counts — n-gram LM statistics over the corpus: the
+    top 20 bigrams by (count DESC, bigram ASC). Bigram extraction is one
+    vectorized shift-pair per batch (no exchange); counting is ONE
+    salted aggregate keyed by the bigram string; the top-k moves only
+    per-batch survivors (grouped_topk with a constant group)."""
+    from raycells.engine.joins import grouped_topk
+
+    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["text"])
+
+    def bigrams(b: pa.Table) -> pa.Table:
+        _, flat, parent = ta._split(b["text"])
+        toks = flat.to_numpy(zero_copy_only=False)
+        if toks.size < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        # pair token i with token i+1 WITHIN the same doc
+        same_doc = parent[1:] == parent[:-1]
+        left, right = toks[:-1][same_doc], toks[1:][same_doc]
+        big = np.char.add(np.char.add(left.astype(str), " "), right.astype(str))
+        vals, n = np.unique(big, return_counts=True)
+        return pa.table(
+            {"bigram": pa.array(vals), "n": pa.array(n.astype(np.int64))}
+        )
+
+    counted = shuffle_mod.salted_aggregate(
+        ds.map_batches(bigrams, batch_format="pyarrow"),
+        key="bigram",
+        sums=["n"],
+        count_alias="_nb",
+        salt=1,
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "bigram": b["bigram"],
+                "n": pc.cast(b["sum_n"], pa.int64()),
+                "_g": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = grouped_topk(counted, "_g", 20, "n", "bigram", ascending=(False, True))
+    return out.map_batches(
+        lambda b: b.select(["bigram", "n", "rank"]), batch_format="pyarrow"
+    )

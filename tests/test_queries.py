@@ -46,6 +46,7 @@ CHECKED = [
     "revenue_by_nation",
     "global_stats",
     "quantiles_qty",
+    "grouped_quantiles",
     "sessionize",
     "dedup_exact",
     "token_stats",
@@ -53,6 +54,7 @@ CHECKED = [
     "sample_lineitem",
     "stratified_sample",
     "tfidf_terms",
+    "top_bigrams",
     "lang_id",
     "events_daily",
     "events_props_k",
