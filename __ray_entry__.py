@@ -29,6 +29,8 @@ oracles in raycells/pipelines/oracles.py):
   sessionize, dedup_exact, token_stats, normalize_text,
   sample_lineitem, stratified_sample (exact-n-per-stratum hash rank),
   grouped_quantiles, top_bigrams (n-gram LM statistics),
+  jsonl_token_stats (sharded-JSONL source — source-format
+  independence vs the parquet oracle),
   tfidf_terms (integer-quantized tf×idf, broadcast vocabulary),
   lang_id, events_daily, events_props_k,
   knn_embeddings — oracle-checked.
@@ -55,7 +57,7 @@ oracles in raycells/pipelines/oracles.py):
   exact-integer Lloyd k-means iterations as materialized SQL CTEs),
   approx_distinct_custs (HLL murmur finalizer + exact-integer
   harmonic-sum estimator), media_features (the plumbing metadata the
-  pipeline emits is shape arithmetic). Every one of the 57 driver
+  pipeline emits is shape arithmetic). Every one of the 58 driver
   queries hash-matches DuckDB.
 """
 
@@ -128,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q.q_sessionize,
         "dedup_exact": q.q_dedup_exact,
         "token_stats": q.q_token_stats,
+        "jsonl_token_stats": q.q_jsonl_token_stats,
         "normalize_text": q.q_normalize_text,
         "sample_lineitem": q.q_sample_lineitem,
         "stratified_sample": q.q_stratified_sample,

@@ -270,3 +270,68 @@ def explode_media_spans(batch: pa.Table) -> pa.Table:
     )
     tbl = tbl.filter(pc.equal(tbl["kind"], "media"))
     return tbl.drop_columns(["kind"])
+
+
+# ---------------------------------------------------------------------------
+# JSONL document source (training-data interchange format)
+# ---------------------------------------------------------------------------
+
+def ensure_documents_jsonl(parquet_path: str, out_dir: str, n_shards: int = 4) -> str:
+    """Idempotently mirror a documents parquet table as sharded JSONL
+    (one object per line — the common training-data interchange format).
+    Sharding is deterministic by row position so re-runs are byte-stable;
+    a ``_DONE`` marker skips completed mirrors."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    t = pq.read_table(parquet_path)
+    cols = {name: t[name].to_pylist() for name in t.column_names}
+    n = t.num_rows
+    for s in range(n_shards):
+        with open(os.path.join(out_dir, f"part-{s:03d}.jsonl"), "w") as f:
+            for i in range(s, n, n_shards):
+                f.write(
+                    json.dumps(
+                        {k: cols[k][i] for k in t.column_names},
+                        ensure_ascii=False,
+                        sort_keys=True,
+                    )
+                )
+                f.write("\n")
+    with open(done, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def read_documents_jsonl(jsonl_dir: str, num_blocks: int = None):
+    """Documents from sharded JSONL via ``ray.data.read_json`` — the same
+    downstream schema as the parquet read, so every text operator works
+    unchanged on either source. Casts int columns back to int64
+    (read_json may widen/narrow per shard) and pins the block count like
+    the parquet reads (per-task driver overhead must not grow with
+    shard count)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    kw = {"override_num_blocks": num_blocks} if num_blocks else {}
+    ds = rd.read_json(jsonl_dir, file_extensions=["jsonl"], **kw)
+
+    def normalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "text": b["text"],
+                "lang": b["lang"],
+                "source": b["source"],
+                "n_chars": pc.cast(b["n_chars"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(normalize, batch_format="pyarrow")

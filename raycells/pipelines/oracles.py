@@ -1552,6 +1552,22 @@ def build() -> dict:
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok
             FROM documents GROUP BY lang
         """,
+        # identical rows from the JSONL mirror — source-format independence
+        "jsonl_token_stats": f"""
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN length(text) = 0 THEN 0
+                            ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS BIGINT)
+                       AS total_tokens,
+                   CAST(SUM({stop_expr}) AS BIGINT) AS total_stopword_hits,
+                   CAST(SUM(CASE WHEN
+                        (CASE WHEN length(text) = 0 THEN 0
+                              ELSE length(text) - length(replace(text, ' ', '')) + 1 END) >= 5
+                        AND 2 * length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) >= length(text)
+                        AND ({stop_expr}) >= 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok
+            FROM documents GROUP BY lang
+        """,
         "lang_id": f"""
             WITH scored AS (
                 SELECT lang,

@@ -1032,9 +1032,15 @@ def q_dedup_exact(sf_dir: str):
 
 def q_token_stats(sf_dir: str):
     """Token counting + quality scoring rolled up per language."""
+    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["lang", "text"])
+    return _token_stats_over(ds)
+
+
+def _token_stats_over(ds):
+    """The token_stats operator chain over any (lang, text) Dataset —
+    shared by the parquet and JSONL source variants."""
     from ray.data.aggregate import Count, Sum
 
-    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["lang", "text"])
     scored = ds.map_batches(
         lambda b: ta.quality_metrics(b, col="text"), batch_format="pyarrow"
     )
@@ -2049,3 +2055,20 @@ def q_top_bigrams(sf_dir: str):
     return out.map_batches(
         lambda b: b.select(["bigram", "n", "rank"]), batch_format="pyarrow"
     )
+
+
+def q_jsonl_token_stats(sf_dir: str):
+    """token_stats over a JSONL mirror of the documents table — proves
+    source-format independence: the sharded-JSONL read (the common
+    training-data interchange format) feeds the identical operator chain
+    and must hash-match the parquet-view oracle row for row. The mirror
+    is synthesized idempotently under /tmp from the sf's parquet."""
+    import hashlib
+
+    from raycells.io.docsource import ensure_documents_jsonl, read_documents_jsonl
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.blake2b(os.path.abspath(src).encode(), digest_size=6).hexdigest()
+    jdir = ensure_documents_jsonl(src, f"/tmp/raycells_jsonl/{tag}")
+    ds = read_documents_jsonl(jdir, num_blocks=SMALL_TABLE_BLOCKS)
+    return _token_stats_over(ds)

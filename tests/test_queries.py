@@ -50,6 +50,7 @@ CHECKED = [
     "sessionize",
     "dedup_exact",
     "token_stats",
+    "jsonl_token_stats",
     "normalize_text",
     "sample_lineitem",
     "stratified_sample",
