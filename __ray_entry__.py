@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_stats": q.q_global_stats,
         "quantiles_qty": q.q_quantiles_qty,
         "grouped_quantiles": q.q_grouped_quantiles,
+        "quantiles_price": q.q_quantiles_price,
         "sessionize": q.q_sessionize,
         "dedup_exact": q.q_dedup_exact,
         "token_stats": q.q_token_stats,

@@ -1607,6 +1607,13 @@ def build() -> dict:
         """,
         # exact-n-per-stratum deterministic sample (q_stratified_sample):
         # the same integer hash, ranked (hash, key) per segment
+        "quantiles_price": """
+            SELECT quantile_disc(l_extendedprice, 0.5) AS p50,
+                   quantile_disc(l_extendedprice, 0.9) AS p90,
+                   quantile_disc(l_extendedprice, 0.99) AS p99,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM lineitem
+        """,
         "grouped_quantiles": """
             SELECT l_returnflag,
                    CAST(quantile_disc(CAST(FLOOR(l_quantity + 0.5) AS BIGINT), 0.5) AS BIGINT) AS p50,

@@ -2072,3 +2072,77 @@ def q_jsonl_token_stats(sf_dir: str):
     jdir = ensure_documents_jsonl(src, f"/tmp/raycells_jsonl/{tag}")
     ds = read_documents_jsonl(jdir, num_blocks=SMALL_TABLE_BLOCKS)
     return _token_stats_over(ds)
+
+
+def q_quantiles_price(sf_dir: str):
+    """EXACT quantiles over a continuous (≈all-distinct) column via
+    two-pass distributed selection — the scale path the discrete
+    histogram can't take (583k distinct prices at sf0.1 would make the
+    driver row-scale): pass 1 counts per 4096 monotone value ranges
+    (driver gets ≤ 4096 rows), the rank arithmetic picks the target
+    range per quantile, pass 2 streams ONLY those ranges' values back
+    (≈ n/4096 rows each) for the exact element pick. The result is an
+    element of the column — elementwise-exact, so the DuckDB
+    quantile_disc oracle hash-matches bit for bit."""
+    import ray
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    g = ds.aggregate(Min("l_extendedprice"), Max("l_extendedprice"), Count())
+    lo = float(g["min(l_extendedprice)"])
+    hi = float(g["max(l_extendedprice)"])
+    n = int(g["count()"])
+    K = 4096
+    span = hi - lo or 1.0
+
+    def bcounts(b: pa.Table) -> pa.Table:
+        v = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        idx = np.clip(((v - lo) * K / span).astype(np.int64), 0, K - 1)
+        u, c = np.unique(idx, return_counts=True)
+        return pa.table({"bucket": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+    hist = (
+        ds.map_batches(bcounts, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    cum = hist["n"].cumsum().to_numpy()
+    buckets = hist["bucket"].to_numpy()
+    targets = {}
+    for q in (0.5, 0.9, 0.99):
+        r = int(np.ceil(q * n))  # 1-based rank, quantile_disc convention
+        j = int(np.searchsorted(cum, r))
+        targets[q] = (int(buckets[j]), r - (int(cum[j - 1]) if j else 0))
+    need = np.array(sorted({b for b, _ in targets.values()}), dtype=np.int64)
+    need_ref = ray.put(need)
+
+    class Grab:
+        def __init__(self, ref):
+            self.need = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            v = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            idx = np.clip(((v - lo) * K / span).astype(np.int64), 0, K - 1)
+            keep = np.isin(idx, self.need)
+            return pa.table(
+                {"bucket": pa.array(idx[keep]), "value": pa.array(v[keep])}
+            )
+
+    picked = (
+        ds.map_batches(stages.broadcast_task(Grab, need_ref), batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = {}
+    for q, (b, k) in targets.items():
+        vals = np.sort(picked.loc[picked["bucket"] == b, "value"].to_numpy())
+        out[q] = float(vals[k - 1])
+    return pa.table(
+        {
+            "p50": pa.array([out[0.5]], pa.float64()),
+            "p90": pa.array([out[0.9]], pa.float64()),
+            "p99": pa.array([out[0.99]], pa.float64()),
+            "n_rows": pa.array([n], pa.int64()),
+        }
+    )

@@ -47,6 +47,7 @@ CHECKED = [
     "global_stats",
     "quantiles_qty",
     "grouped_quantiles",
+    "quantiles_price",
     "sessionize",
     "dedup_exact",
     "token_stats",
