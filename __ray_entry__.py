@@ -32,6 +32,9 @@ oracles in raycells/pipelines/oracles.py):
   jsonl_token_stats (sharded-JSONL source — source-format
   independence vs the parquet oracle),
   tfidf_terms (integer-quantized tf×idf, broadcast vocabulary),
+  repetition_filter (Gopher-style dup-token/dup-bigram quality flag),
+  token_cooccurrence (PMI-style lift via per-batch incidence-matrix
+  products), redact_props (RE2 digit-run scrubbing roll-up),
   lang_id, events_daily, events_props_k,
   knn_embeddings — oracle-checked.
 - co-partitioned join/window family (engine/joins.py):
@@ -137,6 +140,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q.q_stratified_sample,
         "tfidf_terms": q.q_tfidf_terms,
         "top_bigrams": q.q_top_bigrams,
+        "repetition_filter": q.q_repetition_filter,
+        "token_cooccurrence": q.q_token_cooccurrence,
+        "redact_props": q.q_redact_props,
         "lang_id": q.q_lang_id,
         "events_daily": q.q_events_daily,
         "events_props_k": q.q_events_props_k,

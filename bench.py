@@ -141,6 +141,9 @@ PIPELINES = {
     "stratified_sample": "q_stratified_sample",
     "dedup_clusters": "q_dedup_clusters",
     "decontaminate": "q_decontaminate",
+    "repetition_filter": "q_repetition_filter",
+    "token_cooccurrence": "q_token_cooccurrence",
+    "redact_props": "q_redact_props",
 }
 
 

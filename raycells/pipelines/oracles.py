@@ -1697,6 +1697,112 @@ def build() -> dict:
             SELECT doc_key, token, tf, df, tfidf_e6, rank
             FROM ranked WHERE rank <= 3
         """,
+        # Gopher-style repetition filter (q_repetition_filter): per-doc
+        # duplicate-token / duplicate-bigram integer counts, flag when
+        # dup-token fraction > 1/2 OR dup-bigram fraction > 1/4 (both as
+        # cross-multiplied integer comparisons), rolled up per source.
+        # Bigrams via the same positional range/list_extract trick as
+        # top_bigrams; distinct pairs keyed a||chr(1)||b (tokens are
+        # space-split so chr(1) never collides).
+        "repetition_filter": """
+            WITH tl AS MATERIALIZED (
+                SELECT source, CAST(doc_id AS VARCHAR) AS dk,
+                       string_split(text, ' ') AS toks
+                FROM documents
+            ),
+            base AS (
+                SELECT source, dk,
+                       CAST(len(toks) AS BIGINT) AS n_tokens,
+                       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+                FROM tl
+            ),
+            tpos AS MATERIALIZED (
+                SELECT dk, r.range AS pos,
+                       list_extract(toks, CAST(r.range + 1 AS INT)) AS tok
+                FROM tl, range(512) r WHERE r.range < len(toks)
+            ),
+            big AS (
+                SELECT a.dk,
+                       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                       CAST(COUNT(DISTINCT a.tok || chr(1) || b.tok) AS BIGINT)
+                           AS n_dbig
+                FROM tpos a JOIN tpos b ON b.dk = a.dk AND b.pos = a.pos + 1
+                GROUP BY a.dk
+            ),
+            perdoc AS (
+                SELECT base.source, base.n_tokens, base.n_distinct,
+                       COALESCE(big.n_bigrams, 0) AS n_bigrams,
+                       COALESCE(big.n_dbig, 0) AS n_dbig
+                FROM base LEFT JOIN big ON big.dk = base.dk
+            )
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN (n_tokens - n_distinct) * 2 > n_tokens
+                                   OR (n_bigrams - n_dbig) * 4 > n_bigrams
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+                   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+                   CAST(SUM(n_distinct) AS BIGINT) AS sum_distinct_tokens,
+                   CAST(SUM(n_bigrams) AS BIGINT) AS sum_bigrams,
+                   CAST(SUM(n_dbig) AS BIGINT) AS sum_distinct_bigrams
+            FROM perdoc GROUP BY source
+        """,
+        # token co-occurrence lift (q_token_cooccurrence): unordered
+        # token pairs within a doc's DISTINCT token set; lift_e6 =
+        # n_both·N·10⁶ // (df_a·df_b) — exact integers end to end, so
+        # the hash matches the incidence-matrix-product Ray path.
+        "token_cooccurrence": """
+            WITH dt AS MATERIALIZED (
+                SELECT DISTINCT CAST(doc_id AS VARCHAR) AS dk,
+                       unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            ),
+            dfreq AS (
+                SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+                FROM dt GROUP BY tok
+            ),
+            pairs AS (
+                SELECT a.tok AS tok_a, b.tok AS tok_b,
+                       CAST(COUNT(*) AS BIGINT) AS n_both
+                FROM dt a JOIN dt b ON b.dk = a.dk AND a.tok < b.tok
+                GROUP BY a.tok, b.tok
+            ),
+            scored AS (
+                SELECT p.tok_a, p.tok_b, p.n_both,
+                       da.df AS df_a, db.df AS df_b,
+                       CAST(p.n_both
+                            * (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+                            * 1000000 // (da.df * db.df) AS BIGINT) AS lift_e6
+                FROM pairs p
+                JOIN dfreq da ON da.tok = p.tok_a
+                JOIN dfreq db ON db.tok = p.tok_b
+            ),
+            ranked AS (
+                SELECT *,
+                       CAST(ROW_NUMBER() OVER (
+                           ORDER BY lift_e6 DESC, tok_a, tok_b) AS BIGINT)
+                           AS rank
+                FROM scored
+            )
+            SELECT tok_a, tok_b, n_both, df_a, df_b, lift_e6, rank
+            FROM ranked WHERE rank <= 30
+        """,
+        # PII-style digit-run scrub (q_redact_props): DuckDB and Arrow
+        # both run RE2, so regexp_replace(props,'[0-9]+','#','g') is
+        # byte-identical to pc.replace_substring_regex on the Ray side.
+        "redact_props": """
+            WITH red AS (
+                SELECT event_type, props,
+                       regexp_replace(props, '[0-9]+', '#', 'g') AS r
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN r <> props THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_changed,
+                   CAST(SUM(length(props)) AS BIGINT) AS sum_len_orig,
+                   CAST(SUM(length(r)) AS BIGINT) AS sum_len_redacted
+            FROM red GROUP BY event_type
+        """,
         "events_daily": """
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
                    CAST(count(*) AS BIGINT) AS n_events,

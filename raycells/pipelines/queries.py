@@ -2146,3 +2146,202 @@ def q_quantiles_price(sf_dir: str):
             "n_rows": pa.array([n], pa.int64()),
         }
     )
+
+
+def q_repetition_filter(sf_dir: str):
+    """Gopher-style repetition quality filter, rolled up per source:
+    per-doc duplicate-token and duplicate-bigram fractions (kept as
+    exact integer counts so the DuckDB oracle hash-matches), and the
+    derived "repetitive" flag — dup-token fraction > 1/2 OR dup-bigram
+    fraction > 1/4. Shape at scale: every per-doc metric is row-local
+    (one vectorized pass per batch, no exchange), the map-side combine
+    reduces each batch to ≤ |sources| partial rows, and the only
+    exchange is the final tiny per-source groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["source", "text"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        _, flat, parent = ta._split(b["text"])
+        toks = flat.to_numpy(zero_copy_only=False)
+        n = b.num_rows
+        n_tokens = np.bincount(parent, minlength=n).astype(np.int64)
+        d = pd.DataFrame({"p": parent, "t": toks}).drop_duplicates()
+        n_distinct = np.bincount(d["p"].to_numpy(), minlength=n).astype(np.int64)
+        same = parent[1:] == parent[:-1]
+        bp = parent[1:][same]
+        n_bigrams = np.bincount(bp, minlength=n).astype(np.int64)
+        bd = pd.DataFrame(
+            {"p": bp, "a": toks[:-1][same], "b": toks[1:][same]}
+        ).drop_duplicates()
+        n_dbig = np.bincount(bd["p"].to_numpy(), minlength=n).astype(np.int64)
+        repetitive = ((n_tokens - n_distinct) * 2 > n_tokens) | (
+            (n_bigrams - n_dbig) * 4 > n_bigrams
+        )
+        agg = (
+            pd.DataFrame(
+                {
+                    "source": b["source"].to_numpy(zero_copy_only=False),
+                    "n_docs": np.ones(n, np.int64),
+                    "n_repetitive": repetitive.astype(np.int64),
+                    "sum_tokens": n_tokens,
+                    "sum_distinct_tokens": n_distinct,
+                    "sum_bigrams": n_bigrams,
+                    "sum_distinct_bigrams": n_dbig,
+                }
+            )
+            .groupby("source", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return shuffle_mod.from_pandas_clean(agg)
+
+    out = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            *[
+                Sum(c, alias_name=c)
+                for c in (
+                    "n_docs",
+                    "n_repetitive",
+                    "sum_tokens",
+                    "sum_distinct_tokens",
+                    "sum_bigrams",
+                    "sum_distinct_bigrams",
+                )
+            ]
+        )
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "source": t["source"],
+            **{
+                c: pc.cast(t[c], pa.int64())
+                for c in (
+                    "n_docs",
+                    "n_repetitive",
+                    "sum_tokens",
+                    "sum_distinct_tokens",
+                    "sum_bigrams",
+                    "sum_distinct_bigrams",
+                )
+            },
+        }
+    )
+
+
+def q_token_cooccurrence(sf_dir: str):
+    """Token co-occurrence lift statistics (PMI-style, integer-quantized):
+    for unordered token pairs (a < b), n_both = #docs containing both,
+    lift_e6 = n_both·N·10⁶ // (df_a·df_b) — exact integers throughout,
+    top 30 by (lift_e6 DESC, tok_a, tok_b). Shape at scale: each batch
+    reduces to a vocab²-bounded partial via ONE incidence-matrix product
+    (docs×vocab booleans, M.T@M — no per-row Python, no d² pair
+    enumeration); the exchange carries only vocab²-bounded partial rows;
+    the final score/rank runs on the vocabulary-sized aggregate. For an
+    open web-scale vocabulary, pre-hash tokens into 2^k buckets so the
+    partial stays bounded (same trick as the salted cell aggregate)."""
+    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["doc_id", "text"])
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")
+    ).metadata.num_rows
+
+    def pair_partials(b: pa.Table) -> pa.Table:
+        _, flat, parent = ta._split(b["text"])
+        toks = flat.to_numpy(zero_copy_only=False)
+        d = pd.DataFrame({"p": parent, "t": toks}).drop_duplicates()
+        codes, uniq = pd.factorize(d["t"], sort=True)
+        v = len(uniq)
+        m = np.zeros((b.num_rows, v), dtype=np.int64)
+        m[d["p"].to_numpy(), codes] = 1
+        c = m.T @ m
+        iu, ju = np.triu_indices(v, k=0)  # k=0: diagonal carries df(tok)
+        n_both = c[iu, ju]
+        keep = n_both > 0
+        u = np.asarray(uniq, dtype=object)
+        return pa.table(
+            {
+                "tok_a": pa.array(u[iu[keep]], pa.string()),
+                "tok_b": pa.array(u[ju[keep]], pa.string()),
+                "n": pa.array(n_both[keep], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    # The partial stream is vocab²-bounded (≤ a few hundred rows per
+    # batch here), so a plain multi-key groupby is the right exchange —
+    # no salting needed when the map side already collapsed the data.
+    merged = (
+        ds.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby(["tok_a", "tok_b"])
+        .aggregate(Sum("n", alias_name="sum_n"))
+        .to_pandas()
+    )
+    diag = merged[merged["tok_a"] == merged["tok_b"]]
+    df_map = dict(zip(diag["tok_a"], diag["sum_n"].astype(np.int64)))
+    pairs = merged[merged["tok_a"] != merged["tok_b"]].copy()
+    df_a = pairs["tok_a"].map(df_map).to_numpy(np.int64)
+    df_b = pairs["tok_b"].map(df_map).to_numpy(np.int64)
+    n_both = pairs["sum_n"].to_numpy(np.int64)
+    lift = (n_both * np.int64(n_docs) * np.int64(1_000_000)) // (df_a * df_b)
+    out = pd.DataFrame(
+        {
+            "tok_a": pairs["tok_a"].to_numpy(),
+            "tok_b": pairs["tok_b"].to_numpy(),
+            "n_both": n_both,
+            "df_a": df_a,
+            "df_b": df_b,
+            "lift_e6": lift,
+        }
+    ).sort_values(["lift_e6", "tok_a", "tok_b"], ascending=[False, True, True])
+    out = out.head(30).reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_redact_props(sf_dir: str):
+    """PII-style regex scrubbing (digit runs → '#') over the events
+    props payload, rolled up per event type: rows touched and exact
+    length deltas. Arrow's RE2 ``replace_substring_regex`` mirrors
+    DuckDB's RE2 ``regexp_replace(..., 'g')`` byte-for-byte, so the
+    oracle hash-matches. Shape at scale: the scrub is a zero-exchange
+    vectorized batch kernel; only ≤ |event_type| partial rows shuffle."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", SMALL_TABLE_BLOCKS, columns=["event_type", "props"])
+
+    def scrub(b: pa.Table) -> pa.Table:
+        props = b["props"]
+        red = pc.replace_substring_regex(props, "[0-9]+", "#")
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "changed": pc.cast(pc.not_equal(red, props), pa.int64()),
+                "len_orig": pc.cast(pc.utf8_length(props), pa.int64()),
+                "len_red": pc.cast(pc.utf8_length(red), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(scrub, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n_rows"),
+            Sum("changed", alias_name="n_changed"),
+            Sum("len_orig", alias_name="sum_len_orig"),
+            Sum("len_red", alias_name="sum_len_redacted"),
+        )
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "event_type": t["event_type"],
+            **{
+                c: pc.cast(t[c], pa.int64())
+                for c in ("n_rows", "n_changed", "sum_len_orig", "sum_len_redacted")
+            },
+        }
+    )

@@ -57,6 +57,9 @@ CHECKED = [
     "stratified_sample",
     "tfidf_terms",
     "top_bigrams",
+    "repetition_filter",
+    "token_cooccurrence",
+    "redact_props",
     "lang_id",
     "events_daily",
     "events_props_k",
