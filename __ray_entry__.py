@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_digest": q.q_span_digest,
         "band_tile_stats": q.q_band_tile_stats,
         "cell_agg_band": q.q_cell_agg_band,
+        "cell_agg_s2face": q.q_cell_agg_s2face,  # TRUE cube-face S2 keying
         "top_dense_cells": q.q_top_dense_cells,
         "ndvi_stats": q.q_ndvi_stats,
         "resample_tiles": q.q_resample_tiles,

@@ -3,12 +3,19 @@
 No ``h3``/``s2sphere`` wheels exist in this environment, so this module
 implements the published S2 cell-id *scheme* — a space-filling Hilbert
 curve over a hierarchical quad subdivision, with the level encoded as a
-trailing set bit so parent/child relations are bit operations — on an
-equirectangular single-face projection (lon×lat grid) instead of the
-icosahedral/cube-face projection. The narrow API (encode / decode /
-parent / children / neighbors / ring / grid containment) is what the
-engine relies on, so a true H3 or cube-face S2 backend can be slotted in
-behind it later (SURVEY.md §7.4).
+trailing set bit so parent/child relations are bit operations — with TWO
+projections behind one narrow API (encode / decode / parent / children /
+neighbors / ring / grid containment):
+
+- ``encode``/``decode``: equirectangular single face (lon×lat grid) —
+  cheap, and what the kNN ring expansion assumes (a torus in x);
+- ``encode_cube``/``decode_cube``: the TRUE cube-face S2 projection
+  (SURVEY.md §7.4) — unit vector → dominant-axis face → gnomonic (u,v)
+  → quadratic st → per-face Hilbert, packed exactly like S2CellId
+  (face in bits 61-63). Area distortion is bounded (≤ ~2.1× edge/center
+  per face) instead of the equirectangular pole blow-up. Oracle-checked
+  distributed via q_cell_agg_s2face (every float expression mirrored
+  token-for-token in SQL; numpy and DuckDB bind libm bit-identically).
 
 ID layout (level L ∈ [0, MAX_LEVEL=30]):
 
@@ -45,6 +52,9 @@ __all__ = [
     "grid_cell",
     "GRID_RES",
     "GRID_NX",
+    "encode_cube",
+    "decode_cube",
+    "encode_with_projection",
 ]
 
 
@@ -371,3 +381,4 @@ def encode_with_projection(lon, lat, level: int, projection: str = "equirect"):
     if projection == "cube":
         return encode_cube(lon, lat, level)
     raise ValueError(f"unknown projection: {projection!r}")
+

@@ -190,19 +190,26 @@ etile AS (
 """
 
 
-def _hilbert_chain(src: str, level: int = 8) -> str:
+def _hilbert_chain(src: str, level: int = 8, x_expr: str = None, y_expr: str = None) -> str:
     """CTE chain computing the level-``level`` Hilbert cell id of each
     row's (lon, lat) — the geo/cellid.py encode() algorithm unrolled to
     ``level`` SQL steps (rotate-and-accumulate per bit plane, n = 2^level
     in the flip, matching xy2d's canonical rot). Emits CTE ``hcells`` =
-    ``src`` columns + ``cell_id`` (BIGINT; the id fits in 62 bits)."""
+    ``src`` columns + ``cell_id`` (BIGINT; the id fits in 62 bits).
+    ``x_expr``/``y_expr`` override the grid-coordinate inputs (already
+    clamped BIGINT expressions over ``src``'s columns) — used by the
+    cube-face chain, which feeds (si, ti) instead of lon/lat."""
     n = 1 << level
+    if x_expr is None:
+        x_expr = f"LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * {n}) AS BIGINT), 0), {n - 1})"
+    if y_expr is None:
+        y_expr = f"LEAST(GREATEST(CAST(floor((lat + 90.0) / 180.0 * {n}) AS BIGINT), 0), {n - 1})"
     parts = [
         f"""
 , h0 AS (
     SELECT *,
-        LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * {n}) AS BIGINT), 0), {n - 1}) AS hx0,
-        LEAST(GREATEST(CAST(floor((lat + 90.0) / 180.0 * {n}) AS BIGINT), 0), {n - 1}) AS hy0,
+        {x_expr} AS hx0,
+        {y_expr} AS hy0,
         CAST(0 AS BIGINT) AS hd0
     FROM {src}
 )"""
@@ -237,6 +244,55 @@ def _hilbert_chain(src: str, level: int = 8) -> str:
 )"""
     )
     return "".join(parts)
+
+
+def _s2face_chain(level: int = 6) -> str:
+    """CTE chain computing the TRUE cube-face S2 cell of each ``geo``
+    row (geo/cellid.encode_cube): unit vector → dominant-axis face
+    (the nested sign/argmax np.where chain mirrored as nested CASEs) →
+    gnomonic (u, v) from the S2 face table → quadratic st → clamped
+    (si, ti) → the unrolled Hilbert chain. Emits ``hcells`` with
+    ``face`` (0-5) and ``cell_id`` (within-face id, ≤ 61 bits).
+    Every float expression matches the numpy tree token-for-token
+    (radians → cos/sin → divide → sqrt); those libm kernels are
+    bit-identical across numpy and DuckDB here, verified over the full
+    centroid lattice."""
+    n = 1 << level
+
+    def st(w: str) -> str:
+        return (
+            f"CASE WHEN {w} >= 0.0 THEN 0.5 * sqrt(1.0 + 3.0 * {w}) "
+            f"ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * {w}) END"
+        )
+
+    return f"""
+, s2xyz AS (
+    SELECT *,
+           cos(radians(lat)) * cos(radians(lon)) AS px,
+           cos(radians(lat)) * sin(radians(lon)) AS py,
+           sin(radians(lat)) AS pz
+    FROM geo
+), s2f AS (
+    SELECT *,
+           CASE WHEN abs(px) >= abs(py) AND abs(px) >= abs(pz)
+                THEN (CASE WHEN px >= 0.0 THEN 0 ELSE 3 END)
+                WHEN abs(py) >= abs(pz)
+                THEN (CASE WHEN py >= 0.0 THEN 1 ELSE 4 END)
+                ELSE (CASE WHEN pz >= 0.0 THEN 2 ELSE 5 END) END AS face
+    FROM s2xyz
+), s2uv AS (
+    SELECT *,
+           CASE face WHEN 0 THEN py / px WHEN 1 THEN -px / py WHEN 2 THEN -px / pz
+                     WHEN 3 THEN pz / px WHEN 4 THEN pz / py ELSE -py / pz END AS s2u,
+           CASE face WHEN 0 THEN pz / px WHEN 1 THEN pz / py WHEN 2 THEN -py / pz
+                     WHEN 3 THEN py / px WHEN 4 THEN -px / py ELSE -px / pz END AS s2v
+    FROM s2f
+), s2st AS (
+    SELECT *,
+           LEAST(GREATEST(CAST(floor(({st('s2u')}) * {n}) AS BIGINT), 0), {n - 1}) AS si,
+           LEAST(GREATEST(CAST(floor(({st('s2v')}) * {n}) AS BIGINT), 0), {n - 1}) AS ti
+    FROM s2uv
+)""" + _hilbert_chain("s2st", level=level, x_expr="si", y_expr="ti")
 
 
 def _fingerprint_sql() -> str:
@@ -1075,6 +1131,20 @@ def build() -> dict:
                    MIN(min_val) AS min_min_val,
                    MAX(max_val) AS max_max_val
             FROM gridded GROUP BY grid_cell
+        """,
+        # TRUE cube-face S2 cells (q_cell_agg_s2face): the full published
+        # projection — xyz, dominant-axis face, gnomonic uv, quadratic
+        # st, per-face Hilbert — reproduced in SQL at level 6
+        "cell_agg_s2face": _BAND_STATS + _GRID + _s2face_chain(6)
+        + """
+            SELECT CAST(face AS BIGINT) AS face, cell_id,
+                   CAST(count(*) AS BIGINT) AS n_tiles,
+                   CAST(SUM(valid_count) AS BIGINT) AS sum_valid_count,
+                   CAST(SUM(nodata_count) AS BIGINT) AS sum_nodata_count,
+                   CAST(SUM(sum_val) AS BIGINT) AS sum_sum_val,
+                   MIN(min_val) AS min_min_val,
+                   MAX(max_val) AS max_max_val
+            FROM hcells GROUP BY face, cell_id
         """,
         "knn_tiles": _MEDIA + _KNN_TAIL,
         # exact PIP join (even-odd ray cast over the unnested edge table):

@@ -450,6 +450,55 @@ def q_cell_agg_band(sf_dir: str):
     )
 
 
+def q_cell_agg_s2face(sf_dir: str):
+    """Per-cell tile-stats aggregate keyed by the TRUE cube-face S2
+    projection (geo/cellid.encode_cube, level 6) instead of the
+    equirectangular grid — closes SURVEY §7.4's face-projection row
+    with an exact oracle (the SQL side reproduces unit vector →
+    dominant-axis face → gnomonic uv → quadratic st → unrolled Hilbert;
+    IEEE expression trees mirrored token-for-token, and this platform's
+    numpy and DuckDB bind libm radians/cos/sin bit-identically). The
+    packed uint64 id crosses the exchange as its int64 BIT PATTERN
+    (faces 4-5 set bit 63 — the repo's standard uint64-carry
+    convention); face and within-face id split out only at the end."""
+    from raycells.geo import cellid
+
+    tiles = _exploded(sf_dir).map_batches(
+        lambda b: stages.band_stats(b, band=4), batch_format="pyarrow"
+    )
+
+    def key(b: pa.Table) -> pa.Table:
+        lon = b["lon"].to_numpy(zero_copy_only=False)
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        packed = cellid.encode_cube(lon, lat, 6)
+        return b.append_column("s2_key", pa.array(packed.view(np.int64), pa.int64()))
+
+    agg = shuffle_mod.salted_aggregate(
+        tiles.map_batches(key, batch_format="pyarrow"),
+        key="s2_key",
+        sums=("valid_count", "nodata_count", "sum_val"),
+        mins=("min_val",),
+        maxs=("max_val",),
+        count_alias="n_tiles",
+        salt_col="doc_id",
+    ).to_pandas()
+    packed = agg["s2_key"].to_numpy(np.int64).view(np.uint64)
+    face = (packed >> np.uint64(61)).astype(np.int64)
+    local = (packed & ((np.uint64(1) << np.uint64(61)) - np.uint64(1))).astype(np.int64)
+    return pa.table(
+        {
+            "face": pa.array(face, pa.int64()),
+            "cell_id": pa.array(local, pa.int64()),
+            "n_tiles": pa.array(agg["n_tiles"].to_numpy(np.int64)),
+            "sum_valid_count": pa.array(agg["sum_valid_count"].to_numpy(np.int64)),
+            "sum_nodata_count": pa.array(agg["sum_nodata_count"].to_numpy(np.int64)),
+            "sum_sum_val": pa.array(agg["sum_sum_val"].to_numpy(np.int64)),
+            "min_min_val": pa.array(agg["min_min_val"].to_numpy(np.int64)),
+            "max_max_val": pa.array(agg["max_max_val"].to_numpy(np.int64)),
+        }
+    )
+
+
 def q_tile_type_hist(sf_dir: str):
     """Runtime-dynamic cell-TYPE system exercised distributed: per
     CellType, tile count, total cells, and total payload bytes

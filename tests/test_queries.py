@@ -23,6 +23,7 @@ CHECKED = [
     "explode_media",
     "span_digest",
     "cell_agg_band",
+    "cell_agg_s2face",
     "ndvi_stats",
     "resample_tiles",
     "resample_bilinear",
