@@ -121,6 +121,7 @@ def run_flagship(sf_dir: str, docs_dir: str = None) -> dict:
 
 PIPELINES = {
     "cell_agg_band": "q_cell_agg_band",
+    "cell_agg_s2face": "q_cell_agg_s2face",
     "pip_join_counts": "q_pip_join_counts",
     "zonal_stats": "q_zonal_stats",
     "knn_tiles": "q_knn_tiles",
