@@ -931,15 +931,16 @@ def q_revenue_by_nation(sf_dir: str):
 
 def q_lineitem_pricing(sf_dir: str):
     """TPC-H-Q1-style grouped aggregate with per-row computed columns;
-    multi-key Ray groupby + final rounding (both sides ROUND to 2)."""
-    from ray.data.aggregate import Count, Sum
-
+    multi-key map-side combine + driver fold (both sides ROUND to 2)."""
     ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax"])
 
     def derive(b: pa.Table) -> pa.Table:
         # exact integer units per row (prices/discounts/taxes have 2
         # decimals): summing int64 is order-independent, so the DuckDB
         # oracle matches bit-for-bit — no float-rounding coin flips.
+        # MAP-SIDE COMBINE: the group key has ≤ 6 distinct values, so
+        # each batch collapses to ≤ 6 partial rows before the exchange —
+        # the groupby shuffles O(blocks·groups) rows, not O(input).
         ep_c = _half_up(
             b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
         ).astype(np.int64)
@@ -950,51 +951,63 @@ def q_lineitem_pricing(sf_dir: str):
             np.int64
         )
         disc_e4 = ep_c * (100 - dc_c)
-        return pa.table(
+        df = pd.DataFrame(
             {
-                "l_returnflag": b["l_returnflag"],
-                "l_linestatus": b["l_linestatus"],
-                "qty": pa.array(
-                    _half_up(b["l_quantity"].to_numpy(zero_copy_only=False)).astype(
-                        np.int64
-                    )
-                ),
-                "disc_price_e4": pa.array(disc_e4),
-                "charge_e6": pa.array(disc_e4 * (100 + tx_c)),
+                "l_returnflag": b["l_returnflag"].to_numpy(zero_copy_only=False),
+                "l_linestatus": b["l_linestatus"].to_numpy(zero_copy_only=False),
+                "qty": _half_up(
+                    b["l_quantity"].to_numpy(zero_copy_only=False)
+                ).astype(np.int64),
+                "disc_price_e4": disc_e4,
+                "charge_e6": disc_e4 * (100 + tx_c),
             }
         )
-
-    agg = (
-        ds.map_batches(derive, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Count(),
-            Sum("qty", alias_name="sum_qty"),
-            Sum("disc_price_e4", alias_name="sum_disc_price_e4"),
-            Sum("charge_e6", alias_name="sum_charge_e6"),
+        part = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(
+                count_order=("qty", "size"),
+                sum_qty=("qty", "sum"),
+                sum_disc_price_e4=("disc_price_e4", "sum"),
+                sum_charge_e6=("charge_e6", "sum"),
+            )
+            .reset_index()
         )
+        return shuffle_mod.from_pandas_clean(part)
+
+    # Final merge is a DRIVER FOLD over the combiner output — the
+    # collected set is O(blocks × groups) rows (384 here; bounded by the
+    # combiner, like HLL register merges), so no all-to-all is needed.
+    # Measured: Ray's sort Aggregate added ~2 s of pure exchange fixed
+    # cost to merge 384 rows into 6. At cluster scale with very many
+    # blocks, tree-fold the partials (repartition → second combine)
+    # before the driver collect.
+    parts = ds.map_batches(derive, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.groupby(["l_returnflag", "l_linestatus"], sort=False)
+        .sum()
+        .reset_index()
     )
-
-    def finalize(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "l_returnflag": t["l_returnflag"],
-                "l_linestatus": t["l_linestatus"],
-                "count_order": pc.cast(t["count()"], pa.int64()),
-                "sum_qty": pc.cast(t["sum_qty"], pa.int64()),
-                "sum_disc_price_e4": pc.cast(t["sum_disc_price_e4"], pa.int64()),
-                "sum_charge_e6": pc.cast(t["sum_charge_e6"], pa.int64()),
-            }
-        )
-
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    return pa.table(
+        {
+            "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+            "l_linestatus": pa.array(out["l_linestatus"], pa.string()),
+            **{
+                c: pa.array(out[c].to_numpy(np.int64))
+                for c in (
+                    "count_order",
+                    "sum_qty",
+                    "sum_disc_price_e4",
+                    "sum_charge_e6",
+                )
+            },
+        }
+    )
 
 
 def q_orders_by_segment(sf_dir: str):
     """Broadcast hash join (orders ⋈ customer on custkey — the small side
     rides the object store once) + grouped aggregate per market segment."""
     import ray
-    from ray.data.aggregate import Count, Sum
 
     cust = pq.read_table(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
@@ -1017,32 +1030,33 @@ def q_orders_by_segment(sf_dir: str):
             price_c = _half_up(
                 b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
             ).astype(np.int64)
-            t = pa.table(
-                {
-                    "c_mktsegment": pa.array(list(seg), pa.string()),
-                    "price_c": pa.array(price_c),
-                }
+            # MAP-SIDE COMBINE: ≤ |segments| partial rows leave each
+            # batch, so the groupby exchange is O(blocks·segments)
+            part = (
+                pd.DataFrame({"c_mktsegment": seg, "price_c": price_c})
+                .dropna(subset=["c_mktsegment"])
+                .groupby("c_mktsegment", sort=False)
+                .agg(n_orders=("price_c", "size"), sum_totalprice_c=("price_c", "sum"))
+                .reset_index()
             )
-            return t.filter(pc.is_valid(t["c_mktsegment"]))
+            return shuffle_mod.from_pandas_clean(part)
 
-    agg = (
+    # driver fold over O(blocks × segments) combiner rows — see
+    # q_lineitem_pricing for the measured rationale
+    parts = (
         _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
         .map_batches(stages.broadcast_task(SegmentJoiner, side_ref),
                      batch_format="pyarrow")
-        .groupby("c_mktsegment")
-        .aggregate(Count(), Sum("price_c", alias_name="sum_totalprice_c"))
+        .to_pandas()
     )
-
-    def finalize(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "c_mktsegment": t["c_mktsegment"],
-                "n_orders": pc.cast(t["count()"], pa.int64()),
-                "sum_totalprice_c": pc.cast(t["sum_totalprice_c"], pa.int64()),
-            }
-        )
-
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    out = parts.groupby("c_mktsegment", sort=False).sum().reset_index()
+    return pa.table(
+        {
+            "c_mktsegment": pa.array(out["c_mktsegment"], pa.string()),
+            "n_orders": pa.array(out["n_orders"].to_numpy(np.int64)),
+            "sum_totalprice_c": pa.array(out["sum_totalprice_c"].to_numpy(np.int64)),
+        }
+    )
 
 
 def q_dedup_exact(sf_dir: str):
