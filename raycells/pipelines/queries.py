@@ -1171,40 +1171,41 @@ def q_lang_id(sf_dir: str):
 
 
 def q_events_daily(sf_dir: str):
-    """Grouped aggregate over the events stream table by (type, day)."""
-    from ray.data.aggregate import Count, Sum
-
+    """Grouped aggregate over the events stream table by (type, day):
+    map-side combine to ≤ |types × days| partial rows per batch, driver
+    fold over the bounded partials (see q_lineitem_pricing)."""
     ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
 
     def project(b: pa.Table) -> pa.Table:
         value_c = _half_up(b["value"].to_numpy(zero_copy_only=False) * 100).astype(
             np.int64
         )
-        return pa.table(
+        df = pd.DataFrame(
             {
-                "event_type": b["event_type"],
-                "day": pc.strftime(b["ts"], format="%Y-%m-%d"),
-                "value_c": pa.array(value_c),
+                "event_type": b["event_type"].to_numpy(zero_copy_only=False),
+                "day": pc.strftime(b["ts"], format="%Y-%m-%d").to_numpy(
+                    zero_copy_only=False
+                ),
+                "value_c": value_c,
             }
         )
+        part = (
+            df.groupby(["event_type", "day"], sort=False)
+            .agg(n_events=("value_c", "size"), sum_value_c=("value_c", "sum"))
+            .reset_index()
+        )
+        return shuffle_mod.from_pandas_clean(part)
 
-    agg = (
-        ds.map_batches(project, batch_format="pyarrow")
-        .groupby(["event_type", "day"])
-        .aggregate(Count(), Sum("value_c", alias_name="sum_value_c"))
+    parts = ds.map_batches(project, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["event_type", "day"], sort=False).sum().reset_index()
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "day": pa.array(out["day"], pa.string()),
+            "n_events": pa.array(out["n_events"].to_numpy(np.int64)),
+            "sum_value_c": pa.array(out["sum_value_c"].to_numpy(np.int64)),
+        }
     )
-
-    def finalize(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "event_type": t["event_type"],
-                "day": t["day"],
-                "n_events": pc.cast(t["count()"], pa.int64()),
-                "sum_value_c": pc.cast(t["sum_value_c"], pa.int64()),
-            }
-        )
-
-    return agg.map_batches(finalize, batch_format="pyarrow")
 
 
 def q_knn_embeddings(sf_dir: str):
@@ -1496,39 +1497,51 @@ def q_asof_latest_order(sf_dir: str):
 def q_events_props_k(sf_dir: str):
     """Semi-structured extraction: parse the JSON ``props`` column,
     bucket the extracted ``k`` by decade, count per (event_type, bucket)
-    (oracle via DuckDB json_extract). JSON parsing is inherently
-    per-value; the loop stays inside one map_batches body so it
-    parallelizes per block like any other stage."""
+    (oracle via DuckDB json_extract). Extraction is a vectorized RE2
+    kernel when every k is an integer literal (this corpus); rows the
+    regex can't see fall back to per-value json.loads inside the same
+    map_batches body, so the stage parallelizes per block either way."""
     ds = _read(sf_dir, "events", columns=["event_type", "props"])
 
     def extract(b: pa.Table) -> pa.Table:
-        import json
+        # vectorized RE2 fast path for the integer-literal case; any row
+        # the regex can't see (quoted/nested/float k) falls back to real
+        # JSON parsing, so semantics stay json_extract-exact
+        ext = pc.extract_regex(b["props"], r'"k"\s*:\s*(?P<k>-?\d+)\s*[,}]')
+        kstr = pc.struct_field(ext, "k")
+        valid = pc.is_valid(kstr)
+        ks = np.empty(b.num_rows, dtype=np.int64)
+        if valid.to_numpy(zero_copy_only=False).all():
+            ks[:] = pc.cast(kstr, pa.int64()).to_numpy(zero_copy_only=False)
+        else:
+            import json
 
-        props = b["props"].to_pylist()
-        ks = np.empty(len(props), dtype=np.int64)
-        for i, pr in enumerate(props):
-            ks[i] = int(json.loads(pr)["k"])
-        return pa.table(
-            {
-                "event_type": b["event_type"],
-                "k_decade": pa.array((ks // 10) * 10),
-            }
+            for i, pr in enumerate(b["props"].to_pylist()):
+                ks[i] = int(json.loads(pr)["k"])
+        part = (
+            pd.DataFrame(
+                {
+                    "event_type": b["event_type"].to_numpy(zero_copy_only=False),
+                    "k_decade": (ks // 10) * 10,
+                }
+            )
+            .groupby(["event_type", "k_decade"], sort=False)
+            .size()
+            .rename("n_events")
+            .reset_index()
         )
+        return shuffle_mod.from_pandas_clean(part)
 
-    agg = ds.map_batches(extract, batch_format="pyarrow").groupby(
-        ["event_type", "k_decade"]
-    ).count()
-
-    def finalize(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "event_type": t["event_type"],
-                "k_decade": pc.cast(t["k_decade"], pa.int64()),
-                "n_events": pc.cast(t["count()"], pa.int64()),
-            }
-        )
-
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    # map-side combine + driver fold over O(blocks × groups) partials
+    parts = ds.map_batches(extract, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["event_type", "k_decade"], sort=False).sum().reset_index()
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "k_decade": pa.array(out["k_decade"].to_numpy(np.int64)),
+            "n_events": pa.array(out["n_events"].to_numpy(np.int64)),
+        }
+    )
 
 
 def q_events_rolling7(sf_dir: str):
@@ -2371,39 +2384,47 @@ def q_redact_props(sf_dir: str):
     length deltas. Arrow's RE2 ``replace_substring_regex`` mirrors
     DuckDB's RE2 ``regexp_replace(..., 'g')`` byte-for-byte, so the
     oracle hash-matches. Shape at scale: the scrub is a zero-exchange
-    vectorized batch kernel; only ≤ |event_type| partial rows shuffle."""
-    from ray.data.aggregate import Count, Sum
-
+    vectorized batch kernel; each batch collapses map-side to
+    ≤ |event_type| partial rows and the final merge is a driver fold
+    over the O(blocks × types) partials (see q_lineitem_pricing)."""
     ds = _read(sf_dir, "events", SMALL_TABLE_BLOCKS, columns=["event_type", "props"])
 
     def scrub(b: pa.Table) -> pa.Table:
         props = b["props"]
         red = pc.replace_substring_regex(props, "[0-9]+", "#")
-        return pa.table(
+        df = pd.DataFrame(
             {
-                "event_type": b["event_type"],
-                "changed": pc.cast(pc.not_equal(red, props), pa.int64()),
-                "len_orig": pc.cast(pc.utf8_length(props), pa.int64()),
-                "len_red": pc.cast(pc.utf8_length(red), pa.int64()),
+                "event_type": b["event_type"].to_numpy(zero_copy_only=False),
+                "changed": pc.cast(pc.not_equal(red, props), pa.int64()).to_numpy(
+                    zero_copy_only=False
+                ),
+                "len_orig": pc.cast(pc.utf8_length(props), pa.int64()).to_numpy(
+                    zero_copy_only=False
+                ),
+                "len_red": pc.cast(pc.utf8_length(red), pa.int64()).to_numpy(
+                    zero_copy_only=False
+                ),
             }
         )
-
-    out = (
-        ds.map_batches(scrub, batch_format="pyarrow")
-        .groupby("event_type")
-        .aggregate(
-            Count(alias_name="n_rows"),
-            Sum("changed", alias_name="n_changed"),
-            Sum("len_orig", alias_name="sum_len_orig"),
-            Sum("len_red", alias_name="sum_len_redacted"),
+        part = (
+            df.groupby("event_type", sort=False)
+            .agg(
+                n_rows=("changed", "size"),
+                n_changed=("changed", "sum"),
+                sum_len_orig=("len_orig", "sum"),
+                sum_len_redacted=("len_red", "sum"),
+            )
+            .reset_index()
         )
-    )
-    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+        return shuffle_mod.from_pandas_clean(part)
+
+    parts = ds.map_batches(scrub, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("event_type", sort=False).sum().reset_index()
     return pa.table(
         {
-            "event_type": t["event_type"],
+            "event_type": pa.array(out["event_type"], pa.string()),
             **{
-                c: pc.cast(t[c], pa.int64())
+                c: pa.array(out[c].to_numpy(np.int64))
                 for c in ("n_rows", "n_changed", "sum_len_orig", "sum_len_redacted")
             },
         }
