@@ -35,6 +35,7 @@ oracles in raycells/pipelines/oracles.py):
   repetition_filter (Gopher-style dup-token/dup-bigram quality flag),
   token_cooccurrence (PMI-style lift via per-batch incidence-matrix
   products), redact_props (RE2 digit-run scrubbing roll-up),
+  regex_tokens (BPE-ish pretoken split counted as byte-class runs),
   lang_id, events_daily, events_props_k,
   knn_embeddings — oracle-checked.
 - co-partitioned join/window family (engine/joins.py):
@@ -144,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_filter": q.q_repetition_filter,
         "token_cooccurrence": q.q_token_cooccurrence,
         "redact_props": q.q_redact_props,
+        "regex_tokens": q.q_regex_tokens,
         "lang_id": q.q_lang_id,
         "events_daily": q.q_events_daily,
         "events_props_k": q.q_events_props_k,

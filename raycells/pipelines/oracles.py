@@ -1856,6 +1856,26 @@ def build() -> dict:
             SELECT tok_a, tok_b, n_both, df_a, df_b, lift_e6, rank
             FROM ranked WHERE rank <= 30
         """,
+        # BPE-ish regex tokens (q_regex_tokens): RE2's leftmost-longest
+        # scan of [a-z]+|[0-9]+|[^a-z0-9 ] is exactly run decomposition,
+        # so regexp_extract_all lengths equal the byte-class run counts
+        "regex_tokens": """
+            WITH toks AS (
+                SELECT event_type,
+                       CAST(len(regexp_extract_all(props, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tok,
+                       CAST(len(regexp_extract_all(props, '[a-z]+')) AS BIGINT) AS n_alpha,
+                       CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_digit,
+                       CAST(len(regexp_extract_all(props, '[^a-z0-9 ]')) AS BIGINT) AS n_punct
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+                   CAST(SUM(n_alpha) AS BIGINT) AS sum_alpha_tokens,
+                   CAST(SUM(n_digit) AS BIGINT) AS sum_digit_tokens,
+                   CAST(SUM(n_punct) AS BIGINT) AS sum_punct_tokens
+            FROM toks GROUP BY event_type
+        """,
         # PII-style digit-run scrub (q_redact_props): DuckDB and Arrow
         # both run RE2, so regexp_replace(props,'[0-9]+','#','g') is
         # byte-identical to pc.replace_substring_regex on the Ray side.

@@ -2378,6 +2378,60 @@ def q_token_cooccurrence(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_regex_tokens(sf_dir: str):
+    """BPE-ish regex token statistics over the semi-structured events
+    props payload: per event type, counts of ``[a-z]+|[0-9]+|[^a-z0-9 ]``
+    tokens (the simplified GPT-2 pretoken split), broken down into
+    letter-run / digit-run / punct classes. The kernel is byte-class RUN
+    COUNTING on the raw Arrow string buffer (text/analysis.
+    regex_token_counts) — one shifted comparison over the whole buffer,
+    no per-row regex — and equals DuckDB ``regexp_extract_all`` lengths
+    exactly. Map-side combine + driver fold (see q_lineitem_pricing)."""
+    ds = _read(sf_dir, "events", SMALL_TABLE_BLOCKS, columns=["event_type", "props"])
+
+    def count(b: pa.Table) -> pa.Table:
+        c = ta.regex_token_counts(b["props"])
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(zero_copy_only=False),
+                "tokens": c["tokens"],
+                "alpha": c["alpha"],
+                "digit": c["digit"],
+                "punct": c["punct"],
+            }
+        )
+        part = (
+            df.groupby("event_type", sort=False)
+            .agg(
+                n_rows=("tokens", "size"),
+                sum_tokens=("tokens", "sum"),
+                sum_alpha_tokens=("alpha", "sum"),
+                sum_digit_tokens=("digit", "sum"),
+                sum_punct_tokens=("punct", "sum"),
+            )
+            .reset_index()
+        )
+        return shuffle_mod.from_pandas_clean(part)
+
+    parts = ds.map_batches(count, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("event_type", sort=False).sum().reset_index()
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            **{
+                c: pa.array(out[c].to_numpy(np.int64))
+                for c in (
+                    "n_rows",
+                    "sum_tokens",
+                    "sum_alpha_tokens",
+                    "sum_digit_tokens",
+                    "sum_punct_tokens",
+                )
+            },
+        }
+    )
+
+
 def q_redact_props(sf_dir: str):
     """PII-style regex scrubbing (digit runs → '#') over the events
     props payload, rolled up per event type: rows touched and exact

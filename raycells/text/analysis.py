@@ -31,6 +31,7 @@ __all__ = [
     "lang_id",
     "fingerprint64",
     "add_fingerprints",
+    "regex_token_counts",
 ]
 
 # quality stopwords (word-boundary exact tokens; SQL: list_filter(split, =w))
@@ -264,3 +265,70 @@ def window_hashes(text: str, w: int = 8) -> np.ndarray:
     with np.errstate(over="ignore"):
         pows = _WIN_BASE ** np.arange(w, dtype=np.uint64)
         return (win * pows[None, :]).sum(axis=1, dtype=np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish regex tokenization (run decomposition)
+# ---------------------------------------------------------------------------
+
+
+def regex_token_counts(text: pa.ChunkedArray) -> Dict[str, np.ndarray]:
+    """Per-row token counts under the BPE-ish pattern
+    ``[a-z]+|[0-9]+|[^a-z0-9 ]`` (letter runs, digit runs, every other
+    non-space char its own token — the simplified GPT-2-style pretoken
+    split for this lowercase-ASCII corpus).
+
+    Vectorized as byte-class RUN COUNTING directly on the Arrow string
+    buffer: a token count is the number of class-run starts, found with
+    one shifted comparison over the whole data buffer plus a fix-up at
+    string starts — no per-row Python, no materialized match lists. The
+    decomposition is exactly what RE2's leftmost-longest scan of the
+    alternation produces, so DuckDB ``regexp_extract_all`` lengths match
+    integer-for-integer. Falls back to a compiled re scan if a batch
+    contains non-ASCII bytes (where byte-class != char-class).
+
+    Returns {"tokens", "alpha", "digit", "punct"} int64 arrays.
+    """
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    if pa.types.is_large_string(text.type):
+        text = text.cast(pa.string())
+    n = len(text)
+    off = np.frombuffer(text.buffers()[1], np.int32)[
+        text.offset : text.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(text.buffers()[2], np.uint8)
+    seg = data[off[0] : off[-1]]
+    if seg.size and (seg >= 128).any():  # non-ASCII → exact re fallback
+        import re
+
+        pat = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9 ]")
+        al = re.compile(r"[a-z]+")
+        dg = re.compile(r"[0-9]+")
+        pu = re.compile(r"[^a-z0-9 ]")
+        rows = text.to_pylist()
+        return {
+            "tokens": np.array([len(pat.findall(s)) for s in rows], np.int64),
+            "alpha": np.array([len(al.findall(s)) for s in rows], np.int64),
+            "digit": np.array([len(dg.findall(s)) for s in rows], np.int64),
+            "punct": np.array([len(pu.findall(s)) for s in rows], np.int64),
+        }
+    letter = (data >= 97) & (data <= 122)
+    digit = (data >= 48) & (data <= 57)
+    punct = ~(letter | digit | (data == 32))
+    letter_start = letter.copy()
+    digit_start = digit.copy()
+    letter_start[1:] &= ~letter[:-1]
+    digit_start[1:] &= ~digit[:-1]
+    first = off[:-1][off[:-1] < off[1:]]  # first byte of each non-empty row
+    letter_start[first] = letter[first]
+    digit_start[first] = digit[first]
+
+    def row_sums(flags: np.ndarray) -> np.ndarray:
+        cum = np.concatenate(([0], np.cumsum(flags, dtype=np.int64)))
+        return cum[off][1:] - cum[off][:-1]
+
+    alpha = row_sums(letter_start)
+    dig = row_sums(digit_start)
+    pun = row_sums(punct)
+    return {"tokens": alpha + dig + pun, "alpha": alpha, "digit": dig, "punct": pun}

@@ -61,6 +61,7 @@ CHECKED = [
     "repetition_filter",
     "token_cooccurrence",
     "redact_props",
+    "regex_tokens",
     "lang_id",
     "events_daily",
     "events_props_k",

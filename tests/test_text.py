@@ -275,3 +275,36 @@ def test_token_hash_cache_eviction():
     finally:
         dedup._TOKEN_HASHES_MAX = old_max
         dedup._TOKEN_HASHES.clear()
+
+
+def test_regex_token_counts_matches_re_findall():
+    """The byte-class run counter must equal re.findall lengths for the
+    BPE-ish pattern on arbitrary ASCII rows (incl. empty strings, runs
+    at row boundaries, all-space rows, chunked arrays), and the non-ASCII
+    fallback must agree with the same regexes."""
+    import re
+
+    rng = np.random.default_rng(99)
+    alphabet = list("abz019 ,.{}:\"-") + ["  "]
+    rows = [
+        "".join(rng.choice(alphabet, size=rng.integers(0, 40)))
+        for _ in range(300)
+    ] + ["", " ", "a", "9", ",", "a9", "9a", "a a", '{"k": 69}', "zz99,,"]
+    pats = {
+        "tokens": re.compile(r"[a-z]+|[0-9]+|[^a-z0-9 ]"),
+        "alpha": re.compile(r"[a-z]+"),
+        "digit": re.compile(r"[0-9]+"),
+        "punct": re.compile(r"[^a-z0-9 ]"),
+    }
+    half = len(rows) // 2
+    arr = pa.chunked_array([pa.array(rows[:half]), pa.array(rows[half:])])
+    got = ta.regex_token_counts(arr)
+    for k, pat in pats.items():
+        want = [len(pat.findall(s)) for s in rows]
+        assert got[k].tolist() == want, k
+    # non-ASCII row routes the batch through the re fallback
+    got2 = ta.regex_token_counts(pa.chunked_array([pa.array(["héllo 42,", "a9"])]))
+    assert got2["tokens"].tolist() == [
+        len(pats["tokens"].findall("héllo 42,")),
+        len(pats["tokens"].findall("a9")),
+    ]
