@@ -36,6 +36,8 @@ oracles in raycells/pipelines/oracles.py):
   token_cooccurrence (PMI-style lift via per-batch incidence-matrix
   products), redact_props (RE2 digit-run scrubbing roll-up),
   regex_tokens (BPE-ish pretoken split counted as byte-class runs),
+  user_gaps (LAG-style per-user inter-event gaps, bucket-co-located
+  vectorized window),
   lang_id, events_daily, events_props_k,
   knn_embeddings — oracle-checked.
 - co-partitioned join/window family (engine/joins.py):
@@ -146,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_cooccurrence": q.q_token_cooccurrence,
         "redact_props": q.q_redact_props,
         "regex_tokens": q.q_regex_tokens,
+        "user_gaps": q.q_user_gaps,
         "lang_id": q.q_lang_id,
         "events_daily": q.q_events_daily,
         "events_props_k": q.q_events_props_k,

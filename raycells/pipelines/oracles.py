@@ -1856,6 +1856,24 @@ def build() -> dict:
             SELECT tok_a, tok_b, n_both, df_a, df_b, lift_e6, rank
             FROM ranked WHERE rank <= 30
         """,
+        # LAG window (q_user_gaps): per-user inter-event gaps in exact
+        # integer microseconds; (ts, event_id) is the shared total order
+        "user_gaps": """
+            WITH ordered AS (
+                SELECT user_id,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS gap_us
+                FROM events
+            )
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+                   CAST(COALESCE(SUM(gap_us), 0) AS BIGINT) AS sum_gap_us,
+                   CAST(COALESCE(MIN(gap_us), -1) AS BIGINT) AS min_gap_us,
+                   CAST(COALESCE(MAX(gap_us), -1) AS BIGINT) AS max_gap_us
+            FROM ordered GROUP BY user_id
+        """,
         # BPE-ish regex tokens (q_regex_tokens): RE2's leftmost-longest
         # scan of [a-z]+|[0-9]+|[^a-z0-9 ] is exactly run decomposition,
         # so regexp_extract_all lengths equal the byte-class run counts

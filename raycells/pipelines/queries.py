@@ -2378,6 +2378,79 @@ def q_token_cooccurrence(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_user_gaps(sf_dir: str):
+    """Ordered per-key window (LAG): inter-event time gaps per user in
+    exact integer MICROSECONDS (the table's native resolution — no float
+    seconds ever hashed). Shape at scale: ONE coarse-bucket exchange on
+    hash(user_id) co-locates each user's events; every bucket group is
+    sorted once with a vectorized lexsort (user, ts, event_id — the same
+    total order as the SQL OVER clause) and all per-user diffs fall out
+    of one shifted comparison with segment boundaries; users with a
+    single event emit the -1/-0 sentinels, mirroring SQL COALESCE."""
+    from raycells.engine.shuffle import add_bucket
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def project(b: pa.Table) -> pa.Table:
+        us = (
+            b["ts"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "ts_us": pa.array(us),
+            }
+        )
+
+    def window(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        e = g["event_id"].to_numpy(zero_copy_only=False)
+        t = g["ts_us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, t, u))
+        u, t = u[order], t[order]
+        same = u[1:] == u[:-1]
+        gaps = (t[1:] - t[:-1])[same]
+        gu = u[1:][same]
+        base = pd.DataFrame({"user_id": u}).groupby("user_id", sort=False).size()
+        gdf = (
+            pd.DataFrame({"user_id": gu, "gap": gaps})
+            .groupby("user_id", sort=False)
+            .agg(
+                n_gaps=("gap", "size"),
+                sum_gap_us=("gap", "sum"),
+                min_gap_us=("gap", "min"),
+                max_gap_us=("gap", "max"),
+            )
+        )
+        out = base.rename("n_events").to_frame().join(gdf)
+        out["n_gaps"] = out["n_gaps"].fillna(0).astype(np.int64)
+        out["sum_gap_us"] = out["sum_gap_us"].fillna(0).astype(np.int64)
+        out["min_gap_us"] = out["min_gap_us"].fillna(-1).astype(np.int64)
+        out["max_gap_us"] = out["max_gap_us"].fillna(-1).astype(np.int64)
+        return shuffle_mod.from_pandas_clean(out.reset_index())
+
+    out = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .map_batches(lambda b: add_bucket(b, "user_id"), batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(window, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "user_id": pa.array(out["user_id"].to_numpy(np.int64)),
+            **{
+                c: pa.array(out[c].to_numpy(np.int64))
+                for c in ("n_events", "n_gaps", "sum_gap_us", "min_gap_us", "max_gap_us")
+            },
+        }
+    )
+
+
 def q_regex_tokens(sf_dir: str):
     """BPE-ish regex token statistics over the semi-structured events
     props payload: per event type, counts of ``[a-z]+|[0-9]+|[^a-z0-9 ]``

@@ -62,6 +62,7 @@ CHECKED = [
     "token_cooccurrence",
     "redact_props",
     "regex_tokens",
+    "user_gaps",
     "lang_id",
     "events_daily",
     "events_props_k",
