@@ -41,7 +41,9 @@ oracles in raycells/pipelines/oracles.py):
   lang_id, events_daily, events_props_k,
   knn_embeddings — oracle-checked.
 - co-partitioned join/window family (engine/joins.py):
-  asof_latest_order, priority_revenue (hash join), events_rolling7,
+  asof_latest_order, priority_revenue (hash join),
+  customer_order_profile (LEFT OUTER hash join, zero-fill retained
+  rows), events_rolling7,
   distinct_custs, top_parts_by_brand, customers_no_orders — all
   oracle-checked.
 - near-dup / sketch / multimodal — ALL oracle-checked:
@@ -149,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_props": q.q_redact_props,
         "regex_tokens": q.q_regex_tokens,
         "user_gaps": q.q_user_gaps,
+        "customer_order_profile": q.q_customer_order_profile,
         "lang_id": q.q_lang_id,
         "events_daily": q.q_events_daily,
         "events_props_k": q.q_events_props_k,

@@ -1856,6 +1856,22 @@ def build() -> dict:
             SELECT tok_a, tok_b, n_both, df_a, df_b, lift_e6, rank
             FROM ranked WHERE rank <= 30
         """,
+        # LEFT OUTER join (q_customer_order_profile): customers with no
+        # orders keep zeros; spend in exact cents
+        "customer_order_profile": """
+            WITH per_cust AS (
+                SELECT o_custkey,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
+                   c.c_mktsegment,
+                   CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders,
+                   CAST(COALESCE(o.s, 0) AS BIGINT) AS sum_totalprice_c
+            FROM customer c
+            LEFT JOIN per_cust o ON o.o_custkey = c.c_custkey
+        """,
         # LAG window (q_user_gaps): per-user inter-event gaps in exact
         # integer microseconds; (ts, event_id) is the shared total order
         "user_gaps": """

@@ -2378,6 +2378,78 @@ def q_token_cooccurrence(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_customer_order_profile(sf_dir: str):
+    """LEFT OUTER hash join, oracle-checked: every customer with their
+    order count and exact total spend in cents; customers with no orders
+    are RETAINED with zeros (the outer semantics engine/joins.hash_join
+    implements via the _matched sentinel). Shape at scale: orders are
+    combined map-side per batch to distinct custkeys, merged per key
+    with one coarse-bucket exchange, and the join itself is the tagged-
+    union co-partition — no side is broadcast, no row stream crosses
+    the driver; only the customer-sized result does."""
+    from raycells.engine.joins import hash_join
+    from raycells.engine.shuffle import add_bucket
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        price_c = _half_up(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        part = (
+            pd.DataFrame(
+                {
+                    "o_custkey": b["o_custkey"].to_numpy(zero_copy_only=False),
+                    "price_c": price_c,
+                }
+            )
+            .groupby("o_custkey", sort=False)
+            .agg(n_orders=("price_c", "size"), sum_totalprice_c=("price_c", "sum"))
+            .reset_index()
+        )
+        return shuffle_mod.from_pandas_clean(part)
+
+    def combine(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        out = (
+            df.groupby("o_custkey", sort=False)[["n_orders", "sum_totalprice_c"]]
+            .sum()
+            .reset_index()
+        )
+        return shuffle_mod.from_pandas_clean(out)
+
+    per_cust = (
+        orders.map_batches(derive, batch_format="pyarrow")
+        .map_batches(lambda b: add_bucket(b, "o_custkey"), batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(combine, batch_format="pyarrow")
+    )
+    cust = _read(
+        sf_dir, "customer", SMALL_TABLE_BLOCKS, columns=["c_custkey", "c_mktsegment"]
+    )
+    joined = hash_join(
+        cust,
+        per_cust,
+        key_left="c_custkey",
+        key_right="o_custkey",
+        keep_left=["c_custkey", "c_mktsegment"],
+        keep_right=["n_orders", "sum_totalprice_c"],
+        how="left",
+    ).to_pandas()
+    return pa.table(
+        {
+            "c_custkey": pa.array(joined["c_custkey"].to_numpy(np.int64)),
+            "c_mktsegment": pa.array(joined["c_mktsegment"], pa.string()),
+            "n_orders": pa.array(
+                joined["n_orders"].fillna(0).to_numpy(np.int64)
+            ),
+            "sum_totalprice_c": pa.array(
+                joined["sum_totalprice_c"].fillna(0).to_numpy(np.int64)
+            ),
+        }
+    )
+
+
 def q_user_gaps(sf_dir: str):
     """Ordered per-key window (LAG): inter-event time gaps per user in
     exact integer MICROSECONDS (the table's native resolution — no float

@@ -63,6 +63,7 @@ CHECKED = [
     "redact_props",
     "regex_tokens",
     "user_gaps",
+    "customer_order_profile",
     "lang_id",
     "events_daily",
     "events_props_k",
