@@ -37,7 +37,8 @@ oracles in raycells/pipelines/oracles.py):
   products), redact_props (RE2 digit-run scrubbing roll-up),
   regex_tokens (BPE-ish pretoken split counted as byte-class runs),
   user_gaps (LAG-style per-user inter-event gaps, bucket-co-located
-  vectorized window),
+  vectorized window), user_running_value (ROW_NUMBER + running-SUM
+  cumulative window, one output row per input row),
   lang_id, events_daily, events_props_k,
   knn_embeddings — oracle-checked.
 - co-partitioned join/window family (engine/joins.py):
@@ -152,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_tokens": q.q_regex_tokens,
         "user_gaps": q.q_user_gaps,
         "customer_order_profile": q.q_customer_order_profile,
+        "user_running_value": q.q_user_running_value,
         "lang_id": q.q_lang_id,
         "events_daily": q.q_events_daily,
         "events_props_k": q.q_events_props_k,

@@ -1890,6 +1890,18 @@ def build() -> dict:
                    CAST(COALESCE(MAX(gap_us), -1) AS BIGINT) AS max_gap_us
             FROM ordered GROUP BY user_id
         """,
+        # cumulative window (q_user_running_value): rank + running cents
+        # per user; (ts, event_id) is unique so RANGE default == ROWS
+        "user_running_value": """
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(user_id AS BIGINT) AS user_id,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+                   CAST(SUM(value_c) OVER w AS BIGINT) AS cum_value_c
+            FROM (SELECT event_id, user_id, ts,
+                         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_c
+                  FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
         # BPE-ish regex tokens (q_regex_tokens): RE2's leftmost-longest
         # scan of [a-z]+|[0-9]+|[^a-z0-9 ] is exactly run decomposition,
         # so regexp_extract_all lengths equal the byte-class run counts

@@ -2523,6 +2523,73 @@ def q_user_gaps(sf_dir: str):
     )
 
 
+def q_user_running_value(sf_dir: str):
+    """Cumulative window (ROW_NUMBER + running SUM): per event, its rank
+    within the user's timeline and the running total of value in exact
+    cents. Unlike the rollup windows this MATERIALIZES one output row
+    per input row — the standard feature-engineering shape (\"value so
+    far\" features for training). Shape at scale: the only exchange is
+    the coarse-bucket co-location by user; inside each bucket one
+    vectorized lexsort + segmented cumsum (offset-subtraction at user
+    boundaries) computes every row's rank and running sum — no per-user
+    Python, no second pass."""
+    from raycells.engine.shuffle import add_bucket
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def project(b: pa.Table) -> pa.Table:
+        us = (
+            b["ts"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        value_c = _half_up(b["value"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "ts_us": pa.array(us),
+                "value_c": pa.array(value_c),
+            }
+        )
+
+    def window(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        e = g["event_id"].to_numpy(zero_copy_only=False)
+        t = g["ts_us"].to_numpy(zero_copy_only=False)
+        v = g["value_c"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, t, u))
+        u, e, v = u[order], e[order], v[order]
+        n = len(u)
+        idx = np.arange(n, dtype=np.int64)
+        seg_start = np.zeros(n, dtype=bool)
+        if n:
+            seg_start[0] = True
+            seg_start[1:] = u[1:] != u[:-1]
+        start_idx = np.maximum.accumulate(np.where(seg_start, idx, 0))
+        rn = idx - start_idx + 1
+        cum = np.cumsum(v)
+        base = np.where(start_idx > 0, cum[start_idx - 1], 0)
+        return pa.table(
+            {
+                "event_id": pa.array(e),
+                "user_id": pa.array(u),
+                "rn": pa.array(rn),
+                "cum_value_c": pa.array(cum - base),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .map_batches(lambda b: add_bucket(b, "user_id"), batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(window, batch_format="pyarrow")
+    )
+
+
 def q_regex_tokens(sf_dir: str):
     """BPE-ish regex token statistics over the semi-structured events
     props payload: per event type, counts of ``[a-z]+|[0-9]+|[^a-z0-9 ]``

@@ -64,6 +64,7 @@ CHECKED = [
     "regex_tokens",
     "user_gaps",
     "customer_order_profile",
+    "user_running_value",
     "lang_id",
     "events_daily",
     "events_props_k",
