@@ -38,7 +38,8 @@ oracles in raycells/pipelines/oracles.py):
   regex_tokens (BPE-ish pretoken split counted as byte-class runs),
   user_gaps (LAG-style per-user inter-event gaps, bucket-co-located
   vectorized window), user_running_value (ROW_NUMBER + running-SUM
-  cumulative window, one output row per input row),
+  cumulative window, one output row per input row), events_pivot
+  (long→wide reshape on the aggregated rollup),
   lang_id, events_daily, events_props_k,
   knn_embeddings — oracle-checked.
 - co-partitioned join/window family (engine/joins.py):
@@ -154,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_gaps": q.q_user_gaps,
         "customer_order_profile": q.q_customer_order_profile,
         "user_running_value": q.q_user_running_value,
+        "events_pivot": q.q_events_pivot,
         "lang_id": q.q_lang_id,
         "events_daily": q.q_events_daily,
         "events_props_k": q.q_events_props_k,

@@ -1890,6 +1890,17 @@ def build() -> dict:
                    CAST(COALESCE(MAX(gap_us), -1) AS BIGINT) AS max_gap_us
             FROM ordered GROUP BY user_id
         """,
+        # pivot (q_events_pivot): long→wide on the aggregated rollup;
+        # FILTER-per-type is the SQL spelling of static pivot columns
+        "events_pivot": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+                   CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+                   CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+                   CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+                   CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+            FROM events GROUP BY day
+        """,
         # cumulative window (q_user_running_value): rank + running cents
         # per user; (ts, event_id) is unique so RANGE default == ROWS
         "user_running_value": """

@@ -2523,6 +2523,48 @@ def q_user_gaps(sf_dir: str):
     )
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_pivot(sf_dir: str):
+    """Pivot / wide reshape: one row per day, one count column per event
+    type (the feature-matrix layout). Shape at scale: the long→wide turn
+    happens on the ALREADY-AGGREGATED (day, type) partials — each batch
+    combines map-side to ≤ |days × types| rows, the driver folds the
+    bounded partials, and only then pivots; no wide row ever crosses an
+    exchange. The type set is a fixed schema (pivot columns must be
+    static for a stable output schema — same contract as SQL FILTER)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def project(b: pa.Table) -> pa.Table:
+        part = (
+            pd.DataFrame(
+                {
+                    "event_type": b["event_type"].to_numpy(zero_copy_only=False),
+                    "day": pc.strftime(b["ts"], format="%Y-%m-%d").to_numpy(
+                        zero_copy_only=False
+                    ),
+                }
+            )
+            .groupby(["day", "event_type"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        return shuffle_mod.from_pandas_clean(part)
+
+    parts = ds.map_batches(project, batch_format="pyarrow").to_pandas()
+    folded = parts.groupby(["day", "event_type"], sort=False)["n"].sum()
+    wide = folded.unstack("event_type").reindex(columns=list(EVENT_TYPES))
+    wide = wide.fillna(0).astype(np.int64).reset_index()
+    return pa.table(
+        {
+            "day": pa.array(wide["day"], pa.string()),
+            **{f"n_{t}": pa.array(wide[t].to_numpy(np.int64)) for t in EVENT_TYPES},
+        }
+    )
+
+
 def q_user_running_value(sf_dir: str):
     """Cumulative window (ROW_NUMBER + running SUM): per event, its rank
     within the user's timeline and the running total of value in exact

@@ -65,6 +65,7 @@ CHECKED = [
     "user_gaps",
     "customer_order_profile",
     "user_running_value",
+    "events_pivot",
     "lang_id",
     "events_daily",
     "events_props_k",
