@@ -39,7 +39,9 @@ oracles in raycells/pipelines/oracles.py):
   user_gaps (LAG-style per-user inter-event gaps, bucket-co-located
   vectorized window), user_running_value (ROW_NUMBER + running-SUM
   cumulative window, one output row per input row), events_pivot
-  (long→wide reshape on the aggregated rollup),
+  (long→wide reshape on the aggregated rollup), qty_price_corr
+  (grouped Pearson correlation from exact integer moment sums,
+  bit-identical derived doubles),
   lang_id, events_daily, events_props_k,
   knn_embeddings — oracle-checked.
 - co-partitioned join/window family (engine/joins.py):
@@ -156,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_profile": q.q_customer_order_profile,
         "user_running_value": q.q_user_running_value,
         "events_pivot": q.q_events_pivot,
+        "qty_price_corr": q.q_qty_price_corr,
         "lang_id": q.q_lang_id,
         "events_daily": q.q_events_daily,
         "events_props_k": q.q_events_props_k,

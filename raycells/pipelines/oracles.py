@@ -1890,6 +1890,36 @@ def build() -> dict:
                    CAST(COALESCE(MAX(gap_us), -1) AS BIGINT) AS max_gap_us
             FROM ordered GROUP BY user_id
         """,
+        # grouped Pearson correlation (q_qty_price_corr): exact integer
+        # moment sums; the double is derived with the identical IEEE
+        # tree (DOUBLE casts of exact ints, same op order) as numpy
+        "qty_price_corr": """
+            WITH d AS (
+                SELECT l_returnflag,
+                       CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x,
+                       CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT) AS y
+                FROM lineitem
+            ),
+            s AS (
+                SELECT l_returnflag,
+                       CAST(COUNT(*) AS BIGINT) AS n_rows,
+                       CAST(SUM(x) AS BIGINT) AS sum_qty,
+                       CAST(SUM(y) AS BIGINT) AS sum_price_d,
+                       CAST(SUM(x * x) AS BIGINT) AS sxx,
+                       CAST(SUM(y * y) AS BIGINT) AS syy,
+                       CAST(SUM(x * y) AS BIGINT) AS sxy
+                FROM d GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, n_rows, sum_qty, sum_price_d,
+                   (CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sum_qty AS DOUBLE) * CAST(sum_price_d AS DOUBLE))
+                   / (sqrt(CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sum_qty AS DOUBLE) * CAST(sum_qty AS DOUBLE))
+                      * sqrt(CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sum_price_d AS DOUBLE) * CAST(sum_price_d AS DOUBLE)))
+                       AS corr_qty_price
+            FROM s
+        """,
         # pivot (q_events_pivot): long→wide on the aggregated rollup;
         # FILTER-per-type is the SQL spelling of static pivot columns
         "events_pivot": """

@@ -2523,6 +2523,69 @@ def q_user_gaps(sf_dir: str):
     )
 
 
+def q_qty_price_corr(sf_dir: str):
+    """Grouped Pearson correlation (quantity vs price per return flag)
+    computed the only cross-engine-hashable way: the five moment sums
+    (Σx, Σy, Σx², Σy², Σxy) are EXACT INT64 over quantized units (qty
+    integer, price whole dollars — keeps Σy² < 2⁵³ so the final
+    int→double conversions are exact at gate scales), combined map-side
+    per batch and driver-folded; the correlation itself is derived from
+    those integers with the IDENTICAL IEEE expression tree the SQL
+    oracle uses, so the doubles match bit-for-bit. One pass, no
+    exchange — the classic single-scan moments pattern."""
+    ds = _read(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+
+    def moments(b: pa.Table) -> pa.Table:
+        x = _half_up(b["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        y = _half_up(b["l_extendedprice"].to_numpy(zero_copy_only=False)).astype(
+            np.int64
+        )
+        df = pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"].to_numpy(zero_copy_only=False),
+                "x": x,
+                "y": y,
+                "xx": x * x,
+                "yy": y * y,
+                "xy": x * y,
+            }
+        )
+        part = (
+            df.groupby("l_returnflag", sort=False)
+            .agg(
+                n_rows=("x", "size"),
+                sum_qty=("x", "sum"),
+                sum_price_d=("y", "sum"),
+                sxx=("xx", "sum"),
+                syy=("yy", "sum"),
+                sxy=("xy", "sum"),
+            )
+            .reset_index()
+        )
+        return shuffle_mod.from_pandas_clean(part)
+
+    parts = ds.map_batches(moments, batch_format="pyarrow").to_pandas()
+    s = parts.groupby("l_returnflag", sort=False).sum().reset_index()
+    n = s["n_rows"].to_numpy(np.int64).astype(np.float64)
+    sx = s["sum_qty"].to_numpy(np.int64).astype(np.float64)
+    sy = s["sum_price_d"].to_numpy(np.int64).astype(np.float64)
+    sxx = s["sxx"].to_numpy(np.int64).astype(np.float64)
+    syy = s["syy"].to_numpy(np.int64).astype(np.float64)
+    sxy = s["sxy"].to_numpy(np.int64).astype(np.float64)
+    corr = (n * sxy - sx * sy) / (np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy))
+    return pa.table(
+        {
+            "l_returnflag": pa.array(s["l_returnflag"], pa.string()),
+            "n_rows": pa.array(s["n_rows"].to_numpy(np.int64)),
+            "sum_qty": pa.array(s["sum_qty"].to_numpy(np.int64)),
+            "sum_price_d": pa.array(s["sum_price_d"].to_numpy(np.int64)),
+            "corr_qty_price": pa.array(corr, pa.float64()),
+        }
+    )
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 

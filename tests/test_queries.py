@@ -66,6 +66,7 @@ CHECKED = [
     "customer_order_profile",
     "user_running_value",
     "events_pivot",
+    "qty_price_corr",
     "lang_id",
     "events_daily",
     "events_props_k",
