@@ -145,6 +145,12 @@ PIPELINES = {
     "repetition_filter": "q_repetition_filter",
     "token_cooccurrence": "q_token_cooccurrence",
     "redact_props": "q_redact_props",
+    "regex_tokens": "q_regex_tokens",
+    "user_gaps": "q_user_gaps",
+    "user_running_value": "q_user_running_value",
+    "customer_order_profile": "q_customer_order_profile",
+    "events_pivot": "q_events_pivot",
+    "qty_price_corr": "q_qty_price_corr",
 }
 
 

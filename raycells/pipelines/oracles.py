@@ -1771,39 +1771,22 @@ def build() -> dict:
         # duplicate-token / duplicate-bigram integer counts, flag when
         # dup-token fraction > 1/2 OR dup-bigram fraction > 1/4 (both as
         # cross-multiplied integer comparisons), rolled up per source.
-        # Bigrams via the same positional range/list_extract trick as
-        # top_bigrams; distinct pairs keyed a||chr(1)||b (tokens are
-        # space-split so chr(1) never collides).
+        # Distinct bigrams via an UNCAPPED list lambda (no positional
+        # range bound — the Ray kernel has no token-count limit either);
+        # pairs keyed a||chr(1)||b (tokens are space-split so chr(1)
+        # never collides).
         "repetition_filter": """
-            WITH tl AS MATERIALIZED (
-                SELECT source, CAST(doc_id AS VARCHAR) AS dk,
-                       string_split(text, ' ') AS toks
-                FROM documents
-            ),
-            base AS (
-                SELECT source, dk,
+            WITH perdoc AS (
+                SELECT source,
                        CAST(len(toks) AS BIGINT) AS n_tokens,
-                       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
-                FROM tl
-            ),
-            tpos AS MATERIALIZED (
-                SELECT dk, r.range AS pos,
-                       list_extract(toks, CAST(r.range + 1 AS INT)) AS tok
-                FROM tl, range(512) r WHERE r.range < len(toks)
-            ),
-            big AS (
-                SELECT a.dk,
-                       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-                       CAST(COUNT(DISTINCT a.tok || chr(1) || b.tok) AS BIGINT)
+                       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+                       CAST(len(toks) - 1 AS BIGINT) AS n_bigrams,
+                       CAST(len(list_distinct(list_transform(
+                            generate_series(1, len(toks) - 1),
+                            i -> toks[i] || chr(1) || toks[i + 1]))) AS BIGINT)
                            AS n_dbig
-                FROM tpos a JOIN tpos b ON b.dk = a.dk AND b.pos = a.pos + 1
-                GROUP BY a.dk
-            ),
-            perdoc AS (
-                SELECT base.source, base.n_tokens, base.n_distinct,
-                       COALESCE(big.n_bigrams, 0) AS n_bigrams,
-                       COALESCE(big.n_dbig, 0) AS n_dbig
-                FROM base LEFT JOIN big ON big.dk = base.dk
+                FROM (SELECT source, string_split(text, ' ') AS toks
+                      FROM documents)
             )
             SELECT source,
                    CAST(COUNT(*) AS BIGINT) AS n_docs,

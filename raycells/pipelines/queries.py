@@ -931,7 +931,7 @@ def q_revenue_by_nation(sf_dir: str):
 
 def q_lineitem_pricing(sf_dir: str):
     """TPC-H-Q1-style grouped aggregate with per-row computed columns;
-    multi-key map-side combine + driver fold (both sides ROUND to 2)."""
+    multi-key map-side combine + driver fold over exact cent units."""
     ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax"])
 
     def derive(b: pa.Table) -> pa.Table:
@@ -1031,7 +1031,7 @@ def q_orders_by_segment(sf_dir: str):
                 b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
             ).astype(np.int64)
             # MAP-SIDE COMBINE: ≤ |segments| partial rows leave each
-            # batch, so the groupby exchange is O(blocks·segments)
+            # batch; the driver folds the O(blocks·segments) partials
             part = (
                 pd.DataFrame({"c_mktsegment": seg, "price_c": price_c})
                 .dropna(subset=["c_mktsegment"])
@@ -1504,10 +1504,11 @@ def q_events_props_k(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_type", "props"])
 
     def extract(b: pa.Table) -> pa.Table:
-        # vectorized RE2 fast path for the integer-literal case; any row
-        # the regex can't see (quoted/nested/float k) falls back to real
-        # JSON parsing, so semantics stay json_extract-exact
-        ext = pc.extract_regex(b["props"], r'"k"\s*:\s*(?P<k>-?\d+)\s*[,}]')
+        # vectorized RE2 fast path, ANCHORED to a top-level first-key
+        # integer "k" so it can never bind a nested object's k; any row
+        # the anchored regex can't see (k not first, quoted, float,
+        # nested) falls back to real JSON parsing — json_extract-exact
+        ext = pc.extract_regex(b["props"], r'^\{\s*"k"\s*:\s*(?P<k>-?\d+)\s*[,}]')
         kstr = pc.struct_field(ext, "k")
         valid = pc.is_valid(kstr)
         ks = np.empty(b.num_rows, dtype=np.int64)
@@ -2231,10 +2232,9 @@ def q_repetition_filter(sf_dir: str):
     derived "repetitive" flag — dup-token fraction > 1/2 OR dup-bigram
     fraction > 1/4. Shape at scale: every per-doc metric is row-local
     (one vectorized pass per batch, no exchange), the map-side combine
-    reduces each batch to ≤ |sources| partial rows, and the only
-    exchange is the final tiny per-source groupby."""
-    from ray.data.aggregate import Sum
-
+    reduces each batch to ≤ |sources| partial rows, and the final merge
+    is a driver fold over the O(blocks × sources) partials (see
+    q_lineitem_pricing — no exchange at all)."""
     ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["source", "text"])
 
     def partials(b: pa.Table) -> pa.Table:
@@ -2272,29 +2272,13 @@ def q_repetition_filter(sf_dir: str):
         )
         return shuffle_mod.from_pandas_clean(agg)
 
-    out = (
-        ds.map_batches(partials, batch_format="pyarrow")
-        .groupby("source")
-        .aggregate(
-            *[
-                Sum(c, alias_name=c)
-                for c in (
-                    "n_docs",
-                    "n_repetitive",
-                    "sum_tokens",
-                    "sum_distinct_tokens",
-                    "sum_bigrams",
-                    "sum_distinct_bigrams",
-                )
-            ]
-        )
-    )
-    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    parts = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("source", sort=False).sum().reset_index()
     return pa.table(
         {
-            "source": t["source"],
+            "source": pa.array(out["source"], pa.string()),
             **{
-                c: pc.cast(t[c], pa.int64())
+                c: pa.array(out[c].to_numpy(np.int64))
                 for c in (
                     "n_docs",
                     "n_repetitive",
@@ -2330,9 +2314,12 @@ def q_token_cooccurrence(sf_dir: str):
         d = pd.DataFrame({"p": parent, "t": toks}).drop_duplicates()
         codes, uniq = pd.factorize(d["t"], sort=True)
         v = len(uniq)
-        m = np.zeros((b.num_rows, v), dtype=np.int64)
-        m[d["p"].to_numpy(), codes] = 1
-        c = m.T @ m
+        # float32 incidence: 1/2 the bytes of int64 and the matmul runs
+        # through BLAS; counts ≤ batch rows « 2^24 so the product is
+        # exact and the int64 round-trip is lossless
+        m = np.zeros((b.num_rows, v), dtype=np.float32)
+        m[d["p"].to_numpy(), codes] = 1.0
+        c = (m.T @ m).astype(np.int64)
         iu, ju = np.triu_indices(v, k=0)  # k=0: diagonal carries df(tok)
         n_both = c[iu, ju]
         keep = n_both > 0
@@ -2362,7 +2349,19 @@ def q_token_cooccurrence(sf_dir: str):
     df_a = pairs["tok_a"].map(df_map).to_numpy(np.int64)
     df_b = pairs["tok_b"].map(df_map).to_numpy(np.int64)
     n_both = pairs["sum_n"].to_numpy(np.int64)
-    lift = (n_both * np.int64(n_docs) * np.int64(1_000_000)) // (df_a * df_b)
+    if n_docs > 3_000_000:
+        # n_both·N·10⁶ exceeds int64 once N ≳ 3e6 (numpy would WRAP
+        # silently where the SQL BIGINT multiply throws) — route the
+        # product through arbitrary-precision Python ints instead
+        lift = np.array(
+            [
+                int(nb) * int(n_docs) * 1_000_000 // (int(da) * int(db))
+                for nb, da, db in zip(n_both, df_a, df_b)
+            ],
+            dtype=np.int64,
+        )
+    else:
+        lift = (n_both * np.int64(n_docs) * np.int64(1_000_000)) // (df_a * df_b)
     out = pd.DataFrame(
         {
             "tok_a": pairs["tok_a"].to_numpy(),
@@ -2381,14 +2380,14 @@ def q_token_cooccurrence(sf_dir: str):
 def q_customer_order_profile(sf_dir: str):
     """LEFT OUTER hash join, oracle-checked: every customer with their
     order count and exact total spend in cents; customers with no orders
-    are RETAINED with zeros (the outer semantics engine/joins.hash_join
-    implements via the _matched sentinel). Shape at scale: orders are
-    combined map-side per batch to distinct custkeys, merged per key
-    with one coarse-bucket exchange, and the join itself is the tagged-
-    union co-partition — no side is broadcast, no row stream crosses
-    the driver; only the customer-sized result does."""
+    are RETAINED with null-filled right columns (hash_join's
+    how="left" pandas merge), zero-filled here. Shape at scale: the
+    per-custkey order rollup is the shared two-stage salted_aggregate
+    (map-side partials → one coarse-bucket merge exchange), and the join
+    itself is the tagged-union co-partition — no side is broadcast, no
+    row stream crosses the driver; only the customer-sized result
+    does."""
     from raycells.engine.joins import hash_join
-    from raycells.engine.shuffle import add_bucket
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
@@ -2396,33 +2395,15 @@ def q_customer_order_profile(sf_dir: str):
         price_c = _half_up(
             b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
         ).astype(np.int64)
-        part = (
-            pd.DataFrame(
-                {
-                    "o_custkey": b["o_custkey"].to_numpy(zero_copy_only=False),
-                    "price_c": price_c,
-                }
-            )
-            .groupby("o_custkey", sort=False)
-            .agg(n_orders=("price_c", "size"), sum_totalprice_c=("price_c", "sum"))
-            .reset_index()
+        return pa.table(
+            {"o_custkey": b["o_custkey"], "price_c": pa.array(price_c)}
         )
-        return shuffle_mod.from_pandas_clean(part)
 
-    def combine(g: pa.Table) -> pa.Table:
-        df = g.to_pandas()
-        out = (
-            df.groupby("o_custkey", sort=False)[["n_orders", "sum_totalprice_c"]]
-            .sum()
-            .reset_index()
-        )
-        return shuffle_mod.from_pandas_clean(out)
-
-    per_cust = (
-        orders.map_batches(derive, batch_format="pyarrow")
-        .map_batches(lambda b: add_bucket(b, "o_custkey"), batch_format="pyarrow")
-        .groupby("_bucket")
-        .map_groups(combine, batch_format="pyarrow")
+    per_cust = shuffle_mod.salted_aggregate(
+        orders.map_batches(derive, batch_format="pyarrow"),
+        key="o_custkey",
+        sums=("price_c",),
+        count_alias="n_orders",
     )
     cust = _read(
         sf_dir, "customer", SMALL_TABLE_BLOCKS, columns=["c_custkey", "c_mktsegment"]
@@ -2433,7 +2414,7 @@ def q_customer_order_profile(sf_dir: str):
         key_left="c_custkey",
         key_right="o_custkey",
         keep_left=["c_custkey", "c_mktsegment"],
-        keep_right=["n_orders", "sum_totalprice_c"],
+        keep_right=["n_orders", "sum_price_c"],
         how="left",
     ).to_pandas()
     return pa.table(
@@ -2444,7 +2425,7 @@ def q_customer_order_profile(sf_dir: str):
                 joined["n_orders"].fillna(0).to_numpy(np.int64)
             ),
             "sum_totalprice_c": pa.array(
-                joined["sum_totalprice_c"].fillna(0).to_numpy(np.int64)
+                joined["sum_price_c"].fillna(0).to_numpy(np.int64)
             ),
         }
     )
@@ -2461,7 +2442,9 @@ def q_user_gaps(sf_dir: str):
     single event emit the -1/-0 sentinels, mirroring SQL COALESCE."""
     from raycells.engine.shuffle import add_bucket
 
-    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    ds = _read(
+        sf_dir, "events", SMALL_TABLE_BLOCKS, columns=["event_id", "user_id", "ts"]
+    )
 
     def project(b: pa.Table) -> pa.Table:
         us = (
@@ -2640,7 +2623,12 @@ def q_user_running_value(sf_dir: str):
     Python, no second pass."""
     from raycells.engine.shuffle import add_bucket
 
-    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    ds = _read(
+        sf_dir,
+        "events",
+        SMALL_TABLE_BLOCKS,
+        columns=["event_id", "user_id", "ts", "value"],
+    )
 
     def project(b: pa.Table) -> pa.Table:
         us = (
