@@ -2389,7 +2389,9 @@ def q_customer_order_profile(sf_dir: str):
     does."""
     from raycells.engine.joins import hash_join
 
-    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    orders = _read(
+        sf_dir, "orders", SMALL_TABLE_BLOCKS, columns=["o_custkey", "o_totalprice"]
+    )
 
     def derive(b: pa.Table) -> pa.Table:
         price_c = _half_up(
