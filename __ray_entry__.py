@@ -36,6 +36,7 @@ oracles in raycells/pipelines/oracles.py):
   token_cooccurrence (PMI-style lift via per-batch incidence-matrix
   products), redact_props (RE2 digit-run scrubbing roll-up),
   regex_tokens (BPE-ish pretoken split counted as byte-class runs),
+  doc_surprisal (unigram-LM quality scoring in exact whole-bit costs),
   user_gaps (LAG-style per-user inter-event gaps, bucket-co-located
   vectorized window), user_running_value (ROW_NUMBER + running-SUM
   cumulative window, one output row per input row), events_pivot
@@ -159,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_value": q.q_user_running_value,
         "events_pivot": q.q_events_pivot,
         "qty_price_corr": q.q_qty_price_corr,
+        "doc_surprisal": q.q_doc_surprisal,
         "lang_id": q.q_lang_id,
         "events_daily": q.q_events_daily,
         "events_props_k": q.q_events_props_k,

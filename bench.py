@@ -151,6 +151,7 @@ PIPELINES = {
     "customer_order_profile": "q_customer_order_profile",
     "events_pivot": "q_events_pivot",
     "qty_price_corr": "q_qty_price_corr",
+    "doc_surprisal": "q_doc_surprisal",
 }
 
 

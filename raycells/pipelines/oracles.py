@@ -1873,6 +1873,38 @@ def build() -> dict:
                    CAST(COALESCE(MAX(gap_us), -1) AS BIGINT) AS max_gap_us
             FROM ordered GROUP BY user_id
         """,
+        # unigram surprisal (q_doc_surprisal): whole-bit token costs —
+        # floor(log2(N/c)) == length(bin(N // c)) - 1, pure integers
+        # (numpy SIMD log vs libm ln are NOT bit-identical, so a float
+        # LM score could never hash; whole bits can)
+        "doc_surprisal": """
+            WITH toks AS MATERIALIZED (
+                SELECT source, CAST(doc_id AS VARCHAR) AS dk,
+                       unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            ),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+            q AS (
+                SELECT tok,
+                       CAST(length(bin((SELECT n FROM tot) // c)) - 1 AS BIGINT) AS s
+                FROM (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+                      FROM toks GROUP BY tok)
+            ),
+            doc AS (
+                SELECT t.source, t.dk,
+                       CAST(COUNT(*) AS BIGINT) AS ntok,
+                       CAST(SUM(q.s) AS BIGINT) AS score
+                FROM toks t JOIN q ON q.tok = t.tok
+                GROUP BY t.source, t.dk
+            )
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(ntok) AS BIGINT) AS sum_tokens,
+                   CAST(SUM(score) AS BIGINT) AS sum_surprisal_bits,
+                   CAST(SUM(CASE WHEN score > ntok * 5 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_flagged
+            FROM doc GROUP BY source
+        """,
         # grouped Pearson correlation (q_qty_price_corr): exact integer
         # moment sums; the double is derived with the identical IEEE
         # tree (DOUBLE casts of exact ints, same op order) as numpy

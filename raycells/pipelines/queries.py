@@ -2508,6 +2508,76 @@ def q_user_gaps(sf_dir: str):
     )
 
 
+def q_doc_surprisal(sf_dir: str):
+    """Unigram-LM quality scoring (perplexity-style outlier filter):
+    each token costs ``floor(log2(N / count(tok)))`` whole BITS of
+    surprisal — exactly ``bit_length(N // c) − 1``, pure integer
+    arithmetic (numpy's SIMD ``log`` is NOT bit-identical to DuckDB's
+    libm ``ln``, measured, so a float LM score could never hash; whole
+    bits can). Docs whose total surprisal exceeds 5 bits/token are
+    flagged. Shape at scale: pass 1 is the vocab-bounded token-count
+    fold (partials per batch, driver builds the vocab-sized cost map);
+    pass 2 broadcasts the cost map into a batch kernel (token→cost via
+    factorize + take, per-doc sums via bincount — float64 accumulation
+    of integers < 2⁵³ is exact) and rolls up per source; for a web-scale
+    open vocabulary, ship the cost map via ray.put + broadcast_task and
+    hash-bucket the vocab, same as the co-occurrence note."""
+    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["source", "text"])
+
+    def tok_counts(b: pa.Table) -> pa.Table:
+        _, flat, _ = ta._split(b["text"])
+        toks = flat.to_numpy(zero_copy_only=False)
+        part = (
+            pd.Series(toks).value_counts().rename("c").rename_axis("tok").reset_index()
+        )
+        part["c"] = part["c"].astype(np.int64)
+        return shuffle_mod.from_pandas_clean(part)
+
+    cparts = ds.map_batches(tok_counts, batch_format="pyarrow").to_pandas()
+    cnt = cparts.groupby("tok", sort=False)["c"].sum()
+    total = np.int64(cnt.to_numpy(np.int64).sum())
+    # bit_length(total // c) - 1 == floor(log2(total / c)), exact
+    m = (total // cnt.to_numpy(np.int64)).astype(np.float64)
+    cost = {t: int(s) for t, s in zip(cnt.index, np.frexp(m)[1] - 1)}
+
+    def score(b: pa.Table) -> pa.Table:
+        _, flat, parent = ta._split(b["text"])
+        toks = flat.to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(toks)
+        s_by_code = np.array([cost[t] for t in uniq], dtype=np.int64)
+        s_flat = s_by_code[codes]
+        n = b.num_rows
+        ntok = np.bincount(parent, minlength=n).astype(np.int64)
+        sc = np.bincount(parent, weights=s_flat, minlength=n).astype(np.int64)
+        part = (
+            pd.DataFrame(
+                {
+                    "source": b["source"].to_numpy(zero_copy_only=False),
+                    "n_docs": np.ones(n, np.int64),
+                    "sum_tokens": ntok,
+                    "sum_surprisal_bits": sc,
+                    "n_flagged": (sc > ntok * 5).astype(np.int64),
+                }
+            )
+            .groupby("source", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return shuffle_mod.from_pandas_clean(part)
+
+    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("source", sort=False).sum().reset_index()
+    return pa.table(
+        {
+            "source": pa.array(out["source"], pa.string()),
+            **{
+                c: pa.array(out[c].to_numpy(np.int64))
+                for c in ("n_docs", "sum_tokens", "sum_surprisal_bits", "n_flagged")
+            },
+        }
+    )
+
+
 def q_qty_price_corr(sf_dir: str):
     """Grouped Pearson correlation (quantity vs price per return flag)
     computed the only cross-engine-hashable way: the five moment sums

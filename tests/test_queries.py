@@ -67,6 +67,7 @@ CHECKED = [
     "user_running_value",
     "events_pivot",
     "qty_price_corr",
+    "doc_surprisal",
     "lang_id",
     "events_daily",
     "events_props_k",
