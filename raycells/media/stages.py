@@ -63,22 +63,30 @@ def _binary_column(n: int, out_off: np.ndarray, out_flat: np.ndarray):
     )
 
 
+def _synth_payload(s: int, size: int) -> bytes:
+    """Payload byte i of seed s: ``(s*31 + i*7919 + i*i) % 256`` — plain
+    BIGINT arithmetic, so the DuckDB oracle reproduces the DECODED pixel
+    sums exactly (same design as the tile store's LCG values)."""
+    i = np.arange(size, dtype=np.int64)
+    return ((s * 31 + i * 7919 + i * i) % 256).astype(np.uint8).tobytes()
+
+
 def synth_media_batch(seeds: np.ndarray, media_type: str = "image") -> pa.Table:
-    """Deterministic fake media rows (PRNG keyed by seed only — idempotent
-    under retries). The payload is a raw uint8 plane, standing in for an
-    encoded JPEG/WAV/MP4 blob."""
+    """Deterministic fake media rows (pure seed arithmetic — idempotent
+    under retries AND SQL-reproducible, see ``_synth_payload``). The
+    payload is a raw uint8 plane, standing in for an encoded
+    JPEG/WAV/MP4 blob."""
     rows = []
     for s in np.asarray(seeds, dtype=np.int64):
-        rng = np.random.default_rng(int(s))
         if media_type == "image":
             h, w, nf, sr = 32, 32, 1, 0
-            payload = rng.integers(0, 256, h * w, dtype=np.uint8).tobytes()
+            payload = _synth_payload(int(s), h * w)
         elif media_type == "audio":
             h, w, nf, sr = 1, 8000, 1, 8000
-            payload = rng.integers(0, 256, w, dtype=np.uint8).tobytes()
+            payload = _synth_payload(int(s), w)
         else:
             h, w, nf, sr = 16, 16, 8, 0
-            payload = rng.integers(0, 256, h * w * nf, dtype=np.uint8).tobytes()
+            payload = _synth_payload(int(s), h * w * nf)
         rows.append((f"media-{s}", media_type, payload, h, w, nf, sr))
     if not rows:  # empty partition/shard → 0-row table, not a KeyError
         return MEDIA_SCHEMA.empty_table()
@@ -145,6 +153,11 @@ class MediaDecoder:
         out.update(
             {
                 "n_bytes": pa.array(lens.astype(np.int64)),
+                # exact integer moments (uint8 partial sums stay < 2^53 in
+                # float64, so the conversion back to int64 is lossless) —
+                # these are the oracle-hashable content columns
+                "sum_val": pa.array(sums.astype(np.int64)),
+                "sumsq_val": pa.array(sumsq.astype(np.int64)),
                 "pixel_mean": pa.array(np.round(mean_v, 6)),
                 "pixel_std": pa.array(np.round(std_v, 6)),
             }

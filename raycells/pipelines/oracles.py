@@ -2097,8 +2097,33 @@ def build() -> dict:
                                         WHEN 1 THEN 'audio'
                                         ELSE 'video' END AS media_type
                 FROM range(3000) r, nsel WHERE r.range < nsel.n
+            ),
+            -- decoded-content sums: payload byte i = (s*31+i*7919+i*i)%256
+            -- (media/stages._synth_payload); the surviving byte index per
+            -- output position mirrors the NN-resize gather (images: every
+            -- 4th pixel of every 4th row of the 32x32 source) and the
+            -- stride-2 frame sample (videos: frames 0,2,4,6 of 8 x 256 B)
+            msums AS (
+                SELECT s,
+                       CAST(SUM(v) AS BIGINT) AS sum_val,
+                       CAST(SUM(v * v) AS BIGINT) AS sumsq_val
+                FROM (
+                    SELECT s, (s * 31 + i * 7919 + i * i) % 256 AS v
+                    FROM (
+                        SELECT m.s,
+                               CASE m.media_type
+                                    WHEN 'image' THEN (r.range // 8) * 128 + (r.range % 8) * 4
+                                    WHEN 'audio' THEN r.range
+                                    ELSE ((r.range // 256) * 2) * 256 + (r.range % 256)
+                               END AS i
+                        FROM m, range(8000) r
+                        WHERE r.range < CASE m.media_type WHEN 'image' THEN 64
+                                                          WHEN 'audio' THEN 8000
+                                                          ELSE 1024 END
+                    )
+                ) GROUP BY s
             )
-            SELECT 'media-' || s AS media_id, media_type,
+            SELECT 'media-' || m.s AS media_id, media_type,
                    CAST(CASE media_type WHEN 'image' THEN 8
                                         WHEN 'audio' THEN 1
                                         ELSE 16 END AS INTEGER) AS height,
@@ -2111,8 +2136,9 @@ def build() -> dict:
                                         ELSE 0 END AS INTEGER) AS sample_rate,
                    CAST(CASE media_type WHEN 'image' THEN 64
                                         WHEN 'audio' THEN 8000
-                                        ELSE 1024 END AS BIGINT) AS n_bytes
-            FROM m
+                                        ELSE 1024 END AS BIGINT) AS n_bytes,
+                   msums.sum_val, msums.sumsq_val
+            FROM m JOIN msums ON msums.s = m.s
         """,
         "knn_embeddings": """
             WITH q AS (
