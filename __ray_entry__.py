@@ -48,7 +48,9 @@ oracles in raycells/pipelines/oracles.py):
 - co-partitioned join/window family (engine/joins.py):
   asof_latest_order, priority_revenue (hash join),
   customer_order_profile (LEFT OUTER hash join, zero-fill retained
-  rows), events_rolling7,
+  rows), events_order_window (temporal band join — count ALL rows in
+  a 30-day window via two searchsorted calls per bucket, no match
+  materialization), events_rolling7,
   distinct_custs, top_parts_by_brand, customers_no_orders — all
   oracle-checked.
 - near-dup / sketch / multimodal — ALL oracle-checked:
@@ -161,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": q.q_events_pivot,
         "qty_price_corr": q.q_qty_price_corr,
         "doc_surprisal": q.q_doc_surprisal,
+        "events_order_window": q.q_events_order_window,
         "lang_id": q.q_lang_id,
         "events_daily": q.q_events_daily,
         "events_props_k": q.q_events_props_k,

@@ -1873,6 +1873,30 @@ def build() -> dict:
                    CAST(COALESCE(MAX(gap_us), -1) AS BIGINT) AS max_gap_us
             FROM ordered GROUP BY user_id
         """,
+        # temporal band join (q_events_order_window): count ALL of a
+        # user's orders in the 30-day window up to each event (day
+        # granularity) — the retention-feature shape, vs asof's single
+        # latest match
+        "events_order_window": """
+            WITH ev AS (
+                SELECT event_id, event_type, user_id, CAST(ts AS DATE) AS d
+                FROM events
+            ),
+            j AS (
+                SELECT ev.event_id, ev.event_type,
+                       CAST(COUNT(o.o_custkey) AS BIGINT) AS m
+                FROM ev LEFT JOIN orders o
+                  ON o.o_custkey = ev.user_id
+                 AND ev.d - CAST(o.o_orderdate AS DATE) BETWEEN 0 AND 29
+                GROUP BY ev.event_id, ev.event_type
+            )
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(m) AS BIGINT) AS sum_matches,
+                   CAST(SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_matched
+            FROM j GROUP BY event_type
+        """,
         # unigram surprisal (q_doc_surprisal): whole-bit token costs —
         # floor(log2(N/c)) == length(bin(N // c)) - 1, pure integers
         # (numpy SIMD log vs libm ln are NOT bit-identical, so a float

@@ -2508,6 +2508,107 @@ def q_user_gaps(sf_dir: str):
     )
 
 
+def q_events_order_window(sf_dir: str):
+    """Temporal INTERVAL (band) join: for each event, COUNT the user's
+    orders placed in the 30 days up to the event (day granularity) —
+    unlike the as-of join (single latest match) this counts ALL rows in
+    the window, the retention/feature-window shape. Shape at scale: one
+    tagged-union coarse-bucket exchange co-locates each user's events
+    and orders; inside a bucket the orders sort once by a (user, day)
+    composite int64 and every event's window count falls out of TWO
+    vectorized searchsorted calls — no per-event loop, no row explosion
+    (the join never materializes matches, only counts). Rolled up per
+    event type; the driver folds the tiny partials."""
+    from raycells.engine.shuffle import add_bucket
+
+    _DAY_BITS = np.int64(1 << 21)  # day ordinals < 2^21 → composite is monotone
+
+    ev = _read(
+        sf_dir, "events", SMALL_TABLE_BLOCKS, columns=["user_id", "ts", "event_type"]
+    )
+    orders = _read(
+        sf_dir, "orders", SMALL_TABLE_BLOCKS, columns=["o_custkey", "o_orderdate"]
+    )
+
+    def project_ev(b: pa.Table) -> pa.Table:
+        d = (
+            b["ts"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "day": pa.array(d),
+                "event_type": b["event_type"],
+                "side": pa.array(np.zeros(b.num_rows, np.int8)),
+            }
+        )
+
+    def project_ord(b: pa.Table) -> pa.Table:
+        d = (
+            b["o_orderdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "user_id": b["o_custkey"],
+                "day": pa.array(d),
+                "event_type": pa.nulls(b.num_rows, pa.string()),
+                "side": pa.array(np.ones(b.num_rows, np.int8)),
+            }
+        )
+
+    tagged = ev.map_batches(project_ev, batch_format="pyarrow").union(
+        orders.map_batches(project_ord, batch_format="pyarrow")
+    )
+
+    def window_count(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        d = g["day"].to_numpy(zero_copy_only=False)
+        comp = u * _DAY_BITS + d
+        ordk = np.sort(comp[side == 1])
+        evm = side == 0
+        ce = comp[evm]
+        hits = np.searchsorted(ordk, ce, side="right") - np.searchsorted(
+            ordk, ce - 29, side="left"
+        )
+        et = np.asarray(g["event_type"].to_pylist(), dtype=object)[evm]
+        part = (
+            pd.DataFrame({"event_type": et, "m": hits.astype(np.int64)})
+            .groupby("event_type", sort=False)
+            .agg(
+                n_events=("m", "size"),
+                sum_matches=("m", "sum"),
+                n_matched=("m", lambda s: int((s > 0).sum())),
+            )
+            .reset_index()
+        )
+        part["n_matched"] = part["n_matched"].astype(np.int64)
+        return shuffle_mod.from_pandas_clean(part)
+
+    parts = (
+        tagged.map_batches(lambda b: add_bucket(b, "user_id"), batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(window_count, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = parts.groupby("event_type", sort=False).sum().reset_index()
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            **{
+                c: pa.array(out[c].to_numpy(np.int64))
+                for c in ("n_events", "sum_matches", "n_matched")
+            },
+        }
+    )
+
+
 def q_doc_surprisal(sf_dir: str):
     """Unigram-LM quality scoring (perplexity-style outlier filter):
     each token costs ``floor(log2(N / count(tok)))`` whole BITS of

@@ -68,6 +68,7 @@ CHECKED = [
     "events_pivot",
     "qty_price_corr",
     "doc_surprisal",
+    "events_order_window",
     "lang_id",
     "events_daily",
     "events_props_k",
