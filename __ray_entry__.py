@@ -28,7 +28,9 @@ oracles in raycells/pipelines/oracles.py):
   orders_by_segment, revenue_by_nation, global_stats, quantiles_qty,
   sessionize, dedup_exact, token_stats, normalize_text,
   sample_lineitem, stratified_sample (exact-n-per-stratum hash rank),
-  grouped_quantiles, top_bigrams (n-gram LM statistics),
+  grouped_quantiles, hist_quantiles (mergeable single-pass histogram
+  sketch — the scale path next to the exact two-pass selection),
+  top_bigrams (n-gram LM statistics),
   jsonl_token_stats (sharded-JSONL source — source-format
   independence vs the parquet oracle),
   tfidf_terms (integer-quantized tf×idf, broadcast vocabulary),
@@ -164,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_price_corr": q.q_qty_price_corr,
         "doc_surprisal": q.q_doc_surprisal,
         "events_order_window": q.q_events_order_window,
+        "hist_quantiles": q.q_hist_quantiles,
         "lang_id": q.q_lang_id,
         "events_daily": q.q_events_daily,
         "events_props_k": q.q_events_props_k,

@@ -1873,6 +1873,31 @@ def build() -> dict:
                    CAST(COALESCE(MAX(gap_us), -1) AS BIGINT) AS max_gap_us
             FROM ordered GROUP BY user_id
         """,
+        # histogram quantile sketch (q_hist_quantiles): $100 buckets,
+        # estimate = lower bound of the smallest bucket whose cumulative
+        # count reaches ceil(q·n), integer cross-multiplied
+        "hist_quantiles": """
+            WITH h AS (
+                SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) // 10000
+                           AS b,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM lineitem GROUP BY 1
+            ),
+            t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM h),
+            cum AS (
+                SELECT b, CAST(SUM(c) OVER (ORDER BY b) AS BIGINT) AS cc FROM h
+            )
+            SELECT (SELECT n FROM t) AS n_rows,
+                   CAST((SELECT MIN(b) FROM cum
+                         WHERE cc * 100 >= (SELECT n FROM t) * 50) * 10000
+                        AS BIGINT) AS p50_lo_c,
+                   CAST((SELECT MIN(b) FROM cum
+                         WHERE cc * 100 >= (SELECT n FROM t) * 90) * 10000
+                        AS BIGINT) AS p90_lo_c,
+                   CAST((SELECT MIN(b) FROM cum
+                         WHERE cc * 100 >= (SELECT n FROM t) * 99) * 10000
+                        AS BIGINT) AS p99_lo_c
+        """,
         # temporal band join (q_events_order_window): count ALL of a
         # user's orders in the 30-day window up to each event (day
         # granularity) — the retention-feature shape, vs asof's single

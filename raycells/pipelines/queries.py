@@ -2508,6 +2508,54 @@ def q_user_gaps(sf_dir: str):
     )
 
 
+def q_hist_quantiles(sf_dir: str):
+    """MERGEABLE histogram quantile sketch — the single-pass scale path
+    next to the exact two-pass selection (q_quantiles_price): fixed
+    $100-wide buckets over price cents, per-batch bucket counts combine
+    map-side and the driver folds the ≤ ~1.1k-bucket partials; the
+    p50/p90/p99 estimates are the lower bound of the smallest bucket
+    whose cumulative count reaches ceil(q·n) (integer cross-multiplied —
+    nothing float ever hashes). Registers are pure addition, so the same
+    sketch merges across days/shards like the HLL."""
+    W = np.int64(10_000)  # bucket width: $100 in cents
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def bucket_counts(b: pa.Table) -> pa.Table:
+        price_c = _half_up(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        part = (
+            pd.Series(price_c // W)
+            .value_counts()
+            .rename("c")
+            .rename_axis("b")
+            .reset_index()
+        )
+        part["c"] = part["c"].astype(np.int64)
+        return shuffle_mod.from_pandas_clean(part)
+
+    parts = ds.map_batches(bucket_counts, batch_format="pyarrow").to_pandas()
+    h = parts.groupby("b", sort=True)["c"].sum()
+    buckets = h.index.to_numpy(np.int64)
+    cum = np.cumsum(h.to_numpy(np.int64))
+    n = np.int64(cum[-1]) if len(cum) else np.int64(0)
+
+    def est(q100: int) -> int:
+        # smallest bucket with cum·100 ≥ n·q100, reported as its cent
+        # lower bound — identical integer rule to the SQL
+        i = int(np.searchsorted(cum * 100, n * q100, side="left"))
+        return int(buckets[i] * W)
+
+    return pa.table(
+        {
+            "n_rows": pa.array([int(n)], pa.int64()),
+            "p50_lo_c": pa.array([est(50)], pa.int64()),
+            "p90_lo_c": pa.array([est(90)], pa.int64()),
+            "p99_lo_c": pa.array([est(99)], pa.int64()),
+        }
+    )
+
+
 def q_events_order_window(sf_dir: str):
     """Temporal INTERVAL (band) join: for each event, COUNT the user's
     orders placed in the 30 days up to the event (day granularity) —

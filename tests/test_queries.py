@@ -69,6 +69,7 @@ CHECKED = [
     "qty_price_corr",
     "doc_surprisal",
     "events_order_window",
+    "hist_quantiles",
     "lang_id",
     "events_daily",
     "events_props_k",
