@@ -152,6 +152,8 @@ PIPELINES = {
     "events_pivot": "q_events_pivot",
     "qty_price_corr": "q_qty_price_corr",
     "doc_surprisal": "q_doc_surprisal",
+    "events_order_window": "q_events_order_window",
+    "hist_quantiles": "q_hist_quantiles",
 }
 
 
