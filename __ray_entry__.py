@@ -52,7 +52,8 @@ oracles in raycells/pipelines/oracles.py):
   customer_order_profile (LEFT OUTER hash join, zero-fill retained
   rows), events_order_window (temporal band join — count ALL rows in
   a 30-day window via two searchsorted calls per bucket, no match
-  materialization), events_rolling7,
+  materialization), customer_set_ops (INTERSECT/EXCEPT/complement via
+  per-key MAX membership flags), events_rolling7,
   distinct_custs, top_parts_by_brand, customers_no_orders — all
   oracle-checked.
 - near-dup / sketch / multimodal — ALL oracle-checked:
@@ -167,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_surprisal": q.q_doc_surprisal,
         "events_order_window": q.q_events_order_window,
         "hist_quantiles": q.q_hist_quantiles,
+        "customer_set_ops": q.q_customer_set_ops,
         "lang_id": q.q_lang_id,
         "events_daily": q.q_events_daily,
         "events_props_k": q.q_events_props_k,

@@ -1873,6 +1873,30 @@ def build() -> dict:
                    CAST(COALESCE(MAX(gap_us), -1) AS BIGINT) AS max_gap_us
             FROM ordered GROUP BY user_id
         """,
+        # set ops (q_customer_set_ops): INTERSECT/EXCEPT/complement via
+        # per-key MAX membership flags + LEFT JOIN for the 'neither' set
+        "customer_set_ops": """
+            WITH f AS (
+                SELECT o_custkey,
+                       MAX(CASE WHEN date_part('year', o_orderdate) = 1996
+                                THEN 1 ELSE 0 END) AS a,
+                       MAX(CASE WHEN date_part('year', o_orderdate) = 1999
+                                THEN 1 ELSE 0 END) AS b
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT c.c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(CASE WHEN COALESCE(f.a, 0) = 1 AND COALESCE(f.b, 0) = 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+                   CAST(SUM(CASE WHEN COALESCE(f.a, 0) = 1 AND COALESCE(f.b, 0) = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a,
+                   CAST(SUM(CASE WHEN COALESCE(f.a, 0) = 0 AND COALESCE(f.b, 0) = 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b,
+                   CAST(SUM(CASE WHEN COALESCE(f.a, 0) = 0 AND COALESCE(f.b, 0) = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+            FROM customer c LEFT JOIN f ON f.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
         # histogram quantile sketch (q_hist_quantiles): $100 buckets,
         # estimate = lower bound of the smallest bucket whose cumulative
         # count reaches ceil(q·n), integer cross-multiplied

@@ -2508,6 +2508,83 @@ def q_user_gaps(sf_dir: str):
     )
 
 
+def q_customer_set_ops(sf_dir: str):
+    """Set operations over derived key sets — INTERSECT / EXCEPT /
+    complement in one pass: customers who ordered in BOTH 1996 and 1999,
+    only one, or neither, rolled up per market segment. Shape at scale:
+    each batch collapses map-side to per-custkey 0/1 flags (MAX is the
+    set-membership combiner), the shared salted_aggregate merges flags
+    per key, the LEFT hash join carries the full customer set (the
+    'neither' complement needs outer semantics), and only the
+    segment-sized rollup reaches the driver."""
+    from raycells.engine.joins import hash_join
+
+    orders = _read(
+        sf_dir, "orders", SMALL_TABLE_BLOCKS, columns=["o_custkey", "o_orderdate"]
+    )
+
+    def flags(b: pa.Table) -> pa.Table:
+        yr = (
+            b["o_orderdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        return pa.table(
+            {
+                "o_custkey": b["o_custkey"],
+                "in_a": pa.array((yr == 1996).astype(np.int64)),
+                "in_b": pa.array((yr == 1999).astype(np.int64)),
+            }
+        )
+
+    per_cust = shuffle_mod.salted_aggregate(
+        orders.map_batches(flags, batch_format="pyarrow"),
+        key="o_custkey",
+        maxs=("in_a", "in_b"),
+        count_alias="_n",
+    )
+    cust = _read(
+        sf_dir, "customer", SMALL_TABLE_BLOCKS, columns=["c_custkey", "c_mktsegment"]
+    )
+    j = hash_join(
+        cust,
+        per_cust,
+        key_left="c_custkey",
+        key_right="o_custkey",
+        keep_left=["c_mktsegment"],
+        keep_right=["max_in_a", "max_in_b"],
+        how="left",
+    ).to_pandas()
+    a = j["max_in_a"].fillna(0).to_numpy(np.int64)
+    b = j["max_in_b"].fillna(0).to_numpy(np.int64)
+    out = (
+        pd.DataFrame(
+            {
+                "c_mktsegment": j["c_mktsegment"],
+                "n_customers": np.ones(len(j), np.int64),
+                "n_both": ((a == 1) & (b == 1)).astype(np.int64),
+                "n_only_a": ((a == 1) & (b == 0)).astype(np.int64),
+                "n_only_b": ((a == 0) & (b == 1)).astype(np.int64),
+                "n_neither": ((a == 0) & (b == 0)).astype(np.int64),
+            }
+        )
+        .groupby("c_mktsegment", sort=False)
+        .sum()
+        .reset_index()
+    )
+    return pa.table(
+        {
+            "c_mktsegment": pa.array(out["c_mktsegment"], pa.string()),
+            **{
+                c: pa.array(out[c].to_numpy(np.int64))
+                for c in ("n_customers", "n_both", "n_only_a", "n_only_b", "n_neither")
+            },
+        }
+    )
+
+
 def q_hist_quantiles(sf_dir: str):
     """MERGEABLE histogram quantile sketch — the single-pass scale path
     next to the exact two-pass selection (q_quantiles_price): fixed

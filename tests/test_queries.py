@@ -70,6 +70,7 @@ CHECKED = [
     "doc_surprisal",
     "events_order_window",
     "hist_quantiles",
+    "customer_set_ops",
     "lang_id",
     "events_daily",
     "events_props_k",
