@@ -50,8 +50,8 @@ oracles in raycells/pipelines/oracles.py):
 - co-partitioned join/window family (engine/joins.py):
   asof_latest_order, priority_revenue (hash join),
   customer_order_profile (LEFT OUTER hash join, zero-fill retained
-  rows), events_order_window (temporal band join — count ALL rows in
-  a 30-day window via two searchsorted calls per bucket, no match
+  rows), event_bursts (temporal band join — count ALL same-user rows in a
+  trailing 7-day window via engine/joins.band_join_count, no match
   materialization), customer_set_ops (INTERSECT/EXCEPT/complement via
   per-key MAX membership flags), events_rolling7,
   distinct_custs, top_parts_by_brand, customers_no_orders — all
@@ -75,8 +75,11 @@ oracles in raycells/pipelines/oracles.py):
   exact-integer Lloyd k-means iterations as materialized SQL CTEs),
   approx_distinct_custs (HLL murmur finalizer + exact-integer
   harmonic-sum estimator), media_features (the plumbing metadata the
-  pipeline emits is shape arithmetic). Every one of the 58 driver
-  queries hash-matches DuckDB.
+  pipeline emits is shape arithmetic — and since round 2 the decoded
+  CONTENT too: SQL-reproducible payloads + exact byte moments through
+  resize and frame-sample). EVERY driver query hash-matches DuckDB
+  (band_tile_stats runs at the gate only; 74 of 75 also run in the
+  sf0.001 pytest replica).
 """
 
 from __future__ import annotations
@@ -166,7 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": q.q_events_pivot,
         "qty_price_corr": q.q_qty_price_corr,
         "doc_surprisal": q.q_doc_surprisal,
-        "events_order_window": q.q_events_order_window,
+        "event_bursts": q.q_event_bursts,
         "hist_quantiles": q.q_hist_quantiles,
         "customer_set_ops": q.q_customer_set_ops,
         "lang_id": q.q_lang_id,

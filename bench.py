@@ -152,8 +152,9 @@ PIPELINES = {
     "events_pivot": "q_events_pivot",
     "qty_price_corr": "q_qty_price_corr",
     "doc_surprisal": "q_doc_surprisal",
-    "events_order_window": "q_events_order_window",
+    "event_bursts": "q_event_bursts",
     "hist_quantiles": "q_hist_quantiles",
+    "customer_set_ops": "q_customer_set_ops",
 }
 
 

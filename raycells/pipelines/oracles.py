@@ -1922,22 +1922,23 @@ def build() -> dict:
                          WHERE cc * 100 >= (SELECT n FROM t) * 99) * 10000
                         AS BIGINT) AS p99_lo_c
         """,
-        # temporal band join (q_events_order_window): count ALL of a
-        # user's orders in the 30-day window up to each event (day
-        # granularity) — the retention-feature shape, vs asof's single
-        # latest match
-        "events_order_window": """
+        # temporal band join (q_event_bursts): for each event, count the
+        # SAME user's events in the trailing 7-day window (self-join —
+        # the two sides genuinely overlap in time, so the window logic is
+        # exercised with non-trivial counts; the self-match is subtracted
+        # identically on both sides)
+        "event_bursts": """
             WITH ev AS (
                 SELECT event_id, event_type, user_id, CAST(ts AS DATE) AS d
                 FROM events
             ),
             j AS (
-                SELECT ev.event_id, ev.event_type,
-                       CAST(COUNT(o.o_custkey) AS BIGINT) AS m
-                FROM ev LEFT JOIN orders o
-                  ON o.o_custkey = ev.user_id
-                 AND ev.d - CAST(o.o_orderdate AS DATE) BETWEEN 0 AND 29
-                GROUP BY ev.event_id, ev.event_type
+                SELECT e.event_id, e.event_type,
+                       CAST(COUNT(*) - 1 AS BIGINT) AS m
+                FROM ev e JOIN ev r
+                  ON r.user_id = e.user_id
+                 AND e.d - r.d BETWEEN 0 AND 7
+                GROUP BY e.event_id, e.event_type
             )
             SELECT event_type,
                    CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -2515,8 +2515,9 @@ def q_customer_set_ops(sf_dir: str):
     each batch collapses map-side to per-custkey 0/1 flags (MAX is the
     set-membership combiner), the shared salted_aggregate merges flags
     per key, the LEFT hash join carries the full customer set (the
-    'neither' complement needs outer semantics), and only the
-    segment-sized rollup reaches the driver."""
+    'neither' complement needs outer semantics), the per-segment rollup
+    happens INSIDE the join's output stage, and only the
+    O(blocks × segments) partials reach the driver."""
     from raycells.engine.joins import hash_join
 
     orders = _read(
@@ -2556,24 +2557,31 @@ def q_customer_set_ops(sf_dir: str):
         keep_left=["c_mktsegment"],
         keep_right=["max_in_a", "max_in_b"],
         how="left",
-    ).to_pandas()
-    a = j["max_in_a"].fillna(0).to_numpy(np.int64)
-    b = j["max_in_b"].fillna(0).to_numpy(np.int64)
-    out = (
-        pd.DataFrame(
-            {
-                "c_mktsegment": j["c_mktsegment"],
-                "n_customers": np.ones(len(j), np.int64),
-                "n_both": ((a == 1) & (b == 1)).astype(np.int64),
-                "n_only_a": ((a == 1) & (b == 0)).astype(np.int64),
-                "n_only_b": ((a == 0) & (b == 1)).astype(np.int64),
-                "n_neither": ((a == 0) & (b == 0)).astype(np.int64),
-            }
-        )
-        .groupby("c_mktsegment", sort=False)
-        .sum()
-        .reset_index()
     )
+
+    def rollup(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        a = df["max_in_a"].fillna(0).to_numpy(np.int64)
+        b = df["max_in_b"].fillna(0).to_numpy(np.int64)
+        part = (
+            pd.DataFrame(
+                {
+                    "c_mktsegment": df["c_mktsegment"],
+                    "n_customers": np.ones(len(df), np.int64),
+                    "n_both": ((a == 1) & (b == 1)).astype(np.int64),
+                    "n_only_a": ((a == 1) & (b == 0)).astype(np.int64),
+                    "n_only_b": ((a == 0) & (b == 1)).astype(np.int64),
+                    "n_neither": ((a == 0) & (b == 0)).astype(np.int64),
+                }
+            )
+            .groupby("c_mktsegment", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return shuffle_mod.from_pandas_clean(part)
+
+    parts = j.map_batches(rollup, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("c_mktsegment", sort=False).sum().reset_index()
     return pa.table(
         {
             "c_mktsegment": pa.array(out["c_mktsegment"], pa.string()),
@@ -2619,7 +2627,11 @@ def q_hist_quantiles(sf_dir: str):
 
     def est(q100: int) -> int:
         # smallest bucket with cum·100 ≥ n·q100, reported as its cent
-        # lower bound — identical integer rule to the SQL
+        # lower bound — identical integer rule to the SQL; an empty
+        # input (plausible for a per-shard sketch) yields 0, not an
+        # IndexError
+        if n == 0:
+            return 0
         i = int(np.searchsorted(cum * 100, n * q100, side="left"))
         return int(buckets[i] * W)
 
@@ -2633,29 +2645,20 @@ def q_hist_quantiles(sf_dir: str):
     )
 
 
-def q_events_order_window(sf_dir: str):
-    """Temporal INTERVAL (band) join: for each event, COUNT the user's
-    orders placed in the 30 days up to the event (day granularity) —
-    unlike the as-of join (single latest match) this counts ALL rows in
-    the window, the retention/feature-window shape. Shape at scale: one
-    tagged-union coarse-bucket exchange co-locates each user's events
-    and orders; inside a bucket the orders sort once by a (user, day)
-    composite int64 and every event's window count falls out of TWO
-    vectorized searchsorted calls — no per-event loop, no row explosion
-    (the join never materializes matches, only counts). Rolled up per
-    event type; the driver folds the tiny partials."""
-    from raycells.engine.shuffle import add_bucket
+def q_event_bursts(sf_dir: str):
+    """Temporal BAND join (engine/joins.band_join_count): for each
+    event, COUNT the same user's events in the 7 days up to it (day
+    granularity, self included then subtracted) — the burstiness /
+    retention-feature shape that counts ALL rows in a window, vs the
+    as-of join's single latest match. Shape at scale: one tagged-union
+    coarse-bucket exchange co-locates each user's rows; per bucket the
+    right side sorts once on a (user, day) composite int64 and every
+    event's window count is two vectorized searchsorted calls; matches
+    are never materialized. Rolled up per event type; the driver folds
+    the tiny partials."""
+    from raycells.engine.joins import band_join_count
 
-    _DAY_BITS = np.int64(1 << 21)  # day ordinals < 2^21 → composite is monotone
-
-    ev = _read(
-        sf_dir, "events", SMALL_TABLE_BLOCKS, columns=["user_id", "ts", "event_type"]
-    )
-    orders = _read(
-        sf_dir, "orders", SMALL_TABLE_BLOCKS, columns=["o_custkey", "o_orderdate"]
-    )
-
-    def project_ev(b: pa.Table) -> pa.Table:
+    def project(b: pa.Table) -> pa.Table:
         d = (
             b["ts"]
             .to_numpy(zero_copy_only=False)
@@ -2667,44 +2670,32 @@ def q_events_order_window(sf_dir: str):
                 "user_id": b["user_id"],
                 "day": pa.array(d),
                 "event_type": b["event_type"],
-                "side": pa.array(np.zeros(b.num_rows, np.int8)),
             }
         )
 
-    def project_ord(b: pa.Table) -> pa.Table:
-        d = (
-            b["o_orderdate"]
-            .to_numpy(zero_copy_only=False)
-            .astype("datetime64[D]")
-            .astype(np.int64)
-        )
-        return pa.table(
-            {
-                "user_id": b["o_custkey"],
-                "day": pa.array(d),
-                "event_type": pa.nulls(b.num_rows, pa.string()),
-                "side": pa.array(np.ones(b.num_rows, np.int8)),
-            }
-        )
+    ev = _read(
+        sf_dir, "events", SMALL_TABLE_BLOCKS, columns=["user_id", "ts", "event_type"]
+    ).map_batches(project, batch_format="pyarrow")
 
-    tagged = ev.map_batches(project_ev, batch_format="pyarrow").union(
-        orders.map_batches(project_ord, batch_format="pyarrow")
+    counted = band_join_count(
+        ev,
+        ev,
+        key_left="user_id",
+        key_right="user_id",
+        on_left="day",
+        on_right="day",
+        low=-7,
+        high=0,
+        keep_left=["event_type"],
+        on_scale=1 << 21,
     )
 
-    def window_count(g: pa.Table) -> pa.Table:
-        side = g["side"].to_numpy(zero_copy_only=False)
-        u = g["user_id"].to_numpy(zero_copy_only=False)
-        d = g["day"].to_numpy(zero_copy_only=False)
-        comp = u * _DAY_BITS + d
-        ordk = np.sort(comp[side == 1])
-        evm = side == 0
-        ce = comp[evm]
-        hits = np.searchsorted(ordk, ce, side="right") - np.searchsorted(
-            ordk, ce - 29, side="left"
-        )
-        et = np.asarray(g["event_type"].to_pylist(), dtype=object)[evm]
+    def rollup(b: pa.Table) -> pa.Table:
+        m = b["m"].to_numpy(zero_copy_only=False) - 1  # drop the self-match
         part = (
-            pd.DataFrame({"event_type": et, "m": hits.astype(np.int64)})
+            pd.DataFrame(
+                {"event_type": b["event_type"].to_numpy(zero_copy_only=False), "m": m}
+            )
             .groupby("event_type", sort=False)
             .agg(
                 n_events=("m", "size"),
@@ -2716,12 +2707,7 @@ def q_events_order_window(sf_dir: str):
         part["n_matched"] = part["n_matched"].astype(np.int64)
         return shuffle_mod.from_pandas_clean(part)
 
-    parts = (
-        tagged.map_batches(lambda b: add_bucket(b, "user_id"), batch_format="pyarrow")
-        .groupby("_bucket")
-        .map_groups(window_count, batch_format="pyarrow")
-        .to_pandas()
-    )
+    parts = counted.map_batches(rollup, batch_format="pyarrow").to_pandas()
     out = parts.groupby("event_type", sort=False).sum().reset_index()
     return pa.table(
         {
@@ -2762,9 +2748,14 @@ def q_doc_surprisal(sf_dir: str):
     cparts = ds.map_batches(tok_counts, batch_format="pyarrow").to_pandas()
     cnt = cparts.groupby("tok", sort=False)["c"].sum()
     total = np.int64(cnt.to_numpy(np.int64).sum())
-    # bit_length(total // c) - 1 == floor(log2(total / c)), exact
-    m = (total // cnt.to_numpy(np.int64)).astype(np.float64)
-    cost = {t: int(s) for t, s in zip(cnt.index, np.frexp(m)[1] - 1)}
+    # bit_length(total // c) - 1 == floor(log2(total / c)), exact in
+    # PYTHON-INT arithmetic (a frexp detour through float64 would round
+    # int64 values >= 2^53 across power-of-two boundaries and overstate
+    # the cost by a bit); the loop is vocab-sized, driver-side, cheap
+    cost = {
+        t: int(v).bit_length() - 1
+        for t, v in zip(cnt.index, (total // cnt.to_numpy(np.int64)))
+    }
 
     def score(b: pa.Table) -> pa.Table:
         _, flat, parent = ta._split(b["text"])

@@ -361,3 +361,41 @@ def test_hash_join_uint64_carried_column_exact(ray_session):
     ).to_pandas().sort_values("lv").reset_index(drop=True)
     assert out["rv"].dtype == np.uint64
     assert int(out.loc[0, "rv"]) == 2**63 + 5
+
+
+def test_band_join_count_matches_brute_force(ray_session):
+    """band_join_count's searchsorted window must equal the brute-force
+    count for every left row, across random keys/offsets, asymmetric
+    [low, high] bounds, keys with no right rows, and window edges."""
+    from raycells.engine.joins import band_join_count
+
+    rng = np.random.default_rng(17)
+    n_l, n_r = 300, 400
+    lk = rng.integers(0, 20, n_l).astype(np.int64)
+    lo_ = rng.integers(10, 100, n_l).astype(np.int64)
+    rk = rng.integers(0, 25, n_r).astype(np.int64)  # some keys only right
+    ro = rng.integers(10, 100, n_r).astype(np.int64)
+    left = pa.table(
+        {"k": lk, "on": lo_, "tag": [f"L{i}" for i in range(n_l)]}
+    )
+    right = pa.table({"k": rk, "on": ro})
+    out = band_join_count(
+        _ds(left),
+        _ds(right),
+        key_left="k",
+        key_right="k",
+        on_left="on",
+        on_right="on",
+        low=-5,
+        high=3,
+        keep_left=["tag"],
+        on_scale=128,
+    ).to_pandas()
+    want = {
+        f"L{i}": int(
+            ((rk == lk[i]) & (ro >= lo_[i] - 5) & (ro <= lo_[i] + 3)).sum()
+        )
+        for i in range(n_l)
+    }
+    got = dict(zip(out["tag"], out["m"].astype(int)))
+    assert got == want

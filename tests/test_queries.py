@@ -68,7 +68,7 @@ CHECKED = [
     "events_pivot",
     "qty_price_corr",
     "doc_surprisal",
-    "events_order_window",
+    "event_bursts",
     "hist_quantiles",
     "customer_set_ops",
     "lang_id",
