@@ -77,9 +77,10 @@ oracles in raycells/pipelines/oracles.py):
   harmonic-sum estimator), media_features (the plumbing metadata the
   pipeline emits is shape arithmetic — and since round 2 the decoded
   CONTENT too: SQL-reproducible payloads + exact byte moments through
-  resize and frame-sample). EVERY driver query hash-matches DuckDB
-  (band_tile_stats runs at the gate only; 74 of 75 also run in the
-  sf0.001 pytest replica).
+  resize and frame-sample). EVERY one of the 73 driver queries
+  hash-matches DuckDB (72 also run in the sf0.001 pytest replica;
+  band_tile_stats is the one gate-only row — its 28M-cell SQL belongs
+  at sf0.01).
 """
 
 from __future__ import annotations
