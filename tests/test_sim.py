@@ -185,3 +185,48 @@ def test_hll_rank_exact_across_binades():
         rand = (rng.integers(0, 1 << 63, 4096, dtype=np.int64).view(np.uint64)
                 << np.uint64(p))
         np.testing.assert_array_equal(_rank(rand, p), exact(rand, p))
+
+
+def test_sketches_merge_across_shards():
+    """The 'mergeable' claims, demonstrated concretely: (a) HLL registers
+    built per shard and merged give the SAME estimate as one pass over
+    the union; (b) the fixed-width histogram sketch's bucket counts add
+    across shards and reproduce the single-pass quantile estimates —
+    the incremental/append execution mode both sketches exist for."""
+    import numpy as np
+
+    from raycells.sim.hll import hll_estimate, hll_merge, hll_registers
+
+    rng = np.random.default_rng(23)
+    a = rng.integers(0, 50_000, 40_000)
+    b = rng.integers(25_000, 90_000, 40_000)
+    merged = hll_merge(hll_registers(a), hll_registers(b))
+    single = hll_registers(np.concatenate([a, b]))
+    assert np.array_equal(merged, single)  # registers, not just estimates
+    est = hll_estimate(merged)
+    true = len(np.unique(np.concatenate([a, b])))
+    assert abs(est - true) / true < 0.05
+
+    # histogram sketch: per-shard bucket counts are pure addition
+    W = 100
+    vals_a = rng.integers(0, 100_000, 30_000)
+    vals_b = rng.integers(0, 100_000, 30_000)
+
+    def hist(v):
+        bu, c = np.unique(v // W, return_counts=True)
+        return dict(zip(bu.tolist(), c.tolist()))
+
+    ha, hb = hist(vals_a), hist(vals_b)
+    hm = {k: ha.get(k, 0) + hb.get(k, 0) for k in set(ha) | set(hb)}
+    hs = hist(np.concatenate([vals_a, vals_b]))
+    assert hm == hs
+
+    def est_q(h, q100):
+        bu = np.array(sorted(h), dtype=np.int64)
+        cum = np.cumsum([h[int(k)] for k in bu])
+        n = cum[-1]
+        i = int(np.searchsorted(cum * 100, n * q100))
+        return int(bu[i] * W)
+
+    for q in (50, 90, 99):
+        assert est_q(hm, q) == est_q(hs, q)
