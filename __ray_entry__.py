@@ -73,6 +73,8 @@ oracles in raycells/pipelines/oracles.py):
   integer-cosine — every bucket bit and similarity an exact
   int64-derived value), ann_ivf (content-keyed seeding + ten UNROLLED
   exact-integer Lloyd k-means iterations as materialized SQL CTEs),
+  cluster_embeddings (k-means assignments exposed as a curation
+  operator — same unrolled-Lloyd SQL chain, per-cluster rollup),
   approx_distinct_custs (HLL murmur finalizer + exact-integer
   harmonic-sum estimator), media_features (the plumbing metadata the
   pipeline emits is shape arithmetic — and since round 2 the decoded
@@ -194,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups": q.q_embedding_dups,
         "ann_lsh": q.q_ann_lsh,
         "ann_ivf": q.q_ann_ivf,
+        "cluster_embeddings": q.q_cluster_embeddings,
         "fingerprint_docs": q.q_fingerprint_docs,
         "media_features": q.q_media_features,
     }

@@ -1077,6 +1077,25 @@ FROM ranked WHERE rank <= {k}
     return "".join(parts)
 
 
+def _cluster_embeddings_sql(n_centroids: int = 16, n_iters: int = 10) -> str:
+    """K-means assignment rollup (q_cluster_embeddings): the EXACT same
+    unrolled-Lloyd CTE chain as _ann_ivf_sql (shared by construction —
+    split at its probes tail), finished with a per-cluster count +
+    vec_id sum so any single assignment flip changes the hash."""
+    full = _ann_ivf_sql(n_centroids=n_centroids, n_iters=n_iters)
+    marker = ",\nprobes AS ("
+    prefix = full[: full.index(marker)]
+    return (
+        prefix
+        + """
+SELECT CAST(c AS BIGINT) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id
+FROM asgF GROUP BY c
+"""
+    )
+
+
 _LANG_SCORE = """
     len(list_filter(string_split(text, ' '), x -> x = '{w}'))
 """
@@ -1235,6 +1254,7 @@ def build() -> dict:
         "simhash_pairs": _simhash_sql(),
         "ann_lsh": _ann_lsh_sql(),
         "ann_ivf": _ann_ivf_sql(),
+        "cluster_embeddings": _cluster_embeddings_sql(),
         # vectorize: on the synthetic band mask (one residue class mod 33)
         # no two nodata cells are 4-adjacent, so every connected region is
         # a singleton — the label count equals the masked-cell count

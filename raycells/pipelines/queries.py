@@ -2508,6 +2508,65 @@ def q_user_gaps(sf_dir: str):
     )
 
 
+def q_cluster_embeddings(sf_dir: str):
+    """K-means clustering of the embedding table exposed as a
+    first-class curation operator (topic bucketing / diversity
+    sampling): centroids come from the exact-integer Lloyd recipe
+    (sim/ivf.train_centroids_int — integer sum-vector centroids, so the
+    10 unrolled iterations are SQL-reproducible) on a bounded
+    driver-side sample, every batch assigns with one matmul against the
+    broadcast centroid matrix, and each batch collapses map-side to
+    ≤ n_centroids rollup rows (count + vec_id sum — any assignment flip
+    changes the hash). At 100 TB the sample stays a constant, the
+    centroid matrix is KBs, and assignment is the same streaming matmul
+    profile as brute-force kNN."""
+    from raycells.sim.ivf import _assign, train_centroids_int
+    from raycells.text.dedup import quantize_embeddings
+
+    ds = _read(
+        sf_dir, "embeddings", SMALL_TABLE_BLOCKS, columns=["vec_id", "embedding"]
+    )
+    train = np.asarray(
+        [
+            r["embedding"]
+            for r in ds.limit(2048).select_columns(["embedding"]).take_all()
+        ],
+        dtype=np.float64,
+    )
+    sums = train_centroids_int(quantize_embeddings(train), 16)
+
+    def assign(b: pa.Table) -> pa.Table:
+        eq = quantize_embeddings(
+            np.asarray(b["embedding"].to_pylist(), dtype=np.float64)
+        )
+        a = _assign(eq, sums)  # the (C, d) int64 matrix ships in the closure (KBs)
+        part = (
+            pd.DataFrame(
+                {
+                    "cluster": a.astype(np.int64),
+                    "n_vectors": np.ones(len(a), np.int64),
+                    "sum_vec_id": b["vec_id"].to_numpy(zero_copy_only=False).astype(
+                        np.int64
+                    ),
+                }
+            )
+            .groupby("cluster", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return shuffle_mod.from_pandas_clean(part)
+
+    parts = ds.map_batches(assign, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("cluster", sort=False).sum().reset_index()
+    return pa.table(
+        {
+            "cluster": pa.array(out["cluster"].to_numpy(np.int64)),
+            "n_vectors": pa.array(out["n_vectors"].to_numpy(np.int64)),
+            "sum_vec_id": pa.array(out["sum_vec_id"].to_numpy(np.int64)),
+        }
+    )
+
+
 def q_customer_set_ops(sf_dir: str):
     """Set operations over derived key sets — INTERSECT / EXCEPT /
     complement in one pass: customers who ordered in BOTH 1996 and 1999,

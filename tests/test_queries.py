@@ -90,6 +90,7 @@ CHECKED = [
     "embedding_dups",
     "ann_lsh",
     "ann_ivf",
+    "cluster_embeddings",
     "fingerprint_docs",
     "media_features",
 ]
