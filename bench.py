@@ -155,6 +155,7 @@ PIPELINES = {
     "event_bursts": "q_event_bursts",
     "hist_quantiles": "q_hist_quantiles",
     "customer_set_ops": "q_customer_set_ops",
+    "cluster_embeddings": "q_cluster_embeddings",
 }
 
 
