@@ -50,9 +50,9 @@ oracles in raycells/pipelines/oracles.py):
 - co-partitioned join/window family (engine/joins.py):
   asof_latest_order, priority_revenue (hash join),
   customer_order_profile (LEFT OUTER hash join, zero-fill retained
-  rows), event_bursts (temporal band join — count ALL same-user rows in a
-  trailing 7-day window via engine/joins.band_join_count, no match
-  materialization), customer_set_ops (INTERSECT/EXCEPT/complement via
+  rows), event_bursts (temporal band join — count ALL same-user rows in the
+  trailing week, d−7…d inclusive, via engine/joins.band_join_count; no
+  match materialization), customer_set_ops (INTERSECT/EXCEPT/complement via
   per-key MAX membership flags), events_rolling7,
   distinct_custs, top_parts_by_brand, customers_no_orders — all
   oracle-checked.
@@ -79,10 +79,10 @@ oracles in raycells/pipelines/oracles.py):
   harmonic-sum estimator), media_features (the plumbing metadata the
   pipeline emits is shape arithmetic — and since round 2 the decoded
   CONTENT too: SQL-reproducible payloads + exact byte moments through
-  resize and frame-sample). EVERY one of the 73 driver queries
-  hash-matches DuckDB (72 also run in the sf0.001 pytest replica;
-  band_tile_stats is the one gate-only row — its 28M-cell SQL belongs
-  at sf0.01).
+  resize and frame-sample). EVERY driver query hash-matches
+  DuckDB, and ALL BUT ONE also run in the sf0.001 pytest replica
+  (band_tile_stats is the single gate-only row — its 28M-cell SQL
+  belongs at sf0.01).
 """
 
 from __future__ import annotations

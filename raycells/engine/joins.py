@@ -28,7 +28,13 @@ import pyarrow.compute as pc
 
 from raycells.engine.shuffle import DEFAULT_BUCKETS, add_bucket, from_pandas_clean
 
-__all__ = ["asof_join", "hash_join", "distinct_count", "grouped_topk"]
+__all__ = [
+    "asof_join",
+    "hash_join",
+    "band_join_count",
+    "distinct_count",
+    "grouped_topk",
+]
 
 # int columns that hold nulls (the tagged union fills the other side's
 # columns with nulls) must NOT round-trip through float64 — values
@@ -368,8 +374,11 @@ def band_join_count(
     the right rows sort once on the monotone composite
     ``key·on_scale + on`` and every left row's window count falls out of
     TWO vectorized searchsorted calls — no per-row loop, no row
-    explosion. Caller guarantees ``0 <= on + high < on_scale`` and
-    ``on + low >= 0`` so the composite stays lexicographic.
+    explosion. Caller guarantees ``0 <= on + high < on_scale``,
+    ``on + low >= 0``, AND ``|key| < 2^62 / on_scale`` so the composite
+    stays lexicographic without wrapping int64 (checked per bucket —
+    NOT safe for 64-bit hashes carried as int64 bit patterns; bucket
+    such keys into a smaller range first).
 
     Returns a Dataset of ``keep_left`` columns + ``m`` (int64). For the
     single-latest-match shape use :func:`asof_join`; for materialized
@@ -406,6 +415,11 @@ def band_join_count(
         side = g["_side"].to_numpy(zero_copy_only=False)
         k = g["_k"].to_numpy(zero_copy_only=False).astype(np.int64)
         on = g["_on"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if k.size and int(np.abs(k).max()) >= (1 << 62) // int(scale):
+            raise ValueError(
+                "band_join_count: |key| too large for on_scale — the "
+                "composite key would wrap int64 and silently miscount"
+            )
         comp = k * scale + on
         rightk = np.sort(comp[side == 1])
         lm = side == 0

@@ -1943,7 +1943,8 @@ def build() -> dict:
                         AS BIGINT) AS p99_lo_c
         """,
         # temporal band join (q_event_bursts): for each event, count the
-        # SAME user's events in the trailing 7-day window (self-join —
+        # SAME user's events in the trailing week (d-7..d inclusive, 8 day
+        # values; self-join —
         # the two sides genuinely overlap in time, so the window logic is
         # exercised with non-trivial counts; the self-match is subtracted
         # identically on both sides)

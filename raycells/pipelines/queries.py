@@ -2520,20 +2520,13 @@ def q_cluster_embeddings(sf_dir: str):
     changes the hash). At 100 TB the sample stays a constant, the
     centroid matrix is KBs, and assignment is the same streaming matmul
     profile as brute-force kNN."""
-    from raycells.sim.ivf import _assign, train_centroids_int
+    from raycells.sim.ivf import _assign, train_from_ds
     from raycells.text.dedup import quantize_embeddings
 
     ds = _read(
         sf_dir, "embeddings", SMALL_TABLE_BLOCKS, columns=["vec_id", "embedding"]
     )
-    train = np.asarray(
-        [
-            r["embedding"]
-            for r in ds.limit(2048).select_columns(["embedding"]).take_all()
-        ],
-        dtype=np.float64,
-    )
-    sums = train_centroids_int(quantize_embeddings(train), 16)
+    sums = train_from_ds(ds, n_centroids=16)
 
     def assign(b: pa.Table) -> pa.Table:
         eq = quantize_embeddings(
@@ -2706,15 +2699,17 @@ def q_hist_quantiles(sf_dir: str):
 
 def q_event_bursts(sf_dir: str):
     """Temporal BAND join (engine/joins.band_join_count): for each
-    event, COUNT the same user's events in the 7 days up to it (day
-    granularity, self included then subtracted) — the burstiness /
-    retention-feature shape that counts ALL rows in a window, vs the
-    as-of join's single latest match. Shape at scale: one tagged-union
-    coarse-bucket exchange co-locates each user's rows; per bucket the
-    right side sorts once on a (user, day) composite int64 and every
-    event's window count is two vectorized searchsorted calls; matches
-    are never materialized. Rolled up per event type; the driver folds
-    the tiny partials."""
+    event, COUNT the same user's events in the trailing week — day
+    values d−7…d inclusive, i.e. 8 calendar days (self included then
+    subtracted) — the burstiness / retention-feature shape that counts
+    ALL rows in a window, vs the as-of join's single latest match.
+    Shape at scale: one tagged-union coarse-bucket exchange co-locates
+    each user's rows; per bucket the right side sorts once on a
+    (user, day) composite int64 and every event's window count is two
+    vectorized searchsorted calls; matches are never materialized. The
+    self-join input is materialized once so the union's two branches
+    don't re-read and re-project the same table. Rolled up per event
+    type; the driver folds the tiny partials."""
     from raycells.engine.joins import band_join_count
 
     def project(b: pa.Table) -> pa.Table:
@@ -2732,9 +2727,16 @@ def q_event_bursts(sf_dir: str):
             }
         )
 
-    ev = _read(
-        sf_dir, "events", SMALL_TABLE_BLOCKS, columns=["user_id", "ts", "event_type"]
-    ).map_batches(project, batch_format="pyarrow")
+    ev = (
+        _read(
+            sf_dir,
+            "events",
+            SMALL_TABLE_BLOCKS,
+            columns=["user_id", "ts", "event_type"],
+        )
+        .map_batches(project, batch_format="pyarrow")
+        .materialize()  # both union branches consume it — scan once
+    )
 
     counted = band_join_count(
         ev,

@@ -36,7 +36,7 @@ import pyarrow as pa
 
 from raycells.sim.knn import _gather
 
-__all__ = ["train_centroids_int", "ivf_topk", "content_keys"]
+__all__ = ["train_centroids_int", "train_from_ds", "ivf_topk", "content_keys"]
 
 
 def content_keys(eq: np.ndarray) -> np.ndarray:
@@ -97,6 +97,26 @@ def train_centroids_int(
     return sums
 
 
+def train_from_ds(
+    ds,
+    col: str = "embedding",
+    n_centroids: int = 16,
+    n_iters: int = 10,
+    train_rows: int = 2048,
+) -> np.ndarray:
+    """Bounded driver-side training sample → centroid SUM matrix — the
+    ONE place the sample recipe lives (ivf_topk and the clustering query
+    share it, so the id-ordered-sample invariant the seed tiebreak
+    depends on cannot silently diverge)."""
+    from raycells.text.dedup import quantize_embeddings
+
+    train = np.asarray(
+        [r[col] for r in ds.limit(train_rows).select_columns([col]).take_all()],
+        dtype=np.float64,
+    )
+    return train_centroids_int(quantize_embeddings(train), n_centroids, n_iters)
+
+
 def ivf_topk(
     ds,
     query_matrix: np.ndarray,
@@ -115,12 +135,9 @@ def ivf_topk(
     equal to brute force when nprobe == n_centroids."""
     from raycells.text.dedup import int_cosine, quantize_embeddings
 
-    train = np.asarray(
-        [r[col] for r in ds.limit(train_rows).select_columns([col]).take_all()],
-        dtype=np.float64,
+    sums = train_from_ds(
+        ds, col=col, n_centroids=n_centroids, train_rows=train_rows
     )
-    eq_train = quantize_embeddings(train)
-    sums = train_centroids_int(eq_train, n_centroids)
 
     qq = quantize_embeddings(np.asarray(query_matrix, dtype=np.float64))
     qsims = (qq @ sums.T).astype(np.float64) / _cent_norms(sums)[None, :]

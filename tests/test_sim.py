@@ -193,8 +193,6 @@ def test_sketches_merge_across_shards():
     the union; (b) the fixed-width histogram sketch's bucket counts add
     across shards and reproduce the single-pass quantile estimates —
     the incremental/append execution mode both sketches exist for."""
-    import numpy as np
-
     from raycells.sim.hll import hll_estimate, hll_merge, hll_registers
 
     rng = np.random.default_rng(23)
