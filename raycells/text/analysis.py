@@ -267,6 +267,42 @@ def window_hashes(text: str, w: int = 8) -> np.ndarray:
         return (win * pows[None, :]).sum(axis=1, dtype=np.uint64)
 
 
+def window_hashes_batch(
+    texts: Sequence[str], w: int = 8
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batch variant of :func:`window_hashes`: ONE vectorized window pass
+    over the whole batch's concatenated token stream (tokenization stays
+    per-doc, the hash kernel doesn't). Windows never cross doc
+    boundaries — a flat start index is valid iff its first and last
+    token share a row id. Returns ``(hashes uint64, row_index int64)``
+    with rows in batch order; hash values are identical to the per-doc
+    kernel."""
+    from raycells.text.dedup import _token_hashes
+
+    n = len(texts)
+    empty = (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64))
+    if n == 0:
+        return empty
+    tok_lists = [t.split(" ") for t in texts]
+    lens = np.fromiter((len(tl) for tl in tok_lists), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    if total < w:
+        return empty
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for tl in tok_lists:
+        flat[pos : pos + len(tl)] = tl
+        pos += len(tl)
+    th = _token_hashes(flat)
+    rowid = np.repeat(np.arange(n, dtype=np.int64), lens)
+    win = np.lib.stride_tricks.sliding_window_view(th, w)  # (total-w+1, w)
+    valid = rowid[: total - w + 1] == rowid[w - 1 :]
+    with np.errstate(over="ignore"):
+        pows = _WIN_BASE ** np.arange(w, dtype=np.uint64)
+        h = (win[valid] * pows[None, :]).sum(axis=1, dtype=np.uint64)
+    return h, rowid[: total - w + 1][valid]
+
+
 # ---------------------------------------------------------------------------
 # BPE-ish regex tokenization (run decomposition)
 # ---------------------------------------------------------------------------

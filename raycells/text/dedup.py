@@ -52,19 +52,15 @@ _RNG_SEED = 0x5EED_C0DE
 
 
 def content_hash64(texts: Iterable[str]) -> np.ndarray:
-    """Deterministic 64-bit content hash (blake2b-8) per text."""
-    import hashlib
+    """Deterministic 64-bit content hash per text — the vectorized
+    rolling-polynomial kernel (analysis.fingerprint64: chunked ~2 MB
+    working sets, reused scratch), carried as the int64 BIT PATTERN so
+    Ray groupby stays on native Arrow blocks. Replaces the round-2
+    per-row hashlib loop that capped exact-dedup throughput at Python
+    speed."""
+    from raycells.text.analysis import fingerprint64
 
-    return np.array(
-        [
-            int.from_bytes(
-                hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "big"
-            )
-            >> 1
-            for t in texts
-        ],
-        dtype=np.int64,
-    )
+    return fingerprint64(list(texts)).view(np.int64)
 
 
 def add_content_hash(batch: pa.Table, col: str = "text") -> pa.Table:

@@ -1,0 +1,87 @@
+"""Distributed connected components (engine/cc.py): the vectorized
+min-label kernel and the bucketed two-level contraction, pinned against
+a naive driver union-find."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from raycells.engine.cc import (
+    cc_edges_local,
+    connected_components,
+    min_label_components,
+)
+
+
+def _naive_components(edges):
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in edges:
+        parent.setdefault(x, x)
+        parent.setdefault(y, y)
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    return {x: find(x) for x in parent}
+
+
+def test_min_label_components_chain_and_clique():
+    # chain 0-1-2-3, clique {4,5,6}, isolated 7
+    a = np.array([0, 1, 2, 4, 4, 5], dtype=np.int64)
+    b = np.array([1, 2, 3, 5, 6, 6], dtype=np.int64)
+    lab = min_label_components(a, b, 8)
+    assert lab.tolist() == [0, 0, 0, 0, 4, 4, 4, 7]
+
+
+def test_min_label_components_long_chain():
+    # worst case for naive propagation: a 500-node path
+    n = 500
+    a = np.arange(n - 1, dtype=np.int64)
+    b = a + 1
+    lab = min_label_components(a, b, n)
+    assert (lab == 0).all()
+
+
+def test_cc_edges_local_min_string_label():
+    t = pa.table(
+        {
+            "id_a": pa.array(["d9", "d2", "x1"], pa.string()),
+            "id_b": pa.array(["d2", "d1", "x2"], pa.string()),
+        }
+    )
+    df = cc_edges_local(t)
+    got = dict(zip(df["node"], df["root"]))
+    assert got == {"d1": "d1", "d2": "d1", "d9": "d1", "x1": "x1", "x2": "x1"}
+
+
+@pytest.mark.parametrize("num_buckets", [1, 7])
+def test_connected_components_matches_naive(ray_session, num_buckets):
+    rng = np.random.default_rng(42)
+    # 60 nodes, random edges → several multi-bucket components
+    edges = [
+        (f"n{int(i):03d}", f"n{int(j):03d}")
+        for i, j in rng.integers(0, 60, size=(120, 2))
+        if i != j
+    ]
+    t = pa.table(
+        {
+            "id_a": pa.array([e[0] for e in edges], pa.string()),
+            "id_b": pa.array([e[1] for e in edges], pa.string()),
+        }
+    )
+    df = connected_components(t, num_buckets=num_buckets)
+    got = dict(zip(df["node"], df["root"]))
+    assert got == _naive_components(edges)
+
+
+def test_connected_components_empty(ray_session):
+    t = pa.table(
+        {"id_a": pa.array([], pa.string()), "id_b": pa.array([], pa.string())}
+    )
+    assert len(connected_components(t)) == 0

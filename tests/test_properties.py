@@ -206,9 +206,10 @@ def test_window_hashes_match_naive(toks, w):
     )
 )
 @settings(max_examples=60, deadline=None)
-def test_dedup_clusters_union_find_matches_brute_force(edges):
-    """The union-find in q_dedup_clusters must produce exactly the
-    brute-force connected components with lexicographic-min canons."""
+def test_dedup_clusters_union_find_matches_brute_force(edges, ray_session):
+    """The distributed min-label contraction in q_dedup_clusters must
+    produce exactly the brute-force connected components with
+    lexicographic-min canons."""
     import pandas as pd
     import pyarrow as pa
 
@@ -222,13 +223,14 @@ def test_dedup_clusters_union_find_matches_brute_force(edges):
     )
     if pairs.num_rows == 0:
         return
-    # drive the same union-find the query uses, via monkeypatched pairs
-    orig = q.q_minhash_pairs
-    q.q_minhash_pairs = lambda sf: pairs
+    # drive the same component resolution the query uses, via the
+    # pair-cache shim (cleared per example — the cache is process-wide)
+    orig = q._minhash_pairs_cached
+    q._minhash_pairs_cached = lambda sf: pairs
     try:
         out = q.q_dedup_clusters("unused").to_pandas()
     finally:
-        q.q_minhash_pairs = orig
+        q._minhash_pairs_cached = orig
     # brute force: BFS components over the same edges
     adj: dict = {}
     for a, b in edges:
@@ -256,3 +258,35 @@ def test_dedup_clusters_union_find_matches_brute_force(edges):
         r.doc_key: (r.canon_key, r.cluster_size) for r in out.itertuples()
     }
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="abcdefg", min_size=0, max_size=5),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=0,
+        max_size=10,
+    ),
+    w=st.integers(2, 6),
+)
+@settings(max_examples=60, deadline=None)
+def test_window_hashes_batch_matches_per_doc(docs, w):
+    """window_hashes_batch == per-doc window_hashes (values AND row
+    assignment) — windows never cross doc boundaries."""
+    import numpy as np
+
+    from raycells.text.analysis import window_hashes, window_hashes_batch
+
+    texts = [" ".join(d) for d in docs]
+    got_h, got_r = window_hashes_batch(texts, w)
+    want_h, want_r = [], []
+    for i, t in enumerate(texts):
+        wh = window_hashes(t, w)
+        want_h.extend(int(x) for x in wh)
+        want_r.extend([i] * wh.size)
+    assert [int(x) for x in got_h] == want_h
+    assert got_r.tolist() == want_r
+    assert got_h.dtype == np.uint64
