@@ -260,8 +260,9 @@ def _lanczos_weights(t: np.ndarray) -> np.ndarray:
     """(6, n) GRIORA_Lanczos (a = 3) tap weights at distances
     (2+t, 1+t, t, 1−t, 2−t, 3−t), taps at floor−2 … floor+3,
     normalized to sum 1 per output (the windowed sinc does not
-    partition unity). Transcendental weights — pytest-pinned, not
-    oracle-checked."""
+    partition unity). Transcendental weights — oracle-checked anyway
+    (resample_lanczos): DuckDB's sin is bit-identical to numpy's on
+    this platform, so the oracle mirrors this exact expression tree."""
 
     def lz(d: np.ndarray) -> np.ndarray:
         d = np.abs(d)

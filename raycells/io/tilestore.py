@@ -299,6 +299,32 @@ def synth_band_window_cubicspline(
     )
 
 
+def synth_band_window_lanczos(
+    seeds: np.ndarray,
+    band: int,
+    window: Tuple[int, int],
+    window_size: Tuple[int, int],
+    out_size: Tuple[int, int],
+) -> np.ndarray:
+    """(len(seeds), ow·oh) float64: the band tile's window resampled by
+    GDAL-style LANCZOS windowed sinc (GRIORA_Lanczos, a = 3,
+    rasterband.rs:42). 6×6 taps at floor−2…floor+3 per axis,
+    edge-replicate clamped, weights normalized per output. The weights
+    are TRANSCENDENTAL (sinc products), but at exact 2× downscale every
+    fractional offset is 0.5, so the six 1-D weights are constants —
+    and numpy's sin is bit-identical to DuckDB's on this platform
+    (CLAUDE.md libm-parity note, re-verified for these six points), so
+    the oracle reproduces the identical IEEE doubles by mirroring the
+    exact expression tree: sin(π·d)/(π·d) sinc products, sequential
+    6-term weight sum, per-tap w_dy·w_dx products accumulated in
+    (dy, dx) order."""
+    from raycells.io.tiffreader import _lanczos_weights
+
+    return _synth_separable(
+        seeds, band, window, window_size, out_size, _lanczos_weights, 2
+    )
+
+
 def _synth_window_blocks(
     seeds: np.ndarray,
     band: int,

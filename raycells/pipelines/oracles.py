@@ -602,6 +602,65 @@ FROM reach r JOIN sized s USING (canon_key)
 """
 
 
+def _lanczos_resample_sql() -> str:
+    """Windowed LANCZOS (a=3) resample at exact 2× scale, reproducing
+    the kernel's IEEE doubles BIT-FOR-BIT: numpy's sin is bit-identical
+    to DuckDB's on this box (CLAUDE.md libm-parity note), so mirroring
+    the exact expression tree — sinc(d)·sinc(d/3) per tap distance,
+    sequential 6-term weight sum, w/s normalization, and the
+    (dy, dx)-ordered left-associative 36-term tap accumulation of
+    tilestore._synth_separable — yields identical floats. Per-tile
+    emits: elementwise float MIN/MAX plus the exact quantized-integer
+    sum Σ floor(v·1024 + 0.5)."""
+    # tap distances at t = 0.5, in _lanczos_weights' stack order
+    dists = ["2.5", "1.5", "0.5", "(1.0-0.5)", "(2.0-0.5)", "(3.0-0.5)"]
+    raw = [
+        f"(sin(pi()*{d})/(pi()*{d})) * (sin(pi()*({d}/3.0))/(pi()*({d}/3.0)))"
+        for d in dists
+    ]
+    seq_sum = (
+        f"((((({raw[0]}) + ({raw[1]})) + ({raw[2]})) + ({raw[3]})) "
+        f"+ ({raw[4]})) + ({raw[5]})"
+    )
+    norm = ", ".join(f"(({r}) / s) AS w{i}" for i, r in enumerate(raw))
+
+    def vexpr(iexpr: str) -> str:
+        return (
+            f"(CASE WHEN (m.seed + ({iexpr}) * 7) % 33 = 0 THEN 0.0 "
+            f"ELSE CAST(1 + (m.seed * 2654435761 + (({iexpr}) + 404) * 40503) "
+            f"% 65520 AS DOUBLE) END)"
+        )
+
+    terms = []
+    for dy in range(6):
+        for dx in range(6):
+            ie = (
+                f"(16 + LEAST(GREATEST(2*rr.range + {dy} - 2, 0), 31)) * 64 "
+                f"+ (16 + LEAST(GREATEST(2*cc.range + {dx} - 2, 0), 31))"
+            )
+            terms.append(f"((w{dy} * w{dx}) * {vexpr(ie)})")
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = f"({acc} + {t})"
+    return (
+        _MEDIA
+        + f"""
+        , lwsum AS (SELECT {seq_sum} AS s),
+        wt AS (SELECT {norm} FROM lwsum),
+        outcells AS (
+            SELECT m.doc_id, m.span_idx, m.seed, {acc} AS v
+            FROM media m, range(16) rr, range(16) cc, wt
+        )
+        SELECT doc_id, span_idx, seed,
+               CAST(SUM(CAST(floor(v * 1024.0 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS sum_lz1024,
+               MIN(v) AS min_lz,
+               MAX(v) AS max_lz
+        FROM outcells GROUP BY doc_id, span_idx, seed
+        """
+    )
+
+
 def _ngram_jaccard_sql(num: int = 4, den: int = 5, k: int = 5) -> str:
     """Exact prefix-filter n-gram Jaccard join reproduced in SQL
     (text/dedup.ngram_jaccard_near_dup_pairs): the same 5-byte shingle
@@ -1489,6 +1548,10 @@ def build() -> dict:
         # windowed MODE read, 4×2 box: per output cell the most
         # frequent value, smallest on tie (row_number ordered by count
         # DESC then value ASC — the engine's documented tie rule).
+        # windowed LANCZOS read at 2× scale: transcendental constant
+        # weights reproduced bit-for-bit via libm sin parity (see
+        # _lanczos_resample_sql).
+        "resample_lanczos": _lanczos_resample_sql(),
         "resample_mode": _MEDIA
         + """
             , grid AS (

@@ -158,7 +158,8 @@ def q_ndvi_stats(sf_dir: str):
 def q_rasterize_footprints(sf_dir: str):
     """Rasterize (vector→cells): scanline-fill each footprint polygon
     into a 64×64 grid over its bbox; per-polygon filled-cell count
-    (rows-only; pinned against a point-in-polygon oracle in tests)."""
+    (oracle-checked: center-sample containment in SQL; also pinned
+    against a point-in-polygon oracle in tests)."""
     import ray.data as rd
 
     from raycells.geo.raster import rasterize
@@ -376,6 +377,39 @@ def q_resample_cubicspline(sf_dir: str):
     return _exploded(sf_dir).map_batches(spline_stats, batch_format="pyarrow")
 
 
+def q_resample_lanczos(sf_dir: str):
+    """Windowed LANCZOS resampled read (GRIORA_Lanczos a=3,
+    rasterband.rs:42 — the last RasterIO alg from the reference's set
+    without a driver row): the (16,16)+(32,32) window of band 4
+    resampled to 16×16 at exactly 2× scale. The six 1-D tap weights are
+    transcendental constants, but numpy's sin bit-matches DuckDB's on
+    this box, so the oracle rebuilds the IDENTICAL IEEE doubles by
+    mirroring the kernel's expression tree; per-tile outputs are then
+    pinned as elementwise-derived float min/max plus an exact
+    quantized-integer sum (floor(v·1024 + 0.5) — safe because the
+    floats are bit-equal, not merely close)."""
+    from raycells.io import tilestore
+
+    WINDOW, WSIZE, OSIZE = (16, 16), (32, 32), (16, 16)
+
+    def lanczos_stats(b: pa.Table) -> pa.Table:
+        seeds = tilestore.seed_of_refs(b["media_ref"])
+        v = tilestore.synth_band_window_lanczos(seeds, 4, WINDOW, WSIZE, OSIZE)
+        vq = _half_up(v * 1024.0).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "span_idx": pc.cast(b["span_idx"], pa.int64()),
+                "seed": pa.array(seeds, pa.int64()),
+                "sum_lz1024": pa.array(vq.sum(axis=1)),
+                "min_lz": pa.array(v.min(axis=1)),
+                "max_lz": pa.array(v.max(axis=1)),
+            }
+        )
+
+    return _exploded(sf_dir).map_batches(lanczos_stats, batch_format="pyarrow")
+
+
 def q_resample_rms(sf_dir: str):
     """Windowed RMS resampled read (GRIORA_RMS — the RasterIO resample
     set the reference's ``read_cells`` passes through, rasterband.rs:
@@ -579,7 +613,8 @@ def q_flagship_cells(sf_dir: str):
 
 def q_pip_join_counts(sf_dir: str):
     """Broadcast PIP join of footprints × tile centroids → per-category
-    counts (rows-only; brute-force oracle lives in tests/test_geo.py).
+    counts (oracle-checked: exact even-odd ray cast over the unnested
+    footprint edge table in SQL; brute-force pin in tests/test_geo.py).
 
     The join consumes only tile EXTENTS, so this path skips the cell
     decode entirely (extents are seed arithmetic) — the stats-consuming
@@ -608,9 +643,9 @@ def q_bbox_join_counts(sf_dir: str):
     footprint bounding boxes → per-footprint intersecting-tile count.
     The bbox side is broadcast; each batch does one vectorized (B, F)
     interval test and emits per-footprint partial counts, so the final
-    exchange is F rows per block. (The exact ring PIP join stays
-    rows-only — ray-cast tests aren't SQL; this bbox prefilter is the
-    SQL-expressible half of the same join.)"""
+    exchange is F rows per block. (The exact ring PIP join is
+    oracle-checked too — see q_pip_join_counts; this bbox prefilter is
+    the cheap half of the same join.)"""
     import ray
     from ray.data.aggregate import Sum
 
@@ -668,8 +703,8 @@ def q_zonal_stats(sf_dir: str):
     """Zonal statistics — the classic raster-zone workload: per footprint
     polygon, aggregate the erased-cell stats of every tile whose centroid
     falls inside it (broadcast PIP join → salted two-stage aggregate;
-    rows-only — PIP rings aren't SQL-expressible; value parity vs a
-    brute-force single-process oracle is pinned in tests/test_geo.py)."""
+    oracle-checked: the edge-table ray cast in SQL; value parity vs a
+    brute-force single-process oracle also pinned in tests/test_geo.py)."""
     stats = _exploded(sf_dir).map_batches(
         lambda b: stages.decode_stats(b, emit="stats"), batch_format="pyarrow"
     )
@@ -705,8 +740,8 @@ def q_zonal_stats(sf_dir: str):
 def q_pip_join_cellcover(sf_dir: str):
     """Large-large spatial-join fallback: co-partition tiles and polygon
     cell covers by Hilbert cell, exact PIP per cell group — one shuffle,
-    no broadcast (rows-only; equivalence to the broadcast join is pinned
-    in tests/test_engine.py)."""
+    no broadcast (oracle-checked; equivalence to the broadcast join is
+    pinned in tests/test_engine.py)."""
     from raycells.io import footprints as fp_mod
 
     stats = _exploded(sf_dir).map_batches(
@@ -1289,15 +1324,16 @@ def q_simhash_pairs(sf_dir: str):
 
 
 def q_embedding_dups(sf_dir: str):
-    """Embedding-cosine near-dup pairs via sign-LSH buckets (rows-only)."""
+    """Embedding-cosine near-dup pairs via sign-LSH buckets
+    (oracle-checked: murmur-mixed integer planes + integer cosine in SQL)."""
     ds = _read(sf_dir, "embeddings", SMALL_TABLE_BLOCKS, columns=["vec_id", "embedding"])
     return dd.embedding_near_dup_pairs(ds, threshold=0.35)
 
 
 def q_ann_lsh(sf_dir: str):
     """Approximate nearest neighbors: sign-LSH bucketed cosine top-k for
-    the first 3 embedding vectors (rows-only; recall pinned vs exact in
-    tests/test_sim.py)."""
+    the first 3 embedding vectors (oracle-checked; recall pinned vs
+    exact in tests/test_sim.py)."""
     from raycells.sim.knn import lsh_topk
 
     q = pq.read_table(
@@ -1320,8 +1356,9 @@ def q_ann_lsh(sf_dir: str):
 
 def q_ann_ivf(sf_dir: str):
     """Approximate nearest neighbors, IVF variant: coarse k-means lists
-    trained on a bounded sample, nprobe-pruned scan (rows-only; recall
-    and exhaustive-probe exactness pinned in tests/test_sim.py)."""
+    trained on a bounded sample, nprobe-pruned scan (oracle-checked via
+    ten unrolled exact-integer Lloyd iterations in SQL; recall and
+    exhaustive-probe exactness pinned in tests/test_sim.py)."""
     from raycells.sim.ivf import ivf_topk
 
     q = pq.read_table(
@@ -1424,7 +1461,8 @@ def q_sample_lineitem(sf_dir: str):
 
 def q_fingerprint_docs(sf_dir: str):
     """Rolling-hash document fingerprints rolled up per source: count of
-    distinct fingerprints (rows-only; determinism pinned in tests)."""
+    distinct fingerprints (oracle-checked: the rolling polynomial hash
+    in HUGEINT SQL; determinism pinned in tests)."""
     from ray.data.aggregate import Count
 
     ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["source", "text"])
@@ -1751,8 +1789,9 @@ def q_priority_revenue(sf_dir: str):
 def q_approx_distinct_custs(sf_dir: str):
     """HyperLogLog approximate COUNT(DISTINCT): distinct ordering
     customers per priority without shuffling a single key — per-batch
-    register blobs merge with elementwise max (rows-only; ±5% vs exact
-    pinned in tests/test_sim.py; the exact variant is distinct_custs)."""
+    register blobs merge with elementwise max (oracle-checked: murmur
+    finalizer + exact-integer harmonic sum in SQL; ±5% vs exact pinned
+    in tests/test_sim.py; the exact variant is distinct_custs)."""
     from raycells.sim.hll import approx_distinct
 
     ds = _read(sf_dir, "orders", SMALL_TABLE_BLOCKS,

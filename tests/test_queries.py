@@ -31,6 +31,7 @@ CHECKED = [
     "resample_average",
     "resample_cubicspline",
     "resample_rms",
+    "resample_lanczos",
     "resample_mode",
     "tile_type_hist",
     "knn_tiles",
