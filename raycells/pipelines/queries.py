@@ -841,12 +841,12 @@ def q_global_stats(sf_dir: str):
 
 def q_quantiles_qty(sf_dir: str):
     """Distributed exact quantiles over a discrete domain: per-batch
-    value-count partials → one small groupby → driver-side cumulative
-    pick at ceil(q·n)−1 (DuckDB ``quantile_disc`` convention). The
-    exchange moves one row per DISTINCT value per batch — for continuous
-    domains the same shape carries a t-digest sketch instead."""
-    from ray.data.aggregate import Sum
-
+    value-count partials → driver fold of the O(blocks × values)
+    partials → cumulative pick at ceil(q·n) (DuckDB ``quantile_disc``
+    convention). No exchange: a Ray sort Aggregate costs ~2 s FIXED at
+    this block count (CLAUDE.md); the fold is one pandas groupby over a
+    few thousand tiny rows. For continuous domains the same shape
+    carries a t-digest sketch instead."""
     ds = _read(sf_dir, "lineitem", columns=["l_quantity"])
 
     def counts(b: pa.Table) -> pa.Table:
@@ -856,10 +856,9 @@ def q_quantiles_qty(sf_dir: str):
 
     hist = (
         ds.map_batches(counts, batch_format="pyarrow")
-        .groupby("qty")
-        .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
-        .sort_values("qty")
+        .groupby("qty", sort=True, as_index=False)["n"]
+        .sum()
     )
     total = int(hist["n"].sum())
     cum = hist["n"].cumsum().to_numpy()
@@ -2090,12 +2089,11 @@ def q_decontaminate(sf_dir: str):
 def q_grouped_quantiles(sf_dir: str):
     """Per-group exact quantiles over a discrete domain (the grouped
     variant of q_quantiles_qty): per-batch (group, value) count partials
-    → one small composite-key groupby → driver-side cumulative pick per
-    group at ceil(q·n) (quantile_disc convention). The exchange moves
-    one row per distinct (group, value) per batch — groups × values
-    sized, never row sized."""
-    from ray.data.aggregate import Sum
-
+    → driver fold of the O(blocks × groups × values) partials →
+    cumulative pick per group at ceil(q·n) (quantile_disc convention).
+    No exchange at all: a Ray sort Aggregate costs ~2 s FIXED at this
+    block count (CLAUDE.md), while the fold is one vectorized pandas
+    groupby over a few thousand partial rows."""
     ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
 
     def counts(b: pa.Table) -> pa.Table:
@@ -2108,9 +2106,9 @@ def q_grouped_quantiles(sf_dir: str):
 
     hist = (
         ds.map_batches(counts, batch_format="pyarrow")
-        .groupby(["l_returnflag", "qty"])
-        .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
+        .groupby(["l_returnflag", "qty"], sort=False, as_index=False)["n"]
+        .sum()
     )
     rows = []
     for flag, sub in hist.groupby("l_returnflag", sort=True):
@@ -2209,13 +2207,23 @@ def q_quantiles_price(sf_dir: str):
     element of the column — elementwise-exact, so the DuckDB
     quantile_disc oracle hash-matches bit for bit."""
     import ray
-    from ray.data.aggregate import Count, Max, Min, Sum
 
     ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
-    g = ds.aggregate(Min("l_extendedprice"), Max("l_extendedprice"), Count())
-    lo = float(g["min(l_extendedprice)"])
-    hi = float(g["max(l_extendedprice)"])
-    n = int(g["count()"])
+
+    # pass 0: per-batch (min, max, count) partials, driver fold — Ray's
+    # sort Aggregate costs ~2 s FIXED at this block count (CLAUDE.md)
+    def mmc(b: pa.Table) -> pa.Table:
+        v = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "lo": pa.array([float(v.min())] if v.size else [np.inf]),
+                "hi": pa.array([float(v.max())] if v.size else [-np.inf]),
+                "n": pa.array([int(v.size)], pa.int64()),
+            }
+        )
+
+    g = ds.map_batches(mmc, batch_format="pyarrow").to_pandas()
+    lo, hi, n = float(g["lo"].min()), float(g["hi"].max()), int(g["n"].sum())
     K = 4096
     span = hi - lo or 1.0
 
@@ -2225,12 +2233,14 @@ def q_quantiles_price(sf_dir: str):
         u, c = np.unique(idx, return_counts=True)
         return pa.table({"bucket": pa.array(u), "n": pa.array(c.astype(np.int64))})
 
+    # driver fold of the O(blocks × K) partials: a 4096-distinct-group
+    # Ray aggregate pays ~0.3 ms per group (CLAUDE.md), the fold is one
+    # vectorized pandas groupby over ≤ blocks·K tiny rows
     hist = (
         ds.map_batches(bcounts, batch_format="pyarrow")
-        .groupby("bucket")
-        .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
-        .sort_values("bucket")
+        .groupby("bucket", sort=True, as_index=False)["n"]
+        .sum()
     )
     cum = hist["n"].cumsum().to_numpy()
     buckets = hist["bucket"].to_numpy()
