@@ -602,6 +602,88 @@ FROM reach r JOIN sized s USING (canon_key)
 """
 
 
+def _int_separable_resample_sql(w1d, suffix: str) -> str:
+    """Separable 4-tap resample (taps at floor−1…floor+2, 2× scale) with
+    INTEGER 1-D weights ``w1d`` — cubic (−1, 9, 9, −1) and B-spline
+    (1, 23, 23, 1). Per out cell the 16 weighted taps are summed as one
+    inline integer expression over 16×16 out cells instead of
+    materializing + grouping a 28 M-row tap grid (the round-2 shape):
+    same exact integers, ~2.5× less SQL wall time in the gate."""
+    terms = []
+    for dy in range(4):
+        for dx in range(4):
+            ie = (
+                f"(16 + LEAST(GREATEST(2*rr.range + {dy} - 1, 0), 31)) * 64 "
+                f"+ (16 + LEAST(GREATEST(2*cc.range + {dx} - 1, 0), 31))"
+            )
+            v = (
+                f"(CASE WHEN (m.seed + ({ie}) * 7) % 33 = 0 THEN 0 "
+                f"ELSE 1 + (m.seed * 2654435761 + (({ie}) + 404) * 40503) "
+                f"% 65520 END)"
+            )
+            terms.append(f"({w1d[dy] * w1d[dx]}) * {v}")
+    acc = " + ".join(terms)
+    return (
+        _MEDIA
+        + f"""
+        , outcells AS (
+            SELECT m.doc_id, m.span_idx, m.seed,
+                   CAST({acc} AS BIGINT) AS v
+            FROM media m, range(16) rr, range(16) cc
+        )
+        SELECT doc_id, span_idx, seed,
+               CAST(SUM(v) AS BIGINT) AS sum_{suffix},
+               CAST(MIN(v) AS BIGINT) AS min_{suffix},
+               CAST(MAX(v) AS BIGINT) AS max_{suffix}
+        FROM outcells GROUP BY doc_id, span_idx, seed
+        """
+    )
+
+
+def _mode_resample_sql() -> str:
+    """Windowed MODE read, 4×2 box, inline: the 8 box values become 8
+    columns per out cell, the mode = the value minimizing the encoded
+    key ``(8 − count)·131072 + v`` (count ties → smallest value, the
+    engine's documented tie rule; v < 65521 < 2^17 so the encoding is
+    injective). Replaces the round-2 7 M-row grid + GROUP BY + window
+    rank (~3× less SQL wall time in the gate); exact integers
+    throughout."""
+    vcols = []
+    for dr in range(2):
+        for dc in range(4):
+            ie = f"(16 + 2*rr.range + {dr}) * 64 + (16 + 4*cc.range + {dc})"
+            vcols.append(
+                f"(CASE WHEN (m.seed + ({ie}) * 7) % 33 = 0 THEN 0 "
+                f"ELSE 1 + (m.seed * 2654435761 + (({ie}) + 404) * 40503) "
+                f"% 65520 END) AS v{dr * 4 + dc}"
+            )
+    keys = []
+    for j in range(8):
+        cnt = " + ".join(
+            f"(CASE WHEN v{k} = v{j} THEN 1 ELSE 0 END)" for k in range(8)
+        )
+        keys.append(f"(8 - ({cnt})) * 131072 + v{j}")
+    return (
+        _MEDIA
+        + f"""
+        , cells AS (
+            SELECT m.doc_id, m.span_idx, m.seed, {", ".join(vcols)}
+            FROM media m, range(16) rr, range(8) cc
+        ),
+        modes AS (
+            SELECT doc_id, span_idx, seed,
+                   LEAST({", ".join(keys)}) % 131072 AS v
+            FROM cells
+        )
+        SELECT doc_id, span_idx, seed,
+               CAST(SUM(v) AS BIGINT) AS sum_mode,
+               CAST(MIN(v) AS BIGINT) AS min_mode,
+               CAST(MAX(v) AS BIGINT) AS max_mode
+        FROM modes GROUP BY doc_id, span_idx, seed
+        """
+    )
+
+
 def _lanczos_resample_sql() -> str:
     """Windowed LANCZOS (a=3) resample at exact 2× scale, reproducing
     the kernel's IEEE doubles BIT-FOR-BIT: numpy's sin is bit-identical
@@ -1424,34 +1506,10 @@ def build() -> dict:
         # (−1, 9, 9, −1)/16 (Keys A=−0.5 at t=0.5), so 256·out =
         # Σ wy·wx·v over the 4×4 taps with integer weights. Taps per
         # axis at 2·out−1 … 2·out+2, edge-replicated within the window.
-        "resample_cubic": _MEDIA
-        + """
-            , grid AS (
-                SELECT m.doc_id, m.span_idx, m.seed,
-                       r.range AS rr, c.range AS cc,
-                       (16 + LEAST(GREATEST(2 * r.range + dr.range - 1, 0), 31)) * 64
-                       + (16 + LEAST(GREATEST(2 * c.range + dc.range - 1, 0), 31)) AS i,
-                       (CASE dr.range WHEN 0 THEN -1 WHEN 1 THEN 9 WHEN 2 THEN 9 ELSE -1 END)
-                       * (CASE dc.range WHEN 0 THEN -1 WHEN 1 THEN 9 WHEN 2 THEN 9 ELSE -1 END) AS wt
-                FROM media m, range(16) r, range(16) c, range(4) dr, range(4) dc
-            ),
-            vals AS (
-                SELECT doc_id, span_idx, seed, rr, cc,
-                       wt * CASE WHEN (seed + i * 7) % 33 = 0 THEN 0
-                                 ELSE 1 + (seed * 2654435761 + (i + 404) * 40503) % 65520
-                            END AS wv
-                FROM grid
-            ),
-            outcells AS (
-                SELECT doc_id, span_idx, seed, CAST(SUM(wv) AS BIGINT) AS v256
-                FROM vals GROUP BY doc_id, span_idx, seed, rr, cc
-            )
-            SELECT doc_id, span_idx, seed,
-                   CAST(SUM(v256) AS BIGINT) AS sum_cu256,
-                   CAST(MIN(v256) AS BIGINT) AS min_cu256,
-                   CAST(MAX(v256) AS BIGINT) AS max_cu256
-            FROM outcells GROUP BY doc_id, span_idx, seed
-        """,
+        # windowed CUBIC read at 2× scale: Keys A=−0.5 1-D weights are
+        # (−1, 9, 9, −1)/16 — 256·out is the exact-integer 16-tap sum,
+        # inlined per out cell (_int_separable_resample_sql).
+        "resample_cubic": _int_separable_resample_sql([-1, 9, 9, -1], "cu256"),
         # windowed AVERAGE read at a 4×2 integer factor: each output
         # cell is the mean of its 4-wide × 2-tall source block, so
         # 8·out = the block's integer sum. out cell (rr, cc) reads
@@ -1486,34 +1544,12 @@ def build() -> dict:
         # (1, 23, 23, 1)/48 (B₃ at t=0.5), so 2304·out = Σ wy·wx·v over
         # the 4×4 taps with integer weights — same tap geometry as
         # cubic, different kernel.
-        "resample_cubicspline": _MEDIA
-        + """
-            , grid AS (
-                SELECT m.doc_id, m.span_idx, m.seed,
-                       r.range AS rr, c.range AS cc,
-                       (16 + LEAST(GREATEST(2 * r.range + dr.range - 1, 0), 31)) * 64
-                       + (16 + LEAST(GREATEST(2 * c.range + dc.range - 1, 0), 31)) AS i,
-                       (CASE dr.range WHEN 0 THEN 1 WHEN 1 THEN 23 WHEN 2 THEN 23 ELSE 1 END)
-                       * (CASE dc.range WHEN 0 THEN 1 WHEN 1 THEN 23 WHEN 2 THEN 23 ELSE 1 END) AS wt
-                FROM media m, range(16) r, range(16) c, range(4) dr, range(4) dc
-            ),
-            vals AS (
-                SELECT doc_id, span_idx, seed, rr, cc,
-                       wt * CASE WHEN (seed + i * 7) % 33 = 0 THEN 0
-                                 ELSE 1 + (seed * 2654435761 + (i + 404) * 40503) % 65520
-                            END AS wv
-                FROM grid
-            ),
-            outcells AS (
-                SELECT doc_id, span_idx, seed, CAST(SUM(wv) AS BIGINT) AS v2304
-                FROM vals GROUP BY doc_id, span_idx, seed, rr, cc
-            )
-            SELECT doc_id, span_idx, seed,
-                   CAST(SUM(v2304) AS BIGINT) AS sum_bs2304,
-                   CAST(MIN(v2304) AS BIGINT) AS min_bs2304,
-                   CAST(MAX(v2304) AS BIGINT) AS max_bs2304
-            FROM outcells GROUP BY doc_id, span_idx, seed
-        """,
+        # windowed CUBIC-B-SPLINE read at 2× scale: B₃ 1-D weights are
+        # (1, 23, 23, 1)/48 — 2304·out is the exact-integer 16-tap sum,
+        # inlined per out cell (_int_separable_resample_sql).
+        "resample_cubicspline": _int_separable_resample_sql(
+            [1, 23, 23, 1], "bs2304"
+        ),
         # windowed RMS read, 4×2 box: rms = sqrt(ssq / 8) where ssq is
         # the box's exact-integer sum of squares; /8 is a power-of-two
         # division and sqrt is correctly-rounded IEEE, so the doubles
@@ -1552,40 +1588,7 @@ def build() -> dict:
         # weights reproduced bit-for-bit via libm sin parity (see
         # _lanczos_resample_sql).
         "resample_lanczos": _lanczos_resample_sql(),
-        "resample_mode": _MEDIA
-        + """
-            , grid AS (
-                SELECT m.doc_id, m.span_idx, m.seed,
-                       r.range AS rr, c.range AS cc,
-                       (16 + 2 * r.range + dr.range) * 64
-                       + (16 + 4 * c.range + dc.range) AS i
-                FROM media m, range(16) r, range(8) c, range(2) dr, range(4) dc
-            ),
-            vals AS (
-                SELECT doc_id, span_idx, seed, rr, cc,
-                       CASE WHEN (seed + i * 7) % 33 = 0 THEN 0
-                            ELSE 1 + (seed * 2654435761 + (i + 404) * 40503) % 65520
-                       END AS v
-                FROM grid
-            ),
-            counts AS (
-                SELECT doc_id, span_idx, seed, rr, cc, v,
-                       CAST(count(*) AS BIGINT) AS cnt
-                FROM vals GROUP BY doc_id, span_idx, seed, rr, cc, v
-            ),
-            ranked AS (
-                SELECT *, row_number() OVER (
-                           PARTITION BY doc_id, span_idx, seed, rr, cc
-                           ORDER BY cnt DESC, v ASC) AS rn
-                FROM counts
-            )
-            SELECT doc_id, span_idx, seed,
-                   CAST(SUM(v) AS BIGINT) AS sum_mode,
-                   CAST(MIN(v) AS BIGINT) AS min_mode,
-                   CAST(MAX(v) AS BIGINT) AS max_mode
-            FROM ranked WHERE rn = 1
-            GROUP BY doc_id, span_idx, seed
-        """,
+        "resample_mode": _mode_resample_sql(),
         "ndvi_stats": _MEDIA
         + """
             , cells AS (
