@@ -1292,6 +1292,40 @@ def build() -> dict:
                    MAX(max_val) AS max_max_val
             FROM gridded GROUP BY grid_cell
         """,
+        # focal 3×3 stencil over the aggregated cell grid (round 3):
+        # base = the cell_agg_band rollup; neighborhoods = self-join on
+        # the ±1 box over (gx, gy) split out of the flat grid id (this
+        # corpus never hits the lon=180/lat=90 edge cells, so the split
+        # is exact). All-integer sums.
+        "focal_cell_stats": _BAND_STATS + _GRID
+        + """
+            , base AS MATERIALIZED (
+                SELECT grid_cell,
+                       CAST(count(*) AS BIGINT) AS n_tiles,
+                       CAST(SUM(valid_count) AS BIGINT) AS sv,
+                       CAST(SUM(sum_val) AS BIGINT) AS ss,
+                       MIN(min_val) AS mn,
+                       MAX(max_val) AS mx
+                FROM gridded GROUP BY grid_cell
+            ),
+            b2 AS MATERIALIZED (
+                SELECT CAST(grid_cell % 1440 AS BIGINT) AS gx,
+                       CAST(grid_cell // 1440 AS BIGINT) AS gy,
+                       n_tiles, sv, ss, mn, mx
+                FROM base
+            )
+            SELECT c.gx, c.gy,
+                   CAST(count(*) AS BIGINT) AS n_cells_3x3,
+                   CAST(SUM(n.n_tiles) AS BIGINT) AS n_tiles_3x3,
+                   CAST(SUM(n.sv) AS BIGINT) AS valid_3x3,
+                   CAST(SUM(n.ss) AS BIGINT) AS sum_3x3,
+                   CAST(MIN(n.mn) AS BIGINT) AS min_3x3,
+                   CAST(MAX(n.mx) AS BIGINT) AS max_3x3
+            FROM b2 c JOIN b2 n
+              ON n.gx BETWEEN c.gx - 1 AND c.gx + 1
+             AND n.gy BETWEEN c.gy - 1 AND c.gy + 1
+            GROUP BY c.gx, c.gy
+        """,
         # TRUE cube-face S2 cells (q_cell_agg_s2face): the full published
         # projection — xyz, dominant-axis face, gnomonic uv, quadratic
         # st, per-face Hilbert — reproduced in SQL at level 6

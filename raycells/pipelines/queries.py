@@ -484,6 +484,83 @@ def q_cell_agg_band(sf_dir: str):
     )
 
 
+def q_focal_cell_stats(sf_dir: str):
+    """FOCAL (3×3 neighborhood) statistics over the aggregated cell
+    grid — raster map algebra's stencil operator (NEW round 3). Stage 1
+    is the cell_agg_band aggregate (map-side salted partials → bucketed
+    merge). Stage 2 is the scale-safe stencil: each nonempty cell EMITS
+    its aggregate row to its 9 (gx±1, gy±1) neighbor keys — a 9× fan of
+    CELL-sized rows, never tile-sized — and one more bucketed merge sums
+    each neighborhood; cells absent from the base grid are dropped via
+    a self-contribution flag (no gather of the whole grid anywhere, so
+    the pattern holds at any grid level). All-integer columns → exact
+    DuckDB oracle (self-join on the ±1 box)."""
+    from raycells.geo import cellid
+
+    tiles = _exploded(sf_dir).map_batches(
+        lambda b: stages.band_stats(b, band=4), batch_format="pyarrow"
+    )
+    base = shuffle_mod.salted_aggregate(
+        tiles,
+        key="grid_cell",
+        sums=("valid_count", "sum_val"),
+        mins=("min_val",),
+        maxs=("max_val",),
+        count_alias="n_tiles",
+        salt_col="doc_id",
+    )
+    NX = cellid.GRID_NX
+    stat_cols = ("n_tiles", "sum_valid_count", "sum_sum_val",
+                 "min_min_val", "max_max_val")
+
+    def fan(b: pa.Table) -> pa.Table:
+        gc = b["grid_cell"].to_numpy(zero_copy_only=False)
+        gx, gy = gc % NX, gc // NX
+        n = gc.size
+        vals = {c: b[c].to_numpy(zero_copy_only=False) for c in stat_cols}
+        out = {k: [] for k in ("gx", "gy", "self_n", *stat_cols)}
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                out["gx"].append(gx + dx)
+                out["gy"].append(gy + dy)
+                out["self_n"].append(
+                    np.full(n, 1 if dx == 0 and dy == 0 else 0, np.int64)
+                )
+                for c in stat_cols:
+                    out[c].append(vals[c])
+        t = {k: pa.array(np.concatenate(v)) for k, v in out.items()}
+        # composite shuffle key (gx+1 keeps the −1 fringe nonnegative)
+        nkey = (np.concatenate(out["gy"]) + 1) * np.int64(2 * NX) + (
+            np.concatenate(out["gx"]) + 1
+        )
+        t["nkey"] = pa.array(nkey)
+        return pa.table(t)
+
+    def combine(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        agg = df.groupby(["gx", "gy"], sort=False).agg(
+            n_cells_3x3=("self_n", "size"),
+            n_tiles_3x3=("n_tiles", "sum"),
+            valid_3x3=("sum_valid_count", "sum"),
+            sum_3x3=("sum_sum_val", "sum"),
+            min_3x3=("min_min_val", "min"),
+            max_3x3=("max_max_val", "max"),
+            self_n=("self_n", "sum"),
+        ).reset_index()
+        agg = agg[agg["self_n"] >= 1].drop(columns=["self_n", ])
+        agg["n_cells_3x3"] = agg["n_cells_3x3"].astype(np.int64)
+        return shuffle_mod.from_pandas_clean(agg)
+
+    return (
+        base.map_batches(fan, batch_format="pyarrow")
+        .map_batches(
+            lambda b: shuffle_mod.add_bucket(b, "nkey"), batch_format="pyarrow"
+        )
+        .groupby("_bucket")
+        .map_groups(combine, batch_format="pyarrow")
+    )
+
+
 def q_cell_agg_s2face(sf_dir: str):
     """Per-cell tile-stats aggregate keyed by the TRUE cube-face S2
     projection (geo/cellid.encode_cube, level 6) instead of the

@@ -23,6 +23,7 @@ CHECKED = [
     "explode_media",
     "span_digest",
     "cell_agg_band",
+    "focal_cell_stats",
     "cell_agg_s2face",
     "ndvi_stats",
     "resample_tiles",
