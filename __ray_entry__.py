@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_embeddings": q.q_cluster_embeddings,
         "resample_lanczos": q.q_resample_lanczos,  # NEW round 3
         "focal_cell_stats": q.q_focal_cell_stats,  # NEW round 3 (stencil)
+        "cell_pyramid": q.q_cell_pyramid,  # NEW round 3 (zoom rollup)
         # (b) passed r01, absent from the r02 snapshot.
         "lang_id": q.q_lang_id,
         "events_daily": q.q_events_daily,

@@ -1326,6 +1326,33 @@ def build() -> dict:
              AND n.gy BETWEEN c.gy - 1 AND c.gy + 1
             GROUP BY c.gx, c.gy
         """,
+        # hierarchical pyramid rollup (round 3): the cell aggregate
+        # re-keyed at 3 zoom levels (gx>>L, gy>>L), UNION ALL of grouped
+        # rollups. n_cells = base cells inside the coarser cell.
+        "cell_pyramid": _BAND_STATS + _GRID
+        + """
+            , base AS MATERIALIZED (
+                SELECT CAST(grid_cell % 1440 AS BIGINT) AS gx,
+                       CAST(grid_cell // 1440 AS BIGINT) AS gy,
+                       CAST(count(*) AS BIGINT) AS n_tiles,
+                       CAST(SUM(valid_count) AS BIGINT) AS sv,
+                       CAST(SUM(sum_val) AS BIGINT) AS ss,
+                       MIN(min_val) AS mn,
+                       MAX(max_val) AS mx
+                FROM gridded GROUP BY grid_cell
+            )
+            SELECT CAST(lv.range AS BIGINT) AS level,
+                   CAST(gx // (1 << lv.range) AS BIGINT) AS gx,
+                   CAST(gy // (1 << lv.range) AS BIGINT) AS gy,
+                   CAST(count(*) AS BIGINT) AS n_cells,
+                   CAST(SUM(n_tiles) AS BIGINT) AS n_tiles,
+                   CAST(SUM(sv) AS BIGINT) AS valid,
+                   CAST(SUM(ss) AS BIGINT) AS sum_val,
+                   CAST(MIN(mn) AS BIGINT) AS min_val,
+                   CAST(MAX(mx) AS BIGINT) AS max_val
+            FROM base, range(3) lv
+            GROUP BY 1, 2, 3
+        """,
         # TRUE cube-face S2 cells (q_cell_agg_s2face): the full published
         # projection — xyz, dominant-axis face, gnomonic uv, quadratic
         # st, per-face Hilbert — reproduced in SQL at level 6

@@ -561,6 +561,79 @@ def q_focal_cell_stats(sf_dir: str):
     )
 
 
+def q_cell_pyramid(sf_dir: str):
+    """Hierarchical cell PYRAMID rollup (NEW round 3) — the tile-pyramid
+    shape map renderers and multi-resolution analytics need: the
+    per-cell aggregate re-keyed to 3 zoom levels (level 0 = the 0.25°
+    base grid, each level up halves both axes via gx>>L, gy>>L) in one
+    cell-sized 3-row fan + one bucketed merge. Rolling up level-by-level
+    would move fewer rows (Σ 4^-L) at the cost of an exchange per level;
+    the single fan is one exchange total and the fan rows are aggregate
+    rows, never tiles. All-integer columns → exact oracle (UNION ALL of
+    grouped rollups)."""
+    from raycells.geo import cellid
+
+    tiles = _exploded(sf_dir).map_batches(
+        lambda b: stages.band_stats(b, band=4), batch_format="pyarrow"
+    )
+    base = shuffle_mod.salted_aggregate(
+        tiles,
+        key="grid_cell",
+        sums=("valid_count", "sum_val"),
+        mins=("min_val",),
+        maxs=("max_val",),
+        count_alias="n_tiles",
+        salt_col="doc_id",
+    )
+    NX = cellid.GRID_NX
+    LEVELS = 3
+    stat_cols = ("n_tiles", "sum_valid_count", "sum_sum_val",
+                 "min_min_val", "max_max_val")
+
+    def fan(b: pa.Table) -> pa.Table:
+        gc = b["grid_cell"].to_numpy(zero_copy_only=False)
+        gx, gy = gc % NX, gc // NX
+        n = gc.size
+        vals = {c: b[c].to_numpy(zero_copy_only=False) for c in stat_cols}
+        out = {k: [] for k in ("level", "gx", "gy", *stat_cols)}
+        for lv in range(LEVELS):
+            out["level"].append(np.full(n, lv, np.int64))
+            out["gx"].append(gx >> lv)
+            out["gy"].append(gy >> lv)
+            for c in stat_cols:
+                out[c].append(vals[c])
+        t = {k: pa.array(np.concatenate(v)) for k, v in out.items()}
+        nkey = (
+            np.concatenate(out["level"]) * np.int64(NX * NX)
+            + np.concatenate(out["gy"]) * np.int64(NX)
+            + np.concatenate(out["gx"])
+        )
+        t["nkey"] = pa.array(nkey)
+        return pa.table(t)
+
+    def combine(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        agg = df.groupby(["level", "gx", "gy"], sort=False).agg(
+            n_cells=("n_tiles", "size"),
+            n_tiles=("n_tiles", "sum"),
+            valid=("sum_valid_count", "sum"),
+            sum_val=("sum_sum_val", "sum"),
+            min_val=("min_min_val", "min"),
+            max_val=("max_max_val", "max"),
+        ).reset_index()
+        agg["n_cells"] = agg["n_cells"].astype(np.int64)
+        return shuffle_mod.from_pandas_clean(agg)
+
+    return (
+        base.map_batches(fan, batch_format="pyarrow")
+        .map_batches(
+            lambda b: shuffle_mod.add_bucket(b, "nkey"), batch_format="pyarrow"
+        )
+        .groupby("_bucket")
+        .map_groups(combine, batch_format="pyarrow")
+    )
+
+
 def q_cell_agg_s2face(sf_dir: str):
     """Per-cell tile-stats aggregate keyed by the TRUE cube-face S2
     projection (geo/cellid.encode_cube, level 6) instead of the

@@ -24,6 +24,7 @@ CHECKED = [
     "span_digest",
     "cell_agg_band",
     "focal_cell_stats",
+    "cell_pyramid",
     "cell_agg_s2face",
     "ndvi_stats",
     "resample_tiles",
