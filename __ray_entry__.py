@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_lanczos": q.q_resample_lanczos,  # NEW round 3
         "focal_cell_stats": q.q_focal_cell_stats,  # NEW round 3 (stencil)
         "cell_pyramid": q.q_cell_pyramid,  # NEW round 3 (zoom rollup)
+        "footprint_metrics": q.q_footprint_metrics,  # NEW round 3 (shoelace)
         # (b) passed r01, absent from the r02 snapshot.
         "lang_id": q.q_lang_id,
         "events_daily": q.q_events_daily,

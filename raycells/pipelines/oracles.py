@@ -1489,6 +1489,21 @@ def build() -> dict:
         """,
         # rect-intersection range join: tile extents (seed arithmetic,
         # ± 0.005°) × footprint bboxes (deterministic parquet dump)
+        # vector-side polygon metrics (round 3): exact integer shoelace
+        # over e6-quantized coords — floor(x·1e6 + 0.5) matches the
+        # query's _half_up recipe on identical parquet doubles.
+        "footprint_metrics": f"""
+            SELECT footprint_id, category,
+                   CAST(count(*) AS BIGINT) AS n_edges,
+                   CAST(SUM(
+                       CAST(floor(x1 * 1000000 + 0.5) AS BIGINT)
+                     * CAST(floor(y2 * 1000000 + 0.5) AS BIGINT)
+                     - CAST(floor(x2 * 1000000 + 0.5) AS BIGINT)
+                     * CAST(floor(y1 * 1000000 + 0.5) AS BIGINT)
+                   ) AS BIGINT) AS area2_e12
+            FROM read_parquet('{EDGES_PARQUET}')
+            GROUP BY footprint_id, category
+        """,
         "bbox_join_counts": _MEDIA
         + """
             , geo AS (

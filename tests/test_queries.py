@@ -25,6 +25,7 @@ CHECKED = [
     "cell_agg_band",
     "focal_cell_stats",
     "cell_pyramid",
+    "footprint_metrics",
     "cell_agg_s2face",
     "ndvi_stats",
     "resample_tiles",
