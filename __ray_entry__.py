@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "focal_cell_stats": q.q_focal_cell_stats,  # NEW round 3 (stencil)
         "cell_pyramid": q.q_cell_pyramid,  # NEW round 3 (zoom rollup)
         "footprint_metrics": q.q_footprint_metrics,  # NEW round 3 (shoelace)
+        "nearest_footprint": q.q_nearest_footprint,  # NEW round 3 (NN join)
         # (b) passed r01, absent from the r02 snapshot.
         "lang_id": q.q_lang_id,
         "events_daily": q.q_events_daily,

@@ -85,6 +85,7 @@ gridded AS (
 """
 
 EDGES_PARQUET = "/tmp/raycells_docs/footprint_edges.parquet"
+BBOX_PARQUET = "/tmp/raycells_docs/footprint_bboxes.parquet"
 
 # tile centroids with identity for the PIP joins (same seed arithmetic as
 # tilestore.centroids; the doc_id/span_idx ride along for the stats join)
@@ -1489,6 +1490,33 @@ def build() -> dict:
         """,
         # rect-intersection range join: tile extents (seed arithmetic,
         # ± 0.005°) × footprint bboxes (deterministic parquet dump)
+        # nearest-footprint NN spatial join (round 3): squared equirect
+        # distance tile-centroid → bbox center, first-min tie to the
+        # smallest footprint_id; d2 is a fixed 2-term IEEE expression
+        # mirrored term-for-term.
+        "nearest_footprint": _MEDIA + _GEO_PTS
+        + f"""
+            , fp AS (
+                SELECT footprint_id, category,
+                       (minx + maxx) / 2 AS cx, (miny + maxy) / 2 AS cy
+                FROM read_parquet('{BBOX_PARQUET}')
+            ),
+            d AS (
+                SELECT g.doc_id, g.span_idx, g.seed,
+                       f.footprint_id, f.category,
+                       (g.lon - f.cx) * (g.lon - f.cx)
+                     + (g.lat - f.cy) * (g.lat - f.cy) AS d2
+                FROM geo g, fp f
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id, span_idx
+                    ORDER BY d2 ASC, footprint_id ASC) AS rn
+                FROM d
+            )
+            SELECT doc_id, span_idx, seed, footprint_id, category, d2
+            FROM r WHERE rn = 1
+        """,
         # vector-side polygon metrics (round 3): exact integer shoelace
         # over e6-quantized coords — floor(x·1e6 + 0.5) matches the
         # query's _half_up recipe on identical parquet doubles.

@@ -840,6 +840,62 @@ def q_footprint_metrics(sf_dir: str):
     )
 
 
+def q_nearest_footprint(sf_dir: str):
+    """Nearest-neighbor SPATIAL JOIN (NEW round 3): assign every tile to
+    its nearest footprint (bbox center, squared equirect distance) — the
+    vector-assignment complement of knn_tiles (which ranks tiles around
+    query points). The 200-row footprint side broadcasts once (ray.put);
+    each batch computes one vectorized (B, F) distance matrix and emits
+    its argmin — ties break to the smallest footprint_id (footprints are
+    pre-sorted by id, np.argmin takes the first minimum; the oracle's
+    ROW_NUMBER ORDER BY d2, footprint_id is identical). d2 is an
+    elementwise fixed-shape IEEE expression (two products, one sum), so
+    the float column hash-matches. For a footprint side too big to
+    broadcast, the cell-cover co-partition join (pip_join_cellcover) is
+    the scale path."""
+    import ray
+
+    from raycells.io import footprints as fp_mod
+    from raycells.io import tilestore
+
+    fp_mod.ensure_bbox_parquet()
+    import pyarrow.parquet as pq
+
+    fp = pq.read_table(fp_mod.BBOX_PARQUET).to_pandas().sort_values("footprint_id")
+    cx = ((fp["minx"] + fp["maxx"]) / 2.0).to_numpy()
+    cy = ((fp["miny"] + fp["maxy"]) / 2.0).to_numpy()
+    ids = fp["footprint_id"].to_numpy()
+    cats = fp["category"].to_numpy()
+    ref = ray.put((cx, cy, ids, cats))
+
+    class Nearest:
+        def __init__(self, r):
+            self.cx, self.cy, self.ids, self.cats = ray.get(r)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            seeds = tilestore.seed_of_refs(b["media_ref"])
+            lon, lat = tilestore.centroids(seeds)
+            dx = lon[:, None] - self.cx[None, :]
+            dy = lat[:, None] - self.cy[None, :]
+            d2 = dx * dx + dy * dy  # fixed 2-term IEEE tree, SQL-mirrored
+            j = np.argmin(d2, axis=1)  # first min = smallest id (sorted)
+            rows = np.arange(len(seeds))
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "span_idx": pc.cast(b["span_idx"], pa.int64()),
+                    "seed": pa.array(seeds, pa.int64()),
+                    "footprint_id": pa.array(self.ids[j], pa.string()),
+                    "category": pa.array(self.cats[j], pa.string()),
+                    "d2": pa.array(d2[rows, j], pa.float64()),
+                }
+            )
+
+    return _exploded(sf_dir).map_batches(
+        stages.broadcast_task(Nearest, ref), batch_format="pyarrow"
+    )
+
+
 def q_bbox_join_counts(sf_dir: str):
     """Rect-intersection range join, VALUE-checked: tile extents ×
     footprint bounding boxes → per-footprint intersecting-tile count.

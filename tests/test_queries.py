@@ -26,6 +26,7 @@ CHECKED = [
     "focal_cell_stats",
     "cell_pyramid",
     "footprint_metrics",
+    "nearest_footprint",
     "cell_agg_s2face",
     "ndvi_stats",
     "resample_tiles",
