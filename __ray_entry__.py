@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_pyramid": q.q_cell_pyramid,  # NEW round 3 (zoom rollup)
         "footprint_metrics": q.q_footprint_metrics,  # NEW round 3 (shoelace)
         "nearest_footprint": q.q_nearest_footprint,  # NEW round 3 (NN join)
+        "tile_convolve_stats": q.q_tile_convolve_stats,  # NEW round 3 (in-tile focal)
         # (b) passed r01, absent from the r02 snapshot.
         "lang_id": q.q_lang_id,
         "events_daily": q.q_events_daily,

@@ -390,6 +390,32 @@ def synth_band_window_mode(
     return _block_mode(b).reshape(n, -1)
 
 
+def synth_band_conv3(
+    seeds: np.ndarray,
+    band: int,
+    window: Tuple[int, int],
+    window_size: Tuple[int, int],
+) -> np.ndarray:
+    """(len(seeds), wh·ww) int64: 3×3 box-SUM convolution of the band
+    tile over ``window``, with TILE-edge replicate clamping (taps clamp
+    to 0..TILE-1, so a window touching the tile border reuses the edge
+    row/column — the focal-map-algebra convention). Exact integer
+    arithmetic throughout; the DuckDB oracle inlines the same 9 clamped
+    taps per cell."""
+    (c0, r0), (w, h) = window, window_size
+    s = np.asarray(seeds, dtype=np.int64)[:, None]
+    rows = r0 + np.arange(h)
+    cols = c0 + np.arange(w)
+    out = np.zeros((len(s), h * w), dtype=np.int64)
+    for dy in (-1, 0, 1):
+        yy = np.clip(rows + dy, 0, TILE_H - 1)
+        for dx in (-1, 0, 1):
+            xx = np.clip(cols + dx, 0, TILE_W - 1)
+            i = (yy[:, None] * TILE_W + xx[None, :]).reshape(1, -1)
+            out += _band_values_at(s, i, band)
+    return out
+
+
 def synth_band_window(
     seeds: np.ndarray,
     band: int,

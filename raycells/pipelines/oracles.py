@@ -1327,6 +1327,30 @@ def build() -> dict:
              AND n.gy BETWEEN c.gy - 1 AND c.gy + 1
             GROUP BY c.gx, c.gy
         """,
+        # in-tile 3×3 box-sum convolution (round 3): 9 inlined taps per
+        # cell with tile-edge replicate clamping — exact integers.
+        "tile_convolve_stats": _MEDIA
+        + f"""
+            , conv AS (
+                SELECT m.doc_id, m.span_idx, m.seed,
+                       {" + ".join(
+                           "(CASE WHEN (m.seed + ("
+                           f"LEAST(GREATEST(rr.range + {dy}, 0), 63) * 64"
+                           f" + LEAST(GREATEST(cc.range + {dx}, 0), 63)"
+                           ") * 7) % 33 = 0 THEN 0 ELSE 1 + (m.seed * 2654435761 + (("
+                           f"LEAST(GREATEST(rr.range + {dy}, 0), 63) * 64"
+                           f" + LEAST(GREATEST(cc.range + {dx}, 0), 63)"
+                           ") + 404) * 40503) % 65520 END)"
+                           for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+                       )} AS v
+                FROM media m, range(8) rr, range(8) cc
+            )
+            SELECT doc_id, span_idx, seed,
+                   CAST(SUM(v) AS BIGINT) AS sum_c3,
+                   CAST(MIN(v) AS BIGINT) AS min_c3,
+                   CAST(MAX(v) AS BIGINT) AS max_c3
+            FROM conv GROUP BY doc_id, span_idx, seed
+        """,
         # hierarchical pyramid rollup (round 3): the cell aggregate
         # re-keyed at 3 zoom levels (gx>>L, gy>>L), UNION ALL of grouped
         # rollups. n_cells = base cells inside the coarser cell.

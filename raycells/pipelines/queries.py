@@ -634,6 +634,35 @@ def q_cell_pyramid(sf_dir: str):
     )
 
 
+def q_tile_convolve_stats(sf_dir: str):
+    """In-tile 3×3 box-sum CONVOLUTION (NEW round 3) — the cell-level
+    focal kernel that complements focal_cell_stats' grid-level stencil:
+    the (0,0)+(8,8) corner window of band 4 convolved with a 3×3 sum
+    kernel under TILE-edge replicate clamping (the window touches the
+    tile border, so the clamp path is exercised, not just declared).
+    Exact integer sums → per-tile stats hash-match the oracle's 9
+    inlined clamped taps."""
+    from raycells.io import tilestore
+
+    WINDOW, WSIZE = (0, 0), (8, 8)
+
+    def conv_stats(b: pa.Table) -> pa.Table:
+        seeds = tilestore.seed_of_refs(b["media_ref"])
+        v = tilestore.synth_band_conv3(seeds, 4, WINDOW, WSIZE)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "span_idx": pc.cast(b["span_idx"], pa.int64()),
+                "seed": pa.array(seeds, pa.int64()),
+                "sum_c3": pa.array(v.sum(axis=1)),
+                "min_c3": pa.array(v.min(axis=1)),
+                "max_c3": pa.array(v.max(axis=1)),
+            }
+        )
+
+    return _exploded(sf_dir).map_batches(conv_stats, batch_format="pyarrow")
+
+
 def q_cell_agg_s2face(sf_dir: str):
     """Per-cell tile-stats aggregate keyed by the TRUE cube-face S2
     projection (geo/cellid.encode_cube, level 6) instead of the

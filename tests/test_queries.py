@@ -27,6 +27,7 @@ CHECKED = [
     "cell_pyramid",
     "footprint_metrics",
     "nearest_footprint",
+    "tile_convolve_stats",
     "cell_agg_s2face",
     "ndvi_stats",
     "resample_tiles",
