@@ -22,8 +22,13 @@ oracles in raycells/pipelines/oracles.py):
   zonal_stats (exact even-odd ray cast over the unnested footprint
   edge table), rasterize_footprints (center-sample containment),
   vectorize_tiles (the synthetic mask's regions are singletons by
-  construction; multi-cell labelling pinned in tests/test_geo.py) —
-  ALL oracle-checked.
+  construction; multi-cell labelling pinned in tests/test_geo.py),
+  and the round-3 additions — resample_lanczos (transcendental weights
+  bit-matched via libm sin parity), focal_cell_stats (3×3 grid
+  stencil via 9-key fan), cell_pyramid (multi-zoom rollup),
+  footprint_metrics (exact integer shoelace), nearest_footprint (NN
+  spatial join), tile_convolve_stats (in-tile focal kernel with edge
+  clamp) — ALL oracle-checked.
 - tabular family over the driver's parquet views:  lineitem_pricing,
   orders_by_segment, revenue_by_nation, global_stats, quantiles_qty,
   sessionize, dedup_exact, token_stats, normalize_text,
@@ -60,8 +65,9 @@ oracles in raycells/pipelines/oracles.py):
   fingerprint_docs (rolling polynomial hash in HUGEINT SQL),
   minhash_pairs (MinHash+LSH end-to-end in SQL: shingle hashes, 64
   universal-hash minima, band fold, bucket pairs, exact Jaccard),
-  dedup_clusters (union-find cluster resolution over those pairs;
-  recursive-CTE min-label propagation in SQL),
+  dedup_clusters (DISTRIBUTED two-level min-label contraction over
+  those pairs, engine/cc.py; recursive-CTE min-label propagation in
+  SQL),
   decontaminate (token-window blocklist hashing — benchmark overlap
   flagging, windows from the same token-fingerprint CTEs),
   ngram_jaccard (EXACT prefix-filter set-similarity join, recall 1.0:

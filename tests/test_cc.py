@@ -85,3 +85,17 @@ def test_connected_components_empty(ray_session):
         {"id_a": pa.array([], pa.string()), "id_b": pa.array([], pa.string())}
     )
     assert len(connected_components(t)) == 0
+
+
+def test_connected_components_dataset_input(ray_session):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "id_a": pa.array(["a", "b", "x"], pa.string()),
+            "id_b": pa.array(["b", "c", "y"], pa.string()),
+        }
+    )
+    df = connected_components(rd.from_arrow(t))
+    got = dict(zip(df["node"], df["root"]))
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}

@@ -204,3 +204,23 @@ def test_tiff_reader_plain_crafted(tmp_path):
     p.write_bytes(_craft_tiff())
     arr, _ = read_tiff(str(p))
     assert (arr.ravel() == np.arange(16)).all()
+
+
+def test_synth_band_conv3_matches_naive_with_clamp():
+    import numpy as np
+
+    from raycells.io import tilestore
+
+    seeds = np.array([3, 77777], dtype=np.int64)
+    got = tilestore.synth_band_conv3(seeds, 4, (0, 0), (8, 8))
+    # naive: full tile values, clamp taps at the tile border
+    full = tilestore.synth_band_values(seeds, 4).reshape(2, 64, 64)
+    want = np.zeros((2, 8, 8), dtype=np.int64)
+    for r in range(8):
+        for c in range(8):
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    yy = min(max(r + dy, 0), 63)
+                    xx = min(max(c + dx, 0), 63)
+                    want[:, r, c] += full[:, yy, xx]
+    assert np.array_equal(got, want.reshape(2, -1))
