@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "footprint_metrics": q.q_footprint_metrics,  # NEW round 3 (shoelace)
         "nearest_footprint": q.q_nearest_footprint,  # NEW round 3 (NN join)
         "tile_convolve_stats": q.q_tile_convolve_stats,  # NEW round 3 (in-tile focal)
+        "doc_multimodal_profile": q.q_doc_multimodal_profile,  # NEW round 3 (interleaved)
         # (b) passed r01, absent from the r02 snapshot.
         "lang_id": q.q_lang_id,
         "events_daily": q.q_events_daily,

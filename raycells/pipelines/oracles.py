@@ -1327,6 +1327,25 @@ def build() -> dict:
              AND n.gy BETWEEN c.gy - 1 AND c.gy + 1
             GROUP BY c.gx, c.gy
         """,
+        # joint text+media per-doc profile (round 3): both span kinds in
+        # one grouped pass; valid cells from the mask formula's closed
+        # form (nodata at i·7 ≡ −seed mod 33, 19 = 7⁻¹ mod 33).
+        "doc_multimodal_profile": _EXPLODE
+        + """
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN s.kind = 'text' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_text_spans,
+                   CAST(SUM(CASE WHEN s.kind = 'text' THEN length(s.text)
+                        ELSE 0 END) AS BIGINT) AS text_chars,
+                   CAST(SUM(CASE WHEN s.kind = 'media' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_media_spans,
+                   CAST(SUM(CASE WHEN s.kind = 'media' THEN
+                        4096 - (
+                          (4095 - ((((33 - (TRY_CAST(substr(s.media_ref, 8)
+                             AS BIGINT) % 33)) % 33) * 19) % 33)) // 33 + 1)
+                        ELSE 0 END) AS BIGINT) AS valid_cells
+            FROM ex GROUP BY doc_id
+        """,
         # in-tile 3×3 box-sum convolution (round 3): 9 inlined taps per
         # cell with tile-edge replicate clamping — exact integers.
         "tile_convolve_stats": _MEDIA

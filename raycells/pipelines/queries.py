@@ -634,6 +634,51 @@ def q_cell_pyramid(sf_dir: str):
     )
 
 
+def q_doc_multimodal_profile(sf_dir: str):
+    """JOINT text+media per-document profile (NEW round 3) — the one
+    operator that consumes BOTH span kinds of the interleaved table in a
+    single pass: per doc, text-span count and total UTF-8 chars next to
+    media-span count and total valid (unmasked) tile cells. Docs are
+    single rows, so each batch completes its docs' rollups locally and
+    the per-doc output streams straight out of ``map_batches`` — NO
+    exchange at any scale. Valid-cell counts use the tile mask formula's
+    closed form (nodata at i·7 ≡ −seed mod 33 ⇒ count = ⌊(4095−r)/33⌋+1
+    with r = ((33 − seed%33)%33 · 19) % 33, 19 = 7⁻¹ mod 33) — exact
+    integers, pinned against the real decode in tests/test_io.py."""
+    from raycells.io import docsource, tilestore
+
+    docs = docsource.read_documents(pl.docs_dir_for_sf(sf_dir))
+
+    def profile(b: pa.Table) -> pa.Table:
+        parent, kind, text, ref, _ = docsource._spans_parts(b["spans"])
+        n = b.num_rows
+        is_text = pc.equal(kind, "text").to_numpy(zero_copy_only=False)
+        is_media = pc.equal(kind, "media").to_numpy(zero_copy_only=False)
+        chars = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+        n_text = np.bincount(parent[is_text], minlength=n).astype(np.int64)
+        text_chars = np.bincount(
+            parent[is_text], weights=chars[is_text], minlength=n
+        ).astype(np.int64)
+        n_media = np.bincount(parent[is_media], minlength=n).astype(np.int64)
+        seeds = tilestore.seed_of_refs(ref.filter(pa.array(is_media)))
+        r = (((33 - seeds % 33) % 33) * 19) % 33
+        valid = 4096 - ((4095 - r) // 33 + 1)
+        valid_cells = np.bincount(
+            parent[is_media], weights=valid, minlength=n
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_text_spans": pa.array(n_text),
+                "text_chars": pa.array(text_chars),
+                "n_media_spans": pa.array(n_media),
+                "valid_cells": pa.array(valid_cells),
+            }
+        )
+
+    return docs.map_batches(profile, batch_format="pyarrow")
+
+
 def q_tile_convolve_stats(sf_dir: str):
     """In-tile 3×3 box-sum CONVOLUTION (NEW round 3) — the cell-level
     focal kernel that complements focal_cell_stats' grid-level stencil:

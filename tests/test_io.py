@@ -224,3 +224,17 @@ def test_synth_band_conv3_matches_naive_with_clamp():
                     xx = min(max(c + dx, 0), 63)
                     want[:, r, c] += full[:, yy, xx]
     assert np.array_equal(got, want.reshape(2, -1))
+
+
+def test_valid_cell_closed_form_matches_decode():
+    """The q_doc_multimodal_profile closed form (i·7 ≡ −seed mod 33) must
+    equal the real decode's valid-cell count for arbitrary seeds."""
+    import numpy as np
+
+    from raycells.io import tilestore
+
+    seeds = np.array([0, 1, 7, 32, 33, 66, 12345, 999331, 2**40 + 17], dtype=np.int64)
+    valid_decode = (tilestore.synth_band_values(seeds, 4) != 0).sum(axis=1)
+    r = (((33 - seeds % 33) % 33) * 19) % 33
+    valid_closed = 4096 - ((4095 - r) // 33 + 1)
+    assert np.array_equal(valid_decode, valid_closed)

@@ -28,6 +28,7 @@ CHECKED = [
     "footprint_metrics",
     "nearest_footprint",
     "tile_convolve_stats",
+    "doc_multimodal_profile",
     "cell_agg_s2face",
     "ndvi_stats",
     "resample_tiles",
