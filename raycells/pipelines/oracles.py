@@ -1219,6 +1219,35 @@ FROM ranked WHERE rank <= {k}
     return "".join(parts)
 
 
+def _cluster_quality_sql(stop_expr_text: str) -> str:
+    """Per-cluster text-quality rollup (q_cluster_quality): the shared
+    unrolled-Lloyd assignment chain joined to the documents view on
+    vec_id = doc_id, with the token_stats quality expressions."""
+    full = _ann_ivf_sql(n_centroids=16, n_iters=10)
+    marker = ",\nprobes AS ("
+    prefix = full[: full.index(marker)]
+    ntok = (
+        "CASE WHEN length(d.text) = 0 THEN 0 "
+        "ELSE length(d.text) - length(replace(d.text, ' ', '')) + 1 END"
+    )
+    return (
+        prefix
+        + f"""
+SELECT CAST(a.c AS BIGINT) AS cluster,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM({ntok}) AS BIGINT) AS total_tokens,
+       CAST(SUM({stop_expr_text}) AS BIGINT) AS total_stopword_hits,
+       CAST(SUM(CASE WHEN ({ntok}) >= 5
+                 AND 2 * length(regexp_replace(d.text, '[^a-zA-Z]', '', 'g'))
+                     >= length(d.text)
+                 AND ({stop_expr_text}) >= 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok
+FROM asgF a JOIN documents d ON d.doc_id = a.vec_id
+GROUP BY a.c
+"""
+    )
+
+
 def _cluster_embeddings_sql(n_centroids: int = 16, n_iters: int = 10) -> str:
     """K-means assignment rollup (q_cluster_embeddings): the EXACT same
     unrolled-Lloyd CTE chain as _ann_ivf_sql (shared by construction —
@@ -1501,6 +1530,11 @@ def build() -> dict:
         "ann_lsh": _ann_lsh_sql(),
         "ann_ivf": _ann_ivf_sql(),
         "cluster_embeddings": _cluster_embeddings_sql(),
+        # per-cluster text-quality rollup (round 3): Lloyd chain ⋈
+        # documents on vec_id = doc_id (see _cluster_quality_sql)
+        "cluster_quality": _cluster_quality_sql(
+            " + ".join(_hits(w, col="d.text") for w in STOPWORDS)
+        ),
         # vectorize: on the synthetic band mask (one residue class mod 33)
         # no two nodata cells are 4-adjacent, so every connected region is
         # a singleton — the label count equals the masked-cell count

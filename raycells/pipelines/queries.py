@@ -634,6 +634,90 @@ def q_cell_pyramid(sf_dir: str):
     )
 
 
+def q_cluster_quality(sf_dir: str):
+    """Cross-table CURATION composite (NEW round 3): k-means topic
+    clusters over the embedding table JOINED to per-doc text-quality
+    metrics (embeddings.vec_id ↔ documents.doc_id) — the realistic
+    "score every topic bucket before sampling" pipeline. Shape at
+    scale: constant-sample exact-integer Lloyd training, broadcast
+    centroid assignment matmul, co-partitioned ``hash_join`` on the id
+    (no broadcast of either table), map-side per-cluster partials +
+    driver fold of the O(blocks × clusters) rows. Oracle: the shared
+    unrolled-Lloyd CTE chain joined to the documents view."""
+    from raycells.engine.joins import hash_join
+    from raycells.sim.ivf import _assign, train_from_ds
+    from raycells.text.dedup import quantize_embeddings
+
+    emb = _read(
+        sf_dir, "embeddings", SMALL_TABLE_BLOCKS, columns=["vec_id", "embedding"]
+    )
+    sums = train_from_ds(emb, n_centroids=16)
+
+    def assign(b: pa.Table) -> pa.Table:
+        eq = quantize_embeddings(
+            np.asarray(b["embedding"].to_pylist(), dtype=np.float64)
+        )
+        return pa.table(
+            {
+                "vec_id": pc.cast(b["vec_id"], pa.int64()),
+                "cluster": pa.array(_assign(eq, sums).astype(np.int64)),
+            }
+        )
+
+    asg = emb.map_batches(assign, batch_format="pyarrow")
+    docs = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["doc_id", "text"])
+
+    def doc_metrics(b: pa.Table) -> pa.Table:
+        scored = ta.quality_metrics(b, col="text")
+        return pa.table(
+            {
+                "doc_id": pc.cast(scored["doc_id"], pa.int64()),
+                "n_tokens": scored["n_tokens"],
+                "stopword_hits": scored["stopword_hits"],
+                "quality_ok": pc.cast(scored["quality_ok"], pa.int64()),
+            }
+        )
+
+    met = docs.map_batches(doc_metrics, batch_format="pyarrow")
+    joined = hash_join(
+        asg,
+        met,
+        key_left="vec_id",
+        key_right="doc_id",
+        keep_left=["cluster"],
+        keep_right=["n_tokens", "stopword_hits", "quality_ok"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        out = df.groupby("cluster", sort=False).agg(
+            n_docs=("cluster", "size"),
+            total_tokens=("n_tokens", "sum"),
+            total_stopword_hits=("stopword_hits", "sum"),
+            n_quality_ok=("quality_ok", "sum"),
+        ).reset_index()
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        return shuffle_mod.from_pandas_clean(out)
+
+    folded = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("cluster", sort=False, as_index=False)
+        .sum()
+    )
+    return pa.table(
+        {
+            "cluster": pa.array(folded["cluster"].to_numpy(np.int64)),
+            "n_docs": pa.array(folded["n_docs"].to_numpy(np.int64)),
+            "total_tokens": pa.array(folded["total_tokens"].to_numpy(np.int64)),
+            "total_stopword_hits": pa.array(
+                folded["total_stopword_hits"].to_numpy(np.int64)
+            ),
+            "n_quality_ok": pa.array(folded["n_quality_ok"].to_numpy(np.int64)),
+        }
+    )
+
+
 def q_doc_multimodal_profile(sf_dir: str):
     """JOINT text+media per-document profile (NEW round 3) — the one
     operator that consumes BOTH span kinds of the interleaved table in a

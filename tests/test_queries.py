@@ -29,6 +29,7 @@ CHECKED = [
     "nearest_footprint",
     "tile_convolve_stats",
     "doc_multimodal_profile",
+    "cluster_quality",
     "cell_agg_s2face",
     "ndvi_stats",
     "resample_tiles",
