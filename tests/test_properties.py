@@ -290,3 +290,74 @@ def test_window_hashes_batch_matches_per_doc(docs, w):
     assert [int(x) for x in got_h] == want_h
     assert got_r.tolist() == want_r
     assert got_h.dtype == np.uint64
+
+
+@given(
+    cells=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6), st.integers(1, 9)),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_focal_fan_matches_brute_force_neighborhood(cells):
+    """The 9-key fan + merge must equal the brute-force 3×3 neighborhood
+    sum over nonempty cells (self-flag drops fringe cells)."""
+    import numpy as np
+
+    base = {(gx, gy): n for gx, gy, n in cells}
+    # fan: each nonempty cell contributes to its 9 neighbors
+    recv: dict = {}
+    for (gx, gy), n in base.items():
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                k = (gx + dx, gy + dy)
+                c, t = recv.get(k, (0, 0))
+                recv[k] = (c + 1, t + n)
+    got = {k: v for k, v in recv.items() if k in base}
+    # brute force: sum over existing neighbors
+    want = {}
+    for (gx, gy) in base:
+        c = t = 0
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                nb = (gx + dx, gy + dy)
+                if nb in base:
+                    c += 1
+                    t += base[nb]
+        want[(gx, gy)] = (c, t)
+    assert got == want
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.floats(-170, 170, allow_nan=False, width=32),
+            st.floats(-80, 80, allow_nan=False, width=32),
+        ),
+        min_size=3,
+        max_size=12,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_shoelace_quantized_matches_scalar(pts):
+    """The vectorized e6-quantized shoelace partial equals the scalar
+    closed-ring definition."""
+    import numpy as np
+
+    ring = np.array(pts, dtype=np.float64)
+    # closed ring edges (x1,y1) -> (x2,y2)
+    x1, y1 = ring[:, 0], ring[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    q = lambda v: np.floor(v * 1e6 + 0.5).astype(np.int64)
+    got = int((q(x1) * q(y2) - q(x2) * q(y1)).sum())
+    want = 0
+    for i in range(len(pts)):
+        j = (i + 1) % len(pts)
+        want += int(np.floor(pts[i][0] * 1e6 + 0.5)) * int(
+            np.floor(pts[j][1] * 1e6 + 0.5)
+        ) - int(np.floor(pts[j][0] * 1e6 + 0.5)) * int(
+            np.floor(pts[i][1] * 1e6 + 0.5)
+        )
+    assert got == want
