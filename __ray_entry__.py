@@ -130,7 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     operators (resample_lanczos, focal_cell_stats, cell_pyramid,
     footprint_metrics, nearest_footprint), (b) the 10 that passed r01
     but were absent from the r02 snapshot, (c) the 50 green in r02.
-    All 80 hash-match DuckDB locally at sf0.01 (the timed replica of
+    All 82 hash-match DuckDB locally at sf0.01 (the timed replica of
     the gate)."""
     from raycells.pipelines import queries as q
 
