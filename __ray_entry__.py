@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_convolve_stats": q.q_tile_convolve_stats,  # NEW round 3 (in-tile focal)
         "doc_multimodal_profile": q.q_doc_multimodal_profile,  # NEW round 3 (interleaved)
         "cluster_quality": q.q_cluster_quality,  # NEW round 3 (cluster ⋈ quality)
+        "pack_sequences": q.q_pack_sequences,  # NEW round 3 (LLM seq packing)
         # (b) passed r01, absent from the r02 snapshot.
         "lang_id": q.q_lang_id,
         "events_daily": q.q_events_daily,

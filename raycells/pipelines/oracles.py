@@ -1959,6 +1959,38 @@ def build() -> dict:
                    CAST(COUNT(*) AS BIGINT) AS n_rows
             FROM lineitem GROUP BY l_returnflag
         """,
+        # sequence packing (round 3): greedy first-fit-in-order into
+        # ≤600-token bins inside 64-doc shards — recursive CTE carrying
+        # (bin, fill) per shard in doc order (the sequential rule the
+        # vectorized pass-per-bin kernel reproduces).
+        "pack_sequences": """
+            WITH RECURSIVE docs2 AS MATERIALIZED (
+                SELECT doc_id // 64 AS shard, doc_id,
+                       CASE WHEN length(text) = 0 THEN 0
+                            ELSE length(text) - length(replace(text, ' ', '')) + 1
+                       END AS ntok,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id // 64
+                                          ORDER BY doc_id) AS rn
+                FROM documents
+            ),
+            rec AS (
+                SELECT shard, rn, ntok, CAST(0 AS BIGINT) AS bin, ntok AS fill
+                FROM docs2 WHERE rn = 1
+                UNION ALL
+                SELECT d.shard, d.rn, d.ntok,
+                       CASE WHEN r.fill + d.ntok > 600 THEN r.bin + 1
+                            ELSE r.bin END,
+                       CASE WHEN r.fill + d.ntok > 600 THEN d.ntok
+                            ELSE r.fill + d.ntok END
+                FROM rec r JOIN docs2 d
+                  ON d.shard = r.shard AND d.rn = r.rn + 1
+            )
+            SELECT CAST(shard AS BIGINT) AS shard,
+                   CAST(bin AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(ntok) AS BIGINT) AS total_tokens
+            FROM rec GROUP BY shard, bin
+        """,
         "stratified_sample": """
             WITH keyed AS (
                 SELECT c_mktsegment,

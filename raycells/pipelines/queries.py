@@ -634,6 +634,74 @@ def q_cell_pyramid(sf_dir: str):
     )
 
 
+PACK_CAP = 600  # bin capacity (tokens)
+PACK_SHARD = 64  # docs per deterministic shard (doc_id // PACK_SHARD)
+
+
+def q_pack_sequences(sf_dir: str):
+    """SEQUENCE PACKING (NEW round 3) — the canonical LLM-training prep
+    op: greedy first-fit-in-order packing of docs into ≤PACK_CAP-token
+    bins inside deterministic PACK_SHARD-doc shards. Bins never cross
+    shards, so every shard packs independently — embarrassingly parallel
+    at any scale (one coarse-bucket exchange co-locates shards). The
+    per-bucket kernel is vectorized ACROSS shards, one pass per bin
+    rank: segmented cumsum over each shard's remaining docs → prefix
+    take (cumsum is monotone, so ``cs ≤ cap`` is a prefix; a bin's first
+    doc is unconditional, exactly the recursive rule) — bounded by
+    max-bins-per-shard passes, never a per-doc Python loop. Output per
+    (shard, bin): doc count + token total, all exact ints. Oracle: a
+    recursive CTE carrying (bin, fill) through each shard in doc order."""
+    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["doc_id", "text"])
+
+    def toks(b: pa.Table) -> pa.Table:
+        did = pc.cast(b["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        nt = ta.token_counts(b["text"]).astype(np.int64)
+        return pa.table(
+            {
+                "shard": pa.array(did // PACK_SHARD),
+                "doc_id": pa.array(did),
+                "ntok": pa.array(nt),
+            }
+        )
+
+    def pack(g: pa.Table) -> pa.Table:
+        df = (
+            g.to_pandas().drop(columns=["_cbucket"]).sort_values(["shard", "doc_id"])
+        )
+        shard = df["shard"].to_numpy()
+        ntok = df["ntok"].to_numpy()
+        n = len(df)
+        bins = np.full(n, -1, np.int64)
+        remaining = np.ones(n, bool)
+        k = 0
+        while remaining.any():
+            idx = np.nonzero(remaining)[0]
+            sh = shard[idx]
+            cs = pd.Series(ntok[idx]).groupby(sh).cumsum().to_numpy()
+            first = np.r_[True, sh[1:] != sh[:-1]] if sh.size else np.empty(0, bool)
+            sel = first | (cs <= PACK_CAP)
+            bins[idx[sel]] = k
+            remaining[idx[sel]] = False
+            k += 1
+        out = (
+            pd.DataFrame({"shard": shard, "bin": bins, "ntok": ntok})
+            .groupby(["shard", "bin"], sort=False, as_index=False)
+            .agg(n_docs=("ntok", "size"), total_tokens=("ntok", "sum"))
+        )
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        return shuffle_mod.from_pandas_clean(out)
+
+    packed = (
+        ds.map_batches(toks, batch_format="pyarrow")
+        .map_batches(
+            lambda b: dd._coarse_bucket(b, ["shard"]), batch_format="pyarrow"
+        )
+        .groupby("_cbucket")
+        .map_groups(pack, batch_format="pyarrow")
+    )
+    return packed
+
+
 def q_cluster_quality(sf_dir: str):
     """Cross-table CURATION composite (NEW round 3): k-means topic
     clusters over the embedding table JOINED to per-doc text-quality

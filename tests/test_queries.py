@@ -30,6 +30,7 @@ CHECKED = [
     "tile_convolve_stats",
     "doc_multimodal_profile",
     "cluster_quality",
+    "pack_sequences",
     "cell_agg_s2face",
     "ndvi_stats",
     "resample_tiles",
