@@ -1322,6 +1322,22 @@ def build() -> dict:
                    MAX(max_val) AS max_max_val
             FROM gridded GROUP BY grid_cell
         """,
+        # per-cell top-k tiles (round 3): grouped top-k on the spatial
+        # key (max_val DESC, seed DESC; duplicate (max_val, seed) rows
+        # are output-identical, so arbitrary order among them is safe).
+        "top_tiles_per_cell": _BAND_STATS + _GRID
+        + """
+            , ranked AS (
+                SELECT grid_cell, seed, max_val,
+                       ROW_NUMBER() OVER (PARTITION BY grid_cell
+                                          ORDER BY max_val DESC, seed DESC)
+                           AS rank
+                FROM gridded
+            )
+            SELECT grid_cell, CAST(rank AS BIGINT) AS rank, seed,
+                   CAST(max_val AS BIGINT) AS max_val
+            FROM ranked WHERE rank <= 3
+        """,
         # focal 3×3 stencil over the aggregated cell grid (round 3):
         # base = the cell_agg_band rollup; neighborhoods = self-join on
         # the ±1 box over (gx, gy) split out of the flat grid id (this

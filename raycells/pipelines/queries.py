@@ -484,6 +484,41 @@ def q_cell_agg_band(sf_dir: str):
     )
 
 
+def q_top_tiles_per_cell(sf_dir: str):
+    """Per-cell top-k TILES (NEW round 3) — grouped top-k on the spatial
+    key: the 3 brightest tiles (max_val DESC, seed DESC tie) per grid
+    cell, the diagnostics view map tools want. Per-batch partial top-k
+    shrinks the exchange to O(blocks × cells × k) survivor rows before
+    one final ranking task (engine/joins.grouped_topk)."""
+    from raycells.engine.joins import grouped_topk
+
+    tiles = _exploded(sf_dir).map_batches(
+        lambda b: stages.band_stats(b, band=4), batch_format="pyarrow"
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "grid_cell": b["grid_cell"],
+                "seed": b["seed"],
+                "max_val": b["max_val"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = grouped_topk(tiles, "grid_cell", 3, order_col="max_val", tiebreak_col="seed")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "grid_cell": t["grid_cell"],
+                "rank": pc.cast(t["rank"], pa.int64()),
+                "seed": t["seed"],
+                "max_val": pc.cast(t["max_val"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_focal_cell_stats(sf_dir: str):
     """FOCAL (3×3 neighborhood) statistics over the aggregated cell
     grid — raster map algebra's stencil operator (NEW round 3). Stage 1

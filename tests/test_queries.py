@@ -31,6 +31,7 @@ CHECKED = [
     "doc_multimodal_profile",
     "cluster_quality",
     "pack_sequences",
+    "top_tiles_per_cell",
     "cell_agg_s2face",
     "ndvi_stats",
     "resample_tiles",
