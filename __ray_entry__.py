@@ -126,12 +126,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """Insertion order = verification priority: the driver's gate may
     snapshot or budget-trim the set (CORRECTNESS_r02 recorded exactly 50
     of 74), so the queries with the fewest historical driver hash-rows
-    come FIRST — (a) the 14 never driver-checked plus the 5 new round-3
-    operators (resample_lanczos, focal_cell_stats, cell_pyramid,
-    footprint_metrics, nearest_footprint), (b) the 10 that passed r01
-    but were absent from the r02 snapshot, (c) the 50 green in r02.
-    All 82 hash-match DuckDB locally at sf0.01 (the timed replica of
-    the gate)."""
+    come FIRST — (a) the 14 never driver-checked as of r02 plus every
+    round-3 addition, (b) the 10 that passed r01 but were absent from
+    the r02 snapshot, (c) the 50 green in r02. ALL queries hash-match
+    DuckDB locally at sf0.01 (the timed replica of the gate)."""
     from raycells.pipelines import queries as q
 
     _ensure_docs()
