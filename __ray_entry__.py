@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_quality": q.q_cluster_quality,  # NEW round 3 (cluster ⋈ quality)
         "pack_sequences": q.q_pack_sequences,  # NEW round 3 (LLM seq packing)
         "top_tiles_per_cell": q.q_top_tiles_per_cell,  # NEW round 3 (spatial top-k)
+        "corpus_mixture": q.q_corpus_mixture,  # NEW round 3 (data mixing)
         # (b) passed r01, absent from the r02 snapshot.
         "lang_id": q.q_lang_id,
         "events_daily": q.q_events_daily,

@@ -1975,6 +1975,30 @@ def build() -> dict:
                    CAST(COUNT(*) AS BIGINT) AS n_rows
             FROM lineitem GROUP BY l_returnflag
         """,
+        # deterministic corpus mixture (round 3): per-source keep rates
+        # via the shared integer-mix hash (src0/1/2 = 1000/500/250 per
+        # mille, default 100).
+        "corpus_mixture": """
+            WITH keyed AS (
+                SELECT source,
+                       CASE WHEN length(text) = 0 THEN 0
+                            ELSE length(text) - length(replace(text, ' ', '')) + 1
+                       END AS ntok,
+                       CASE WHEN (doc_id * 2654435761) % 1000 <
+                            CASE source WHEN 'src0' THEN 1000
+                                        WHEN 'src1' THEN 500
+                                        WHEN 'src2' THEN 250
+                                        ELSE 100 END
+                            THEN 1 ELSE 0 END AS keep
+                FROM documents
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+                   CAST(SUM(keep) AS BIGINT) AS kept_docs,
+                   CAST(SUM(keep * ntok) AS BIGINT) AS kept_tokens
+            FROM keyed GROUP BY source
+        """,
         # sequence packing (round 3): greedy first-fit-in-order into
         # ≤600-token bins inside 64-doc shards — recursive CTE carrying
         # (bin, fill) per shard in doc order (the sequential rule the

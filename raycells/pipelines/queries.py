@@ -669,6 +669,60 @@ def q_cell_pyramid(sf_dir: str):
     )
 
 
+# per-source keep-rates out of 1000 — the temperature-weighted mixture
+# recipe (upsample-free variant: rates ≤ 1); unlisted sources get _MIX_DEFAULT
+_MIX_RATES = {"src0": 1000, "src1": 500, "src2": 250}
+_MIX_DEFAULT = 100
+
+
+def q_corpus_mixture(sf_dir: str):
+    """Deterministic CORPUS MIXTURE construction (NEW round 3) — the
+    data-mixing step every multi-source training run needs: each source
+    keeps a configured fraction (temperature weighting) selected by the
+    same RNG-free integer-mix hash as sample_lineitem, so the mixture is
+    reproducible across engines, retries and partitionings. Emits the
+    mixture manifest per source (kept docs + kept tokens next to the
+    source totals) — pure map + map-side combine + driver fold of the
+    O(blocks × sources) partials; no exchange."""
+    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["doc_id", "source", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        did = pc.cast(b["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        src = b["source"].to_numpy(zero_copy_only=False)
+        ntok = ta.token_counts(b["text"]).astype(np.int64)
+        rates = np.array(
+            [_MIX_RATES.get(s, _MIX_DEFAULT) for s in src], dtype=np.int64
+        )
+        keep = (did * 2654435761) % 1000 < rates
+        df = pd.DataFrame(
+            {
+                "source": src,
+                "n_docs": 1,
+                "total_tokens": ntok,
+                "kept_docs": keep.astype(np.int64),
+                "kept_tokens": np.where(keep, ntok, 0),
+            }
+        )
+        out = df.groupby("source", sort=False, as_index=False).sum()
+        return shuffle_mod.from_pandas_clean(out)
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("source", sort=False, as_index=False)
+        .sum()
+    )
+    return pa.table(
+        {
+            "source": pa.array(folded["source"], pa.string()),
+            "n_docs": pa.array(folded["n_docs"].to_numpy(np.int64)),
+            "total_tokens": pa.array(folded["total_tokens"].to_numpy(np.int64)),
+            "kept_docs": pa.array(folded["kept_docs"].to_numpy(np.int64)),
+            "kept_tokens": pa.array(folded["kept_tokens"].to_numpy(np.int64)),
+        }
+    )
+
+
 PACK_CAP = 600  # bin capacity (tokens)
 PACK_SHARD = 64  # docs per deterministic shard (doc_id // PACK_SHARD)
 

@@ -32,6 +32,7 @@ CHECKED = [
     "cluster_quality",
     "pack_sequences",
     "top_tiles_per_cell",
+    "corpus_mixture",
     "cell_agg_s2face",
     "ndvi_stats",
     "resample_tiles",
