@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q.q_pack_sequences,  # NEW round 3 (LLM seq packing)
         "top_tiles_per_cell": q.q_top_tiles_per_cell,  # NEW round 3 (spatial top-k)
         "corpus_mixture": q.q_corpus_mixture,  # NEW round 3 (data mixing)
+        "zonal_by_nearest": q.q_zonal_by_nearest,  # NEW round 3 (NN-zonal composite)
         # (b) passed r01, absent from the r02 snapshot.
         "lang_id": q.q_lang_id,
         "events_daily": q.q_events_daily,

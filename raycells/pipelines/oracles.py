@@ -1583,6 +1583,37 @@ def build() -> dict:
         """,
         # rect-intersection range join: tile extents (seed arithmetic,
         # ± 0.005°) × footprint bboxes (deterministic parquet dump)
+        # zonal stats with NEAREST-footprint zones (round 3): the NN
+        # assignment (mirrored d2, ROW_NUMBER tie) joined to the gridded
+        # tile stats, integer rollup per zone.
+        "zonal_by_nearest": _BAND_STATS + _GRID
+        + f"""
+            , fp AS (
+                SELECT footprint_id, category,
+                       (minx + maxx) / 2 AS cx, (miny + maxy) / 2 AS cy
+                FROM read_parquet('{BBOX_PARQUET}')
+            ),
+            asg AS (
+                SELECT doc_id, span_idx, footprint_id, category FROM (
+                    SELECT g.doc_id, g.span_idx, f.footprint_id, f.category,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY g.doc_id, g.span_idx
+                               ORDER BY (g.lon - f.cx) * (g.lon - f.cx)
+                                      + (g.lat - f.cy) * (g.lat - f.cy) ASC,
+                                        f.footprint_id ASC) AS rn
+                    FROM gridded g, fp f
+                ) WHERE rn = 1
+            )
+            SELECT a.footprint_id, a.category,
+                   CAST(count(*) AS BIGINT) AS n_tiles,
+                   CAST(SUM(t.valid_count) AS BIGINT) AS sum_valid_count,
+                   CAST(SUM(t.sum_val) AS BIGINT) AS sum_sum_val,
+                   CAST(MIN(t.min_val) AS BIGINT) AS min_min_val,
+                   CAST(MAX(t.max_val) AS BIGINT) AS max_max_val
+            FROM gridded t
+            JOIN asg a ON a.doc_id = t.doc_id AND a.span_idx = t.span_idx
+            GROUP BY a.footprint_id, a.category
+        """,
         # nearest-footprint NN spatial join (round 3): squared equirect
         # distance tile-centroid → bbox center, first-min tie to the
         # smallest footprint_id; d2 is a fixed 2-term IEEE expression

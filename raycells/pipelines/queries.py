@@ -1211,6 +1211,75 @@ def q_nearest_footprint(sf_dir: str):
     )
 
 
+def q_zonal_by_nearest(sf_dir: str):
+    """Zonal statistics with NEAREST-footprint zones (NEW round 3) — the
+    composite of the NN spatial join and the salted zonal aggregate:
+    every tile is assigned to its nearest footprint (bbox center,
+    first-min tie to smallest id, exactly q_nearest_footprint's rule)
+    and its erased-cell band stats roll up per zone. One fused map stage
+    (decode + assignment against the broadcast 200-row center table),
+    then the standard salted two-stage aggregate — integer columns only,
+    so the oracle (gridded tile stats ⋈ ROW_NUMBER assignment) hash-
+    matches."""
+    import ray
+
+    from raycells.io import footprints as fp_mod
+
+    fp_mod.ensure_bbox_parquet()
+    import pyarrow.parquet as pq
+
+    fp = pq.read_table(fp_mod.BBOX_PARQUET).to_pandas().sort_values("footprint_id")
+    cx = ((fp["minx"] + fp["maxx"]) / 2.0).to_numpy()
+    cy = ((fp["miny"] + fp["maxy"]) / 2.0).to_numpy()
+    ids = fp["footprint_id"].to_numpy()
+    cats = dict(zip(fp["footprint_id"], fp["category"]))
+    ref = ray.put((cx, cy, ids))
+
+    class Assign:
+        def __init__(self, r):
+            self.cx, self.cy, self.ids = ray.get(r)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            st = stages.band_stats(b, band=4)
+            lon = st["lon"].to_numpy(zero_copy_only=False)
+            lat = st["lat"].to_numpy(zero_copy_only=False)
+            dx = lon[:, None] - self.cx[None, :]
+            dy = lat[:, None] - self.cy[None, :]
+            j = np.argmin(dx * dx + dy * dy, axis=1)
+            return st.append_column(
+                "footprint_id", pa.array(self.ids[j], pa.string())
+            )
+
+    tiles = _exploded(sf_dir).map_batches(
+        stages.broadcast_task(Assign, ref), batch_format="pyarrow"
+    )
+    agg = shuffle_mod.salted_aggregate(
+        tiles,
+        key="footprint_id",
+        sums=("valid_count", "sum_val"),
+        mins=("min_val",),
+        maxs=("max_val",),
+        count_alias="n_tiles",
+        salt_col="doc_id",
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        fids = t["footprint_id"].to_pylist()
+        return pa.table(
+            {
+                "footprint_id": t["footprint_id"],
+                "category": pa.array([cats[f] for f in fids], pa.string()),
+                "n_tiles": pc.cast(t["n_tiles"], pa.int64()),
+                "sum_valid_count": pc.cast(t["sum_valid_count"], pa.int64()),
+                "sum_sum_val": pc.cast(t["sum_sum_val"], pa.int64()),
+                "min_min_val": pc.cast(t["min_min_val"], pa.int64()),
+                "max_max_val": pc.cast(t["max_max_val"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_bbox_join_counts(sf_dir: str):
     """Rect-intersection range join, VALUE-checked: tile extents ×
     footprint bounding boxes → per-footprint intersecting-tile count.

@@ -33,6 +33,7 @@ CHECKED = [
     "pack_sequences",
     "top_tiles_per_cell",
     "corpus_mixture",
+    "zonal_by_nearest",
     "cell_agg_s2face",
     "ndvi_stats",
     "resample_tiles",
