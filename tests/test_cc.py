@@ -99,3 +99,29 @@ def test_connected_components_dataset_input(ray_session):
     df = connected_components(rd.from_arrow(t))
     got = dict(zip(df["node"], df["root"]))
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_connected_components_larger_graph(ray_session):
+    """20k-node / 30k-edge random graph (mix of cliquish clusters and
+    chains) — the contraction must agree with a driver union-find."""
+    rng = np.random.default_rng(7)
+    edges = []
+    # 2000 clusters of ~8 nodes with a few internal edges each
+    for c in range(2000):
+        base = c * 10
+        members = base + rng.integers(0, 10, size=6)
+        for i in range(len(members) - 1):
+            edges.append((int(members[i]), int(members[i + 1])))
+    # plus long chains crossing cluster boundaries
+    chain = rng.permutation(20000)[:3000]
+    edges += [(int(a), int(b)) for a, b in zip(chain[:-1], chain[1:])]
+    names = [(f"n{a:06d}", f"n{b:06d}") for a, b in edges if a != b]
+    t = pa.table(
+        {
+            "id_a": pa.array([e[0] for e in names], pa.string()),
+            "id_b": pa.array([e[1] for e in names], pa.string()),
+        }
+    )
+    df = connected_components(t)
+    got = dict(zip(df["node"], df["root"]))
+    assert got == _naive_components(names)
