@@ -1,9 +1,13 @@
 """Multimodal column stages: image/audio/video as opaque binary columns.
 
-The container has no image/audio libraries (no PIL/ffmpeg/rasterio), so
-the CODEC layer is stubbed (clearly marked), while everything Ray-side —
-schema, actor-pool signatures, batch sizing, zero-copy binary payload
-layout, output schema — is real and tested:
+The container has no PIL/ffmpeg/rasterio — but since round 3 the image
+and audio codecs are REAL anyway: stdlib-only PNG (zlib, full filter
+set) and RIFF/WAVE PCM live in :mod:`raycells.media.png`, and
+``MediaDecoder(real_codec=True)`` decodes real containers end-to-end
+(``media_decode_real`` oracle-checks the decoded content). Only VIDEO
+containers remain stubbed — they genuinely need ffmpeg. Everything
+Ray-side — schema, actor-pool signatures, batch sizing, zero-copy
+binary payload layout, output schema — is real and tested:
 
 - payloads are ``large_binary`` + typed metadata (media_type, shape,
   sample_rate), exactly how 100 TB of media rides the object store;
@@ -99,15 +103,31 @@ def synth_media_batch(seeds: np.ndarray, media_type: str = "image") -> pa.Table:
 
 class MediaDecoder:
     """Actor-pool stage: encoded payload → decoded pixel/sample tensor +
-    extracted features. Codec handle is 'loaded' once per actor."""
+    extracted features. Codec handle is loaded once per actor.
+
+    ``real_codec=True`` decodes REAL containers with the stdlib-only
+    codecs in :mod:`raycells.media.png` — PNG (full filter set,
+    CRC-checked) for images and RIFF/WAVE PCM for audio. Only video
+    containers remain stubbed (they genuinely need ffmpeg)."""
 
     def __init__(self, real_codec: bool = False):
-        self.real_codec = real_codec  # a real impl would open lib handles here
+        self.real_codec = real_codec
+        if real_codec:  # the per-actor codec-handle load
+            from raycells.media import png as _codecs
+
+            self._codecs = _codecs
 
     def _decode_real(self, payload: bytes, media_type: str) -> np.ndarray:
-        # STUB: the sandbox has no image/audio codecs. A production build
-        # plugs PIL/ffmpeg in here; everything around this call is real.
-        raise NotImplementedError("no media codecs in this environment")
+        c = self._codecs
+        if payload[: len(c.PNG_SIGNATURE)] == c.PNG_SIGNATURE:
+            return c.decode_png(payload).reshape(-1)
+        if payload[:4] == c.WAV_MAGIC:
+            return c.decode_wav(payload)[0]
+        # the one remaining stub: video containers need ffmpeg — the
+        # sandbox has none; PNG/WAV above are real decodes
+        raise NotImplementedError(
+            "no video container codec in this environment (PNG/WAV are real)"
+        )
 
     def _decode_fake(self, payload: bytes) -> np.ndarray:
         return np.frombuffer(payload, dtype=np.uint8)
@@ -163,6 +183,36 @@ class MediaDecoder:
             }
         )
         return pa.table(out)
+
+
+def synth_media_batch_encoded(seeds: np.ndarray, media_type: str = "image") -> pa.Table:
+    """REAL-container variant of :func:`synth_media_batch`: the same
+    SQL-reproducible LCG samples (``_synth_payload``), packed through
+    the real stdlib codecs — PNG for images, 8-bit PCM WAV for audio —
+    so a REAL decode recovers exactly the oracle-reproducible values."""
+    from raycells.media.png import encode_png_gray, encode_wav_pcm8
+
+    rows = []
+    for s in np.asarray(seeds, dtype=np.int64):
+        if media_type == "image":
+            h, w, nf, sr = 32, 32, 1, 0
+            plane = np.frombuffer(_synth_payload(int(s), h * w), np.uint8)
+            payload = encode_png_gray(plane.reshape(h, w))
+        elif media_type == "audio":
+            h, w, nf, sr = 1, 8000, 1, 8000
+            payload = encode_wav_pcm8(
+                np.frombuffer(_synth_payload(int(s), w), np.uint8), sr
+            )
+        else:
+            raise ValueError("encoded synth supports image|audio (video is the stub)")
+        rows.append((f"media-{s}", media_type, payload, h, w, nf, sr))
+    if not rows:
+        return MEDIA_SCHEMA.empty_table()
+    cols = list(zip(*rows))
+    return pa.table(
+        {f.name: pa.array(list(c), f.type) for f, c in zip(MEDIA_SCHEMA, cols)},
+        schema=MEDIA_SCHEMA,
+    )
 
 
 class ImageResize:

@@ -2585,6 +2585,48 @@ def build() -> dict:
                    msums.sum_val, msums.sumsq_val
             FROM m JOIN msums ON msums.s = m.s
         """,
+        # REAL-codec decode (round 3): the payloads are actual PNG/WAV
+        # containers, but the decoded samples are the same LCG bytes —
+        # so this oracle is the pure byte formula, and a hash match
+        # proves the real encode→decode round-trip.
+        "media_decode_real": f"""
+            WITH nsel AS (
+                SELECT CASE COUNT(*) WHEN 500 THEN 60 WHEN 5000 THEN 300
+                                     WHEN 50000 THEN 3000 ELSE 60 END AS n
+                FROM read_parquet('{DOCS_GLOB}')
+            ),
+            m AS (
+                SELECT r.range AS s,
+                       CASE r.range % 2 WHEN 0 THEN 'image'
+                                        ELSE 'audio' END AS media_type
+                FROM range(3000) r, nsel WHERE r.range < nsel.n
+            ),
+            msums AS (
+                SELECT s,
+                       CAST(SUM(v) AS BIGINT) AS sum_val,
+                       CAST(SUM(v * v) AS BIGINT) AS sumsq_val
+                FROM (
+                    SELECT m.s,
+                           (m.s * 31 + r.range * 7919 + r.range * r.range)
+                               % 256 AS v
+                    FROM m, range(8000) r
+                    WHERE r.range < CASE m.media_type WHEN 'image' THEN 1024
+                                                      ELSE 8000 END
+                ) GROUP BY s
+            )
+            SELECT 'media-' || m.s AS media_id, media_type,
+                   CAST(CASE media_type WHEN 'image' THEN 32
+                                        ELSE 1 END AS INTEGER) AS height,
+                   CAST(CASE media_type WHEN 'image' THEN 32
+                                        ELSE 8000 END AS INTEGER) AS width,
+                   CAST(1 AS INTEGER) AS n_frames,
+                   CAST(CASE media_type WHEN 'audio' THEN 8000
+                                        ELSE 0 END AS INTEGER) AS sample_rate,
+                   CAST(CASE media_type WHEN 'image' THEN 1024
+                                        ELSE 8000 END AS BIGINT) AS n_bytes,
+                   msums.sum_val, msums.sumsq_val
+            FROM m JOIN msums ON msums.s = m.s
+        """,
         "knn_embeddings": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS qe

@@ -2156,6 +2156,38 @@ def q_media_features(sf_dir: str):
     return feats.drop_columns(["pixel_mean", "pixel_std"]).sort("media_id")
 
 
+def q_media_decode_real(sf_dir: str):
+    """REAL-codec media decode (NEW round 3) — the stub boundary made
+    real: the SQL-reproducible LCG samples are packed into ACTUAL
+    containers (stdlib-only PNG with CRC-checked chunks for images,
+    RIFF/WAVE PCM-8 for audio — raycells/media/png.py), streamed as
+    large_binary payloads, and decoded back through the real codecs in
+    the decode stage (``MediaDecoder(real_codec=True)``). The decoded
+    per-row moments therefore hash-match the same pure-SQL byte formula
+    the fake-codec path proves — i.e. the real decode round-trip is
+    oracle-verified, not just unit-tested. Video containers remain the
+    one honest stub (ffmpeg). Codec state loads once per worker; the
+    decode itself is per-payload by nature."""
+    import ray.data as rd
+
+    from raycells.media.stages import (
+        MediaDecoder,
+        _task_stage,
+        synth_media_batch_encoded,
+    )
+
+    n = {"0.001": 60, "0.01": 300, "0.1": 3000}.get(_sf_of(sf_dir), 60)
+    tables = [
+        synth_media_batch_encoded(np.arange(0, n, 2, dtype=np.int64), "image"),
+        synth_media_batch_encoded(np.arange(1, n, 2, dtype=np.int64), "audio"),
+    ]
+    ds = rd.from_arrow(pa.concat_tables(tables)).repartition(8)
+    feats = ds.map_batches(
+        _task_stage(MediaDecoder, True), batch_format="pyarrow", batch_size=64
+    )
+    return feats.drop_columns(["pixel_mean", "pixel_std"]).sort("media_id")
+
+
 def _sf_of(sf_dir: str) -> str:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     return m.group(1) if m else "0.001"

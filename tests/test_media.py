@@ -114,3 +114,122 @@ def test_synth_media_batch_empty_seeds():
     t = synth_media_batch(np.array([], dtype=np.int64))
     assert t.num_rows == 0
     assert t.schema == MEDIA_SCHEMA
+
+
+# ---------------------------------------------------------------------------
+# real stdlib codecs (raycells/media/png.py)
+# ---------------------------------------------------------------------------
+
+def test_png_roundtrip_gray():
+    import numpy as np
+
+    from raycells.media.png import decode_png, encode_png_gray
+
+    rng = np.random.default_rng(3)
+    for h, w in ((1, 1), (5, 7), (32, 32)):
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png_gray(img)), img)
+
+
+def test_png_decoder_all_filters():
+    """Hand-build a PNG whose scanlines use every filter type (0-4) and
+    check the decoder unfilters them to the intended plane."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from raycells.media.png import PNG_SIGNATURE, decode_png, _chunk
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (5, 6), dtype=np.uint8)
+    rows = []
+    prev = np.zeros(6, dtype=np.uint8)
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        cur = img[y]
+        if f == 0:
+            enc = cur.copy()
+        elif f == 1:  # Sub
+            enc = cur - np.r_[np.zeros(1, np.uint8), cur[:-1]]
+        elif f == 2:  # Up
+            enc = cur - prev
+        elif f == 3:  # Average
+            left = np.r_[np.zeros(1, np.uint8), cur[:-1]]
+            enc = cur - ((left.astype(np.int32) + prev.astype(np.int32)) // 2).astype(
+                np.uint8
+            )
+        else:  # Paeth
+            from raycells.media.png import _paeth
+
+            left = np.r_[np.zeros(1, np.uint8), cur[:-1]]
+            upleft = np.r_[np.zeros(1, np.uint8), prev[:-1]]
+            enc = cur - _paeth(left, prev, upleft)
+        rows.append(bytes([f]) + enc.tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", 6, 5, 8, 0, 0, 0, 0)
+    data = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(data), img)
+
+
+def test_png_crc_validation():
+    import numpy as np
+    import pytest
+
+    from raycells.media.png import decode_png, encode_png_gray
+
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    data = bytearray(encode_png_gray(img))
+    data[20] ^= 0xFF  # corrupt IHDR body
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(data))
+
+
+def test_wav_roundtrip_8_and_16_bit():
+    import struct
+
+    import numpy as np
+
+    from raycells.media.png import decode_wav, encode_wav_pcm8
+
+    s8 = np.arange(256, dtype=np.uint8)
+    out, rate = decode_wav(encode_wav_pcm8(s8, 8000))
+    assert rate == 8000 and np.array_equal(out, s8)
+    # hand-built 16-bit PCM
+    s16 = np.array([-32768, -1, 0, 1, 32767], dtype="<i2")
+    body = s16.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 44100, 88200, 2, 16)
+    wav = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+    out16, rate16 = decode_wav(wav)
+    assert rate16 == 44100 and np.array_equal(out16, s16)
+
+
+def test_media_decoder_real_codec_end_to_end():
+    import numpy as np
+
+    from raycells.media.stages import MediaDecoder, synth_media_batch_encoded
+
+    t = synth_media_batch_encoded(np.array([4, 10]), "image")
+    t2 = synth_media_batch_encoded(np.array([5]), "audio")
+    import pyarrow as pa
+
+    out = MediaDecoder(real_codec=True)(pa.concat_tables([t, t2]))
+    # decoded moments equal the raw LCG formula
+    for row in out.to_pylist():
+        s = int(row["media_id"].split("-")[1])
+        size = 1024 if row["media_type"] == "image" else 8000
+        i = np.arange(size, dtype=np.int64)
+        v = (s * 31 + i * 7919 + i * i) % 256
+        assert row["n_bytes"] == size
+        assert row["sum_val"] == int(v.sum())
+        assert row["sumsq_val"] == int((v * v).sum())

@@ -34,6 +34,7 @@ CHECKED = [
     "top_tiles_per_cell",
     "corpus_mixture",
     "zonal_by_nearest",
+    "media_decode_real",
     "cell_agg_s2face",
     "ndvi_stats",
     "resample_tiles",
