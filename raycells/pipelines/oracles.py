@@ -2627,6 +2627,40 @@ def build() -> dict:
                    msums.sum_val, msums.sumsq_val
             FROM m JOIN msums ON msums.s = m.s
         """,
+        # mergeable Bloom-filter semi-join (round 3): the exact bit set
+        # from the same integer mixes, so the oracle pins the bloom
+        # verdict INCLUDING false positives, next to the true count.
+        "bloom_semijoin": """
+            WITH keys AS MATERIALIZED (
+                SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0
+            ),
+            bits AS MATERIALIZED (
+                SELECT DISTINCT
+                       ((k * 2654435761 + j.range * 40503) % 1000003) % 65536 AS b
+                FROM keys, range(1, 5) j
+            ),
+            probe AS (
+                SELECT o_orderpriority,
+                       CASE WHEN
+                            ((o_custkey * 2654435761 + 1 * 40503) % 1000003) % 65536
+                                IN (SELECT b FROM bits)
+                        AND ((o_custkey * 2654435761 + 2 * 40503) % 1000003) % 65536
+                                IN (SELECT b FROM bits)
+                        AND ((o_custkey * 2654435761 + 3 * 40503) % 1000003) % 65536
+                                IN (SELECT b FROM bits)
+                        AND ((o_custkey * 2654435761 + 4 * 40503) % 1000003) % 65536
+                                IN (SELECT b FROM bits)
+                       THEN 1 ELSE 0 END AS pos,
+                       CASE WHEN o_custkey IN (SELECT k FROM keys)
+                            THEN 1 ELSE 0 END AS tru
+                FROM orders
+            )
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(pos) AS BIGINT) AS n_bloom_pos,
+                   CAST(SUM(tru) AS BIGINT) AS n_true
+            FROM probe GROUP BY o_orderpriority
+        """,
         "knn_embeddings": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS qe

@@ -2197,6 +2197,88 @@ def _sf_of(sf_dir: str) -> str:
 # co-partitioned join / window family (engine/joins.py)
 # ---------------------------------------------------------------------------
 
+def q_bloom_semijoin(sf_dir: str):
+    """Approximate-membership SEMI-JOIN via a mergeable Bloom filter
+    (NEW round 3) — the sketch that replaces a broadcast key set at
+    100 TB: build side = customers with negative balance, per-batch
+    PARTIAL bitmaps OR-merged on the driver (blocks × 8 KB, never a
+    key — the HLL-register pattern); probe side = orders streaming
+    against the broadcast bitmap. Rolled up per priority with BOTH the
+    bloom-positive count and the exact semi-join count, so the false-
+    positive behavior is itself oracle-pinned (bit indices are plain
+    BIGINT mixes the SQL reproduces verbatim)."""
+    import ray
+
+    from raycells.sim.bloom import bloom_probe, partial_bloom
+
+    cust = _read(
+        sf_dir, "customer", SMALL_TABLE_BLOCKS, columns=["c_custkey", "c_acctbal"]
+    )
+
+    def bloom_part(b: pa.Table) -> pa.Table:
+        bal = b["c_acctbal"].to_numpy(zero_copy_only=False)
+        keys = pc.cast(b["c_custkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        keep = keys[bal < 0]
+        bm = partial_bloom(keep)
+        return pa.table(
+            {
+                "bitmap": pa.array([np.packbits(bm).tobytes()], pa.large_binary()),
+                "keys": pa.array([keep.tobytes()], pa.large_binary()),
+            }
+        )
+
+    parts = cust.map_batches(bloom_part, batch_format="pyarrow").to_pandas()
+    bitmap = np.zeros(0, dtype=bool)
+    true_keys = []
+    for blob, kb in zip(parts["bitmap"], parts["keys"]):
+        bm = np.unpackbits(np.frombuffer(blob, np.uint8)).astype(bool)
+        bitmap = bm if bitmap.size == 0 else (bitmap | bm)
+        true_keys.append(np.frombuffer(kb, np.int64))
+    # the exact key set rides along ONLY to pin the FP rate in the
+    # output — a pure bloom deployment broadcasts just the 8 KB bitmap
+    true_keys = np.unique(np.concatenate(true_keys)) if true_keys else np.empty(0, np.int64)
+    ref = ray.put((bitmap, true_keys))
+
+    class Probe:
+        def __init__(self, r):
+            self.bitmap, self.keys = ray.get(r)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            k = pc.cast(b["o_custkey"], pa.int64()).to_numpy(zero_copy_only=False)
+            pos = bloom_probe(self.bitmap, k)
+            tru = np.isin(k, self.keys)
+            df = pd.DataFrame(
+                {
+                    "o_orderpriority": b["o_orderpriority"].to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "n_orders": 1,
+                    "n_bloom_pos": pos.astype(np.int64),
+                    "n_true": tru.astype(np.int64),
+                }
+            )
+            out = df.groupby("o_orderpriority", sort=False, as_index=False).sum()
+            return shuffle_mod.from_pandas_clean(out)
+
+    orders = _read(
+        sf_dir, "orders", SMALL_TABLE_BLOCKS, columns=["o_custkey", "o_orderpriority"]
+    )
+    folded = (
+        orders.map_batches(stages.broadcast_task(Probe, ref), batch_format="pyarrow")
+        .to_pandas()
+        .groupby("o_orderpriority", sort=False, as_index=False)
+        .sum()
+    )
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(folded["o_orderpriority"], pa.string()),
+            "n_orders": pa.array(folded["n_orders"].to_numpy(np.int64)),
+            "n_bloom_pos": pa.array(folded["n_bloom_pos"].to_numpy(np.int64)),
+            "n_true": pa.array(folded["n_true"].to_numpy(np.int64)),
+        }
+    )
+
+
 def q_asof_latest_order(sf_dir: str):
     """As-of join: each event matched to the user's most recent order at
     event time (inner, backward; ties → greatest o_orderkey). One coarse

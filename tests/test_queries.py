@@ -35,6 +35,7 @@ CHECKED = [
     "corpus_mixture",
     "zonal_by_nearest",
     "media_decode_real",
+    "bloom_semijoin",
     "cell_agg_s2face",
     "ndvi_stats",
     "resample_tiles",

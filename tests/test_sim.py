@@ -228,3 +228,23 @@ def test_sketches_merge_across_shards():
 
     for q in (50, 90, 99):
         assert est_q(hm, q) == est_q(hs, q)
+
+
+def test_bloom_merge_and_probe_guarantees():
+    """Bloom partials OR-merge to the full-build bitmap (mergeability),
+    every true member probes positive (no false negatives), and the FP
+    rate on non-members stays plausible for 4 hashes at this load."""
+    import numpy as np
+
+    from raycells.sim.bloom import bloom_probe, partial_bloom
+
+    rng = np.random.default_rng(11)
+    keys = rng.choice(10**9, size=3000, replace=False).astype(np.int64)
+    full = partial_bloom(keys)
+    merged = partial_bloom(keys[:1000]) | partial_bloom(keys[1000:2000]) | partial_bloom(keys[2000:])
+    assert np.array_equal(full, merged)
+    assert bloom_probe(full, keys).all()  # no false negatives, ever
+    non = rng.choice(10**9, size=20000, replace=False).astype(np.int64)
+    non = non[~np.isin(non, keys)]
+    fp = bloom_probe(full, non).mean()
+    assert fp < 0.05  # m=65536, k=4, n=3000 → theoretical ~0.05%
