@@ -467,21 +467,28 @@ def q_resample_mode(sf_dir: str):
     return _exploded(sf_dir).map_batches(mode_stats, batch_format="pyarrow")
 
 
-def q_cell_agg_band(sf_dir: str):
-    """Per-grid-cell salted two-stage aggregate of band-tile stats — the
-    oracle-checked version of the (doc, cell, tile) assignment shuffle."""
+def _cell_base_agg(sf_dir: str, sums=("valid_count", "sum_val")):
+    """Per-grid-cell salted two-stage aggregate of band-4 tile stats —
+    the shared base of cell_agg_band, focal_cell_stats and
+    cell_pyramid."""
     tiles = _exploded(sf_dir).map_batches(
         lambda b: stages.band_stats(b, band=4), batch_format="pyarrow"
     )
     return shuffle_mod.salted_aggregate(
         tiles,
         key="grid_cell",
-        sums=("valid_count", "nodata_count", "sum_val"),
+        sums=sums,
         mins=("min_val",),
         maxs=("max_val",),
         count_alias="n_tiles",
         salt_col="doc_id",
     )
+
+
+def q_cell_agg_band(sf_dir: str):
+    """Per-grid-cell salted two-stage aggregate of band-tile stats — the
+    oracle-checked version of the (doc, cell, tile) assignment shuffle."""
+    return _cell_base_agg(sf_dir, sums=("valid_count", "nodata_count", "sum_val"))
 
 
 def q_top_tiles_per_cell(sf_dir: str):
@@ -532,18 +539,7 @@ def q_focal_cell_stats(sf_dir: str):
     DuckDB oracle (self-join on the ±1 box)."""
     from raycells.geo import cellid
 
-    tiles = _exploded(sf_dir).map_batches(
-        lambda b: stages.band_stats(b, band=4), batch_format="pyarrow"
-    )
-    base = shuffle_mod.salted_aggregate(
-        tiles,
-        key="grid_cell",
-        sums=("valid_count", "sum_val"),
-        mins=("min_val",),
-        maxs=("max_val",),
-        count_alias="n_tiles",
-        salt_col="doc_id",
-    )
+    base = _cell_base_agg(sf_dir)
     NX = cellid.GRID_NX
     stat_cols = ("n_tiles", "sum_valid_count", "sum_sum_val",
                  "min_min_val", "max_max_val")
@@ -608,18 +604,7 @@ def q_cell_pyramid(sf_dir: str):
     grouped rollups)."""
     from raycells.geo import cellid
 
-    tiles = _exploded(sf_dir).map_batches(
-        lambda b: stages.band_stats(b, band=4), batch_format="pyarrow"
-    )
-    base = shuffle_mod.salted_aggregate(
-        tiles,
-        key="grid_cell",
-        sums=("valid_count", "sum_val"),
-        mins=("min_val",),
-        maxs=("max_val",),
-        count_alias="n_tiles",
-        salt_col="doc_id",
-    )
+    base = _cell_base_agg(sf_dir)
     NX = cellid.GRID_NX
     LEVELS = 3
     stat_cols = ("n_tiles", "sum_valid_count", "sum_sum_val",
