@@ -27,8 +27,15 @@ oracles in raycells/pipelines/oracles.py):
   bit-matched via libm sin parity), focal_cell_stats (3×3 grid
   stencil via 9-key fan), cell_pyramid (multi-zoom rollup),
   footprint_metrics (exact integer shoelace), nearest_footprint (NN
-  spatial join), tile_convolve_stats (in-tile focal kernel with edge
-  clamp) — ALL oracle-checked.
+  spatial join), zonal_by_nearest (NN-join → salted zonal aggregate),
+  top_tiles_per_cell (spatial grouped top-k), tile_convolve_stats
+  (in-tile focal kernel with edge clamp), doc_multimodal_profile
+  (both span kinds in one batch-local pass), cluster_quality (k-means
+  buckets ⋈ doc quality), pack_sequences (greedy first-fit token
+  bins, shard-parallel), corpus_mixture (RNG-free data mixing),
+  bloom_semijoin (mergeable bitmap sketch, FP-pinned),
+  media_decode_real (REAL stdlib PNG/WAV codecs round-tripped against
+  the pure-SQL byte formula) — ALL oracle-checked.
 - tabular family over the driver's parquet views:  lineitem_pricing,
   orders_by_segment, revenue_by_nation, global_stats, quantiles_qty,
   sessionize, dedup_exact, token_stats, normalize_text,
