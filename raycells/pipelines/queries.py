@@ -712,6 +712,28 @@ PACK_CAP = 600  # bin capacity (tokens)
 PACK_SHARD = 64  # docs per deterministic shard (doc_id // PACK_SHARD)
 
 
+def greedy_pack_bins(shard: np.ndarray, ntok: np.ndarray, cap: int) -> np.ndarray:
+    """Vectorized-across-shards greedy first-fit packing: rows must be
+    sorted by (shard, order); returns the per-row bin id. One pass per
+    bin rank — segmented cumsum over each shard's remaining rows, take
+    the ``cs ≤ cap`` prefix plus the unconditional first row (exactly
+    the recursive rule ``fill + ntok > cap ⇒ new bin, fill = ntok``)."""
+    n = len(shard)
+    bins = np.full(n, -1, np.int64)
+    remaining = np.ones(n, bool)
+    k = 0
+    while remaining.any():
+        idx = np.nonzero(remaining)[0]
+        sh = shard[idx]
+        cs = pd.Series(ntok[idx]).groupby(sh).cumsum().to_numpy()
+        first = np.r_[True, sh[1:] != sh[:-1]] if sh.size else np.empty(0, bool)
+        sel = first | (cs <= cap)
+        bins[idx[sel]] = k
+        remaining[idx[sel]] = False
+        k += 1
+    return bins
+
+
 def q_pack_sequences(sf_dir: str):
     """SEQUENCE PACKING (NEW round 3) — the canonical LLM-training prep
     op: greedy first-fit-in-order packing of docs into ≤PACK_CAP-token
@@ -744,19 +766,7 @@ def q_pack_sequences(sf_dir: str):
         )
         shard = df["shard"].to_numpy()
         ntok = df["ntok"].to_numpy()
-        n = len(df)
-        bins = np.full(n, -1, np.int64)
-        remaining = np.ones(n, bool)
-        k = 0
-        while remaining.any():
-            idx = np.nonzero(remaining)[0]
-            sh = shard[idx]
-            cs = pd.Series(ntok[idx]).groupby(sh).cumsum().to_numpy()
-            first = np.r_[True, sh[1:] != sh[:-1]] if sh.size else np.empty(0, bool)
-            sel = first | (cs <= PACK_CAP)
-            bins[idx[sel]] = k
-            remaining[idx[sel]] = False
-            k += 1
+        bins = greedy_pack_bins(shard, ntok, PACK_CAP)
         out = (
             pd.DataFrame({"shard": shard, "bin": bins, "ntok": ntok})
             .groupby(["shard", "bin"], sort=False, as_index=False)

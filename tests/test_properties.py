@@ -361,3 +361,37 @@ def test_shoelace_quantized_matches_scalar(pts):
             np.floor(pts[i][1] * 1e6 + 0.5)
         )
     assert got == want
+
+
+@given(
+    shards=st.lists(
+        st.lists(st.integers(0, 50), min_size=1, max_size=15),
+        min_size=1,
+        max_size=5,
+    ),
+    cap=st.integers(1, 60),
+)
+@settings(max_examples=60, deadline=None)
+def test_greedy_pack_bins_matches_scalar_rule(shards, cap):
+    """The vectorized pass-per-bin packing == the scalar recursion
+    (fill + ntok > cap ⇒ new bin, fill = ntok) per shard."""
+    import numpy as np
+
+    from raycells.pipelines.queries import greedy_pack_bins
+
+    shard = np.concatenate(
+        [np.full(len(t), i, np.int64) for i, t in enumerate(shards)]
+    )
+    ntok = np.concatenate([np.array(t, np.int64) for t in shards])
+    got = greedy_pack_bins(shard, ntok, cap)
+    want = []
+    for t in shards:
+        b, fill = 0, t[0]
+        want.append(0)
+        for v in t[1:]:
+            if fill + v > cap:
+                b, fill = b + 1, v
+            else:
+                fill += v
+            want.append(b)
+    assert got.tolist() == want
