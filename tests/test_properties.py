@@ -395,3 +395,25 @@ def test_greedy_pack_bins_matches_scalar_rule(shards, cap):
                 fill += v
             want.append(b)
     assert got.tolist() == want
+
+
+@given(keys=st.lists(st.integers(0, 10**9), min_size=1, max_size=50))
+@settings(max_examples=40, deadline=None)
+def test_bloom_bit_indices_match_duckdb(keys):
+    """The bloom bit mixes == the oracle's SQL arithmetic verbatim."""
+    import duckdb
+    import numpy as np
+
+    from raycells.sim.bloom import BLOOM_K, bloom_bit_indices
+
+    got = bloom_bit_indices(np.array(keys, np.int64))
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, {k})" for i, k in enumerate(keys))
+    rows = con.execute(
+        f"SELECT i, j.range AS j, "
+        f"((k * 2654435761 + j.range * 40503) % 1000003) % 65536 AS b "
+        f"FROM (VALUES {vals}) t(i, k), range(1, {BLOOM_K + 1}) j "
+        f"ORDER BY i, j"
+    ).fetchall()
+    want = np.array([r[2] for r in rows], np.int64).reshape(len(keys), BLOOM_K)
+    assert np.array_equal(got, want)
