@@ -32,7 +32,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from raycells.engine.shuffle import DEFAULT_BUCKETS, add_bucket, from_pandas_clean
+from raycells.engine.shuffle import add_bucket, from_pandas_clean, scaled_buckets
 
 __all__ = ["min_label_components", "cc_edges_local", "connected_components"]
 
@@ -75,7 +75,7 @@ def connected_components(
     pairs,
     a: str = "id_a",
     b: str = "id_b",
-    num_buckets: int = DEFAULT_BUCKETS,
+    num_buckets: int | None = None,
 ) -> pd.DataFrame:
     """Connected components over an edge list (Ray Dataset or pyarrow
     Table of string endpoint columns ``a``/``b``). Returns a pandas
@@ -84,6 +84,8 @@ def connected_components(
     docstring. The distributed stage always runs (one coarse-bucket
     ``map_groups`` exchange); the driver folds only the node-sized
     contracted forest."""
+    if num_buckets is None:
+        num_buckets = scaled_buckets()  # driver-side, once per pipeline
     import ray.data
     from ray.data import Dataset
 

@@ -59,15 +59,19 @@ def process_fragment(frag_path: str, frag_out: str, level: int = 8) -> dict:
     exec_stats = agg.stats()  # per-fragment Ray Data execution profile
 
     # lineage: per-fragment XOR of span-sequence digests (order-free,
-    # verifiable against the source at any later point)
-    digests = (
+    # verifiable against the source at any later point). XOR is
+    # associative, so the digests combine MAP-SIDE (one partial row per
+    # batch) and the driver folds O(blocks), never O(docs).
+    parts = (
         rd.read_parquet(frag_path)
-        .map_batches(docsource.span_digests, batch_format="pyarrow")
+        .map_batches(docsource.span_digest_xor_partial, batch_format="pyarrow")
         .to_pandas()
     )
+    mask = 0xFFFFFFFFFFFFFFFF
     xor = 0
-    for d in digests["span_digest"]:
-        xor ^= int(d, 16)
+    for hi, lo in zip(parts["xor_hi"], parts["xor_lo"]):
+        xor ^= ((int(hi) & mask) << 64) | (int(lo) & mask)
+    n_docs_in = int(parts["n_docs"].sum())
     # tile count = Σ n_tiles over the per-cell aggregate just written —
     # summing the few-thousand-row output parquet is free, where
     # ``ex.count()`` re-executed the whole read+explode a third time
@@ -78,7 +82,7 @@ def process_fragment(frag_path: str, frag_out: str, level: int = 8) -> dict:
         pq.read_table(frag_out, columns=["n_tiles"])["n_tiles"]
     ).as_py() or 0
     return {
-        "rows_in": int(len(digests)),
+        "rows_in": n_docs_in,
         "tiles": int(n_tiles),
         "span_digest_xor": f"{xor:032x}",
         "pipeline_sec": round(pipe_sec, 3),

@@ -26,7 +26,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from raycells.engine.shuffle import DEFAULT_BUCKETS, add_bucket, from_pandas_clean
+from raycells.engine.shuffle import add_bucket, from_pandas_clean, scaled_buckets
 
 __all__ = [
     "asof_join",
@@ -102,7 +102,7 @@ def hash_join(
     keep_left: Sequence[str],
     keep_right: Sequence[str],
     how: str = "inner",
-    num_buckets: int = DEFAULT_BUCKETS,
+    num_buckets: int | None = None,
 ):
     """Large-large equi-join (``how`` = "inner" or "left") with NO
     broadcast side: both inputs
@@ -116,6 +116,8 @@ def hash_join(
     hot key's bucket holds that key's rows from both sides — raise
     ``num_buckets`` to isolate it; per-key row explosions are inherent
     to the join itself."""
+    if num_buckets is None:
+        num_buckets = scaled_buckets()  # driver-side, once per pipeline
     l_schema = left_ds.schema().base_schema
     r_schema = right_ds.schema().base_schema
     l_types = {c: l_schema.field(c).type for c in keep_left}
@@ -189,7 +191,7 @@ def asof_join(
     on_right: str,
     keep_left: Sequence[str],
     keep_right: Sequence[str],
-    num_buckets: int = DEFAULT_BUCKETS,
+    num_buckets: int | None = None,
 ):
     """As-of (backward) join: for each left row, the single right row with
     the same key and the greatest ``on_right <= on_left``. Ties on
@@ -201,6 +203,8 @@ def asof_join(
     projected to (key, on, carried columns) BEFORE the exchange, so the
     shuffle moves only the join-relevant columns.
     """
+    if num_buckets is None:
+        num_buckets = scaled_buckets()  # driver-side, once per pipeline
 
     # resolve carried-column types from each side so the null columns on
     # the other side get the right dtype (union requires one schema)
@@ -287,11 +291,13 @@ def asof_join(
 
 
 def distinct_count(ds, group_col: str, distinct_col: str, alias: str = "n_distinct",
-                   num_buckets: int = DEFAULT_BUCKETS):
+                   num_buckets: int | None = None):
     """COUNT(DISTINCT distinct_col) per group: per-batch pair dedup →
     bucket exchange on ``distinct_col`` (each distinct value lands in
     exactly one bucket, so a pair survives in exactly one place) →
     per-bucket dedup + partial counts → tiny final sum per group."""
+    if num_buckets is None:
+        num_buckets = scaled_buckets()  # driver-side, once per pipeline
     from ray.data.aggregate import Sum
 
     def pairs(b: pa.Table) -> pa.Table:
@@ -364,7 +370,7 @@ def band_join_count(
     high: int,
     keep_left: Sequence[str],
     on_scale: int,
-    num_buckets: int = DEFAULT_BUCKETS,
+    num_buckets: int | None = None,
 ):
     """Temporal/interval BAND join that COUNTS matches instead of
     materializing them: for each left row, ``m`` = number of right rows
@@ -383,6 +389,8 @@ def band_join_count(
     Returns a Dataset of ``keep_left`` columns + ``m`` (int64). For the
     single-latest-match shape use :func:`asof_join`; for materialized
     pairs use :func:`hash_join` with a post-filter."""
+    if num_buckets is None:
+        num_buckets = scaled_buckets()  # driver-side, once per pipeline
     scale = np.int64(on_scale)
     l_schema = left_ds.schema().base_schema
     l_types = {c: l_schema.field(c).type for c in keep_left}

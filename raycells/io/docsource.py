@@ -224,6 +224,28 @@ def span_digests(batch: pa.Table) -> pa.Table:
     )
 
 
+def span_digest_xor_partial(batch: pa.Table) -> pa.Table:
+    """Map-side combine of the lineage digest: ONE row per batch holding
+    the XOR of every per-doc span digest in it (128-bit, split into two
+    int64 bit-pattern halves — CLAUDE.md: uint64 > 2^63 can't ride Arrow
+    int64 directly) plus the doc count. XOR is associative and
+    commutative, so the driver folds O(blocks) partials into the same
+    fragment digest the per-doc fold produced."""
+    t = span_digests(batch)
+    xor = 0
+    for d in t["span_digest"].to_pylist():
+        xor ^= int(d, 16)
+    hi = np.array([(xor >> 64) & 0xFFFFFFFFFFFFFFFF], dtype=np.uint64)
+    lo = np.array([xor & 0xFFFFFFFFFFFFFFFF], dtype=np.uint64)
+    return pa.table(
+        {
+            "n_docs": pa.array([batch.num_rows], pa.int64()),
+            "xor_hi": pa.array(hi.view(np.int64)),
+            "xor_lo": pa.array(lo.view(np.int64)),
+        }
+    )
+
+
 def span_digests_md5(batch: pa.Table) -> pa.Table:
     """Per-doc MD5 digest over the ordered span sequence, with a DuckDB
     mirror: md5(string_agg(kind || chr(31) || text || chr(31) || media_ref,

@@ -778,7 +778,10 @@ def q_pack_sequences(sf_dir: str):
     packed = (
         ds.map_batches(toks, batch_format="pyarrow")
         .map_batches(
-            lambda b: dd._coarse_bucket(b, ["shard"]), batch_format="pyarrow"
+            lambda b, nb=shuffle_mod.scaled_buckets(): dd._coarse_bucket(
+                b, ["shard"], nb
+            ),
+            batch_format="pyarrow"
         )
         .groupby("_cbucket")
         .map_groups(pack, batch_format="pyarrow")
@@ -2763,10 +2766,13 @@ def q_decontaminate(sf_dir: str):
     """Benchmark decontamination — flag training docs sharing any
     DECON_W-token window with a held-out 'benchmark' subset
     (doc_id % DECON_MOD == 0). The
-    blocklist of window hashes is the canonical broadcast small side
-    (built from the tiny benchmark subset, ``ray.put`` once, binary-
-    searched per batch); training docs stream through one task stage and
-    only contaminated (doc_key, n_hits) rows come back. Window hash =
+    blocklist of window hashes is the canonical broadcast small side,
+    built DISTRIBUTED: per-batch ``np.unique`` window-hash partials over
+    the bench rows, unioned worker-side by ONE Ray task into a single
+    sorted plasma array (the ``_union_id_blocks`` pattern — the bench
+    text never lands on the driver), broadcast once and binary-searched
+    per batch. Training docs stream through one task stage and only
+    contaminated (doc_key, n_hits) rows come back. Window hash =
     Σ token_fp·31^i mod 2^64 — exact integers end-to-end, reproduced in
     SQL from the same token-fingerprint CTE the simhash oracle proves."""
     import ray
@@ -2792,9 +2798,32 @@ def q_decontaminate(sf_dir: str):
         return b.append_column("is_bench", pa.array(did % DECON_MOD == 0))
 
     tagged = ds.map_batches(is_bench, batch_format="pyarrow")
-    bench = tagged.filter(expr="is_bench == True").to_pandas()
-    block = np.unique(window_hashes_batch(list(bench["text"]), DECON_W)[0])
-    ref = ray.put(block)
+
+    def bench_hash_partial(b: pa.Table) -> pa.Table:
+        # per-batch blocklist partial: unique window hashes of the bench
+        # rows, carried as int64 BIT PATTERNS (CLAUDE.md: uint64 > 2^63
+        # falls back to pickled object blocks in Ray)
+        sub = b.filter(b["is_bench"])
+        wh, _ = window_hashes_batch(sub["text"].to_pylist(), DECON_W)
+        return pa.table({"wh": pa.array(np.unique(wh).view(np.int64), pa.int64())})
+
+    partial_refs = tagged.map_batches(
+        bench_hash_partial, batch_format="pyarrow"
+    ).to_arrow_refs()
+
+    def _union_hash_blocks(*tabs) -> np.ndarray:
+        arrs = [
+            t["wh"].to_numpy(zero_copy_only=False).view(np.uint64)
+            for t in tabs
+            if t.num_rows
+        ]
+        return (
+            np.unique(np.concatenate(arrs)) if arrs else np.empty(0, np.uint64)
+        )
+
+    # worker-side union of the partials — the blocklist never touches the
+    # driver; the task's output ObjectRef IS the broadcast handle
+    ref = ray.remote(num_cpus=1)(_union_hash_blocks).remote(*partial_refs)
 
     class Flag:
         def __init__(self, r):

@@ -29,7 +29,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from raycells.engine.shuffle import from_pandas_clean
+from raycells.engine.shuffle import from_pandas_clean, scaled_buckets
 
 __all__ = [
     "content_hash64",
@@ -92,7 +92,8 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
 
     return (
         hashed.map_batches(
-            lambda b: _coarse_bucket(b, ["content_hash"]), batch_format="pyarrow"
+            lambda b, nb=scaled_buckets(): _coarse_bucket(b, ["content_hash"], nb),
+            batch_format="pyarrow"
         )
         .groupby("_cbucket")
         .map_groups(keep_first, batch_format="pyarrow")
@@ -300,7 +301,8 @@ def _dedupe_pairs(pairs_ds):
 
     return (
         pairs_ds.map_batches(
-            lambda b: _coarse_bucket(b, ["id_a", "id_b"]), batch_format="pyarrow"
+            lambda b, nb=scaled_buckets(): _coarse_bucket(b, ["id_a", "id_b"], nb),
+            batch_format="pyarrow"
         )
         .groupby("_cbucket")
         .map_groups(dedupe, batch_format="pyarrow")
@@ -372,7 +374,8 @@ def minhash_near_dup_pairs(
     cand = (
         ds.map_batches(signatures, batch_format="pyarrow")
         .map_batches(
-            lambda b: _coarse_bucket(b, ["band", "band_hash"]), batch_format="pyarrow"
+            lambda b, nb=scaled_buckets(): _coarse_bucket(b, ["band", "band_hash"], nb),
+            batch_format="pyarrow"
         )
         .groupby("_cbucket")
         .map_groups(pairs_of, batch_format="pyarrow")
@@ -386,32 +389,44 @@ def minhash_near_dup_pairs(
     )
 
     def verify(batch: pa.Table) -> pa.Table:
-        # batch-local shingle cache: repeated ids inside a batch (a doc
-        # in many candidate pairs) shingle once
-        cache: dict = {}
-
-        def sh(i, t):
-            s = cache.get(i)
-            if s is None:
-                s = cache[i] = char_shingles(t, k)
-            return s
-
+        # Batched exact Jaccard: shingle each DISTINCT doc once, then
+        # ONE lexsort over (pair_row, shingle) of both sides counts
+        # every pair's intersection in a single pass — each side is
+        # unique within itself (np.unique output), so an adjacent
+        # duplicate within a row is exactly one A∩B hit. No per-pair
+        # kernel calls (VERDICT r3 #4).
+        n = batch.num_rows
+        if n == 0:
+            return empty
         a_in = batch["id_a"].to_pylist()
         b_in = batch["id_b"].to_pylist()
         ta_in = batch["text_a"].to_pylist()
         tb_in = batch["text_b"].to_pylist()
-        a_out, b_out, j_out = [], [], []
-        for a, b, ta, tb in zip(a_in, b_in, ta_in, tb_in):
-            jac = jaccard(sh(a, ta), sh(b, tb))
-            if jac >= threshold:
-                a_out.append(a)
-                b_out.append(b)
-                j_out.append(jac)
+        cache: dict = {}
+        for i, t in zip(a_in + b_in, ta_in + tb_in):
+            if i not in cache:
+                cache[i] = char_shingles(t, k)
+        sha = [cache[i] for i in a_in]
+        shb = [cache[i] for i in b_in]
+        la = np.fromiter((s.size for s in sha), np.int64, count=n)
+        lb = np.fromiter((s.size for s in shb), np.int64, count=n)
+        rows = np.concatenate(
+            [np.repeat(np.arange(n), la), np.repeat(np.arange(n), lb)]
+        )
+        hashes = np.concatenate(sha + shb)
+        order = np.lexsort((hashes, rows))
+        r, h = rows[order], hashes[order]
+        dup = (r[1:] == r[:-1]) & (h[1:] == h[:-1])
+        inter = np.bincount(r[1:][dup], minlength=n)
+        union = la + lb - inter  # ≥ 1: char_shingles never returns empty
+        jac = inter / union
+        keep = np.nonzero(jac >= threshold)[0]
+        idx = pa.array(keep, pa.int64())
         return pa.table(
             {
-                "id_a": pa.array(a_out, pa.string()),
-                "id_b": pa.array(b_out, pa.string()),
-                "jaccard": pa.array(j_out, pa.float64()),
+                "id_a": pc.take(batch["id_a"], idx),
+                "id_b": pc.take(batch["id_b"], idx),
+                "jaccard": pa.array(jac[keep], pa.float64()),
             }
         )
 
@@ -448,26 +463,23 @@ class _AttachPayloads:
         import ray
 
         self.names = payload_names
-        lookup: dict = {}
-        for r in ref_list(refs):
-            t = ray.get(r)
-            if t.num_rows == 0:
-                continue
-            ids = t[id_col].to_pylist()
-            vals = t[payload_col].to_pylist()
-            lookup.update(zip(ids, vals))
-        self.lookup = lookup
+        tabs = [ray.get(r) for r in ref_list(refs)]
+        t = pa.concat_tables(tabs)
+        # dictionary-index attach: ids as an Arrow value_set, payloads
+        # taken by position — no per-row Python (VERDICT r3 #4)
+        self.ids = t[id_col].combine_chunks()
+        self.vals = t[payload_col].combine_chunks()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         name_a, name_b = self.names
-        a = batch["id_a"].to_pylist()
-        b = batch["id_b"].to_pylist()
+        ia = pc.index_in(batch["id_a"], value_set=self.ids)
+        ib = pc.index_in(batch["id_b"], value_set=self.ids)
         return pa.table(
             {
                 "id_a": batch["id_a"],
                 "id_b": batch["id_b"],
-                name_a: pa.array([self.lookup[i] for i in a]),
-                name_b: pa.array([self.lookup[i] for i in b]),
+                name_a: pc.take(self.vals, ia),
+                name_b: pc.take(self.vals, ib),
             }
         )
 
@@ -979,7 +991,7 @@ def simhash_near_dup_pairs(ds, col: str = "text", id_col: str = "doc_id", max_ha
     pairs = (
         ds.map_batches(add_chunks, batch_format="pyarrow")
         .map_batches(
-            lambda b: _coarse_bucket(b, ["chunk_id", "chunk_val"]),
+            lambda b, nb=scaled_buckets(): _coarse_bucket(b, ["chunk_id", "chunk_val"], nb),
             batch_format="pyarrow",
         )
         .groupby("_cbucket")
@@ -1107,7 +1119,7 @@ def embedding_near_dup_pairs(
 
     cand = (
         ds.map_batches(add_lsh_bucket, batch_format="pyarrow")
-        .map_batches(lambda b: _coarse_bucket(b, ["bucket"]), batch_format="pyarrow")
+        .map_batches(lambda b, nb=scaled_buckets(): _coarse_bucket(b, ["bucket"], nb), batch_format="pyarrow")
         .groupby("_cbucket")
         .map_groups(pairs_of, batch_format="pyarrow")
     )
