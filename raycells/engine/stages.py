@@ -279,6 +279,24 @@ def add_cell_ids(batch: pa.Table, level: int = 8) -> pa.Table:
     return batch.append_column("grid_cell", pa.array(cellid.grid_cell(lon, lat), pa.int64()))
 
 
+_BROADCAST_MEMO: dict = {}
+
+
+def _broadcast_memo(ref):
+    """Per-worker memoized ``ray.get`` of a broadcast object (zero-copy
+    plasma read on first touch, dict hit after). Single-entry bounded:
+    a new ref evicts the previous object so long-lived workers don't
+    accumulate stale broadcasts."""
+    key = ref.hex()
+    hit = _BROADCAST_MEMO.get(key)
+    if hit is None:
+        import ray
+
+        _BROADCAST_MEMO.clear()
+        hit = _BROADCAST_MEMO[key] = ray.get(ref)
+    return hit
+
+
 def cell_cover_join(stats_ds, footprints_table: pa.Table, level: int = 6):
     """Large-large spatial join fallback (SURVEY.md §2.9): when the
     polygon side is too big to broadcast, co-partition BOTH sides by
@@ -288,33 +306,41 @@ def cell_cover_join(stats_ds, footprints_table: pa.Table, level: int = 6):
     exactly one group (the tile's cell), so no dedup pass is needed.
 
     Correct because: tile-centroid ∈ polygon ⟹ the centroid's cell
-    intersects the polygon bbox ⟹ that cell is in the polygon's cover."""
+    intersects the polygon bbox ⟹ that cell is in the polygon's cover.
+
+    Exchange diet (VERDICT r3 #6): the replicated ring bytes never enter
+    the shuffle — each cover row carries only (cover_cell, footprint_id,
+    category) and the fid → ring vertex map broadcasts once via plasma
+    (memoized per worker). Padded columns on the other side ride as
+    Arrow NULLS (validity bitmap only), and the tile/polygon tag is
+    ``footprint_id IS NULL`` instead of a dedicated column."""
+    import ray
     import ray.data as rd
 
     from raycells.io.footprints import rings_as_numpy
     from raycells.geo.pip import polygon_cell_cover
 
-    # polygon side → (cover_cell, polygon payload) rows
+    # polygon side → (cover_cell, fid, cat) rows + the broadcast ring map
     fps = rings_as_numpy(footprints_table)
-    cells_col, fid_col, cat_col, ring_col = [], [], [], []
+    cells_col, fid_col, cat_col = [], [], []
+    ring_map = {}
     for fid, cat, ring in fps:
+        ring_map[fid] = np.ascontiguousarray(ring, dtype=np.float64)
         for c in polygon_cell_cover(ring, level):
             cells_col.append(c)
             fid_col.append(fid)
             cat_col.append(cat)
-            ring_col.append(ring.astype(np.float64).tobytes())
-    empty_str = [""] * len(cells_col)
+    ring_ref = ray.put(ring_map)
+    n_fp = len(cells_col)
     fp_rows = pa.table(
         {
             "cover_cell": pa.array(np.asarray(cells_col, np.uint64), pa.uint64()),
-            "is_tile": pa.array([False] * len(cells_col)),
-            "doc_id": pa.array(empty_str, pa.string()),
-            "span_idx": pa.array([0] * len(cells_col), pa.int32()),
-            "lon": pa.array([0.0] * len(cells_col)),
-            "lat": pa.array([0.0] * len(cells_col)),
+            "doc_id": pa.nulls(n_fp, pa.string()),
+            "span_idx": pa.nulls(n_fp, pa.int32()),
+            "lon": pa.nulls(n_fp, pa.float64()),
+            "lat": pa.nulls(n_fp, pa.float64()),
             "footprint_id": pa.array(fid_col, pa.string()),
             "category": pa.array(cat_col, pa.string()),
-            "ring": pa.array(ring_col, pa.large_binary()),
         }
     )
 
@@ -325,14 +351,12 @@ def cell_cover_join(stats_ds, footprints_table: pa.Table, level: int = 6):
         return pa.table(
             {
                 "cover_cell": pa.array(cellid.encode(lon, lat, level), pa.uint64()),
-                "is_tile": pa.array([True] * n),
                 "doc_id": b["doc_id"],
                 "span_idx": b["span_idx"],
                 "lon": b["lon"],
                 "lat": b["lat"],
-                "footprint_id": pa.array([""] * n, pa.string()),
-                "category": pa.array([""] * n, pa.string()),
-                "ring": pa.array([b""] * n, pa.large_binary()),
+                "footprint_id": pa.nulls(n, pa.string()),
+                "category": pa.nulls(n, pa.string()),
             }
         )
 
@@ -348,9 +372,9 @@ def cell_cover_join(stats_ds, footprints_table: pa.Table, level: int = 6):
     )
 
     def group_join(g: pa.Table) -> pa.Table:
-        is_tile = g["is_tile"].to_numpy(zero_copy_only=False)
-        tiles = g.filter(pa.array(is_tile))
-        polys = g.filter(pa.array(~is_tile))
+        is_poly = pc.is_valid(g["footprint_id"]).to_numpy(zero_copy_only=False)
+        tiles = g.filter(pa.array(~is_poly))
+        polys = g.filter(pa.array(is_poly))
         out_schema = pa.schema(
             [
                 ("doc_id", pa.string()),
@@ -361,6 +385,7 @@ def cell_cover_join(stats_ds, footprints_table: pa.Table, level: int = 6):
         )
         if tiles.num_rows == 0 or polys.num_rows == 0:
             return out_schema.empty_table()
+        rings = _broadcast_memo(ring_ref)
         tcell = tiles["cover_cell"].to_numpy(zero_copy_only=False)
         order = np.argsort(tcell, kind="stable")
         tcell = tcell[order]
@@ -373,7 +398,7 @@ def cell_cover_join(stats_ds, footprints_table: pa.Table, level: int = 6):
             hi = np.searchsorted(tcell, pcell[i], side="right")
             if lo == hi:
                 continue
-            ring = np.frombuffer(polys["ring"][i].as_py(), dtype=np.float64).reshape(-1, 2)
+            ring = rings[polys["footprint_id"][i].as_py()]
             bb = polygon_bbox(ring)
             seg_lon, seg_lat = lon[lo:hi], lat[lo:hi]
             cand = np.nonzero(

@@ -40,18 +40,28 @@ _MEDIA = _EXPLODE + """
 )
 """
 
-# band-4 tile decode: the tilestore LCG (tilestore.py synth_band_values)
+# band-4 tile decode: the tilestore LCG (tilestore.py synth_band_values).
+# The LCG splits into a per-TILE part (seed·2654435761 % 65520, seed % 33)
+# and a per-CELL part hoisted into a 4096-row helper — (a+b) % m ==
+# ((a%m)+(b%m)) % m with non-negative operands, so the CASE value is the
+# identical exact integer at roughly half the per-row arithmetic.
 _BAND_STATS = _MEDIA + """
-, cells AS (
-    SELECT m.doc_id, m.span_idx, m.seed, r.range AS i
-    FROM media m, range(4096) r
+, mh AS (
+    SELECT doc_id, span_idx, seed,
+           (seed * 2654435761) % 65520 AS sh, seed % 33 AS s33
+    FROM media
+),
+ihelp AS MATERIALIZED (
+    SELECT (CAST(range AS BIGINT) * 7) % 33 AS m7,
+           ((CAST(range AS BIGINT) + 404) * 40503) % 65520 AS mhi
+    FROM range(4096)
 ),
 vals AS (
-    SELECT doc_id, span_idx, seed,
-           CASE WHEN (seed + i * 7) % 33 = 0 THEN 0
-                ELSE 1 + (seed * 2654435761 + (i + 404) * 40503) % 65520
+    SELECT m.doc_id, m.span_idx, m.seed,
+           CASE WHEN (m.s33 + c.m7) % 33 = 0 THEN 0
+                ELSE 1 + (m.sh + c.mhi) % 65520
            END AS v
-    FROM cells
+    FROM mh m, ihelp c
 ),
 tile_stats AS (
     SELECT doc_id, span_idx, seed,
@@ -160,20 +170,32 @@ def _erased_tile_stats() -> str:
     decode (valid/nodata counts + min/max as double). Mirrors
     tilestore.synth_tile_stats; requires the ``media`` CTE."""
     return f"""
-, ecells AS (
-    -- DuckDB's range() is not lateral-correlatable: branch the two tile
-    -- shapes (64×64 and the 1-in-101 186×169 fixture) and UNION ALL
-    SELECT m.doc_id, m.span_idx, m.seed, r.range AS i
-    FROM media m, range(4096) r WHERE m.seed % 101 <> 0
-    UNION ALL
-    SELECT m.doc_id, m.span_idx, m.seed, r.range AS i
-    FROM media m, range(31434) r WHERE m.seed % 101 = 0
+, emh AS (
+    -- per-tile LCG constants hoisted ((a+b) % m identity, exact ints)
+    SELECT doc_id, span_idx, seed,
+           (seed * 2654435761) % 65521 AS sh, seed % 33 AS s33
+    FROM media
+),
+eihelp_s AS MATERIALIZED (
+    SELECT (CAST(range AS BIGINT) * 7) % 33 AS m7,
+           (CAST(range AS BIGINT) * 40503) % 65521 AS mhi
+    FROM range(4096)
+),
+eihelp_l AS MATERIALIZED (
+    SELECT (CAST(range AS BIGINT) * 7) % 33 AS m7,
+           (CAST(range AS BIGINT) * 40503) % 65521 AS mhi
+    FROM range(31434)
 ),
 evals AS (
+    -- DuckDB's range() is not lateral-correlatable: branch the two tile
+    -- shapes (64×64 and the 1-in-101 186×169 fixture) and UNION ALL
     SELECT doc_id, span_idx, seed,
-           (seed * 2654435761 + i * 40503) % 65521 AS raw,
-           (seed + i * 7) % 33 = 0 AS invalid
-    FROM ecells
+           (sh + mhi) % 65521 AS raw, (s33 + m7) % 33 = 0 AS invalid
+    FROM emh m, eihelp_s c WHERE m.seed % 101 <> 0
+    UNION ALL
+    SELECT doc_id, span_idx, seed,
+           (sh + mhi) % 65521 AS raw, (s33 + m7) % 33 = 0 AS invalid
+    FROM emh m, eihelp_l c WHERE m.seed % 101 = 0
 ),
 etyped AS (
     SELECT doc_id, span_idx, seed, invalid,
@@ -445,14 +467,24 @@ sh_raw AS (
     FROM docs, range(8192) r WHERE r.range <= n - {k}
 ),
 shingles AS (SELECT DISTINCT dk, h FROM sh_raw),
-sigs AS (
-    SELECT s.dk, p.perm,
-           MIN(CAST((((s.h * p.a) % {m64} + p.b) % {m64}) % {mersenne}
-               AS UBIGINT)) AS sig
-    FROM shingles s, read_parquet('{MINHASH_PARAMS_PARQUET}') p
-    GROUP BY s.dk, p.perm
+-- hash each DISTINCT shingle value once (the corpus repeats shingles
+-- heavily: ~2k distinct of 100k), then join back — the same ~50× cut
+-- in Mersenne mulmod work the Ray side takes in MinHasher. MATERIALIZED
+-- is load-bearing: hperm is referenced through two branches of the
+-- banded self-join below.
+huniq AS (SELECT DISTINCT h FROM shingles),
+hperm AS MATERIALIZED (
+    SELECT u.h, p.perm,
+           CAST((((u.h * p.a) % {m64} + p.b) % {m64}) % {mersenne}
+               AS UBIGINT) AS hv
+    FROM huniq u, read_parquet('{MINHASH_PARAMS_PARQUET}') p
 ),
-banded AS (
+sigs AS (
+    SELECT s.dk, hp.perm, MIN(hp.hv) AS sig
+    FROM shingles s JOIN hperm hp ON hp.h = s.h
+    GROUP BY s.dk, hp.perm
+),
+banded AS MATERIALIZED (
     SELECT dk, perm // {r} AS band,
            CAST(SUM(((CAST(sig AS HUGEINT) * {gold}) % {m64})
                     * CASE perm % {r} {band_weights} END) % {m64}
@@ -609,33 +641,163 @@ def _int_separable_resample_sql(w1d, suffix: str) -> str:
     (1, 23, 23, 1). Per out cell the 16 weighted taps are summed as one
     inline integer expression over 16×16 out cells instead of
     materializing + grouping a 28 M-row tap grid (the round-2 shape):
-    same exact integers, ~2.5× less SQL wall time in the gate."""
+    same exact integers, ~2.5× less SQL wall time in the gate. The tap
+    LCG splits into per-tile (seed·2654435761 % 65520, seed % 33) and
+    per-tap constants hoisted into a 256-row (rr, cc) helper — same
+    modular-identity rewrite as the lanczos oracle, exact integers."""
+    rcols = ", ".join(
+        f"(16 + LEAST(GREATEST(2*CAST(range AS BIGINT) + {dy} - 1, 0), 31))"
+        f" AS ry{dy}"
+        for dy in range(4)
+    )
+    ccols = ", ".join(
+        f"(16 + LEAST(GREATEST(2*CAST(range AS BIGINT) + {dx} - 1, 0), 31))"
+        f" AS cx{dx}"
+        for dx in range(4)
+    )
+    tapcols = []
+    for dy in range(4):
+        for dx in range(4):
+            ie = f"(ry{dy} * 64 + cx{dx})"
+            tapcols.append(f"(({ie}) * 7) % 33 AS m7_{dy}_{dx}")
+            tapcols.append(f"((({ie}) + 404) * 40503) % 65520 AS mh_{dy}_{dx}")
     terms = []
     for dy in range(4):
         for dx in range(4):
-            ie = (
-                f"(16 + LEAST(GREATEST(2*rr.range + {dy} - 1, 0), 31)) * 64 "
-                f"+ (16 + LEAST(GREATEST(2*cc.range + {dx} - 1, 0), 31))"
-            )
             v = (
-                f"(CASE WHEN (m.seed + ({ie}) * 7) % 33 = 0 THEN 0 "
-                f"ELSE 1 + (m.seed * 2654435761 + (({ie}) + 404) * 40503) "
-                f"% 65520 END)"
+                f"(CASE WHEN (m.s33 + t.m7_{dy}_{dx}) % 33 = 0 THEN 0 "
+                f"ELSE 1 + (m.sh + t.mh_{dy}_{dx}) % 65520 END)"
             )
             terms.append(f"({w1d[dy] * w1d[dx]}) * {v}")
     acc = " + ".join(terms)
     return (
         _MEDIA
         + f"""
-        , outcells AS (
+        , mh AS (SELECT doc_id, span_idx, seed,
+                 (seed * 2654435761) % 65520 AS sh, seed % 33 AS s33
+                 FROM media),
+        rmap AS (SELECT {rcols} FROM range(16)),
+        cmap AS (SELECT {ccols} FROM range(16)),
+        tapc AS MATERIALIZED (SELECT {", ".join(tapcols)} FROM rmap, cmap),
+        outcells AS (
             SELECT m.doc_id, m.span_idx, m.seed,
                    CAST({acc} AS BIGINT) AS v
-            FROM media m, range(16) rr, range(16) cc
+            FROM mh m, tapc t
         )
         SELECT doc_id, span_idx, seed,
                CAST(SUM(v) AS BIGINT) AS sum_{suffix},
                CAST(MIN(v) AS BIGINT) AS min_{suffix},
                CAST(MAX(v) AS BIGINT) AS max_{suffix}
+        FROM outcells GROUP BY doc_id, span_idx, seed
+        """
+    )
+
+
+def _box_tap_chain(fr: int, fc: int, drs: int, dcs: int, nrows: int, ncols: int):
+    """Shared hoisted-tap helper for the un-clamped box reads: returns
+    (cte_sql, vexprs) where ``cte_sql`` defines ``mh`` (per-tile LCG
+    constants) and ``tapc`` (per-out-cell tap constants, nrows×ncols
+    rows) and ``vexprs[dr*dcs+dc]`` is the exact-integer tap value at
+    source (16 + fr·rr + dr, 16 + fc·cc + dc). Same modular-identity
+    hoist as the lanczos/separable oracles — exact integers, so any
+    summation order downstream is unchanged."""
+    tapcols = []
+    vexprs = []
+    for dr in range(drs):
+        for dc in range(dcs):
+            ie = (
+                f"((16 + {fr}*CAST(r.range AS BIGINT) + {dr}) * 64 "
+                f"+ (16 + {fc}*CAST(c.range AS BIGINT) + {dc}))"
+            )
+            tapcols.append(f"({ie} * 7) % 33 AS m7_{dr}_{dc}")
+            tapcols.append(f"(({ie} + 404) * 40503) % 65520 AS mh_{dr}_{dc}")
+            vexprs.append(
+                f"(CASE WHEN (m.s33 + t.m7_{dr}_{dc}) % 33 = 0 THEN 0 "
+                f"ELSE 1 + (m.sh + t.mh_{dr}_{dc}) % 65520 END)"
+            )
+    cte = f"""
+            , mh AS (SELECT doc_id, span_idx, seed,
+                     (seed * 2654435761) % 65520 AS sh, seed % 33 AS s33
+                     FROM media),
+            tapc AS MATERIALIZED (
+                SELECT {", ".join(tapcols)}
+                FROM range({nrows}) r, range({ncols}) c
+            )"""
+    return cte, vexprs
+
+
+def _bilinear_sql() -> str:
+    """Bilinear at exact 2× scale: source grid is offset 0.5, so 4·out
+    is the exact-integer sum of the 2×2 source block — inlined per out
+    cell via the hoisted tap chain (same integers as the round-3
+    grid + double-GROUP-BY shape, ~3× less SQL wall time)."""
+    chain, v = _box_tap_chain(2, 2, 2, 2, 16, 16)
+    v4 = " + ".join(v)
+    return (
+        _MEDIA
+        + chain
+        + f"""
+        , outcells AS (
+            SELECT m.doc_id, m.span_idx, m.seed,
+                   CAST({v4} AS BIGINT) AS v4
+            FROM mh m, tapc t
+        )
+        SELECT doc_id, span_idx, seed,
+               CAST(SUM(v4) AS BIGINT) AS sum_bl4,
+               CAST(MIN(v4) AS BIGINT) AS min_bl4,
+               CAST(MAX(v4) AS BIGINT) AS max_bl4
+        FROM outcells GROUP BY doc_id, span_idx, seed
+        """
+    )
+
+
+def _box_sum_sql(suffix: str) -> str:
+    """AVERAGE at a 4×2 integer factor: 8·out is the exact-integer block
+    sum, inlined per out cell via the hoisted tap chain."""
+    chain, v = _box_tap_chain(2, 4, 2, 4, 16, 8)
+    v8 = " + ".join(v)
+    return (
+        _MEDIA
+        + chain
+        + f"""
+        , outcells AS (
+            SELECT m.doc_id, m.span_idx, m.seed,
+                   CAST({v8} AS BIGINT) AS v8
+            FROM mh m, tapc t
+        )
+        SELECT doc_id, span_idx, seed,
+               CAST(SUM(v8) AS BIGINT) AS sum_{suffix},
+               CAST(MIN(v8) AS BIGINT) AS min_{suffix},
+               CAST(MAX(v8) AS BIGINT) AS max_{suffix}
+        FROM outcells GROUP BY doc_id, span_idx, seed
+        """
+    )
+
+
+def _rms_sql() -> str:
+    """RMS over the 4×2 box: rms = sqrt(ssq / 8) with the exact-integer
+    sum of squares inlined per out cell; /8 is a power-of-two division
+    and sqrt is correctly-rounded IEEE, so the emitted min/max doubles
+    are bit-equal to numpy's (never float sums)."""
+    chain, v = _box_tap_chain(2, 4, 2, 4, 16, 8)
+    vcols = ", ".join(f"{x} AS v{j}" for j, x in enumerate(v))
+    ssq = " + ".join(f"v{j} * v{j}" for j in range(len(v)))
+    return (
+        _MEDIA
+        + chain
+        + f"""
+        , cells AS (
+            SELECT m.doc_id, m.span_idx, m.seed, {vcols}
+            FROM mh m, tapc t
+        ),
+        outcells AS (
+            SELECT doc_id, span_idx, seed,
+                   sqrt(CAST({ssq} AS DOUBLE) / 8) AS rms
+            FROM cells
+        )
+        SELECT doc_id, span_idx, seed,
+               MIN(rms) AS min_rms,
+               MAX(rms) AS max_rms
         FROM outcells GROUP BY doc_id, span_idx, seed
         """
     )
@@ -648,16 +810,9 @@ def _mode_resample_sql() -> str:
     engine's documented tie rule; v < 65521 < 2^17 so the encoding is
     injective). Replaces the round-2 7 M-row grid + GROUP BY + window
     rank (~3× less SQL wall time in the gate); exact integers
-    throughout."""
-    vcols = []
-    for dr in range(2):
-        for dc in range(4):
-            ie = f"(16 + 2*rr.range + {dr}) * 64 + (16 + 4*cc.range + {dc})"
-            vcols.append(
-                f"(CASE WHEN (m.seed + ({ie}) * 7) % 33 = 0 THEN 0 "
-                f"ELSE 1 + (m.seed * 2654435761 + (({ie}) + 404) * 40503) "
-                f"% 65520 END) AS v{dr * 4 + dc}"
-            )
+    throughout. Tap LCG constants hoisted via _box_tap_chain."""
+    chain, vexprs = _box_tap_chain(2, 4, 2, 4, 16, 8)
+    vcols = [f"{v} AS v{j}" for j, v in enumerate(vexprs)]
     keys = []
     for j in range(8):
         cnt = " + ".join(
@@ -666,10 +821,11 @@ def _mode_resample_sql() -> str:
         keys.append(f"(8 - ({cnt})) * 131072 + v{j}")
     return (
         _MEDIA
+        + chain
         + f"""
         , cells AS (
             SELECT m.doc_id, m.span_idx, m.seed, {", ".join(vcols)}
-            FROM media m, range(16) rr, range(8) cc
+            FROM mh m, tapc t
         ),
         modes AS (
             SELECT doc_id, span_idx, seed,
@@ -706,33 +862,54 @@ def _lanczos_resample_sql() -> str:
         f"+ ({raw[4]})) + ({raw[5]})"
     )
     norm = ", ".join(f"(({r}) / s) AS w{i}" for i, r in enumerate(raw))
-
-    def vexpr(iexpr: str) -> str:
-        return (
-            f"(CASE WHEN (m.seed + ({iexpr}) * 7) % 33 = 0 THEN 0.0 "
-            f"ELSE CAST(1 + (m.seed * 2654435761 + (({iexpr}) + 404) * 40503) "
-            f"% 65520 AS DOUBLE) END)"
-        )
-
+    # The LCG tap arithmetic splits into a per-TILE part and a per-TAP
+    # part ((a+b) % m == ((a%m)+(b%m)) % m, operands non-negative):
+    # hoist seed·2654435761 % 65520 and seed % 33 per tile, and the
+    # 36 clamp/multiply tap constants into a 256-row (rr, cc) helper —
+    # a ~3× cut with the identical CASE value (exact-integer equality,
+    # so the DOUBLE taps and the weight accumulation are unchanged
+    # bit-for-bit).
+    rcols = ", ".join(
+        f"(16 + LEAST(GREATEST(2*CAST(range AS BIGINT) + {dy} - 2, 0), 31))"
+        f" AS ry{dy}"
+        for dy in range(6)
+    )
+    ccols = ", ".join(
+        f"(16 + LEAST(GREATEST(2*CAST(range AS BIGINT) + {dx} - 2, 0), 31))"
+        f" AS cx{dx}"
+        for dx in range(6)
+    )
+    tapcols = []
+    for dy in range(6):
+        for dx in range(6):
+            ie = f"(ry{dy} * 64 + cx{dx})"
+            tapcols.append(f"(({ie}) * 7) % 33 AS m7_{dy}_{dx}")
+            tapcols.append(f"((({ie}) + 404) * 40503) % 65520 AS mh_{dy}_{dx}")
     terms = []
     for dy in range(6):
         for dx in range(6):
-            ie = (
-                f"(16 + LEAST(GREATEST(2*rr.range + {dy} - 2, 0), 31)) * 64 "
-                f"+ (16 + LEAST(GREATEST(2*cc.range + {dx} - 2, 0), 31))"
+            v = (
+                f"(CASE WHEN (m.s33 + t.m7_{dy}_{dx}) % 33 = 0 THEN 0.0 "
+                f"ELSE CAST(1 + (m.sh + t.mh_{dy}_{dx}) % 65520 AS DOUBLE) END)"
             )
-            terms.append(f"((w{dy} * w{dx}) * {vexpr(ie)})")
+            terms.append(f"((w{dy} * w{dx}) * {v})")
     acc = terms[0]
     for t in terms[1:]:
         acc = f"({acc} + {t})"
     return (
         _MEDIA
         + f"""
-        , lwsum AS (SELECT {seq_sum} AS s),
+        , mh AS (SELECT doc_id, span_idx, seed,
+                 (seed * 2654435761) % 65520 AS sh, seed % 33 AS s33
+                 FROM media),
+        lwsum AS (SELECT {seq_sum} AS s),
         wt AS (SELECT {norm} FROM lwsum),
+        rmap AS (SELECT {rcols} FROM range(16)),
+        cmap AS (SELECT {ccols} FROM range(16)),
+        tapc AS MATERIALIZED (SELECT {", ".join(tapcols)} FROM rmap, cmap),
         outcells AS (
             SELECT m.doc_id, m.span_idx, m.seed, {acc} AS v
-            FROM media m, range(16) rr, range(16) cc, wt
+            FROM mh m, tapc t, wt
         )
         SELECT doc_id, span_idx, seed,
                CAST(SUM(CAST(floor(v * 1024.0 + 0.5) AS BIGINT)) AS BIGINT)
@@ -771,7 +948,17 @@ sh_raw AS (
     SELECT dk, ({shingle_terms}) % {m64} AS h
     FROM docs, range(8192) r WHERE r.range <= n - {k}
 ),
-shingles AS MATERIALIZED (SELECT DISTINCT dk, h FROM sh_raw),
+shingles0 AS (SELECT DISTINCT dk, h FROM sh_raw),
+-- integer surrogate keys for the candidate/verify joins (VARCHAR dk
+-- hash-joins measured ~30% slower); row_number ORDER BY preserves the
+-- VARCHAR order, so dk < dk' ⇔ di < di' and the pair set is unchanged
+dmap AS MATERIALIZED (
+    SELECT dk, row_number() OVER (ORDER BY dk) AS di
+    FROM (SELECT DISTINCT dk FROM shingles0)
+),
+shingles AS MATERIALIZED (
+    SELECT d.di AS dk, s.h FROM shingles0 s JOIN dmap d USING (dk)
+),
 sizes AS (SELECT dk, CAST(COUNT(*) AS BIGINT) AS sz FROM shingles GROUP BY dk),
 ranked AS (
     SELECT s.dk, s.h, z.sz,
@@ -803,8 +990,11 @@ scored AS (
     JOIN sizes za ON za.dk = c.id_a
     JOIN sizes zb ON zb.dk = c.id_b
 )
-SELECT id_a, id_b, CAST(i AS DOUBLE) / u AS jaccard
-FROM scored WHERE {den} * i >= {num} * u
+SELECT da.dk AS id_a, db.dk AS id_b, CAST(i AS DOUBLE) / u AS jaccard
+FROM scored
+JOIN dmap da ON da.di = scored.id_a
+JOIN dmap db ON db.di = scored.id_b
+WHERE {den} * i >= {num} * u
 """
 
 
@@ -1704,32 +1894,7 @@ def build() -> dict:
         # windowed BILINEAR read at exactly 2× scale: every weight is
         # 0.5, so 4·out = sum of the 4 source pixels — pure integers.
         # out cell (rr, cc) reads sources (16+2rr+dr, 16+2cc+dc), dr,dc ∈ {0,1}
-        "resample_bilinear": _MEDIA
-        + """
-            , grid AS (
-                SELECT m.doc_id, m.span_idx, m.seed,
-                       r.range AS rr, c.range AS cc,
-                       (16 + 2 * r.range + dr.range) * 64
-                       + (16 + 2 * c.range + dc.range) AS i
-                FROM media m, range(16) r, range(16) c, range(2) dr, range(2) dc
-            ),
-            vals AS (
-                SELECT doc_id, span_idx, seed, rr, cc,
-                       CASE WHEN (seed + i * 7) % 33 = 0 THEN 0
-                            ELSE 1 + (seed * 2654435761 + (i + 404) * 40503) % 65520
-                       END AS v
-                FROM grid
-            ),
-            outcells AS (
-                SELECT doc_id, span_idx, seed, CAST(SUM(v) AS BIGINT) AS v4
-                FROM vals GROUP BY doc_id, span_idx, seed, rr, cc
-            )
-            SELECT doc_id, span_idx, seed,
-                   CAST(SUM(v4) AS BIGINT) AS sum_bl4,
-                   CAST(MIN(v4) AS BIGINT) AS min_bl4,
-                   CAST(MAX(v4) AS BIGINT) AS max_bl4
-            FROM outcells GROUP BY doc_id, span_idx, seed
-        """,
+        "resample_bilinear": _bilinear_sql(),
         # windowed CUBIC read at exactly 2× scale: 1-D tap weights are
         # (−1, 9, 9, −1)/16 (Keys A=−0.5 at t=0.5), so 256·out =
         # Σ wy·wx·v over the 4×4 taps with integer weights. Taps per
@@ -1742,32 +1907,7 @@ def build() -> dict:
         # cell is the mean of its 4-wide × 2-tall source block, so
         # 8·out = the block's integer sum. out cell (rr, cc) reads
         # sources (16+2rr+dr, 16+4cc+dc), dr ∈ {0,1}, dc ∈ {0..3}.
-        "resample_average": _MEDIA
-        + """
-            , grid AS (
-                SELECT m.doc_id, m.span_idx, m.seed,
-                       r.range AS rr, c.range AS cc,
-                       (16 + 2 * r.range + dr.range) * 64
-                       + (16 + 4 * c.range + dc.range) AS i
-                FROM media m, range(16) r, range(8) c, range(2) dr, range(4) dc
-            ),
-            vals AS (
-                SELECT doc_id, span_idx, seed, rr, cc,
-                       CASE WHEN (seed + i * 7) % 33 = 0 THEN 0
-                            ELSE 1 + (seed * 2654435761 + (i + 404) * 40503) % 65520
-                       END AS v
-                FROM grid
-            ),
-            outcells AS (
-                SELECT doc_id, span_idx, seed, CAST(SUM(v) AS BIGINT) AS v8
-                FROM vals GROUP BY doc_id, span_idx, seed, rr, cc
-            )
-            SELECT doc_id, span_idx, seed,
-                   CAST(SUM(v8) AS BIGINT) AS sum_av8,
-                   CAST(MIN(v8) AS BIGINT) AS min_av8,
-                   CAST(MAX(v8) AS BIGINT) AS max_av8
-            FROM outcells GROUP BY doc_id, span_idx, seed
-        """,
+        "resample_average": _box_sum_sql("av8"),
         # windowed CUBIC-B-SPLINE read at 2× scale: 1-D tap weights are
         # (1, 23, 23, 1)/48 (B₃ at t=0.5), so 2304·out = Σ wy·wx·v over
         # the 4×4 taps with integer weights — same tap geometry as
@@ -1783,32 +1923,7 @@ def build() -> dict:
         # division and sqrt is correctly-rounded IEEE, so the doubles
         # are bit-equal to numpy's. Only elementwise-derived floats are
         # emitted (min/max — never float sums).
-        "resample_rms": _MEDIA
-        + """
-            , grid AS (
-                SELECT m.doc_id, m.span_idx, m.seed,
-                       r.range AS rr, c.range AS cc,
-                       (16 + 2 * r.range + dr.range) * 64
-                       + (16 + 4 * c.range + dc.range) AS i
-                FROM media m, range(16) r, range(8) c, range(2) dr, range(4) dc
-            ),
-            vals AS (
-                SELECT doc_id, span_idx, seed, rr, cc,
-                       CASE WHEN (seed + i * 7) % 33 = 0 THEN 0
-                            ELSE 1 + (seed * 2654435761 + (i + 404) * 40503) % 65520
-                       END AS v
-                FROM grid
-            ),
-            outcells AS (
-                SELECT doc_id, span_idx, seed,
-                       sqrt(CAST(SUM(v * v) AS DOUBLE) / 8) AS rms
-                FROM vals GROUP BY doc_id, span_idx, seed, rr, cc
-            )
-            SELECT doc_id, span_idx, seed,
-                   MIN(rms) AS min_rms,
-                   MAX(rms) AS max_rms
-            FROM outcells GROUP BY doc_id, span_idx, seed
-        """,
+        "resample_rms": _rms_sql(),
         # windowed MODE read, 4×2 box: per output cell the most
         # frequent value, smallest on tie (row_number ordered by count
         # DESC then value ASC — the engine's documented tie rule).
@@ -1817,18 +1932,27 @@ def build() -> dict:
         # _lanczos_resample_sql).
         "resample_lanczos": _lanczos_resample_sql(),
         "resample_mode": _mode_resample_sql(),
+        # two-band decode with the same per-tile/per-cell LCG hoist as
+        # _BAND_STATS (red at cell offset 404, nir at 505)
         "ndvi_stats": _MEDIA
         + """
-            , cells AS (
-                SELECT m.doc_id, m.span_idx, m.seed, r.range AS i
-                FROM media m, range(4096) r
+            , mh AS (
+                SELECT doc_id, span_idx, seed,
+                       (seed * 2654435761) % 65520 AS sh, seed % 33 AS s33
+                FROM media
+            ),
+            ihelp AS MATERIALIZED (
+                SELECT (CAST(range AS BIGINT) * 7) % 33 AS m7,
+                       ((CAST(range AS BIGINT) + 404) * 40503) % 65520 AS mh404,
+                       ((CAST(range AS BIGINT) + 505) * 40503) % 65520 AS mh505
+                FROM range(4096)
             ),
             bands AS (
-                SELECT doc_id, span_idx, seed,
-                       1 + (seed * 2654435761 + (i + 404) * 40503) % 65520 AS red,
-                       1 + (seed * 2654435761 + (i + 505) * 40503) % 65520 AS nir,
-                       (seed + i * 7) % 33 != 0 AS ok
-                FROM cells
+                SELECT m.doc_id, m.span_idx, m.seed,
+                       1 + (m.sh + c.mh404) % 65520 AS red,
+                       1 + (m.sh + c.mh505) % 65520 AS nir,
+                       (m.s33 + c.m7) % 33 != 0 AS ok
+                FROM mh m, ihelp c
             )
             SELECT doc_id, span_idx, seed,
                    CAST(count(*) FILTER (WHERE ok) AS BIGINT) AS n_valid,
