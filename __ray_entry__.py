@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_by_nearest": q.q_zonal_by_nearest,  # NEW round 3 (NN-zonal composite)
         "media_decode_real": q.q_media_decode_real,  # NEW round 3 (REAL PNG/WAV codecs)
         "bloom_semijoin": q.q_bloom_semijoin,  # NEW round 3 (mergeable bloom sketch)
+        "bloom_pruned_join": q.q_bloom_pruned_join,  # NEW round 4 (sketch-pruned exact join)
         # (b) passed r01, absent from the r02 snapshot.
         "lang_id": q.q_lang_id,
         "events_daily": q.q_events_daily,

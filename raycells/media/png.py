@@ -111,37 +111,42 @@ def decode_png(data: bytes) -> np.ndarray:
     filters = raw[:, 0]
     out = np.zeros((h, stride), dtype=np.uint8)
     zero_prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        cur = raw[y, 1:].copy()
-        up = out[y - 1] if y else zero_prev
-        f = int(filters[y])
-        if f == 0:
-            out[y] = cur
-        elif f == 2:  # Up — vectorized
-            out[y] = cur + up
-        elif f in (1, 3, 4):  # Sub/Average/Paeth — prior-pixel recurrence
-            row = out[y]
-            row[:bpp] = (
-                cur[:bpp]
-                if f == 1
-                else cur[:bpp] + (up[:bpp].astype(np.int32) // 2).astype(np.uint8)
-                if f == 3
-                else cur[:bpp] + up[:bpp]  # Paeth(0, b, 0) = b
-            )
-            for x in range(bpp, stride):
-                a = row[x - bpp]
-                if f == 1:
-                    row[x] = cur[x] + a
-                elif f == 3:
-                    row[x] = cur[x] + np.uint8(
-                        (int(a) + int(up[x])) // 2
-                    )
-                else:
-                    row[x] = cur[x] + _paeth(
-                        np.uint8(a), up[x], up[x - bpp]
-                    )
-        else:
-            raise ValueError(f"bad PNG filter {f}")
+    # reconstruction is DEFINED as mod-256 byte addition (PNG spec
+    # §9.2); silence numpy's scalar-overflow RuntimeWarning so the
+    # intentional uint8 wraparound survives -W error and doesn't spam
+    # worker logs on Sub/Average/Paeth scanlines (ADVICE r3)
+    with np.errstate(over="ignore"):
+        for y in range(h):
+            cur = raw[y, 1:].copy()
+            up = out[y - 1] if y else zero_prev
+            f = int(filters[y])
+            if f == 0:
+                out[y] = cur
+            elif f == 2:  # Up — vectorized
+                out[y] = cur + up
+            elif f in (1, 3, 4):  # Sub/Average/Paeth — prior-pixel recurrence
+                row = out[y]
+                row[:bpp] = (
+                    cur[:bpp]
+                    if f == 1
+                    else cur[:bpp] + (up[:bpp].astype(np.int32) // 2).astype(np.uint8)
+                    if f == 3
+                    else cur[:bpp] + up[:bpp]  # Paeth(0, b, 0) = b
+                )
+                for x in range(bpp, stride):
+                    a = row[x - bpp]
+                    if f == 1:
+                        row[x] = cur[x] + a
+                    elif f == 3:
+                        row[x] = cur[x] + np.uint8(
+                            (int(a) + int(up[x])) // 2
+                        )
+                    else:
+                        row[x] = cur[x] + _paeth(
+                            np.uint8(a), up[x], up[x - bpp]
+                        )
+            else:
+                raise ValueError(f"bad PNG filter {f}")
     return out.reshape(h, w) if color == 0 else out.reshape(h, w, 3)
 
 
@@ -149,11 +154,15 @@ def encode_wav_pcm8(samples: np.ndarray, sample_rate: int) -> bytes:
     """uint8 samples → canonical mono 8-bit PCM RIFF/WAVE."""
     samples = np.ascontiguousarray(samples, dtype=np.uint8)
     body = samples.tobytes()
+    # RIFF word alignment: an odd-length data chunk carries one pad byte
+    # EXCLUDED from the declared length (ADVICE r3 — decode_wav already
+    # skips it via ``length & 1``)
+    pad = b"\x00" if len(body) % 2 else b""
     fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate, 1, 8)
     chunks = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-        + b"data" + struct.pack("<I", len(body)) + body
+        + b"data" + struct.pack("<I", len(body)) + body + pad
     )
     return WAV_MAGIC + struct.pack("<I", len(chunks)) + chunks
 

@@ -2785,6 +2785,19 @@ def build() -> dict:
                    CAST(SUM(tru) AS BIGINT) AS n_true
             FROM probe GROUP BY o_orderpriority
         """,
+        # bloom_pruned_join: the bloom prefilter is performance-only —
+        # the exact hash_join drops every false positive, so the oracle
+        # is the plain inner join with no sketch modeling at all.
+        "bloom_pruned_join": """
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_price_c
+            FROM orders
+            JOIN customer ON c_custkey = o_custkey
+            WHERE c_acctbal < 0
+            GROUP BY c_nationkey
+        """,
         "knn_embeddings": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS qe

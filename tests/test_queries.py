@@ -36,6 +36,7 @@ CHECKED = [
     "zonal_by_nearest",
     "media_decode_real",
     "bloom_semijoin",
+    "bloom_pruned_join",
     "cell_agg_s2face",
     "ndvi_stats",
     "resample_tiles",

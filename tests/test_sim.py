@@ -248,3 +248,53 @@ def test_bloom_merge_and_probe_guarantees():
     non = non[~np.isin(non, keys)]
     fp = bloom_probe(full, non).mean()
     assert fp < 0.05  # m=65536, k=4, n=3000 → theoretical ~0.05%
+
+
+def test_sketch_dataset_surface(ray_session):
+    """The promoted Dataset-level sketch API (sim/sketch.py): bloom_build
+    over a Dataset equals the kernel-level full build; bloom_prune keeps
+    a SUPERSET of the exact matches and never drops a true member; the
+    composed prune→exact-filter result equals plain exact semantics;
+    hll_build folds per-batch partials to the single-pass registers."""
+    import ray
+    import ray.data as rd
+
+    from raycells.sim import sketch
+    from raycells.sim.bloom import partial_bloom
+    from raycells.sim.hll import hll_registers
+
+    rng = np.random.default_rng(7)
+    build_keys = np.unique(rng.integers(0, 100_000, 500).astype(np.int64))
+    probe_keys = rng.integers(0, 100_000, 5000).astype(np.int64)
+
+    build_ds = rd.from_arrow(
+        pa.table({"k": pa.array(build_keys)})
+    ).repartition(4)
+    probe_ds = rd.from_arrow(
+        pa.table({"k": pa.array(probe_keys)})
+    ).repartition(4)
+
+    ref = sketch.bloom_build(build_ds, "k")
+    assert np.array_equal(ray.get(ref), partial_bloom(build_keys))
+
+    kept = sketch.bloom_prune(probe_ds, ref, "k").to_pandas()["k"].to_numpy()
+    true_mask = np.isin(probe_keys, build_keys)
+    # no false negatives: every true match survives the prune
+    assert np.isin(probe_keys[true_mask], kept).all()
+    # composition: prune + exact filter == exact filter alone
+    exact_after = kept[np.isin(kept, build_keys)]
+    assert sorted(exact_after.tolist()) == sorted(
+        probe_keys[true_mask].tolist()
+    )
+
+    # pred= restricts the build rows
+    ref_even = sketch.bloom_build(
+        build_ds, "k",
+        pred=lambda b: b["k"].to_numpy(zero_copy_only=False) % 2 == 0,
+    )
+    assert np.array_equal(
+        ray.get(ref_even), partial_bloom(build_keys[build_keys % 2 == 0])
+    )
+
+    regs = sketch.hll_build(probe_ds, "k")
+    assert np.array_equal(regs, hll_registers(probe_keys))
