@@ -35,10 +35,12 @@ oracles in raycells/pipelines/oracles.py):
   bins, shard-parallel), corpus_mixture (RNG-free data mixing),
   bloom_semijoin (mergeable bitmap sketch, FP-pinned),
   media_decode_real (REAL stdlib PNG/WAV codecs round-tripped against
-  the pure-SQL byte formula), and the round-4 addition
+  the pure-SQL byte formula), and the round-4 additions
   bloom_pruned_join (the sim/sketch.py Dataset-level sketch API
   composing a bloom prefilter with the co-partitioned exact hash
-  join) — ALL oracle-checked.
+  join) and embedding_dup_clusters (semantic dedup: embedding
+  near-dup pairs resolved by the id-type-generic distributed
+  min-label contraction) — ALL oracle-checked.
 - tabular family over the driver's parquet views:  lineitem_pricing,
   orders_by_segment, revenue_by_nation, global_stats, quantiles_qty,
   sessionize, dedup_exact, token_stats, normalize_text,
@@ -151,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": q.q_dedup_clusters,
         "simhash_pairs": q.q_simhash_pairs,
         "embedding_dups": q.q_embedding_dups,
+        "embedding_dup_clusters": q.q_embedding_dup_clusters,  # NEW round 4 (semantic dedup clusters)
         "ann_lsh": q.q_ann_lsh,
         "ann_ivf": q.q_ann_ivf,
         "fingerprint_docs": q.q_fingerprint_docs,

@@ -60,12 +60,13 @@ def min_label_components(a_idx: np.ndarray, b_idx: np.ndarray, n: int) -> np.nda
 
 
 def cc_edges_local(tbl: pa.Table, a: str = "id_a", b: str = "id_b") -> pd.DataFrame:
-    """Contract ONE edge table (string endpoints) to its spanning forest:
-    a ``(node, root)`` DataFrame with one row per distinct node and
-    ``root`` = lexicographic-min member of the node's component *within
-    this edge subset*."""
-    av = np.asarray(tbl[a].to_numpy(zero_copy_only=False), dtype=object)
-    bv = np.asarray(tbl[b].to_numpy(zero_copy_only=False), dtype=object)
+    """Contract ONE edge table to its spanning forest: a ``(node, root)``
+    DataFrame with one row per distinct node and ``root`` = min member
+    of the node's component *within this edge subset* (lexicographic
+    for string endpoints, numeric for integer ids — whatever the
+    column's natural order is)."""
+    av = tbl[a].to_numpy(zero_copy_only=False)
+    bv = tbl[b].to_numpy(zero_copy_only=False)
     nodes, inv = np.unique(np.concatenate([av, bv]), return_inverse=True)
     labels = min_label_components(inv[: av.size], inv[av.size :], nodes.size)
     return pd.DataFrame({"node": nodes, "root": nodes[labels]})
@@ -78,9 +79,10 @@ def connected_components(
     num_buckets: int | None = None,
 ) -> pd.DataFrame:
     """Connected components over an edge list (Ray Dataset or pyarrow
-    Table of string endpoint columns ``a``/``b``). Returns a pandas
-    DataFrame ``(node, root)`` — root = lexicographic-min component
-    member — via the two-level contraction described in the module
+    Table of endpoint columns ``a``/``b`` — string or integer ids).
+    Returns a pandas DataFrame ``(node, root)`` — root = min component
+    member in the id type's natural order (lexicographic for strings,
+    numeric for ints) — via the two-level contraction described in the module
     docstring. The distributed stage always runs (one coarse-bucket
     ``map_groups`` exchange); the driver folds only the node-sized
     contracted forest."""
@@ -113,8 +115,9 @@ def connected_components(
     folded = cc_edges_local(
         pa.table(
             {
-                a: pa.array(forest["node"], pa.string()),
-                b: pa.array(forest["root"], pa.string()),
+                # inferred types: string ids stay string, int ids stay int
+                a: pa.array(forest["node"].to_numpy()),
+                b: pa.array(forest["root"].to_numpy()),
             }
         ),
         a,

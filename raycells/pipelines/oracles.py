@@ -649,6 +649,42 @@ FROM reach r JOIN sized s USING (canon_key)
 """
 
 
+def _embedding_clusters_sql() -> str:
+    """Semantic dedup clusters over the embedding near-dup pair list
+    (pipelines/queries.q_embedding_dup_clusters): the _dedup_clusters_sql
+    recursive min-label propagation, with INTEGER vec ids (canon =
+    numeric MIN — identical to the engine's id-type-generic contraction
+    order)."""
+    return f"""
+WITH pairs AS MATERIALIZED (
+    SELECT id_a, id_b FROM ({_embedding_dups_sql()})
+),
+edges AS MATERIALIZED (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach AS (
+    WITH RECURSIVE r(id, lbl) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst AS id, r.lbl
+        FROM r JOIN edges e ON e.src = r.id
+        WHERE r.lbl < e.dst
+    )
+    SELECT id, MIN(lbl) AS canon_id FROM r GROUP BY id
+),
+sized AS (
+    SELECT canon_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM reach GROUP BY canon_id
+)
+SELECT CAST(r.id AS BIGINT) AS vec_id, CAST(r.canon_id AS BIGINT) AS canon_id,
+       s.cluster_size
+FROM reach r JOIN sized s USING (canon_id)
+"""
+
+
 def _int_separable_resample_sql(w1d, suffix: str) -> str:
     """Separable 4-tap resample (taps at floor−1…floor+2, 2× scale) with
     INTEGER 1-D weights ``w1d`` — cubic (−1, 9, 9, −1) and B-spline
@@ -1746,6 +1782,7 @@ def build() -> dict:
         "decontaminate": _decontaminate_sql(),
         "ngram_jaccard": _ngram_jaccard_sql(),
         "embedding_dups": _embedding_dups_sql(),
+        "embedding_dup_clusters": _embedding_clusters_sql(),
         "simhash_pairs": _simhash_sql(),
         "ann_lsh": _ann_lsh_sql(),
         "ann_ivf": _ann_ivf_sql(),

@@ -2892,6 +2892,41 @@ def q_dedup_clusters(sf_dir: str):
     )
 
 
+def q_embedding_dup_clusters(sf_dir: str):
+    """SEMANTIC dedup clusters (NEW round 4): the embedding-cosine
+    near-dup pair list resolved into connected components — the
+    embedding-space counterpart of ``dedup_clusters``. Same distributed
+    two-level min-label contraction (engine/cc.py, now id-type-generic:
+    canon = NUMERIC-min vec_id), composed on the sign-LSH pair pipeline;
+    the driver folds only the node-sized contracted forest."""
+    from raycells.engine.cc import connected_components
+
+    comp = connected_components(q_embedding_dups(sf_dir), a="id_a", b="id_b")
+    if len(comp) == 0:
+        return pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "canon_id": pa.array([], pa.int64()),
+                "cluster_size": pa.array([], pa.int64()),
+            }
+        )
+    sizes = comp.groupby("root", sort=False)["root"].transform("size")
+    df = pd.DataFrame(
+        {
+            "vec_id": comp["node"].to_numpy(np.int64),
+            "canon_id": comp["root"].to_numpy(np.int64),
+            "cluster_size": sizes.to_numpy(np.int64),
+        }
+    ).sort_values("vec_id", kind="stable")
+    return pa.table(
+        {
+            "vec_id": pa.array(df["vec_id"].to_numpy()),
+            "canon_id": pa.array(df["canon_id"].to_numpy()),
+            "cluster_size": pa.array(df["cluster_size"].to_numpy()),
+        }
+    )
+
+
 DECON_W = 4  # window tokens (real corpora use ~13; sized to this fixture)
 DECON_MOD = 101  # benchmark subset = doc_id % DECON_MOD == 0
 

@@ -125,3 +125,20 @@ def test_connected_components_larger_graph(ray_session):
     df = connected_components(t)
     got = dict(zip(df["node"], df["root"]))
     assert got == _naive_components(names)
+
+
+def test_connected_components_integer_ids(ray_session):
+    """Round 4: endpoint columns may be INTEGER ids (embedding vec_ids)
+    — canon is the NUMERIC min, and the dtype survives the contraction
+    (numeric order != lexicographic: 9 < 10 numerically but "10" < "9")."""
+    edges = [(9, 10), (10, 100), (2, 1), (7, 7_000_000), (7_000_000, 3)]
+    t = pa.table(
+        {
+            "id_a": pa.array([a for a, _ in edges], pa.int64()),
+            "id_b": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    df = connected_components(t)
+    got = dict(zip(df["node"], df["root"]))
+    assert got == {9: 9, 10: 9, 100: 9, 1: 1, 2: 1, 3: 3, 7: 3, 7_000_000: 3}
+    assert all(isinstance(k, (int, np.integer)) for k in got)

@@ -37,6 +37,7 @@ CHECKED = [
     "media_decode_real",
     "bloom_semijoin",
     "bloom_pruned_join",
+    "embedding_dup_clusters",
     "cell_agg_s2face",
     "ndvi_stats",
     "resample_tiles",
