@@ -143,8 +143,10 @@ def run_all(sf_dir: str, num_cpus: int) -> dict:
 
     _warmup(num_cpus)
     flag = min(
-        (run_flagship(sf_dir) for _ in range(2)), key=lambda r: r["sec"]
-    )  # best-of-2: the VM's wall clock is noisy (BASELINE.md)
+        (run_flagship(sf_dir) for _ in range(3)), key=lambda r: r["sec"]
+    )  # headline gets best-of-3: the VM's wall clock swings 2×+ between
+    # windows (BASELINE.md) and sf0.1 first-touch outlasts the sf0.001
+    # warmup pass (measured [3.26, 1.48, 1.22] on one fresh session)
     timings = {"flagship": round(flag["sec"], 3)}
     for name, fn in _pipelines().items():
         best = float("inf")
