@@ -40,7 +40,9 @@ oracles in raycells/pipelines/oracles.py):
   composing a bloom prefilter with the co-partitioned exact hash
   join) and embedding_dup_clusters (semantic dedup: embedding
   near-dup pairs resolved by the id-type-generic distributed
-  min-label contraction) — ALL oracle-checked.
+  min-label contraction), and media_dedup (exact MULTIMODAL dedup by
+  decoded-tile content hash — decode → polynomial hash →
+  hash-partitioned min-winner groups) — ALL oracle-checked.
 - tabular family over the driver's parquet views:  lineitem_pricing,
   orders_by_segment, revenue_by_nation, global_stats, quantiles_qty,
   sessionize, dedup_exact, token_stats, normalize_text,
@@ -154,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q.q_simhash_pairs,
         "embedding_dups": q.q_embedding_dups,
         "embedding_dup_clusters": q.q_embedding_dup_clusters,  # NEW round 4 (semantic dedup clusters)
+        "media_dedup": q.q_media_dedup,  # NEW round 4 (multimodal content dedup)
         "ann_lsh": q.q_ann_lsh,
         "ann_ivf": q.q_ann_ivf,
         "fingerprint_docs": q.q_fingerprint_docs,

@@ -649,6 +649,68 @@ FROM reach r JOIN sized s USING (canon_key)
 """
 
 
+def _media_dedup_sql() -> str:
+    """Exact multimodal dedup (queries.q_media_dedup): polynomial
+    content hash over each media span's 4096 DECODED band values,
+    Σ v_i·31^i mod 2^64, evaluated in HUGEINT (v < 2^17 and 31^i mod
+    2^64 < 2^64 → each product < 2^81; the 4096-term sum < 2^93 —
+    HUGEINT-safe, one mod at the end ≡ the iterated uint64 wraps).
+    Hash emitted as the int64 bit pattern; winner = min (doc_id,
+    span_idx) via row_number (doc ids are zero-padded, so lexicographic
+    equals numeric order)."""
+    m64 = "CAST('18446744073709551616' AS HUGEINT)"
+    return (
+        _MEDIA
+        + f"""
+        , mh AS (
+            SELECT doc_id, span_idx, seed,
+                   (seed * 2654435761) % 65520 AS sh, seed % 33 AS s33
+            FROM media
+        ),
+        pows AS (
+            WITH RECURSIVE p(i, w) AS (
+                SELECT CAST(0 AS BIGINT), CAST(1 AS HUGEINT)
+                UNION ALL
+                SELECT i + 1, (w * 31) % {m64} FROM p WHERE i < 4095
+            )
+            SELECT i, w FROM p
+        ),
+        ihelp AS MATERIALIZED (
+            SELECT p.w,
+                   (CAST(c.range AS BIGINT) * 7) % 33 AS m7,
+                   ((CAST(c.range AS BIGINT) + 404) * 40503) % 65520 AS mhi
+            FROM range(4096) c JOIN pows p ON p.i = CAST(c.range AS BIGINT)
+        ),
+        hashes AS (
+            SELECT m.doc_id, m.span_idx,
+                   SUM(CAST(CASE WHEN (m.s33 + c.m7) % 33 = 0 THEN 0
+                                 ELSE 1 + (m.sh + c.mhi) % 65520 END
+                            AS HUGEINT) * c.w) % {m64} AS h
+            FROM mh m, ihelp c
+            GROUP BY m.doc_id, m.span_idx
+        ),
+        keyed AS (
+            SELECT CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+                             THEN h - {m64} ELSE h END AS BIGINT)
+                       AS content_hash,
+                   doc_id, CAST(span_idx AS BIGINT) AS span_idx
+            FROM hashes
+        ),
+        ranked AS (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY content_hash ORDER BY doc_id, span_idx
+                   ) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY content_hash) AS BIGINT)
+                       AS n_copies
+            FROM keyed
+        )
+        SELECT content_hash, doc_id, span_idx, n_copies
+        FROM ranked WHERE rn = 1
+        """
+    )
+
+
 def _embedding_clusters_sql() -> str:
     """Semantic dedup clusters over the embedding near-dup pair list
     (pipelines/queries.q_embedding_dup_clusters): the _dedup_clusters_sql
@@ -1783,6 +1845,7 @@ def build() -> dict:
         "ngram_jaccard": _ngram_jaccard_sql(),
         "embedding_dups": _embedding_dups_sql(),
         "embedding_dup_clusters": _embedding_clusters_sql(),
+        "media_dedup": _media_dedup_sql(),
         "simhash_pairs": _simhash_sql(),
         "ann_lsh": _ann_lsh_sql(),
         "ann_ivf": _ann_ivf_sql(),

@@ -38,6 +38,7 @@ CHECKED = [
     "bloom_semijoin",
     "bloom_pruned_join",
     "embedding_dup_clusters",
+    "media_dedup",
     "cell_agg_s2face",
     "ndvi_stats",
     "resample_tiles",
