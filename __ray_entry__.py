@@ -40,9 +40,11 @@ oracles in raycells/pipelines/oracles.py):
   composing a bloom prefilter with the co-partitioned exact hash
   join) and embedding_dup_clusters (semantic dedup: embedding
   near-dup pairs resolved by the id-type-generic distributed
-  min-label contraction), and media_dedup (exact MULTIMODAL dedup by
+  min-label contraction), media_dedup (exact MULTIMODAL dedup by
   decoded-tile content hash — decode → polynomial hash →
-  hash-partitioned min-winner groups) — ALL oracle-checked.
+  hash-partitioned min-winner groups), and chunk_docs (training-chunk
+  preparation: fixed windows with 25% overlap + per-chunk rolling-hash
+  fingerprints, purely map-side) — ALL oracle-checked.
 - tabular family over the driver's parquet views:  lineitem_pricing,
   orders_by_segment, revenue_by_nation, global_stats, quantiles_qty,
   sessionize, dedup_exact, token_stats, normalize_text,
@@ -157,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups": q.q_embedding_dups,
         "embedding_dup_clusters": q.q_embedding_dup_clusters,  # NEW round 4 (semantic dedup clusters)
         "media_dedup": q.q_media_dedup,  # NEW round 4 (multimodal content dedup)
+        "chunk_docs": q.q_chunk_docs,  # NEW round 4 (training-chunk prep)
         "ann_lsh": q.q_ann_lsh,
         "ann_ivf": q.q_ann_ivf,
         "fingerprint_docs": q.q_fingerprint_docs,

@@ -649,6 +649,66 @@ FROM reach r JOIN sized s USING (canon_key)
 """
 
 
+def _chunk_docs_sql(w: int = 200, s: int = 150) -> str:
+    """Training-chunk table (queries.q_chunk_docs): fixed w-char windows
+    at stride s, per-chunk rolling polynomial fingerprint — the
+    _fingerprint_sql recipe applied per (doc, chunk): h = seed·B^len +
+    Σ byte[i]·B^(len-1-i) mod 2^64, HUGEINT with the 32-bit-split seed
+    mulmod, emitted as the int64 bit pattern. Chunk bytes address the
+    ORIGINAL text at offset chunk_start + i (no substring materialize)."""
+    seed = 14695981039346656037
+    base = 1099511628211
+    m64 = "CAST('18446744073709551616' AS HUGEINT)"
+    s_hi, s_lo = divmod(seed, 1 << 32)
+    return f"""
+WITH docs AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_key, text,
+           CAST(length(text) AS BIGINT) AS n
+    FROM documents
+),
+chunks AS (
+    SELECT d.doc_key, d.text, CAST(c.range AS BIGINT) AS chunk_idx,
+           CAST(c.range AS BIGINT) * {s} AS chunk_start,
+           LEAST({w}, d.n - CAST(c.range AS BIGINT) * {s}) AS chunk_len
+    FROM docs d, range(64) c
+    WHERE c.range * {s} < d.n OR c.range = 0
+),
+pows AS (
+    WITH RECURSIVE p(k, v) AS (
+        SELECT CAST(0 AS BIGINT) AS k, CAST(1 AS HUGEINT) AS v
+        UNION ALL
+        SELECT k + 1, (v * {base}) % {m64} FROM p WHERE k < {w}
+    )
+    SELECT k, v FROM p
+),
+bytes AS (
+    SELECT c.doc_key, c.chunk_idx, c.chunk_len, r.range AS i,
+           CAST(ord(substr(c.text,
+                           CAST(c.chunk_start + r.range + 1 AS INT), 1))
+                AS HUGEINT) AS b
+    FROM chunks c, range({w}) r WHERE r.range < c.chunk_len
+),
+terms AS (
+    SELECT doc_key, chunk_idx, SUM((b * p.v) % {m64}) AS acc
+    FROM bytes JOIN pows p ON p.k = bytes.chunk_len - 1 - bytes.i
+    GROUP BY doc_key, chunk_idx
+),
+hashed AS (
+    SELECT c.doc_key, c.chunk_idx, c.chunk_start, c.chunk_len,
+           ( (({s_lo} * pn.v) % {m64}
+              + ((({s_hi} * pn.v) % 4294967296) * 4294967296)) % {m64}
+             + COALESCE(t.acc, 0) ) % {m64} AS h
+    FROM chunks c
+    JOIN pows pn ON pn.k = c.chunk_len
+    LEFT JOIN terms t ON t.doc_key = c.doc_key AND t.chunk_idx = c.chunk_idx
+)
+SELECT doc_key, chunk_idx, chunk_start, chunk_len,
+       CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+                 THEN h - {m64} ELSE h END AS BIGINT) AS chunk_hash
+FROM hashed
+"""
+
+
 def _media_dedup_sql() -> str:
     """Exact multimodal dedup (queries.q_media_dedup): polynomial
     content hash over each media span's 4096 DECODED band values,
@@ -1846,6 +1906,7 @@ def build() -> dict:
         "embedding_dups": _embedding_dups_sql(),
         "embedding_dup_clusters": _embedding_clusters_sql(),
         "media_dedup": _media_dedup_sql(),
+        "chunk_docs": _chunk_docs_sql(),
         "simhash_pairs": _simhash_sql(),
         "ann_lsh": _ann_lsh_sql(),
         "ann_ivf": _ann_ivf_sql(),

@@ -2910,6 +2910,54 @@ def q_dedup_clusters(sf_dir: str):
     )
 
 
+CHUNK_W = 200  # chunk window (chars)
+CHUNK_S = 150  # stride (25% overlap)
+
+
+def q_chunk_docs(sf_dir: str):
+    """Training-chunk preparation (NEW round 4): every document split
+    into fixed ``CHUNK_W``-char windows at stride ``CHUNK_S`` (25%
+    overlap — the standard pretraining chunking shape), each chunk
+    fingerprinted with the rolling polynomial hash so downstream
+    chunk-level dedup/decontamination can key on content. Purely
+    map-side (chunking is embarrassingly parallel — no exchange);
+    the hash kernel is the vectorized fingerprint64 over ALL chunks of
+    a batch at once. Hash carried as the int64 bit pattern; the oracle
+    re-derives it byte-for-byte in HUGEINT."""
+    from raycells.text.analysis import fingerprint64
+
+    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["doc_id", "text"])
+
+    def chunk(b: pa.Table) -> pa.Table:
+        dks = pc.cast(b["doc_id"], pa.string()).to_pylist()
+        texts = b["text"].to_pylist()
+        out_dk, out_idx, out_start, out_len, chunks = [], [], [], [], []
+        for dk, t in zip(dks, texts):
+            n = len(t)
+            start, idx = 0, 0
+            while start < n or idx == 0:
+                c = t[start : start + CHUNK_W]
+                out_dk.append(dk)
+                out_idx.append(idx)
+                out_start.append(start)
+                out_len.append(len(c))
+                chunks.append(c)
+                idx += 1
+                start += CHUNK_S
+        h = fingerprint64(chunks).view(np.int64)
+        return pa.table(
+            {
+                "doc_key": pa.array(out_dk, pa.string()),
+                "chunk_idx": pa.array(out_idx, pa.int64()),
+                "chunk_start": pa.array(out_start, pa.int64()),
+                "chunk_len": pa.array(out_len, pa.int64()),
+                "chunk_hash": pa.array(h),
+            }
+        )
+
+    return ds.map_batches(chunk, batch_format="pyarrow")
+
+
 def q_media_dedup(sf_dir: str):
     """Exact MULTIMODAL dedup (NEW round 4) — the image-dedup shape of a
     training-data pipeline: every media span's tile is DECODED and

@@ -39,6 +39,7 @@ CHECKED = [
     "bloom_pruned_join",
     "embedding_dup_clusters",
     "media_dedup",
+    "chunk_docs",
     "cell_agg_s2face",
     "ndvi_stats",
     "resample_tiles",
