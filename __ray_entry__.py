@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_clusters": q.q_embedding_dup_clusters,  # NEW round 4 (semantic dedup clusters)
         "media_dedup": q.q_media_dedup,  # NEW round 4 (multimodal content dedup)
         "chunk_docs": q.q_chunk_docs,  # NEW round 4 (training-chunk prep)
+        "bloom_pruned_join": q.q_bloom_pruned_join,  # NEW round 4 (sketch-pruned exact join)
         "ann_lsh": q.q_ann_lsh,
         "ann_ivf": q.q_ann_ivf,
         "fingerprint_docs": q.q_fingerprint_docs,
@@ -184,7 +185,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_by_nearest": q.q_zonal_by_nearest,  # NEW round 3 (NN-zonal composite)
         "media_decode_real": q.q_media_decode_real,  # NEW round 3 (REAL PNG/WAV codecs)
         "bloom_semijoin": q.q_bloom_semijoin,  # NEW round 3 (mergeable bloom sketch)
-        "bloom_pruned_join": q.q_bloom_pruned_join,  # NEW round 4 (sketch-pruned exact join)
         # (b) passed r01, absent from the r02 snapshot.
         "lang_id": q.q_lang_id,
         "events_daily": q.q_events_daily,
