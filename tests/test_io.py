@@ -238,3 +238,47 @@ def test_valid_cell_closed_form_matches_decode():
     r = (((33 - seeds % 33) % 33) * 19) % 33
     valid_closed = 4096 - ((4095 - r) // 33 + 1)
     assert np.array_equal(valid_decode, valid_closed)
+
+
+def test_spans_text_concat_matches_per_doc_join():
+    """Round 4: the vectorized per-doc text concat (filter text spans →
+    rebuilt list offsets → binary_join) equals the naive per-doc join,
+    including docs with no text spans (empty string) and preserved span
+    order."""
+    import pyarrow as pa
+
+    from raycells.io.docsource import SPANS_TYPE, spans_text_concat
+
+    rows = [
+        [  # mixed doc
+            {"kind": "text", "text": "alpha beta", "media_ref": "", "offset": 0},
+            {"kind": "media", "text": "", "media_ref": "tile://7", "offset": 11},
+            {"kind": "text", "text": "gamma", "media_ref": "", "offset": 12},
+        ],
+        [  # media-only doc → empty concat
+            {"kind": "media", "text": "", "media_ref": "tile://9", "offset": 0},
+        ],
+        [  # text-only doc, order matters
+            {"kind": "text", "text": "z", "media_ref": "", "offset": 0},
+            {"kind": "text", "text": "a", "media_ref": "", "offset": 2},
+        ],
+    ]
+    spans = pa.array(rows, type=SPANS_TYPE)
+    got = spans_text_concat(spans).to_pylist()
+    want = [
+        " ".join(s["text"] for s in doc if s["kind"] == "text") for doc in rows
+    ]
+    assert got == want == ["alpha beta gamma", "", "z a"]
+
+
+def test_scaled_buckets_floor_and_cluster_width(ray_session):
+    """Round 4: exchange widths derive from cluster CPUs with a 64
+    floor — on this 4-CPU test session the floor wins; the 2×CPU rule
+    is pinned arithmetically against the session's resources."""
+    import ray
+
+    from raycells.engine.shuffle import DEFAULT_BUCKETS, scaled_buckets
+
+    cpus = int(ray.cluster_resources().get("CPU", 0))
+    assert scaled_buckets() == max(DEFAULT_BUCKETS, 2 * cpus)
+    assert scaled_buckets(floor=1) == max(1, 2 * cpus)
