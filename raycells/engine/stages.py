@@ -282,17 +282,22 @@ def add_cell_ids(batch: pa.Table, level: int = 8) -> pa.Table:
 _BROADCAST_MEMO: dict = {}
 
 
+_BROADCAST_MEMO_MAX = 4
+
+
 def _broadcast_memo(ref):
     """Per-worker memoized ``ray.get`` of a broadcast object (zero-copy
-    plasma read on first touch, dict hit after). Single-entry bounded:
-    a new ref evicts the previous object so long-lived workers don't
-    accumulate stale broadcasts."""
+    plasma read on first touch, dict hit after). Bounded at a few
+    entries (NOT one — two interleaved pipelines sharing a worker would
+    evict each other's broadcast on every alternating group) so
+    long-lived workers don't accumulate stale broadcasts."""
     key = ref.hex()
     hit = _BROADCAST_MEMO.get(key)
     if hit is None:
         import ray
 
-        _BROADCAST_MEMO.clear()
+        if len(_BROADCAST_MEMO) >= _BROADCAST_MEMO_MAX:
+            _BROADCAST_MEMO.clear()
         hit = _BROADCAST_MEMO[key] = ray.get(ref)
     return hit
 
@@ -360,15 +365,19 @@ def cell_cover_join(stats_ds, footprints_table: pa.Table, level: int = 6):
             }
         )
 
-    from raycells.engine.shuffle import add_bucket
+    from raycells.engine.shuffle import add_bucket, scaled_buckets
 
     both = (
         stats_ds.map_batches(tile_rows, batch_format="pyarrow")
         .union(rd.from_arrow(fp_rows))
         # shuffle on a coarse bucket of the cell (NOT the raw cell id —
         # per-distinct-group overhead, see shuffle.add_bucket); exact
-        # cell equality is enforced vectorized inside the group
-        .map_batches(lambda b: add_bucket(b, "cover_cell"), batch_format="pyarrow")
+        # cell equality is enforced vectorized inside the group; width
+        # scales with the cluster, resolved once at build time
+        .map_batches(
+            lambda b, nb=scaled_buckets(): add_bucket(b, "cover_cell", nb),
+            batch_format="pyarrow",
+        )
     )
 
     def group_join(g: pa.Table) -> pa.Table:

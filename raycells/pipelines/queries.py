@@ -2258,49 +2258,51 @@ def _sf_of(sf_dir: str) -> str:
 
 def q_bloom_semijoin(sf_dir: str):
     """Approximate-membership SEMI-JOIN via a mergeable Bloom filter
-    (NEW round 3) — the sketch that replaces a broadcast key set at
-    100 TB: build side = customers with negative balance, per-batch
-    PARTIAL bitmaps OR-merged on the driver (blocks × 8 KB, never a
-    key — the HLL-register pattern); probe side = orders streaming
+    (NEW round 3; rebuilt on sim/sketch.py in round 4) — the sketch
+    that replaces a broadcast key set at 100 TB: build side = customers
+    with negative balance, per-batch PARTIAL bitmaps OR-merged by ONE
+    Ray task (``sketch.bloom_build`` — the driver touches neither a key
+    nor a bitmap); probe side = orders streaming
     against the broadcast bitmap. Rolled up per priority with BOTH the
     bloom-positive count and the exact semi-join count, so the false-
     positive behavior is itself oracle-pinned (bit indices are plain
     BIGINT mixes the SQL reproduces verbatim)."""
     import ray
 
-    from raycells.sim.bloom import bloom_probe, partial_bloom
+    from raycells.sim import sketch
+    from raycells.sim.bloom import bloom_probe
 
     cust = _read(
         sf_dir, "customer", SMALL_TABLE_BLOCKS, columns=["c_custkey", "c_acctbal"]
     )
 
-    def bloom_part(b: pa.Table) -> pa.Table:
+    def neg_keys(b: pa.Table) -> pa.Table:
         bal = b["c_acctbal"].to_numpy(zero_copy_only=False)
         keys = pc.cast(b["c_custkey"], pa.int64()).to_numpy(zero_copy_only=False)
-        keep = keys[bal < 0]
-        bm = partial_bloom(keep)
-        return pa.table(
-            {
-                "bitmap": pa.array([np.packbits(bm).tobytes()], pa.large_binary()),
-                "keys": pa.array([keep.tobytes()], pa.large_binary()),
-            }
-        )
+        return pa.table({"k": pa.array(keys[bal < 0], pa.int64())})
 
-    parts = cust.map_batches(bloom_part, batch_format="pyarrow").to_pandas()
-    bitmap = np.zeros(0, dtype=bool)
-    true_keys = []
-    for blob, kb in zip(parts["bitmap"], parts["keys"]):
-        bm = np.unpackbits(np.frombuffer(blob, np.uint8)).astype(bool)
-        bitmap = bm if bitmap.size == 0 else (bitmap | bm)
-        true_keys.append(np.frombuffer(kb, np.int64))
+    negk = cust.map_batches(neg_keys, batch_format="pyarrow").materialize()
+    # bitmap via the Dataset-level sketch surface (partials OR-merged in
+    # a Ray task — since round 4 the driver never touches a bitmap)
+    bm_ref = sketch.bloom_build(negk, "k")
+
+    def _union_key_blocks(*tabs) -> np.ndarray:
+        arrs = [
+            t["k"].to_numpy(zero_copy_only=False) for t in tabs if t.num_rows
+        ]
+        return np.unique(np.concatenate(arrs)) if arrs else np.empty(0, np.int64)
+
     # the exact key set rides along ONLY to pin the FP rate in the
-    # output — a pure bloom deployment broadcasts just the 8 KB bitmap
-    true_keys = np.unique(np.concatenate(true_keys)) if true_keys else np.empty(0, np.int64)
-    ref = ray.put((bitmap, true_keys))
+    # output — a pure bloom deployment broadcasts just the 8 KB bitmap.
+    # Unioned worker-side (one Ray task), never on the driver.
+    keys_ref = ray.remote(num_cpus=1)(_union_key_blocks).remote(
+        *negk.to_arrow_refs()
+    )
 
     class Probe:
-        def __init__(self, r):
-            self.bitmap, self.keys = ray.get(r)
+        def __init__(self, bm_r, keys_r):
+            self.bitmap = ray.get(bm_r)
+            self.keys = ray.get(keys_r)
 
         def __call__(self, b: pa.Table) -> pa.Table:
             k = pc.cast(b["o_custkey"], pa.int64()).to_numpy(zero_copy_only=False)
@@ -2323,7 +2325,9 @@ def q_bloom_semijoin(sf_dir: str):
         sf_dir, "orders", SMALL_TABLE_BLOCKS, columns=["o_custkey", "o_orderpriority"]
     )
     folded = (
-        orders.map_batches(stages.broadcast_task(Probe, ref), batch_format="pyarrow")
+        orders.map_batches(
+            stages.broadcast_task(Probe, bm_ref, keys_ref), batch_format="pyarrow"
+        )
         .to_pandas()
         .groupby("o_orderpriority", sort=False, as_index=False)
         .sum()
@@ -2359,13 +2363,9 @@ def q_bloom_pruned_join(sf_dir: str):
         columns=["c_custkey", "c_acctbal", "c_nationkey"],
     )
 
-    def neg(b: pa.Table) -> np.ndarray:
-        return b["c_acctbal"].to_numpy(zero_copy_only=False) < 0
-
-    bm_ref = sketch.bloom_build(cust, "c_custkey", pred=neg)
-
     def neg_rows(b: pa.Table) -> pa.Table:
-        sub = b.filter(pa.array(neg(b)))
+        keep = b["c_acctbal"].to_numpy(zero_copy_only=False) < 0
+        sub = b.filter(pa.array(keep))
         return pa.table(
             {
                 "c_custkey": pc.cast(sub["c_custkey"], pa.int64()),
@@ -2373,7 +2373,11 @@ def q_bloom_pruned_join(sf_dir: str):
             }
         )
 
-    neg_cust = cust.map_batches(neg_rows, batch_format="pyarrow")
+    # ONE customer scan: the filtered build side materializes (bounded —
+    # it is the join's small side by construction) and the bloom builds
+    # from its blocks instead of re-reading the table
+    neg_cust = cust.map_batches(neg_rows, batch_format="pyarrow").materialize()
+    bm_ref = sketch.bloom_build(neg_cust, "c_custkey")
 
     orders = _read(
         sf_dir, "orders", SMALL_TABLE_BLOCKS, columns=["o_custkey", "o_totalprice"]
@@ -2931,6 +2935,15 @@ def q_chunk_docs(sf_dir: str):
     def chunk(b: pa.Table) -> pa.Table:
         dks = pc.cast(b["doc_id"], pa.string()).to_pylist()
         texts = b["text"].to_pylist()
+        # guard the oracle's bounds (range(64) chunk positions): a doc
+        # beyond them would silently lose chunks on the SQL side only
+        # (the q_decontaminate 512-token-guard pattern)
+        max_len = max((len(t) for t in texts), default=0)
+        if max_len > 64 * CHUNK_S:
+            raise ValueError(
+                f"chunk_docs oracle caps docs at {64 * CHUNK_S} chars; "
+                f"saw {max_len}"
+            )
         out_dk, out_idx, out_start, out_len, chunks = [], [], [], [], []
         for dk, t in zip(dks, texts):
             n = len(t)
@@ -3018,9 +3031,17 @@ def q_media_dedup(sf_dir: str):
         .groupby("_cbucket")
         .map_groups(winners, batch_format="pyarrow")
     )
-    t = pa.concat_tables(
-        [tt for tt in (ray_get_tables(out)) if tt.num_rows], promote_options="none"
-    )
+    tabs = [tt for tt in ray_get_tables(out) if tt.num_rows]
+    if not tabs:  # an input with no media spans has no content groups
+        return pa.table(
+            {
+                "content_hash": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.string()),
+                "span_idx": pa.array([], pa.int64()),
+                "n_copies": pa.array([], pa.int64()),
+            }
+        )
+    t = pa.concat_tables(tabs, promote_options="none")
     order = np.argsort(t["content_hash"].to_numpy(zero_copy_only=False), kind="stable")
     return t.take(pa.array(order))
 

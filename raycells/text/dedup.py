@@ -571,6 +571,15 @@ def _verify_join_collect(
     cand = _dedupe_pairs(cand_ds).materialize()
     n_cand = cand.count()
     if n_cand == 0:
+        if sink_dir is not None:
+            # a zero-candidate run must still OWN the sink dir: leaving
+            # a previous run's pair parquet behind would contradict the
+            # n_pairs=0 summary the caller publishes
+            import shutil
+
+            shutil.rmtree(sink_dir, ignore_errors=True)
+            os.makedirs(sink_dir, exist_ok=True)
+            return {"sink_dir": sink_dir, "n_pairs": 0, "n_files": 0}
         return None
 
     # DISTINCT candidate ids stay in the object store: ONE Ray task
