@@ -2288,7 +2288,9 @@ def q_bloom_semijoin(sf_dir: str):
 
     def _union_key_blocks(*tabs) -> np.ndarray:
         arrs = [
-            t["k"].to_numpy(zero_copy_only=False) for t in tabs if t.num_rows
+            t["k"].to_numpy(zero_copy_only=False)
+            for t in tabs
+            if t.num_rows and "k" in t.column_names
         ]
         return np.unique(np.concatenate(arrs)) if arrs else np.empty(0, np.int64)
 
@@ -3146,7 +3148,7 @@ def q_decontaminate(sf_dir: str):
         arrs = [
             t["wh"].to_numpy(zero_copy_only=False).view(np.uint64)
             for t in tabs
-            if t.num_rows
+            if t.num_rows and "wh" in t.column_names
         ]
         return (
             np.unique(np.concatenate(arrs)) if arrs else np.empty(0, np.uint64)

@@ -503,7 +503,7 @@ def _union_id_blocks(*tabs) -> np.ndarray:
     arrs = [
         t[c].to_numpy(zero_copy_only=False)
         for t in tabs
-        if t.num_rows
+        if t.num_rows and "id_a" in t.column_names
         for c in ("id_a", "id_b")
     ]
     return np.unique(np.concatenate(arrs)) if arrs else np.empty(0, object)
