@@ -42,9 +42,11 @@ oracles in raycells/pipelines/oracles.py):
   near-dup pairs resolved by the id-type-generic distributed
   min-label contraction), media_dedup (exact MULTIMODAL dedup by
   decoded-tile content hash — decode → polynomial hash →
-  hash-partitioned min-winner groups), and chunk_docs (training-chunk
+  hash-partitioned min-winner groups), chunk_docs (training-chunk
   preparation: fixed windows with 25% overlap + per-chunk rolling-hash
-  fingerprints, purely map-side) — ALL oracle-checked.
+  fingerprints, purely map-side), and chunk_dedup (chunk-LEVEL exact
+  dedup: duplicated text blocks across documents grouped by chunk
+  fingerprint) — ALL oracle-checked.
 - tabular family over the driver's parquet views:  lineitem_pricing,
   orders_by_segment, revenue_by_nation, global_stats, quantiles_qty,
   sessionize, dedup_exact, token_stats, normalize_text,
@@ -163,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_clusters": q.q_embedding_dup_clusters,  # NEW round 4 (semantic dedup clusters)
         "media_dedup": q.q_media_dedup,  # NEW round 4 (multimodal content dedup)
         "chunk_docs": q.q_chunk_docs,  # NEW round 4 (training-chunk prep)
+        "chunk_dedup": q.q_chunk_dedup,  # NEW round 4 (chunk-level exact dedup)
         "bloom_pruned_join": q.q_bloom_pruned_join,  # NEW round 4 (sketch-pruned exact join)
         "ann_lsh": q.q_ann_lsh,
         "ann_ivf": q.q_ann_ivf,

@@ -1907,6 +1907,23 @@ def build() -> dict:
         "embedding_dup_clusters": _embedding_clusters_sql(),
         "media_dedup": _media_dedup_sql(),
         "chunk_docs": _chunk_docs_sql(),
+        # chunk_dedup: the duplicated chunk contents with canonical
+        # occurrence — GROUP BY over the chunk_docs fingerprint table
+        "chunk_dedup": f"""
+            WITH ch AS MATERIALIZED ({_chunk_docs_sql()}),
+            ranked AS (
+                SELECT chunk_hash, doc_key, chunk_idx,
+                       row_number() OVER (
+                           PARTITION BY chunk_hash
+                           ORDER BY doc_key, chunk_idx
+                       ) AS rn,
+                       CAST(COUNT(*) OVER (PARTITION BY chunk_hash) AS BIGINT)
+                           AS n_copies
+                FROM ch
+            )
+            SELECT chunk_hash, doc_key, chunk_idx, n_copies
+            FROM ranked WHERE rn = 1 AND n_copies > 1
+        """,
         "simhash_pairs": _simhash_sql(),
         "ann_lsh": _ann_lsh_sql(),
         "ann_ivf": _ann_ivf_sql(),

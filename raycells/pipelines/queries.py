@@ -2973,6 +2973,55 @@ def q_chunk_docs(sf_dir: str):
     return ds.map_batches(chunk, batch_format="pyarrow")
 
 
+def q_chunk_dedup(sf_dir: str):
+    """Chunk-LEVEL exact dedup (NEW round 4) — the step after
+    ``chunk_docs`` in a real pretraining pipeline: duplicated text
+    BLOCKS across documents (boilerplate, quoted passages, exact-dup
+    docs) found by grouping the chunk fingerprints. One coarse-bucket
+    exchange of (hash, doc, idx) rows; emits only the DUPLICATED
+    contents (n_copies > 1) with their min-(doc_key, chunk_idx)
+    canonical occurrence."""
+    chunks = q_chunk_docs(sf_dir).map_batches(
+        lambda b: b.select(["chunk_hash", "doc_key", "chunk_idx"]),
+        batch_format="pyarrow",
+    )
+
+    def winners(g: pa.Table) -> pa.Table:
+        df = (
+            g.to_pandas()
+            .drop(columns=["_cbucket"])
+            .sort_values(["chunk_hash", "doc_key", "chunk_idx"], kind="stable")
+        )
+        sizes = df.groupby("chunk_hash", sort=False)["chunk_hash"].transform("size")
+        df = df.assign(n_copies=sizes.astype(np.int64))
+        df = df[df["n_copies"] > 1].drop_duplicates("chunk_hash", keep="first")
+        return shuffle_mod.from_pandas_clean(df)
+
+    out = (
+        chunks.map_batches(
+            lambda b, nb=shuffle_mod.scaled_buckets(): dd._coarse_bucket(
+                b, ["chunk_hash"], nb
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("_cbucket")
+        .map_groups(winners, batch_format="pyarrow")
+    )
+    tabs = [tt for tt in ray_get_tables(out) if tt.num_rows]
+    if not tabs:
+        return pa.table(
+            {
+                "chunk_hash": pa.array([], pa.int64()),
+                "doc_key": pa.array([], pa.string()),
+                "chunk_idx": pa.array([], pa.int64()),
+                "n_copies": pa.array([], pa.int64()),
+            }
+        )
+    t = pa.concat_tables(tabs, promote_options="none")
+    order = np.argsort(t["chunk_hash"].to_numpy(zero_copy_only=False), kind="stable")
+    return t.take(pa.array(order))
+
+
 def q_media_dedup(sf_dir: str):
     """Exact MULTIMODAL dedup (NEW round 4) — the image-dedup shape of a
     training-data pipeline: every media span's tile is DECODED and

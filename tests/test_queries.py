@@ -40,6 +40,7 @@ CHECKED = [
     "embedding_dup_clusters",
     "media_dedup",
     "chunk_docs",
+    "chunk_dedup",
     "cell_agg_s2face",
     "ndvi_stats",
     "resample_tiles",
