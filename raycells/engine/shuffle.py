@@ -118,6 +118,27 @@ DEFAULT_BUCKETS = 64
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
+def block_tables(tabs, required_col: str) -> list:
+    """Filter a sequence of materialized block tables down to the ones
+    the producing UDF actually emitted. Ray hands EMPTY blocks straight
+    through ``map_batches`` with their UPSTREAM schema (the UDF never
+    runs), so worker-side fold tasks must skip rowless blocks — but a
+    NON-empty block missing ``required_col`` is a real schema bug and
+    raises instead of silently under-populating the fold."""
+    out = []
+    for t in tabs:
+        if t.num_rows == 0:
+            continue
+        if required_col not in t.column_names:
+            raise KeyError(
+                f"block is missing column {required_col!r} "
+                f"(has {t.column_names}) — producing UDF emitted the "
+                "wrong schema"
+            )
+        out.append(t)
+    return out
+
+
 def scaled_buckets(floor: int = DEFAULT_BUCKETS) -> int:
     """Exchange width ≈ 2× cluster CPUs, floor ``DEFAULT_BUCKETS`` — a
     fixed 64-bucket merge caps reduce parallelism on a multi-node

@@ -296,8 +296,10 @@ def _broadcast_memo(ref):
     if hit is None:
         import ray
 
-        if len(_BROADCAST_MEMO) >= _BROADCAST_MEMO_MAX:
-            _BROADCAST_MEMO.clear()
+        while len(_BROADCAST_MEMO) >= _BROADCAST_MEMO_MAX:
+            # evict the OLDEST single entry (dict is insertion-ordered):
+            # clearing everything would thrash >4 interleaved broadcasts
+            del _BROADCAST_MEMO[next(iter(_BROADCAST_MEMO))]
         hit = _BROADCAST_MEMO[key] = ray.get(ref)
     return hit
 

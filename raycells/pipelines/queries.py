@@ -2289,8 +2289,7 @@ def q_bloom_semijoin(sf_dir: str):
     def _union_key_blocks(*tabs) -> np.ndarray:
         arrs = [
             t["k"].to_numpy(zero_copy_only=False)
-            for t in tabs
-            if t.num_rows and "k" in t.column_names
+            for t in shuffle_mod.block_tables(tabs, "k")
         ]
         return np.unique(np.concatenate(arrs)) if arrs else np.empty(0, np.int64)
 
@@ -3196,8 +3195,7 @@ def q_decontaminate(sf_dir: str):
     def _union_hash_blocks(*tabs) -> np.ndarray:
         arrs = [
             t["wh"].to_numpy(zero_copy_only=False).view(np.uint64)
-            for t in tabs
-            if t.num_rows and "wh" in t.column_names
+            for t in shuffle_mod.block_tables(tabs, "wh")
         ]
         return (
             np.unique(np.concatenate(arrs)) if arrs else np.empty(0, np.uint64)

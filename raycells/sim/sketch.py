@@ -47,12 +47,10 @@ def bloom_or_merge(*bitmaps: np.ndarray) -> np.ndarray:
 def _or_packed_blocks(*tabs: pa.Table) -> np.ndarray:
     """Worker-side union of per-batch packed bitmaps → one bool bitmap.
     Runs as a Ray task so partial bitmaps never land on the driver."""
+    from raycells.engine.shuffle import block_tables
+
     out = np.zeros(BLOOM_M, dtype=bool)
-    for t in tabs:
-        # Ray may pass an EMPTY block straight through map_batches with
-        # its UPSTREAM schema (the UDF never ran) — skip those
-        if t.num_rows == 0 or "bitmap" not in t.column_names:
-            continue
+    for t in block_tables(tabs, "bitmap"):
         for blob in t["bitmap"]:
             out |= np.unpackbits(
                 np.frombuffer(blob.as_py(), np.uint8)

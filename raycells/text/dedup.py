@@ -440,9 +440,9 @@ def minhash_near_dup_pairs(
         id_type=pa.string(), empty=empty, sink_dir=sink_dir,
     )
     if sink_dir is not None:
-        return out if out is not None else {
-            "sink_dir": sink_dir, "n_pairs": 0, "n_files": 0
-        }
+        # _verify_join_collect owns sink hygiene in every path (incl.
+        # zero candidates), so `out` is always the summary dict here
+        return out
     if out is None or out.num_rows == 0:
         return empty
     order = np.lexsort(
@@ -500,10 +500,11 @@ def _union_id_blocks(*tabs) -> np.ndarray:
     """Worker-side union of candidate-pair blocks → one sorted array of
     DISTINCT endpoint ids (runs as a Ray task so the id set never lands
     on the driver)."""
+    from raycells.engine.shuffle import block_tables
+
     arrs = [
         t[c].to_numpy(zero_copy_only=False)
-        for t in tabs
-        if t.num_rows and "id_a" in t.column_names
+        for t in block_tables(tabs, "id_a")
         for c in ("id_a", "id_b")
     ]
     return np.unique(np.concatenate(arrs)) if arrs else np.empty(0, object)
