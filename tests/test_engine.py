@@ -413,3 +413,22 @@ def test_flagship_with_join_requires_out_dir(ray_session, tmp_path):
 
     joined = pq.read_table(files)
     assert joined.num_rows > 0
+
+
+def test_block_tables_skips_empty_raises_on_schema_bug():
+    """block_tables (round 4): empty pass-through blocks are skipped
+    (Ray hands them through map_batches with the UPSTREAM schema), but
+    a NON-empty block missing the required column is a real producer
+    bug and must raise — a silent skip would under-populate worker-side
+    folds (bloom bitmaps, key unions) without any signal."""
+    import pyarrow as pa
+    import pytest
+
+    from raycells.engine.shuffle import block_tables
+
+    good = pa.table({"k": pa.array([1, 2], pa.int64())})
+    empty_upstream = pa.table({"other": pa.array([], pa.string())})
+    assert block_tables([good, empty_upstream], "k") == [good]
+    bad = pa.table({"other": pa.array(["x"], pa.string())})
+    with pytest.raises(KeyError, match="missing column 'k'"):
+        block_tables([good, bad], "k")
