@@ -208,15 +208,26 @@ def _block_mode(blocks: np.ndarray) -> np.ndarray:
     """Mode along the last axis of ``blocks`` (…, k), smallest value on
     a count tie. Vectorized: sort, assign run ids to equal-value runs,
     count run lengths by one-hot sum, argmax over positions (first hit
-    in sorted order = smallest tied value)."""
+    in sorted order = smallest tied value). Rows are processed in ~2 MB
+    chunks: the (rows, k, k) one-hot temporary was ~65 MB for a full
+    task batch, and this platform's allocation/first-touch costs made
+    the whole-batch pass 2-3× slower than chunked (CLAUDE.md)."""
     k = blocks.shape[-1]
-    s = np.sort(blocks, axis=-1)
-    rid = np.zeros(s.shape, dtype=np.int64)
-    np.cumsum(s[..., 1:] != s[..., :-1], axis=-1, out=rid[..., 1:])
-    counts = (rid[..., :, None] == np.arange(k)).sum(axis=-2)  # per run id
-    per_elem = np.take_along_axis(counts, rid, axis=-1)
-    best = np.argmax(per_elem, axis=-1)
-    return np.take_along_axis(s, best[..., None], axis=-1)[..., 0]
+    flat = blocks.reshape(-1, k)
+    n = flat.shape[0]
+    step = max(1, (1 << 21) // max(1, k * k * 8))
+    out = np.empty(n, dtype=blocks.dtype)
+    for lo in range(0, n, step):
+        s = np.sort(flat[lo : lo + step], axis=-1)
+        rid = np.zeros(s.shape, dtype=np.int64)
+        np.cumsum(s[..., 1:] != s[..., :-1], axis=-1, out=rid[..., 1:])
+        counts = (rid[..., :, None] == np.arange(k)).sum(axis=-2)  # per run
+        per_elem = np.take_along_axis(counts, rid, axis=-1)
+        best = np.argmax(per_elem, axis=-1)
+        out[lo : lo + step] = np.take_along_axis(s, best[..., None], axis=-1)[
+            ..., 0
+        ]
+    return out.reshape(blocks.shape[:-1])
 
 
 def _cubic_weights(t: np.ndarray) -> np.ndarray:
