@@ -19,6 +19,7 @@ contract forbids library-level ray.init).
 from __future__ import annotations
 
 import argparse
+import glob
 import json
 import os
 import time
@@ -107,13 +108,21 @@ def run_dedup_job(docs_dir: str, out_dir: str, threshold: float = 0.5) -> dict:
     from raycells.text import dedup as dd
 
     man_path = os.path.join(out_dir, "manifest", "dedup_pairs.json")
+    sink_dir = os.path.join(out_dir, "pairs")
     if os.path.exists(man_path):
         try:
             with open(man_path) as f:
                 entry = json.load(f)
-            return {"done": [], "skipped": ["dedup_pairs"], "manifest": entry}
         except ValueError:
-            pass  # torn manifest → recompute
+            entry = None  # torn manifest → recompute
+        if entry is not None:
+            # the manifest alone is not proof the sink survived: verify
+            # the pair parquet file count still matches before skipping
+            # (a deleted/partially-lost sink would otherwise report
+            # skipped with stale counts forever — ADVICE r4)
+            n_on_disk = len(glob.glob(os.path.join(sink_dir, "*.parquet")))
+            if n_on_disk == entry.get("n_files"):
+                return {"done": [], "skipped": ["dedup_pairs"], "manifest": entry}
     os.makedirs(os.path.dirname(man_path), exist_ok=True)
     t0 = time.perf_counter()
     docs = docsource.read_documents(docs_dir).map_batches(
@@ -127,7 +136,7 @@ def run_dedup_job(docs_dir: str, out_dir: str, threshold: float = 0.5) -> dict:
     )
     summary = dd.minhash_near_dup_pairs(
         docs, col="text", id_col="doc_key", threshold=threshold,
-        sink_dir=os.path.join(out_dir, "pairs"),
+        sink_dir=sink_dir,
     )
     entry = {
         "job": "dedup_pairs",

@@ -717,6 +717,51 @@ def synth_band_stats(seeds: np.ndarray, band: int) -> Dict[str, np.ndarray]:
     }
 
 
+def _p31_cache(n: int) -> np.ndarray:
+    key = ("p31", n)
+    v = _SCRATCH.get(key)
+    if v is None:
+        with np.errstate(over="ignore"):
+            v = np.uint64(31) ** np.arange(n, dtype=np.uint64)
+        _SCRATCH[key] = v
+    return v
+
+
+def synth_band_content_hash(seeds: np.ndarray, band: int = 4) -> np.ndarray:
+    """Polynomial content hash per band tile: Σ v_i·31^i mod 2^64 over
+    the 4096 decoded band values (0 at nodata cells — i.e. the hash is
+    over ``synth_band_values`` exactly). Chunked decode→hash in the
+    REUSED module scratch (the ``synth_band_stats`` pattern): the value
+    matrix never exists outside a ~2 MB working set, and the power table
+    is cached once per worker. Returns uint64; carry it in Arrow as the
+    int64 BIT PATTERN (CLAUDE.md uint64 rule). SQL mirror: the
+    ``media_dedup`` oracle's HUGEINT power-sum over the same LCG."""
+    s = np.asarray(seeds, dtype=np.int64)
+    N = len(s)
+    n = TILE_N
+    imul = _imul_cache(n, band * 101)
+    i7 = _i7_cache(n)
+    i64 = _scratch("i64", n, np.int64)
+    i64b = _scratch("i64b", n, np.int64)
+    u64 = _scratch("u64", n, np.uint64)
+    p31 = _p31_cache(n)
+    out = np.empty(N, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for lo in range(0, N, _CHUNK):
+            g = min(_CHUNK, N - lo)
+            ss = s[lo : lo + g][:, None]
+            np.add(ss * MUL_A, imul, out=i64[:g])
+            np.mod(i64[:g], VAL_MOD, out=i64[:g])
+            np.add(i64[:g], 1, out=i64[:g])  # v in 1..65520
+            np.add(ss, i7, out=i64b[:g])
+            np.mod(i64b[:g], MASK_MOD, out=i64b[:g])
+            i64[:g][i64b[:g] == 0] = 0  # nodata sentinel
+            np.copyto(u64[:g], i64[:g], casting="unsafe")
+            np.multiply(u64[:g], p31[None, :], out=u64[:g])
+            out[lo : lo + g] = u64[:g].sum(axis=1, dtype=np.uint64)
+    return out
+
+
 def synth_ndvi_stats(seeds: np.ndarray, red_band: int = 4, nir_band: int = 5) -> Dict[str, np.ndarray]:
     """The reference's golden workload (rasterband.rs:138-191) as a
     chunked two-band kernel: ndvi = (nir − red) / (nir + red) over cells

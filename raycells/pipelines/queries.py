@@ -2934,37 +2934,30 @@ def q_chunk_docs(sf_dir: str):
     ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["doc_id", "text"])
 
     def chunk(b: pa.Table) -> pa.Table:
-        dks = pc.cast(b["doc_id"], pa.string()).to_pylist()
+        dks = pc.cast(b["doc_id"], pa.string())
         texts = b["text"].to_pylist()
-        # guard the oracle's bounds (range(64) chunk positions): a doc
-        # beyond them would silently lose chunks on the SQL side only
-        # (the q_decontaminate 512-token-guard pattern)
-        max_len = max((len(t) for t in texts), default=0)
-        if max_len > 64 * CHUNK_S:
-            raise ValueError(
-                f"chunk_docs oracle caps docs at {64 * CHUNK_S} chars; "
-                f"saw {max_len}"
-            )
-        out_dk, out_idx, out_start, out_len, chunks = [], [], [], [], []
-        for dk, t in zip(dks, texts):
-            n = len(t)
-            start, idx = 0, 0
-            while start < n or idx == 0:
-                c = t[start : start + CHUNK_W]
-                out_dk.append(dk)
-                out_idx.append(idx)
-                out_start.append(start)
-                out_len.append(len(c))
-                chunks.append(c)
-                idx += 1
-                start += CHUNK_S
+        n_docs = len(texts)
+        lens = np.fromiter((len(t) for t in texts), np.int64, count=n_docs)
+        # LENGTH-UNBOUNDED vectorized window offsets (VERDICT r4 #1 — the
+        # old per-doc while loop hard-raised beyond the oracle's fixed
+        # range(64); the oracle now derives its chunk-position bound from
+        # MAX(length(text)) so both sides scale with the data): windows
+        # start at 0, S, 2S, … < n — ceil(n/S) chunks, one empty chunk
+        # for an empty doc.
+        n_chunks = np.maximum(1, -(-lens // CHUNK_S))
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_chunks)
+        first = np.concatenate([[0], np.cumsum(n_chunks)[:-1]]).astype(np.int64)
+        idx = np.arange(doc_of.size, dtype=np.int64) - first[doc_of]
+        start = idx * CHUNK_S
+        clen = np.minimum(CHUNK_W, lens[doc_of] - start)
+        chunks = [texts[d][s : s + CHUNK_W] for d, s in zip(doc_of, start)]
         h = fingerprint64(chunks).view(np.int64)
         return pa.table(
             {
-                "doc_key": pa.array(out_dk, pa.string()),
-                "chunk_idx": pa.array(out_idx, pa.int64()),
-                "chunk_start": pa.array(out_start, pa.int64()),
-                "chunk_len": pa.array(out_len, pa.int64()),
+                "doc_key": pc.take(dks, pa.array(doc_of)),
+                "chunk_idx": pa.array(idx, pa.int64()),
+                "chunk_start": pa.array(start, pa.int64()),
+                "chunk_len": pa.array(clen, pa.int64()),
                 "chunk_hash": pa.array(h),
             }
         )

@@ -470,8 +470,23 @@ class _AttachPayloads:
         # _ref0 is broadcast_task's mandatory lead ref (also refs[0])
         import ray
 
+        from raycells.engine.shuffle import block_tables
+
         self.names = payload_names
         tabs = [ray.get(r) for r in ref_list(refs)]
+        # Ray hands EMPTY blocks through map_batches with the UPSTREAM
+        # schema (the UDF never runs), so a rowless documents-read block
+        # reaching this concat would carry the wrong columns — filter
+        # through block_tables (which also raises on a NON-empty block
+        # with a bad schema, a real producer bug).
+        tabs = block_tables(tabs, id_col)
+        if not tabs:
+            # n_cand > 0 guarantees candidate-touched payload rows exist;
+            # reaching here means the semi-join prefilter dropped them
+            raise ValueError(
+                "no candidate-touched payload blocks reached the attach "
+                "stage — semi-join prefilter emitted only empty blocks"
+            )
         t = pa.concat_tables(tabs)
         # dictionary-index attach: ids as an Arrow value_set, payloads
         # taken by position — no per-row Python (VERDICT r3 #4)
@@ -482,6 +497,14 @@ class _AttachPayloads:
         name_a, name_b = self.names
         ia = pc.index_in(batch["id_a"], value_set=self.ids)
         ib = pc.index_in(batch["id_b"], value_set=self.ids)
+        if ia.null_count or ib.null_count:
+            # index_in returns NULL for a missing id — the old dict
+            # lookup raised KeyError; a silent null payload here would
+            # make verify_fn quietly drop (or mis-score) the pair
+            raise KeyError(
+                "candidate pair references an id absent from the "
+                "candidate-touched payload set"
+            )
         return pa.table(
             {
                 "id_a": batch["id_a"],

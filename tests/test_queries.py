@@ -181,3 +181,45 @@ def test_entry_smoke(ray_session):
     out = _to_df(e.entry())
     assert len(out) > 0
     assert {"cell_id", "n_tiles", "min_val", "max_val"} <= set(out.columns)
+
+
+def test_chunk_docs_unbounded_long_docs(ray_session, tmp_path, contract):
+    """chunk_docs/chunk_dedup must stay hash-green on documents LONGER
+    than the old 64×150 = 9,600-char oracle cap (VERDICT r4 #1: real
+    pretraining corpora routinely exceed it; the engine used to
+    hard-raise and the oracle used a fixed range(64) position bound —
+    both are now length-unbounded)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    queries, sqls = contract
+    long_a = "".join(chr(97 + (i * 7 + i // 31) % 26) for i in range(15000))
+    docs = pa.table(
+        {
+            "doc_id": ["d%02d" % k for k in range(6)],
+            "text": [
+                long_a,
+                long_a,  # exact dup: every aligned chunk collides
+                long_a[:9900],  # still beyond the old cap, shares a prefix
+                "short text",
+                "",  # one empty chunk (len 0)
+                "x" * 200,
+            ],
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    con2 = duckdb.connect()
+    con2.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    for name in ("chunk_docs", "chunk_dedup"):
+        got = _norm(_to_df(queries[name](str(tmp_path))))
+        want = _norm(con2.sql(sqls[name]).df())
+        assert list(got.columns) == list(want.columns)
+        assert len(got) == len(want) and len(got) > 0
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=True
+        )
+    cd = _to_df(queries["chunk_docs"](str(tmp_path)))
+    assert cd["chunk_idx"].max() >= 64  # genuinely beyond the old bound
