@@ -168,16 +168,18 @@ def q_rasterize_footprints(sf_dir: str):
     fps = fp_mod.generate_footprints()
 
     def fill(b: pa.Table) -> pa.Table:
+        # rings via Arrow list offsets (one flat vertex copy per batch,
+        # fp_mod.rings_as_numpy) — the scanline fill itself is vectorized
+        # per polygon; only the per-POLYGON loop remains
         ids, cats, counts = [], [], []
-        for row in b.to_pylist():
-            ring = np.array([[p["x"], p["y"]] for p in row["ring"]])
+        for fid, cat, ring in fp_mod.rings_as_numpy(b):
             bbox = (
                 ring[:, 0].min(), ring[:, 1].min(),
                 ring[:, 0].max(), ring[:, 1].max(),
             )
             grid = rasterize(ring, bbox, shape=(64, 64))
-            ids.append(row["footprint_id"])
-            cats.append(row["category"])
+            ids.append(fid)
+            cats.append(cat)
             counts.append(int(grid.sum()))
         return pa.table(
             {
@@ -212,11 +214,31 @@ def q_vectorize_tiles(sf_dir: str):
         b = b.filter(pa.array(keep))
         seeds = seeds[keep]
         v = tilestore.synth_band_values(seeds, 4)
-        n_regions = np.empty(len(seeds), dtype=np.int64)
-        for k in range(len(seeds)):
-            mask = (v[k] == 0).reshape(64, 64)  # nodata regions
-            _, n = connected_components(mask)
-            n_regions[k] = n
+        K = len(seeds)
+        n_regions = np.empty(K, dtype=np.int64)
+        # BATCHED labelling (VERDICT r4 #7): pack tiles side-by-side with
+        # one all-False separator column between them — 4-connected
+        # regions can't cross the separator, so ONE labelling pass covers
+        # the whole pack (the labeller's per-row Python overhead is paid
+        # per 64 rows per PACK, not per tile) and per-tile counts fall
+        # out of one vectorized distinct-(tile, label) pass.
+        PACK = 16  # 64×(65·16) bool ≈ 66 KB — cache-resident
+        for lo in range(0, K, PACK):
+            g = min(PACK, K - lo)
+            packed = np.zeros((64, g * 65), dtype=bool)
+            masks = (v[lo : lo + g] == 0).reshape(g, 64, 64)  # nodata regions
+            packed[:, : g * 65].reshape(64, g, 65)[:, :, :64] = np.moveaxis(
+                masks, 0, 1
+            )
+            labels, n = connected_components(packed)
+            nz = labels > 0
+            tile_of = np.broadcast_to(
+                np.arange(g * 65, dtype=np.int64) // 65, labels.shape
+            )[nz]
+            combined = np.unique(tile_of * np.int64(n + 1) + labels[nz])
+            n_regions[lo : lo + g] = np.bincount(
+                combined // np.int64(n + 1), minlength=g
+            )
         return pa.table(
             {
                 "doc_id": b["doc_id"],
