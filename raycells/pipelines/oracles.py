@@ -1273,23 +1273,14 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
 """
 
 
-def _simhash_sql(max_hamming: int = 8) -> str:
-    """SimHash near-dup reproduced in SQL (text/dedup.simhash_near_dup_
-    pairs): polynomial token hashes (the same HUGEINT mod-2^64 evaluation
-    as the fingerprint oracle), token-frequency-weighted sign bits, the
-    (max_hamming+1)-chunk pigeonhole bucketing (full recall by
-    construction, mirroring dedup.simhash_chunk_params), and a
-    bit_count(xor) Hamming verify. Token split on single spaces (this
-    corpus' tokenization, already proven by the token_stats oracle)."""
-    from raycells.text.dedup import simhash_chunk_params
-
+def _simhash_token_ctes() -> str:
+    """Shared CTE prefix of the simhash oracles: per-doc token counts and
+    the polynomial token hash (the same HUGEINT mod-2^64 evaluation as
+    the fingerprint oracle), ending at ``thash(tok, th UBIGINT)``."""
     seed = 14695981039346656037
     base = 1099511628211
     m64 = "CAST('18446744073709551616' AS HUGEINT)"
     s_hi, s_lo = divmod(seed, 1 << 32)
-    chunk_rows = ", ".join(
-        f"({c}, {s}, {m})" for c, (s, m) in enumerate(simhash_chunk_params(max_hamming))
-    )
     return f"""
 WITH docs AS (
     SELECT CAST(doc_id AS VARCHAR) AS dk, text FROM documents
@@ -1330,7 +1321,23 @@ thash AS (
     FROM tok_list t
     JOIN tpows pn ON pn.k = t.n
     LEFT JOIN tterms tt ON tt.tok = t.tok
-),
+)"""
+
+
+def _simhash_sql(max_hamming: int = 8) -> str:
+    """SimHash near-dup reproduced in SQL (text/dedup.simhash_near_dup_
+    pairs): polynomial token hashes (the same HUGEINT mod-2^64 evaluation
+    as the fingerprint oracle), token-frequency-weighted sign bits, the
+    (max_hamming+1)-chunk pigeonhole bucketing (full recall by
+    construction, mirroring dedup.simhash_chunk_params), and a
+    bit_count(xor) Hamming verify. Token split on single spaces (this
+    corpus' tokenization, already proven by the token_stats oracle)."""
+    from raycells.text.dedup import simhash_chunk_params
+
+    chunk_rows = ", ".join(
+        f"({c}, {s}, {m})" for c, (s, m) in enumerate(simhash_chunk_params(max_hamming))
+    )
+    return f"""{_simhash_token_ctes()},
 shbits AS (
     SELECT x.dk, j.range AS j,
            CASE WHEN SUM(x.cnt * (2 * CAST((h.th >> j.range) & 1 AS BIGINT) - 1)) > 0
@@ -1360,6 +1367,88 @@ cand AS (
 scored AS (
     SELECT c.id_a, c.id_b,
            CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN shvals a ON a.dk = c.id_a
+    JOIN shvals b ON b.dk = c.id_b
+)
+SELECT id_a, id_b, hamming FROM scored WHERE hamming <= {max_hamming}
+"""
+
+
+def _simhash128_sql(max_hamming: int = 12) -> str:
+    """128-bit SimHash near-dup reproduced in SQL
+    (text/dedup.simhash128_near_dup_pairs): lane 0 = the 64-bit sign
+    fold of the polynomial token hash, lane 1 = the sign fold of its
+    murmur3-finalizer remix (the HLL oracle's HUGEINT mulmod recipe),
+    13 pigeonhole chunks spanning both lanes (straddling chunks stitch
+    the lanes with disjoint-bit shifts — UBIGINT-safe, every shifted
+    operand stays under 2^64), Hamming = sum of per-lane bit_count(xor)."""
+    from raycells.text.dedup import simhash_chunk_params_wide
+
+    m64 = "CAST('18446744073709551616' AS HUGEINT)"
+    c1 = 0xFF51AFD7ED558CCD
+    c2 = 0xC4CEB9FE1A85EC53
+
+    def mulmod(expr: str, c: int) -> str:
+        return (
+            f"CAST(((CAST({expr} AS HUGEINT) % 4294967296) * {c} % {m64}"
+            f" + ((CAST({expr} AS HUGEINT) // 4294967296 * {c}) % 4294967296)"
+            f" * 4294967296) % {m64} AS UBIGINT)"
+        )
+
+    def chunk_expr(bit_lo: int, width: int) -> str:
+        mask = (1 << width) - 1
+        if bit_lo >= 64:
+            return f"CAST((sh_hi >> {bit_lo - 64}) & {mask} AS BIGINT)"
+        if bit_lo + width <= 64:
+            return f"CAST((sh_lo >> {bit_lo}) & {mask} AS BIGINT)"
+        hi_keep = (1 << (bit_lo + width - 64)) - 1
+        return (
+            f"CAST(((sh_lo >> {bit_lo}) | ((sh_hi & {hi_keep}) << {64 - bit_lo}))"
+            f" & {mask} AS BIGINT)"
+        )
+
+    chunk_union = "\n        UNION ALL ".join(
+        f"SELECT dk, {c} AS c, {chunk_expr(lo, w)} AS v FROM shvals"
+        for c, (lo, w) in enumerate(simhash_chunk_params_wide(max_hamming))
+    )
+    return f"""{_simhash_token_ctes()},
+h1 AS (SELECT tok, xor(th, th >> 33) AS h FROM thash),
+h2 AS (SELECT tok, {mulmod('h', c1)} AS h FROM h1),
+h3 AS (SELECT tok, xor(h, h >> 33) AS h FROM h2),
+h4 AS (SELECT tok, {mulmod('h', c2)} AS h FROM h3),
+thash2 AS (SELECT tok, xor(h, h >> 33) AS th2 FROM h4),
+thboth AS MATERIALIZED (
+    SELECT t.tok, t.th, m.th2 FROM thash t JOIN thash2 m USING (tok)
+),
+shbits AS (
+    SELECT x.dk, j.range AS j,
+           CASE WHEN SUM(x.cnt * (2 * CAST((h.th >> j.range) & 1 AS BIGINT) - 1)) > 0
+                THEN 1 ELSE 0 END AS bit_lo,
+           CASE WHEN SUM(x.cnt * (2 * CAST((h.th2 >> j.range) & 1 AS BIGINT) - 1)) > 0
+                THEN 1 ELSE 0 END AS bit_hi
+    FROM toks x
+    JOIN thboth h ON h.tok = x.tok
+    CROSS JOIN range(64) j
+    GROUP BY x.dk, j.range
+),
+shvals AS MATERIALIZED (
+    SELECT dk,
+           CAST(SUM(bit_lo * CAST(power(2.0, j) AS HUGEINT)) AS UBIGINT) AS sh_lo,
+           CAST(SUM(bit_hi * CAST(power(2.0, j) AS HUGEINT)) AS UBIGINT) AS sh_hi
+    FROM shbits GROUP BY dk
+),
+chunks AS (
+    {chunk_union}
+),
+cand AS (
+    SELECT DISTINCT x.dk AS id_a, y.dk AS id_b
+    FROM chunks x JOIN chunks y ON x.c = y.c AND x.v = y.v AND x.dk < y.dk
+),
+scored AS (
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(a.sh_lo, b.sh_lo))
+                + bit_count(xor(a.sh_hi, b.sh_hi)) AS BIGINT) AS hamming
     FROM cand c
     JOIN shvals a ON a.dk = c.id_a
     JOIN shvals b ON b.dk = c.id_b
@@ -1933,6 +2022,7 @@ def build() -> dict:
             FROM ranked WHERE rn = 1 AND n_copies > 1
         """,
         "simhash_pairs": _simhash_sql(),
+        "simhash128_pairs": _simhash128_sql(),
         "ann_lsh": _ann_lsh_sql(),
         "ann_ivf": _ann_ivf_sql(),
         "cluster_embeddings": _cluster_embeddings_sql(),

@@ -2027,6 +2027,24 @@ def q_simhash_pairs(sf_dir: str):
     return dd.simhash_near_dup_pairs(with_id, col="text", id_col="doc_key", max_hamming=8)
 
 
+def q_simhash128_pairs(sf_dir: str):
+    """128-bit SimHash near-dup at max_hamming=12 (NEW round 5) — the
+    wide-fingerprint scale path past the 64-bit density wall
+    (text/dedup.simhash128 docstring): two uint64 lanes (polynomial
+    token hash + its murmur3-finalizer remix), 13 pigeonhole chunks of
+    ~9-10 bits spanning both lanes, summed per-lane SWAR Hamming verify.
+    Oracle reproduces both lanes and the straddling chunk extraction in
+    SQL (the HLL oracle's HUGEINT murmur recipe)."""
+    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["doc_id", "text"])
+    with_id = ds.map_batches(
+        lambda b: b.append_column("doc_key", pc.cast(b["doc_id"], pa.string())),
+        batch_format="pyarrow",
+    )
+    return dd.simhash128_near_dup_pairs(
+        with_id, col="text", id_col="doc_key", max_hamming=12
+    )
+
+
 # Verified embedding-pair table for ONE sf_dir (same single-entry
 # pattern + rationale as _MINHASH_PAIRS_CACHE: deterministic pipeline,
 # so embedding_dup_clusters reuses the table q_embedding_dups already

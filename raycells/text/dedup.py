@@ -1062,6 +1062,147 @@ def simhash_near_dup_pairs(ds, col: str = "text", id_col: str = "doc_id", max_ha
 
 
 # ---------------------------------------------------------------------------
+# 128-bit SimHash (two uint64 lanes — the wide-fingerprint scale path)
+# ---------------------------------------------------------------------------
+
+
+def simhash128(texts: List[str]) -> np.ndarray:
+    """128-bit token-frequency simhash per text, as an (n, 2) uint64
+    array of lanes [lo, hi]: lane 0 folds the polynomial token hash's 64
+    bits (== ``simhash64``), lane 1 folds the murmur3-finalizer remix of
+    that hash (sim/hll._hash64 — SQL-reproducible; the HLL oracle
+    carries the exact HUGEINT recipe). The wide fingerprint is the scale
+    path past max_hamming ≈ 8, where 64-bit pigeonhole chunks shrink to
+    ~7 bits and the buckets get dense (simhash_chunk_params docstring)."""
+    from raycells.sim.hll import _hash64
+
+    out = np.empty((len(texts), 2), dtype=np.uint64)
+    bit_idx = np.arange(64, dtype=np.uint64)
+    for k, t in enumerate(texts):
+        toks = t.split()
+        if not toks:
+            out[k] = 0
+            continue
+        uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        th0 = _token_hashes(uniq)
+        for lane, th in enumerate((th0, _hash64(th0))):
+            bits = (th[:, None] >> bit_idx[None, :]) & np.uint64(1)
+            v = ((bits.astype(np.int64) * 2 - 1) * counts[:, None]).sum(axis=0)
+            out[k, lane] = np.uint64(((v > 0).astype(np.uint64) << bit_idx).sum())
+    return out
+
+
+def simhash_chunk_params_wide(max_hamming: int, bits: int = 128):
+    """(bit_lo, width) per pigeonhole chunk: the ``bits``-wide
+    fingerprint splits into ``max_hamming + 1`` near-equal contiguous
+    chunks, so any pair within Hamming ≤ max_hamming shares at least one
+    exact chunk — the same guarantee as ``simhash_chunk_params``, over a
+    fingerprint wide enough that r=12 still leaves ~9-bit chunks."""
+    nchunks = max_hamming + 1
+    bounds = [(bits * c) // nchunks for c in range(nchunks + 1)]
+    return [(bounds[c], bounds[c + 1] - bounds[c]) for c in range(nchunks)]
+
+
+def extract_chunk128(lo_lane: np.ndarray, hi_lane: np.ndarray, bit_lo: int, width: int) -> np.ndarray:
+    """Bits [bit_lo, bit_lo+width) of the 128-bit word (lo_lane holds
+    bits 0-63), vectorized; chunks may straddle the lane boundary."""
+    mask = np.uint64((1 << width) - 1)
+    if bit_lo >= 64:
+        return (hi_lane >> np.uint64(bit_lo - 64)) & mask
+    if bit_lo + width <= 64:
+        return (lo_lane >> np.uint64(bit_lo)) & mask
+    return ((lo_lane >> np.uint64(bit_lo)) | (hi_lane << np.uint64(64 - bit_lo))) & mask
+
+
+def simhash128_near_dup_pairs(
+    ds, col: str = "text", id_col: str = "doc_id", max_hamming: int = 12
+):
+    """128-bit SimHash near-dup (the r > 8 scale path): bucket by each of
+    ``max_hamming + 1`` contiguous bit-chunks of the two-lane
+    fingerprint (full recall for any r by pigeonhole), groupby
+    (chunk_id, chunk_value), verify Hamming in-bucket as the SUM of the
+    per-lane blocked-SWAR popcounts. Same one-exchange shape and
+    first-matching-chunk pair emission as ``simhash_near_dup_pairs``."""
+    params = simhash_chunk_params_wide(max_hamming)
+    nchunks = len(params)
+
+    def add_chunks(batch: pa.Table) -> pa.Table:
+        sh = simhash128(batch[col].to_pylist())
+        ids = batch[id_col].to_pylist()
+        n = len(ids)
+        chunk_id = np.tile(np.arange(nchunks, dtype=np.int32), n)
+        chunks = np.empty(nchunks * n, dtype=np.int64)
+        for c, (lo, w) in enumerate(params):
+            chunks[c::nchunks] = extract_chunk128(sh[:, 0], sh[:, 1], lo, w).astype(
+                np.int64
+            )
+        return pa.table(
+            {
+                "chunk_id": pa.array(chunk_id),
+                "chunk_val": pa.array(chunks),
+                id_col: pa.array(np.repeat(ids, nchunks)),
+                "sh_lo": pa.array(np.repeat(sh[:, 0], nchunks).view(np.int64)),
+                "sh_hi": pa.array(np.repeat(sh[:, 1], nchunks).view(np.int64)),
+            }
+        )
+
+    def verify(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group[id_col].to_pylist(), dtype=object)
+        sh_lo = group["sh_lo"].to_numpy(zero_copy_only=False).view(np.uint64)
+        sh_hi = group["sh_hi"].to_numpy(zero_copy_only=False).view(np.uint64)
+        chunk_col = group["chunk_id"].to_numpy(zero_copy_only=False)
+        a_out, b_out, d_out = [], [], []
+        for rows in _iter_real_buckets(group, ["chunk_id", "chunk_val"]):
+            order = rows[np.argsort(ids[rows])]
+            c = int(chunk_col[rows[0]])
+            lo_o, hi_o = sh_lo[order], sh_hi[order]
+            ham = _hamming64(lo_o[:, None], lo_o[None, :]).astype(np.int64)
+            ham += _hamming64(hi_o[:, None], hi_o[None, :])
+            xs, ys = np.nonzero(np.triu(ham <= max_hamming, k=1))
+            if xs.size == 0:
+                continue
+            ia, ib = order[xs], order[ys]
+            # first-matching-chunk emission (vectorized over the ≤ r+1
+            # chunk params — same dedup as the 64-bit pipeline)
+            eq = np.empty((nchunks, xs.size), dtype=bool)
+            for cc, (blo, w) in enumerate(params):
+                eq[cc] = extract_chunk128(sh_lo[ia], sh_hi[ia], blo, w) == (
+                    extract_chunk128(sh_lo[ib], sh_hi[ib], blo, w)
+                )
+            keep = (np.argmax(eq, axis=0) == c) & (ids[ia] != ids[ib])
+            a_out.append(ids[ia][keep])
+            b_out.append(ids[ib][keep])
+            d_out.append(ham[xs, ys][keep])
+        if not a_out:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.string()),
+                    "id_b": pa.array([], pa.string()),
+                    "hamming": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(a_out), pa.string()),
+                "id_b": pa.array(np.concatenate(b_out), pa.string()),
+                "hamming": pa.array(np.concatenate(d_out), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_chunks, batch_format="pyarrow")
+        .map_batches(
+            lambda b, nb=scaled_buckets(): _coarse_bucket(
+                b, ["chunk_id", "chunk_val"], nb
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("_cbucket")
+        .map_groups(verify, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding cosine near-dup (sign-LSH buckets)
 # ---------------------------------------------------------------------------
 

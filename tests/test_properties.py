@@ -157,6 +157,46 @@ def test_simhash_pigeonhole_guarantee(a, b, r):
 
 
 @given(
+    a=st.integers(0, 2**128 - 1),
+    b=st.integers(0, 2**128 - 1),
+    r=st.integers(1, 20),
+)
+@settings(max_examples=120, deadline=None)
+def test_simhash128_pigeonhole_guarantee(a, b, r):
+    """The 128-bit chunking must tile all 128 bits disjointly and keep
+    the pigeonhole recall guarantee: hamming(a, b) <= r ⟹ a and b share
+    at least one exact chunk — including chunks straddling the lane
+    boundary (extract_chunk128 stitches the lanes)."""
+    from raycells.text.dedup import extract_chunk128, simhash_chunk_params_wide
+
+    params = simhash_chunk_params_wide(r)
+    covered = 0
+    for lo, w in params:
+        m = ((1 << w) - 1) << lo
+        assert covered & m == 0  # disjoint
+        covered |= m
+    assert covered == (1 << 128) - 1
+
+    def lanes(x):
+        return (
+            np.array([x & ((1 << 64) - 1)], dtype=np.uint64),
+            np.array([x >> 64], dtype=np.uint64),
+        )
+
+    la, ha = lanes(a)
+    lb, hb = lanes(b)
+    # the vectorized extraction must agree with plain integer bit math
+    for lo, w in params:
+        assert int(extract_chunk128(la, ha, lo, w)[0]) == (a >> lo) & ((1 << w) - 1)
+    if (a ^ b).bit_count() <= r:
+        assert any(
+            int(extract_chunk128(la, ha, lo, w)[0])
+            == int(extract_chunk128(lb, hb, lo, w)[0])
+            for lo, w in params
+        )
+
+
+@given(
     x=st.floats(
         min_value=-1e12, max_value=1e12, allow_nan=False, allow_infinity=False
     )

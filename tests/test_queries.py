@@ -106,6 +106,7 @@ CHECKED = [
     "decontaminate",
     "ngram_jaccard",
     "simhash_pairs",
+    "simhash128_pairs",
     "embedding_dups",
     "ann_lsh",
     "ann_ivf",
