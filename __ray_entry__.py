@@ -149,7 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     sits in the first eight entries, then the round-3 additions, then
     the long-green tail. After the round-4 oracle rewrites the FULL
     gate costs ~58 s at sf0.01 (41 s Ray + 17 s DuckDB), so one
-    snapshot should now hold all 94. ALL queries hash-match DuckDB
+    snapshot should now hold all 95. ALL queries hash-match DuckDB
     locally at sf0.01 (the timed replica of the gate)."""
     from raycells.pipelines import queries as q
 
@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": q.q_dedup_clusters,
         "simhash_pairs": q.q_simhash_pairs,
         "simhash128_pairs": q.q_simhash128_pairs,  # NEW round 5 (wide fingerprint)
+        "media_dedup_real": q.q_media_dedup_real,  # NEW round 5 (real-codec dedup)
         "embedding_dups": q.q_embedding_dups,
         "embedding_dup_clusters": q.q_embedding_dup_clusters,  # NEW round 4 (semantic dedup clusters)
         "media_dedup": q.q_media_dedup,  # NEW round 4 (multimodal content dedup)

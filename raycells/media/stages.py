@@ -185,6 +185,46 @@ class MediaDecoder:
         return pa.table(out)
 
 
+class ContentHasher:
+    """Stage: REAL-codec decode → polynomial content hash of the decoded
+    samples (Σ v_i·31^i mod 2^64 — the multimodal-dedup key, same
+    formula as tilestore.synth_band_content_hash). The codec handle and
+    the 31-power table load once per instance; the decode itself stays
+    per-payload at the codec boundary. Emits (content_hash, media_id) —
+    the exchange never carries pixels."""
+
+    def __init__(self):
+        from raycells.media import png as _codecs
+
+        self._codecs = _codecs
+        with np.errstate(over="ignore"):
+            self._p31 = np.uint64(31) ** np.arange(8000, dtype=np.uint64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        c = self._codecs
+        n = batch.num_rows
+        h = np.empty(n, np.uint64)
+        with np.errstate(over="ignore"):
+            for i in range(n):
+                p = batch["payload"][i].as_py()
+                if p[: len(c.PNG_SIGNATURE)] == c.PNG_SIGNATURE:
+                    arr = c.decode_png(p).reshape(-1)
+                elif p[:4] == c.WAV_MAGIC:
+                    arr = c.decode_wav(p)[0]
+                else:
+                    raise NotImplementedError(
+                        "no video container codec in this environment"
+                    )
+                v = arr.astype(np.uint64)
+                h[i] = (v * self._p31[: v.size]).sum(dtype=np.uint64)
+        return pa.table(
+            {
+                "content_hash": pa.array(h.view(np.int64), pa.int64()),
+                "media_id": batch["media_id"],
+            }
+        )
+
+
 def synth_media_batch_encoded(seeds: np.ndarray, media_type: str = "image") -> pa.Table:
     """REAL-container variant of :func:`synth_media_batch`: the same
     SQL-reproducible LCG samples (``_synth_payload``), packed through
@@ -206,6 +246,41 @@ def synth_media_batch_encoded(seeds: np.ndarray, media_type: str = "image") -> p
         else:
             raise ValueError("encoded synth supports image|audio (video is the stub)")
         rows.append((f"media-{s}", media_type, payload, h, w, nf, sr))
+    if not rows:
+        return MEDIA_SCHEMA.empty_table()
+    cols = list(zip(*rows))
+    return pa.table(
+        {f.name: pa.array(list(c), f.type) for f, c in zip(MEDIA_SCHEMA, cols)},
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def synth_media_batch_encoded_dups(idx: np.ndarray, hot: int) -> pa.Table:
+    """Duplicate-planting variant of :func:`synth_media_batch_encoded`
+    — the real-codec DEDUP fixture: row index r gets LCG seed
+    ``r % hot`` (hot kept EVEN by callers so dup partners stay in their
+    media-type lane: even rows → PNG image, odd rows → PCM-8 WAV), and
+    ``media_id`` is the zero-padded ROW index — unique per row, so rows
+    r and r+hot carry byte-identical CONTAINERS under distinct ids.
+    Deterministic pure-index arithmetic → SQL-reproducible and
+    idempotent under Ray task retries."""
+    from raycells.media.png import encode_png_gray, encode_wav_pcm8
+
+    rows = []
+    for r in np.asarray(idx, dtype=np.int64):
+        r = int(r)
+        s = r % hot
+        if r % 2 == 0:
+            h, w, nf, sr = 32, 32, 1, 0
+            plane = np.frombuffer(_synth_payload(s, h * w), np.uint8)
+            payload, mt = encode_png_gray(plane.reshape(h, w)), "image"
+        else:
+            h, w, nf, sr = 1, 8000, 1, 8000
+            payload = encode_wav_pcm8(
+                np.frombuffer(_synth_payload(s, w), np.uint8), sr
+            )
+            mt = "audio"
+        rows.append((f"media-{r:05d}", mt, payload, h, w, nf, sr))
     if not rows:
         return MEDIA_SCHEMA.empty_table()
     cols = list(zip(*rows))

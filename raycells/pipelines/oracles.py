@@ -779,6 +779,79 @@ def _media_dedup_sql() -> str:
     )
 
 
+def _media_dedup_real_sql() -> str:
+    """REAL-codec multimodal dedup (queries.q_media_dedup_real): the
+    engine decodes actual PNG/WAV containers; this oracle reproduces the
+    polynomial content hash from the raw LCG sample formula
+    (media/stages._synth_payload: byte i of seed s = (s·31+i·7919+i²)
+    % 256) — never touching a container byte — so a hash match proves
+    the encode→decode→hash→dedup round-trip. Hash = Σ v_i·31^i mod 2^64
+    in HUGEINT (v < 2^8, 31^i mod 2^64 < 2^64 → product < 2^72; the
+    8000-term sum < 2^85 — HUGEINT-safe, one mod at the end ≡ iterated
+    uint64 wraps). Per CLAUDE.md's constant-hoisting recipe the per-ROW
+    LCG part ((s·31)%256) computes once per row and the per-SAMPLE part
+    ((i·7919+i²)%256, 31^i) lives in a MATERIALIZED 8000-row helper.
+    Winner = min media_id (zero-padded row index → lexicographic ==
+    numeric); seed = row % hot duplicates whole containers."""
+    m64 = "CAST('18446744073709551616' AS HUGEINT)"
+    return f"""
+        WITH nsel AS (
+            SELECT CASE COUNT(*) WHEN 500 THEN 60 WHEN 5000 THEN 300
+                                 WHEN 50000 THEN 3000 ELSE 60 END AS n
+            FROM read_parquet('{DOCS_GLOB}')
+        ),
+        m AS (
+            SELECT r.range AS r,
+                   CASE r.range % 2 WHEN 0 THEN 'image' ELSE 'audio' END
+                       AS media_type,
+                   ((r.range % ((nsel.n * 2) // 3)) * 31) % 256 AS s31,
+                   CASE r.range % 2 WHEN 0 THEN 1024 ELSE 8000 END AS nb
+            FROM range(3000) r, nsel WHERE r.range < nsel.n
+        ),
+        pows AS (
+            WITH RECURSIVE p(i, w) AS (
+                SELECT CAST(0 AS BIGINT), CAST(1 AS HUGEINT)
+                UNION ALL
+                SELECT i + 1, (w * 31) % {m64} FROM p WHERE i < 7999
+            )
+            SELECT i, w FROM p
+        ),
+        ihelp AS MATERIALIZED (
+            SELECT p.i, p.w,
+                   (CAST(c.range AS BIGINT) * 7919
+                    + CAST(c.range AS BIGINT) * CAST(c.range AS BIGINT))
+                       % 256 AS ic
+            FROM range(8000) c JOIN pows p ON p.i = CAST(c.range AS BIGINT)
+        ),
+        hashes AS (
+            SELECT m.r,
+                   SUM(CAST((m.s31 + c.ic) % 256 AS HUGEINT) * c.w)
+                       % {m64} AS h
+            FROM m, ihelp c
+            WHERE c.i < m.nb
+            GROUP BY m.r
+        ),
+        keyed AS (
+            SELECT CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+                             THEN h - {m64} ELSE h END AS BIGINT)
+                       AS content_hash,
+                   'media-' || lpad(CAST(r AS VARCHAR), 5, '0') AS media_id
+            FROM hashes
+        ),
+        ranked AS (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY content_hash ORDER BY media_id
+                   ) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY content_hash) AS BIGINT)
+                       AS n_copies
+            FROM keyed
+        )
+        SELECT content_hash, media_id, n_copies
+        FROM ranked WHERE rn = 1
+        """
+
+
 def _embedding_clusters_sql() -> str:
     """Semantic dedup clusters over the embedding near-dup pair list
     (pipelines/queries.q_embedding_dup_clusters): the _dedup_clusters_sql
@@ -2003,6 +2076,7 @@ def build() -> dict:
         "embedding_dups": _embedding_dups_sql(),
         "embedding_dup_clusters": _embedding_clusters_sql(),
         "media_dedup": _media_dedup_sql(),
+        "media_dedup_real": _media_dedup_real_sql(),
         "chunk_docs": _chunk_docs_sql(),
         # chunk_dedup: the duplicated chunk contents with canonical
         # occurrence — GROUP BY over the chunk_docs fingerprint table

@@ -248,6 +248,31 @@ def test_media_dedup_sink_job_matches_collect(docs_dir, tmp_path, ray_session):
     )
 
 
+def test_media_dedup_real_sink_matches_collect(tmp_path, ray_session):
+    """q_media_dedup_real(sink_dir=…): the streamed real-codec winner
+    sink equals the collect-mode table — the round-5 real-container
+    dedup path keeps the same no-driver-heap property as the synthetic
+    one. Also pins the dup plant: n = 60, hot = 40 → exactly 40
+    distinct content hashes, 20 of them with 2 copies."""
+    import pandas as pd
+
+    from raycells.pipelines import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    collected = q.q_media_dedup_real(sf)
+    assert collected.num_rows == 40
+    ncopies = collected["n_copies"].to_pylist()
+    assert sorted(set(ncopies)) == [1, 2] and ncopies.count(2) == 20
+
+    man = q.q_media_dedup_real(sf, sink_dir=str(tmp_path / "mdr_sink"))
+    sunk = _read_sink(man["sink_dir"])
+    assert sunk is not None and sunk.num_rows == man["n_rows"]
+    key_cols = ["content_hash", "media_id"]
+    pd.testing.assert_frame_equal(
+        _sorted_df(sunk, key_cols), _sorted_df(collected, key_cols)
+    )
+
+
 def test_cluster_job_resolves_pair_sink(docs_dir, tmp_path, ray_session):
     """--mode dedup --clusters: the component table produced from the
     PARQUET pair sink in a fresh read (no in-process pair cache) matches

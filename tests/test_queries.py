@@ -39,6 +39,7 @@ CHECKED = [
     "bloom_pruned_join",
     "embedding_dup_clusters",
     "media_dedup",
+    "media_dedup_real",
     "chunk_docs",
     "chunk_dedup",
     "cell_agg_s2face",
