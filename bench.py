@@ -97,6 +97,7 @@ def _warmup(num_cpus: int) -> None:
         _q.q_cell_pyramid,
         _q.q_tile_convolve_stats,
         _q.q_media_dedup,
+        _q.q_media_dedup_real,  # real-codec encode→decode→hash scratch
         _q.q_bloom_pruned_join,
     ):
         _consume(_fn("/root/testdata/sf0.001"))

@@ -245,9 +245,18 @@ _FP_SCRATCH: dict[str, np.ndarray] = {}
 def _fp_scratch(name: str, n: int, dtype) -> np.ndarray:
     buf = _FP_SCRATCH.get(name)
     if buf is None or buf.size < n:
-        _FP_SCRATCH[name] = buf = np.empty(max(n, 1 << 15), dtype)
+        buf = np.empty(max(n, 1 << 15), dtype)
         if name == "ar":
+            # Fill BEFORE publishing to the cache: Ray cancels straggler
+            # tasks with an ASYNC exception, and a kill between a
+            # store-then-init pair leaves a permanently uninitialized
+            # buffer in the reused warm worker — every later
+            # fingerprint64 call in that worker then reads heap garbage
+            # (observed: two queries failing with pointer-like np.take
+            # indexes, same pid). Store-after-init is crash-safe: a
+            # cancellation mid-fill just drops the local buffer.
             buf[:] = np.arange(buf.size, dtype=np.int64)
+        _FP_SCRATCH[name] = buf
     return buf[:n]
 
 

@@ -1,7 +1,9 @@
 """Local replica of the driver's correctness gate: run queries()[name]
 and oracle_sql()[name] at sf0.01, compare rows/schema/value-hash.
 
-    python tools/check_parity.py [name ...]   # default: all 94
+    python tools/check_parity.py [name ...]   # default: all 95
+    python tools/check_parity.py --json OUT.json [name ...]
+                                 # also write a gate-style JSON artifact
 """
 
 import sys, os, hashlib
@@ -13,7 +15,13 @@ sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(_
 import duckdb, pandas as pd, pyarrow as pa
 import __ray_entry__ as e
 
-names = sys.argv[1:] or None
+argv = sys.argv[1:]
+json_out = None
+if "--json" in argv:
+    i = argv.index("--json")
+    json_out = argv[i + 1]
+    argv = argv[:i] + argv[i + 2 :]
+names = argv or None
 q, osql = e.queries(), e.oracle_sql()
 sfd = "/root/testdata/sf0.01"
 con = duckdb.connect()
@@ -32,6 +40,7 @@ def vhash(df: pd.DataFrame) -> str:
         h.update(pd.util.hash_pandas_object(vals, index=False).values.tobytes())
     return h.hexdigest()
 
+results = {}
 for name in (names or q.keys()):
     if name not in osql:
         print(f"{name}: NO ORACLE"); continue
@@ -48,6 +57,8 @@ for name in (names or q.keys()):
         rows = len(r) == len(o)
         schema = list(r.columns) == list(o.columns) and all(str(r[c].dtype)==str(o[c].dtype) for c in r.columns)
         hmatch = rows and schema and vhash(r) == vhash(o)
+        results[name] = {"rows_match": rows, "schema_match": schema,
+                         "hash_match": hmatch, "n_ray": len(r), "n_oracle": len(o)}
         print(f"{name}: rows={rows}({len(r)}/{len(o)}) schema={schema} hash={hmatch}")
         if not hmatch and rows and len(r) < 20:
             print(" ray:", r.head(8).to_dict("records"))
@@ -60,5 +71,16 @@ for name in (names or q.keys()):
             bad = neq.any(axis=1)
             print(" first diffs:", r[bad].head(3).to_dict("records"), "vs", o[bad].head(3).to_dict("records"))
     except Exception as ex:
+        results[name] = {"error": f"{type(ex).__name__}: {ex}"}
         print(f"{name}: ERROR {type(ex).__name__}: {ex}")
+if json_out:
+    import json, time
+    n_pass = sum(1 for v in results.values() if v.get("hash_match"))
+    payload = {"sf": 0.01, "sf_dir": sfd, "n_queries": len(results),
+               "n_hash_green": n_pass,
+               "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+               "queries": results}
+    with open(json_out, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    print(f"wrote {json_out}: {n_pass}/{len(results)} hash-green")
 ray.shutdown()
