@@ -198,7 +198,19 @@ class ContentHasher:
 
         self._codecs = _codecs
         with np.errstate(over="ignore"):
-            self._p31 = np.uint64(31) ** np.arange(8000, dtype=np.uint64)
+            self._p31 = np.uint64(31) ** np.arange(8192, dtype=np.uint64)
+
+    def _pows(self, n: int) -> np.ndarray:
+        # grow the power table on demand — a fixed cap would crash on
+        # the first payload larger than the fixture (the chunk_docs
+        # length-cap lesson); doubling keeps regrowth amortized O(1)
+        if self._p31.size < n:
+            size = self._p31.size
+            while size < n:
+                size *= 2
+            with np.errstate(over="ignore"):
+                self._p31 = np.uint64(31) ** np.arange(size, dtype=np.uint64)
+        return self._p31[:n]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         c = self._codecs
@@ -216,7 +228,7 @@ class ContentHasher:
                         "no video container codec in this environment"
                     )
                 v = arr.astype(np.uint64)
-                h[i] = (v * self._p31[: v.size]).sum(dtype=np.uint64)
+                h[i] = (v * self._pows(v.size)).sum(dtype=np.uint64)
         return pa.table(
             {
                 "content_hash": pa.array(h.view(np.int64), pa.int64()),

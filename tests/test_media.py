@@ -233,3 +233,37 @@ def test_media_decoder_real_codec_end_to_end():
         assert row["n_bytes"] == size
         assert row["sum_val"] == int(v.sum())
         assert row["sumsq_val"] == int((v * v).sum())
+
+
+def test_content_hasher_grows_power_table():
+    """A payload larger than the initial 8192-entry power table must
+    hash correctly (table grows on demand — no fixed media-size cap),
+    and the hash must equal the Σ v_i·31^i mod 2^64 definition."""
+    import numpy as np
+    import pyarrow as pa
+
+    from raycells.media.png import encode_wav_pcm8
+    from raycells.media.stages import MEDIA_SCHEMA, ContentHasher
+
+    n = 20_000  # > 8192 initial table
+    rng = np.arange(n, dtype=np.int64)
+    samples = ((rng * 7 + 13) % 256).astype(np.uint8)
+    payload = encode_wav_pcm8(samples, 8000)
+    batch = pa.table(
+        {
+            "media_id": pa.array(["m-big"]),
+            "media_type": pa.array(["audio"]),
+            "payload": pa.array([payload], pa.large_binary()),
+            "height": pa.array([1], pa.int32()),
+            "width": pa.array([n], pa.int32()),
+            "n_frames": pa.array([1], pa.int32()),
+            "sample_rate": pa.array([8000], pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    out = ContentHasher()(batch)
+    with np.errstate(over="ignore"):
+        pows = np.uint64(31) ** np.arange(n, dtype=np.uint64)
+        want = (samples.astype(np.uint64) * pows).sum(dtype=np.uint64)
+    assert out["content_hash"][0].as_py() == int(want.view(np.int64))
+    assert out["media_id"][0].as_py() == "m-big"
