@@ -353,3 +353,47 @@ def test_regex_token_counts_matches_re_findall():
         len(pats["tokens"].findall("héllo 42,")),
         len(pats["tokens"].findall("a9")),
     ]
+
+
+def test_fp_scratch_survives_cancellation_mid_init():
+    """Regression (round 5): Ray cancels straggler tasks with an ASYNC
+    exception; if one lands between allocating the 'ar' scratch and
+    filling it with arange, the worker-persistent cache must NOT keep
+    the uninitialized buffer (a poisoned 'ar' made every later
+    fingerprint64 call in that worker read heap garbage)."""
+    import numpy as np
+
+    from raycells.text import analysis as ta
+
+    saved = dict(ta._FP_SCRATCH)
+    try:
+        ta._FP_SCRATCH.clear()
+        real_arange = np.arange
+        calls = {"n": 0}
+
+        def exploding_arange(*a, **k):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise KeyboardInterrupt("simulated ray.cancel")
+            return real_arange(*a, **k)
+
+        np.arange = exploding_arange
+        try:
+            try:
+                ta._fp_scratch("ar", 100, np.int64)
+            except KeyboardInterrupt:
+                pass
+            # the cache must not hold a half-initialized buffer
+            assert "ar" not in ta._FP_SCRATCH
+            ar = ta._fp_scratch("ar", 100, np.int64)
+        finally:
+            np.arange = real_arange
+        assert ar.tolist() == list(range(100))
+        # and the full hash path is healthy after the simulated kill
+        h1 = ta.fingerprint64(["hello world", "x" * 500])
+        ta._FP_SCRATCH.clear()
+        h2 = ta.fingerprint64(["hello world", "x" * 500])
+        assert h1.tolist() == h2.tolist()
+    finally:
+        ta._FP_SCRATCH.clear()
+        ta._FP_SCRATCH.update(saved)
