@@ -1780,6 +1780,162 @@ GROUP BY a.c
     )
 
 
+def _ann_pq_sql(
+    k: int = 10, m: int = 2, ks: int = 8, n_iters: int = 10, dim: int = 64
+) -> str:
+    """PQ-ADC ANN reproduced in SQL (sim/pq.py): per SUBSPACE j, the
+    same content-keyed exact-integer unrolled-Lloyd chain as
+    _ann_ivf_sql but over the dim slice [j·dsub, (j+1)·dsub) with
+    slice-relative fingerprint weights (d − lo + 1); then every vector
+    ENCODES to its per-subspace argmax (dot/|s| DESC, c ASC — the
+    engine's tie convention), and each query's score per vector is the
+    FIXED left-associative sum of per-subspace LUT terms
+    (… (t0 + t1) + t2 …) — the identical IEEE expression tree numpy
+    builds, never an order-dependent aggregate. Assumes the training
+    sample is the whole table (true at every sf: ≤ train_rows)."""
+    quant = 1 << 20
+    m64 = _M64
+    c1 = 0xFF51AFD7ED558CCD
+    c2 = 0xC4CEB9FE1A85EC53
+    dsub = dim // m
+    parts = [
+        f"""
+WITH comps AS (
+    SELECT vec_id, unnest(embedding) AS ev,
+           CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d
+    FROM embeddings
+),
+eq AS MATERIALIZED (
+    SELECT vec_id, d,
+           CAST(floor(CAST(ev AS DOUBLE) * {float(quant)} + 0.5) AS BIGINT) AS e
+    FROM comps
+)"""
+    ]
+    for j in range(m):
+        lo, hi = j * dsub, (j + 1) * dsub
+        s = f"s{j}"
+        parts.append(
+            f"""
+, fkeys_{s} AS (
+    SELECT vec_id,
+           CAST(SUM(((CAST(e AS HUGEINT) * (d - {lo} + 1)) % {m64} + {m64}) % {m64})
+                % {m64} AS UBIGINT) AS h
+    FROM eq WHERE d >= {lo} AND d < {hi} GROUP BY vec_id
+),
+mk1_{s} AS (SELECT vec_id, xor(h, h >> 33) AS h FROM fkeys_{s}),
+mk2_{s} AS (SELECT vec_id, {_mulmod64('h', c1)} AS h FROM mk1_{s}),
+mk3_{s} AS (SELECT vec_id, xor(h, h >> 33) AS h FROM mk2_{s}),
+mk4_{s} AS (SELECT vec_id, {_mulmod64('h', c2)} AS h FROM mk3_{s}),
+mk5_{s} AS (SELECT vec_id, xor(h, h >> 33) AS mk FROM mk4_{s}),
+skeys_{s} AS (
+    SELECT mk, CAST(ROW_NUMBER() OVER (ORDER BY mk) - 1 AS BIGINT) AS c
+    FROM (SELECT DISTINCT mk FROM mk5_{s} ORDER BY mk LIMIT {ks})
+),
+seed_rows_{s} AS (
+    SELECT sk.c, MIN(mm.vec_id) AS vid
+    FROM skeys_{s} sk JOIN mk5_{s} mm ON mm.mk = sk.mk GROUP BY sk.c
+),
+cents0_{s} AS MATERIALIZED (
+    SELECT sr.c, e.d, e.e AS s
+    FROM seed_rows_{s} sr
+    JOIN eq e ON e.vec_id = sr.vid AND e.d >= {lo} AND e.d < {hi}
+)"""
+        )
+        for i in range(n_iters):
+            parts.append(
+                f"""
+, nrm{i}_{s} AS MATERIALIZED (
+    SELECT c, CASE WHEN SUM(CAST(s AS HUGEINT) * s) = 0 THEN 1.0
+                   ELSE sqrt(CAST(SUM(CAST(s AS HUGEINT) * s) AS DOUBLE))
+              END AS nrm
+    FROM cents{i}_{s} GROUP BY c
+),
+asg{i}_{s} AS MATERIALIZED (
+    SELECT vec_id, c FROM (
+        SELECT dt.vec_id, dt.c,
+               ROW_NUMBER() OVER (
+                   PARTITION BY dt.vec_id ORDER BY dt.dot / n.nrm DESC, dt.c
+               ) AS rn
+        FROM (
+            SELECT e.vec_id, ct.c, CAST(SUM(e.e * ct.s) AS DOUBLE) AS dot
+            FROM eq e JOIN cents{i}_{s} ct ON ct.d = e.d
+            GROUP BY e.vec_id, ct.c
+        ) dt JOIN nrm{i}_{s} n ON n.c = dt.c
+    ) WHERE rn = 1
+),
+ns{i}_{s} AS MATERIALIZED (
+    SELECT a.c, e.d, CAST(SUM(e.e) AS BIGINT) AS s
+    FROM asg{i}_{s} a
+    JOIN eq e ON e.vec_id = a.vec_id AND e.d >= {lo} AND e.d < {hi}
+    GROUP BY a.c, e.d
+),
+cents{i + 1}_{s} AS MATERIALIZED (
+    SELECT o.c, o.d, COALESCE(n.s, o.s) AS s
+    FROM cents{i}_{s} o LEFT JOIN ns{i}_{s} n ON n.c = o.c AND n.d = o.d
+)"""
+            )
+        fin = n_iters
+        parts.append(
+            f"""
+, nrmF_{s} AS (
+    SELECT c, CASE WHEN SUM(CAST(s AS HUGEINT) * s) = 0 THEN 1.0
+                   ELSE sqrt(CAST(SUM(CAST(s AS HUGEINT) * s) AS DOUBLE))
+              END AS nrm
+    FROM cents{fin}_{s} GROUP BY c
+),
+allsims_{s} AS MATERIALIZED (
+    SELECT dt.vec_id, dt.c, dt.dot / n.nrm AS sim
+    FROM (
+        SELECT e.vec_id, ct.c, CAST(SUM(e.e * ct.s) AS DOUBLE) AS dot
+        FROM eq e JOIN cents{fin}_{s} ct ON ct.d = e.d
+        GROUP BY e.vec_id, ct.c
+    ) dt JOIN nrmF_{s} n ON n.c = dt.c
+),
+code_{s} AS MATERIALIZED (
+    SELECT vec_id, c FROM (
+        SELECT vec_id, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c) AS rn
+        FROM allsims_{s}
+    ) WHERE rn = 1
+),
+lut_{s} AS (
+    SELECT vec_id AS query_id, c, sim AS v
+    FROM allsims_{s} WHERE vec_id < 3
+)"""
+        )
+    # score = fixed left-associative sum of per-subspace LUT terms
+    score_expr = "l_s0.v"
+    joins = [
+        "FROM code_s0 a_s0",
+        "JOIN lut_s0 l_s0 ON l_s0.c = a_s0.c",
+    ]
+    for j in range(1, m):
+        score_expr = f"({score_expr} + l_s{j}.v)"
+        joins.append(f"JOIN code_s{j} a_s{j} ON a_s{j}.vec_id = a_s0.vec_id")
+        joins.append(
+            f"JOIN lut_s{j} l_s{j} ON l_s{j}.c = a_s{j}.c"
+            f" AND l_s{j}.query_id = l_s0.query_id"
+        )
+    parts.append(
+        f"""
+, scores AS (
+    SELECT l_s0.query_id, a_s0.vec_id, {score_expr} AS score
+    {' '.join(joins)}
+),
+ranked AS (
+    SELECT query_id, vec_id,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY score DESC, vec_id
+           ) AS BIGINT) AS rank
+    FROM scores
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, vec_id, rank
+FROM ranked WHERE rank <= {k}
+"""
+    )
+    return "".join(parts)
+
+
 def _cluster_embeddings_sql(n_centroids: int = 16, n_iters: int = 10) -> str:
     """K-means assignment rollup (q_cluster_embeddings): the EXACT same
     unrolled-Lloyd CTE chain as _ann_ivf_sql (shared by construction —
@@ -2099,6 +2255,7 @@ def build() -> dict:
         "simhash128_pairs": _simhash128_sql(),
         "ann_lsh": _ann_lsh_sql(),
         "ann_ivf": _ann_ivf_sql(),
+        "ann_pq": _ann_pq_sql(),
         "cluster_embeddings": _cluster_embeddings_sql(),
         # per-cluster text-quality rollup (round 3): Lloyd chain ⋈
         # documents on vec_id = doc_id (see _cluster_quality_sql)

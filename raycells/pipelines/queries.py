@@ -2119,6 +2119,35 @@ def q_ann_ivf(sf_dir: str):
     )
 
 
+def q_ann_pq(sf_dir: str):
+    """Approximate nearest neighbors, PQ-ADC variant (NEW round 5): the
+    MEMORY-compression scale path — per-subspace exact-integer Lloyd
+    codebooks (bounded driver sample, same quantizer as IVF), a
+    distributed encode-to-m-byte-codes + LUT-score + per-block top-k
+    stage, driver merges ≤ k·Q rows per block. At 100 TB the codes are
+    m bytes where the vectors are 256 B — the corpus a scan touches
+    shrinks ~100×. Oracle: two unrolled Lloyd chains (one per subspace)
+    + argmax encode + the fixed-order (t0 + t1) ADC score in SQL."""
+    from raycells.sim.pq import pq_adc_topk
+
+    q = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 3)],  # pruned read: queries only
+    )
+    qids = q["vec_id"].to_numpy(zero_copy_only=False)
+    qmat = np.asarray(q["embedding"].to_pylist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", SMALL_TABLE_BLOCKS, columns=["vec_id", "embedding"])
+    t = pq_adc_topk(ds, qmat, qids, k=EMB_K, m=2, ks=8)
+    return pa.table(
+        {
+            "query_id": pc.cast(t["query_id"], pa.int64()),
+            "vec_id": pc.cast(t["vec_id"], pa.int64()),
+            "rank": t["rank"],
+        }
+    )
+
+
 def q_normalize_text(sf_dir: str):
     """Arrow-native text normalization (lowercase → strip non-alnum →
     trim), rolled up per source: total cleaned chars + token counts.

@@ -111,6 +111,7 @@ CHECKED = [
     "embedding_dups",
     "ann_lsh",
     "ann_ivf",
+    "ann_pq",
     "cluster_embeddings",
     "fingerprint_docs",
     "media_features",
