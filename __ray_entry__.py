@@ -149,7 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     sits in the first eight entries, then the round-3 additions, then
     the long-green tail. After the round-4 oracle rewrites the FULL
     gate costs ~58 s at sf0.01 (41 s Ray + 17 s DuckDB), so one
-    snapshot should now hold all 96. ALL queries hash-match DuckDB
+    snapshot should now hold all 97. ALL queries hash-match DuckDB
     locally at sf0.01 (the timed replica of the gate)."""
     from raycells.pipelines import queries as q
 
@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": q.q_ann_lsh,
         "ann_ivf": q.q_ann_ivf,
         "ann_pq": q.q_ann_pq,  # NEW round 5 (PQ-ADC memory-compression path)
+        "cms_heavy_hitters": q.q_cms_heavy_hitters,  # NEW round 5 (count-min sketch)
         "fingerprint_docs": q.q_fingerprint_docs,
         "media_features": q.q_media_features,
         "approx_distinct_custs": q.q_approx_distinct_custs,

@@ -1936,6 +1936,104 @@ FROM ranked WHERE rank <= {k}
     return "".join(parts)
 
 
+def _cms_heavy_hitters_sql(k: int = 20, w: int = 16) -> str:
+    """Count-min-sketch heavy hitters (queries.q_cms_heavy_hitters):
+    exact unigram counts over non-empty whitespace tokens; per sketch
+    row r the token's polynomial fingerprint (the decontaminate thash
+    recipe) XORs the row salt r·φ64 and runs the shared murmur
+    finalizer chain; bucket = h mod w; counter(r, b) = Σ counts of
+    tokens landing there; est(token) = MIN over its 4 row counters.
+    Every number is an exact integer — a hash match pins the bucket
+    index of every (token, row) pair plus the CMS merge."""
+    seed = 14695981039346656037
+    base = 1099511628211
+    m64 = _M64
+    c1 = 0xFF51AFD7ED558CCD
+    c2 = 0xC4CEB9FE1A85EC53
+    phi = 0x9E3779B97F4A7C15
+    s_hi, s_lo = divmod(seed, 1 << 32)
+    parts = [
+        f"""
+WITH toks AS (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+cnt AS MATERIALIZED (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+    FROM toks WHERE tok <> '' GROUP BY tok
+),
+tok_list AS (SELECT tok, CAST(length(tok) AS BIGINT) AS n FROM cnt),
+tpows AS (
+    WITH RECURSIVE p(kk, v) AS (
+        SELECT CAST(0 AS BIGINT) AS kk, CAST(1 AS HUGEINT) AS v
+        UNION ALL
+        SELECT kk + 1, (v * {base}) % {m64} FROM p
+        WHERE kk < (SELECT MAX(n) FROM tok_list)
+    )
+    SELECT kk, v FROM p
+),
+tterms AS (
+    SELECT tb.tok, SUM((tb.b * p.v) % {m64}) AS acc
+    FROM (
+        SELECT tok, n, r.range AS i,
+               CAST(ord(substr(tok, CAST(r.range + 1 AS INT), 1)) AS HUGEINT) AS b
+        FROM tok_list, range(64) r WHERE r.range < n
+    ) tb
+    JOIN tpows p ON p.kk = tb.n - 1 - tb.i
+    GROUP BY tb.tok
+),
+thash AS MATERIALIZED (
+    SELECT t.tok,
+           CAST(( (({s_lo} * pn.v) % {m64}
+                   + ((({s_hi} * pn.v) % 4294967296) * 4294967296)) % {m64}
+                 + COALESCE(tt.acc, 0) ) % {m64} AS UBIGINT) AS th
+    FROM tok_list t
+    JOIN tpows pn ON pn.kk = t.n
+    LEFT JOIN tterms tt ON tt.tok = t.tok
+)"""
+    ]
+    for r in range(4):
+        salt = (phi * r) % (1 << 64)
+        x0 = (
+            "th" if salt == 0
+            else f"xor(th, CAST('{salt}' AS UBIGINT))"
+        )
+        parts.append(
+            f"""
+, x{r}a AS (SELECT tok, {x0} AS h FROM thash),
+x{r}b AS (SELECT tok, xor(h, h >> 33) AS h FROM x{r}a),
+x{r}c AS (SELECT tok, {_mulmod64('h', c1)} AS h FROM x{r}b),
+x{r}d AS (SELECT tok, xor(h, h >> 33) AS h FROM x{r}c),
+x{r}e AS (SELECT tok, {_mulmod64('h', c2)} AS h FROM x{r}d),
+bk{r} AS (
+    SELECT tok, {r} AS r, CAST(xor(h, h >> 33) % {w} AS BIGINT) AS bucket
+    FROM x{r}e
+)"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM bk{r}" for r in range(4))
+    parts.append(
+        f"""
+, bks AS MATERIALIZED ({union}),
+counters AS MATERIALIZED (
+    SELECT b.r, b.bucket, CAST(SUM(c.n) AS BIGINT) AS cell
+    FROM bks b JOIN cnt c ON c.tok = b.tok
+    GROUP BY b.r, b.bucket
+),
+est AS (
+    SELECT b.tok, MIN(cc.cell) AS est
+    FROM bks b JOIN counters cc ON cc.r = b.r AND cc.bucket = b.bucket
+    GROUP BY b.tok
+),
+ranked AS (
+    SELECT c.tok AS token, c.n, e.est,
+           CAST(ROW_NUMBER() OVER (ORDER BY c.n DESC, c.tok) AS BIGINT) AS rank
+    FROM cnt c JOIN est e ON e.tok = c.tok
+)
+SELECT token, n, est, rank FROM ranked WHERE rank <= {k}
+"""
+    )
+    return "".join(parts)
+
+
 def _cluster_embeddings_sql(n_centroids: int = 16, n_iters: int = 10) -> str:
     """K-means assignment rollup (q_cluster_embeddings): the EXACT same
     unrolled-Lloyd CTE chain as _ann_ivf_sql (shared by construction —
@@ -2256,6 +2354,7 @@ def build() -> dict:
         "ann_lsh": _ann_lsh_sql(),
         "ann_ivf": _ann_ivf_sql(),
         "ann_pq": _ann_pq_sql(),
+        "cms_heavy_hitters": _cms_heavy_hitters_sql(),
         "cluster_embeddings": _cluster_embeddings_sql(),
         # per-cluster text-quality rollup (round 3): Lloyd chain ⋈
         # documents on vec_id = doc_id (see _cluster_quality_sql)

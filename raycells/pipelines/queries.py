@@ -3358,6 +3358,69 @@ def q_top_bigrams(sf_dir: str):
     )
 
 
+def q_cms_heavy_hitters(sf_dir: str):
+    """Heavy hitters via a COUNT-MIN SKETCH paired with exact counts
+    (NEW round 5): the CMS pass folds every token occurrence into one
+    (4, w) int64 counter matrix per batch — the exchange moves
+    blocks × one small blob, never a token — and ONE Ray task sums the
+    partials (the bloom_build merge shape). At 100 TB the sketch
+    replaces the heavy-hitter aggregation's all-to-all with a
+    constant-size merge; the exact unigram pass here pairs each top
+    token with its true count so the gate pins BOTH the estimator's
+    bucket arithmetic and the est ≥ n invariant. ``w=16`` sits below
+    the fixture's 31-token vocabulary on purpose: every sketch row has
+    collisions, so the min-estimator runs in its interesting regime
+    (with w ≫ vocab the est column would equal n regardless of bucket
+    math). Output: top 20 tokens by (n DESC, token ASC) with the CMS
+    estimate."""
+    import ray
+
+    from raycells.engine.joins import grouped_topk
+    from raycells.sim.sketch import cms_build, cms_estimate
+    from raycells.text.dedup import _token_hashes
+
+    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["text"])
+
+    def unigrams(b: pa.Table) -> pa.Table:
+        _, flat, _ = ta._split(b["text"])
+        toks = flat.to_numpy(zero_copy_only=False)
+        toks = toks[toks != ""]
+        vals, n = np.unique(toks, return_counts=True)
+        return pa.table(
+            {"token": pa.array(vals), "n": pa.array(n.astype(np.int64))}
+        )
+
+    def fps_fn(b: pa.Table) -> np.ndarray:
+        _, flat, _ = ta._split(b["text"])
+        toks = flat.to_numpy(zero_copy_only=False)
+        return _token_hashes(toks[toks != ""])
+
+    cms_ref = cms_build(ds, fps_fn, w=16)
+
+    counted = shuffle_mod.salted_aggregate(
+        ds.map_batches(unigrams, batch_format="pyarrow"),
+        key="token",
+        sums=["n"],
+        count_alias="_nb",
+        salt=1,
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "token": b["token"],
+                "n": pc.cast(b["sum_n"], pa.int64()),
+                "_g": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    top = grouped_topk(counted, "_g", 20, "n", "token", ascending=(False, True))
+    tt = pa.concat_tables(ray_get_tables(top)).select(["token", "n", "rank"])
+    cms = ray.get(cms_ref)
+    est = cms_estimate(cms, _token_hashes(tt["token"].to_numpy(zero_copy_only=False)))
+    assert (est >= tt["n"].to_numpy(zero_copy_only=False)).all()  # CMS law
+    return tt.append_column("est", pa.array(est.astype(np.int64), pa.int64()))
+
+
 def q_jsonl_token_stats(sf_dir: str):
     """token_stats over a JSONL mirror of the documents table — proves
     source-format independence: the sharded-JSONL read (the common

@@ -33,7 +33,16 @@ import pyarrow.compute as pc
 from raycells.sim.bloom import BLOOM_M, bloom_probe, partial_bloom
 from raycells.sim.hll import hll_merge, hll_registers
 
-__all__ = ["bloom_build", "bloom_prune", "bloom_or_merge", "hll_build"]
+__all__ = [
+    "bloom_build",
+    "bloom_prune",
+    "bloom_or_merge",
+    "hll_build",
+    "cms_build",
+    "cms_estimate",
+    "CMS_D",
+    "CMS_W",
+]
 
 
 def bloom_or_merge(*bitmaps: np.ndarray) -> np.ndarray:
@@ -109,6 +118,81 @@ def bloom_prune(ds, bitmap_ref, col: str):
     return ds.map_batches(
         broadcast_task(_BloomPrune, bitmap_ref, col), batch_format="pyarrow"
     )
+
+
+CMS_D = 4  # sketch rows (independent hash functions)
+CMS_W = 1024  # buckets per row
+# row r mixes the key with r·φ64 before the murmur finalizer — row 0 is
+# the plain finalizer, rows differ by an odd-constant XOR (SQL mirror:
+# xor + the shared mk1..mk5 chain)
+CMS_ROW_SALTS = np.array(
+    [0x0, 0x9E3779B97F4A7C15, 0x3C6EF372FE94F82A, 0xDAA66D2C7DDF743F],
+    dtype=np.uint64,
+)
+
+
+def _cms_buckets(fps: np.ndarray, w: int) -> np.ndarray:
+    """(N,) uint64 key fingerprints → (D, N) int64 bucket indexes:
+    bucket_r(k) = murmur64(k XOR salt_r) mod w. Pure integer — the
+    oracle reproduces every index bit-for-bit."""
+    from raycells.sim.hll import _hash64
+
+    out = np.empty((CMS_D, fps.size), dtype=np.int64)
+    for r in range(CMS_D):
+        h = _hash64((fps ^ CMS_ROW_SALTS[r]).view(np.int64))
+        out[r] = (h % np.uint64(w)).astype(np.int64)
+    return out
+
+
+def _sum_cms_blocks(w, *tabs: pa.Table) -> np.ndarray:
+    """Worker-side SUM of per-batch (D·w) int64 counter blobs → one
+    (D, w) matrix. Counter addition is the CMS merge (associative,
+    retry-safe only because Ray Data never double-counts a block)."""
+    from raycells.engine.shuffle import block_tables
+
+    out = np.zeros(CMS_D * w, dtype=np.int64)
+    for t in block_tables(tabs, "counters"):
+        for blob in t["counters"]:
+            out += np.frombuffer(blob.as_py(), np.int64)
+    return out.reshape(CMS_D, w)
+
+
+def cms_build(ds, fp_fn, w: int = CMS_W):
+    """Count-min sketch over a Dataset: ``fp_fn(batch) -> (N,) uint64``
+    key fingerprints (one per counted occurrence). Per batch the stage
+    folds occurrences into ONE (D·w) int64 counter blob (32 KB at the
+    default width — the exchange moves blocks × one blob, never a
+    token), and one Ray task sums the partials worker-side. Returns the
+    merged matrix's ObjectRef — the broadcast handle for
+    :func:`cms_estimate`.
+
+    The sketch never under-counts (est ≥ true count, no deletions);
+    collisions only inflate. At 100 TB this replaces the exact
+    heavy-hitter aggregation's all-to-all with a constant-size merge."""
+    import ray
+
+    def part(b: pa.Table) -> pa.Table:
+        fps = fp_fn(b)
+        m = np.zeros((CMS_D, w), dtype=np.int64)
+        if fps.size:
+            uniq, counts = np.unique(fps, return_counts=True)
+            bks = _cms_buckets(uniq, w)
+            for r in range(CMS_D):
+                np.add.at(m[r], bks[r], counts)
+        return pa.table(
+            {"counters": pa.array([m.tobytes()], pa.large_binary())}
+        )
+
+    refs = ds.map_batches(part, batch_format="pyarrow").to_arrow_refs()
+    return ray.remote(num_cpus=1)(_sum_cms_blocks).remote(w, *refs)
+
+
+def cms_estimate(cms: np.ndarray, fps: np.ndarray) -> np.ndarray:
+    """Point-query the sketch: est(k) = min over rows of the k-bucket
+    counters (the count-min estimator). Width inferred from the matrix."""
+    bks = _cms_buckets(np.asarray(fps, dtype=np.uint64), cms.shape[1])
+    ests = np.stack([cms[r, bks[r]] for r in range(CMS_D)])
+    return ests.min(axis=0)
 
 
 def hll_build(ds, col: str, p: int = 12) -> np.ndarray:

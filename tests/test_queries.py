@@ -112,6 +112,7 @@ CHECKED = [
     "ann_lsh",
     "ann_ivf",
     "ann_pq",
+    "cms_heavy_hitters",
     "cluster_embeddings",
     "fingerprint_docs",
     "media_features",

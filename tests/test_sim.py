@@ -342,3 +342,40 @@ def test_pq_adc_topk_recall_and_code_shape(ray_session):
     assert codes.shape == (len(vecs), 2)
     assert codes.min() >= 0 and codes.max() < 16
     assert np.array_equal(codes, pq_encode(eq, books))
+
+
+def test_cms_build_merges_blocks_and_never_undercounts(ray_session):
+    """Count-min sketch (round 5): partials from many blocks sum to the
+    single-pass sketch, every estimate >= the true count, and at a
+    width below the key cardinality collisions INFLATE at least one
+    estimate (the regime the cms_heavy_hitters oracle pins)."""
+    import ray
+    import ray.data as rd
+
+    from raycells.sim.sketch import CMS_D, _cms_buckets, cms_build, cms_estimate
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 40, size=5000).astype(np.uint64)  # 40 keys, zipf-less
+    t = pa.table({"k": pa.array(keys.view(np.int64), pa.int64())})
+    ds = rd.from_arrow(t).repartition(8)
+
+    def fps(b):
+        return b["k"].to_numpy(zero_copy_only=False).view(np.uint64)
+
+    w = 16
+    cms = ray.get(cms_build(ds, fps, w=w))
+    assert cms.shape == (CMS_D, w)
+    # every row's counters sum to the total occurrence count
+    assert (cms.sum(axis=1) == len(keys)).all()
+
+    uniq, true = np.unique(keys, return_counts=True)
+    est = cms_estimate(cms, uniq)
+    assert (est >= true).all()
+    assert (est > true).any()  # 40 keys into 16 buckets: must collide
+
+    # single-block sketch == multi-block merged sketch
+    cms1 = ray.get(cms_build(rd.from_arrow(t).repartition(1), fps, w=w))
+    assert np.array_equal(cms, cms1)
+    # bucket rows are distinct hash functions
+    bks = _cms_buckets(uniq, w)
+    assert any(not np.array_equal(bks[0], bks[r]) for r in range(1, CMS_D))
