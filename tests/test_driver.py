@@ -312,3 +312,46 @@ def test_cluster_job_resolves_pair_sink(docs_dir, tmp_path, ray_session):
         )
     res2 = driver.run_cluster_job(out)
     assert res2["skipped"] == ["dedup_clusters"]
+
+
+def test_stats_dedup_job_single_scan_matches_both(docs_dir, tmp_path, ray_session):
+    """--mode stats-dedup (round 5): ONE decode scan feeds both the
+    per-cell aggregate and the multimodal winner sink; each output must
+    equal its single-purpose counterpart (pipeline.flagship aggregate /
+    run_media_dedup_job winners), and the re-run is a manifest no-op."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from raycells.engine import pipeline as pl
+
+    out = str(tmp_path / "sd_out")
+    res = driver.run_stats_dedup_job(docs_dir, out)
+    assert res["done"] == ["stats_dedup"]
+    man = res["manifest"]
+
+    # winners == the standalone media-dedup job over the same corpus
+    sunk = _read_sink(man["sink_dir"])
+    assert sunk is not None and sunk.num_rows == man["n_rows"] > 0
+    ref = driver.run_media_dedup_job(docs_dir, str(tmp_path / "md_ref"))
+    ref_sunk = _read_sink(ref["manifest"]["sink_dir"])
+    key_cols = ["content_hash", "doc_id", "span_idx"]
+    pd.testing.assert_frame_equal(
+        _sorted_df(sunk, key_cols), _sorted_df(ref_sunk, key_cols)
+    )
+
+    # cells == the standalone flagship aggregate
+    cells = _read_sink(man["cells"]["sink_dir"])
+    assert cells.num_rows == man["cells"]["n_rows"] > 0
+    flag = pa.concat_tables(
+        [t for t in map(ray.get, pl.flagship(docs_dir).to_arrow_refs())
+         if t.num_rows]
+    )
+    cols = sorted(cells.column_names)
+    pd.testing.assert_frame_equal(
+        _sorted_df(cells.select(cols), ["cell_id"]),
+        _sorted_df(flag.select(cols), ["cell_id"]),
+    )
+
+    res2 = driver.run_stats_dedup_job(docs_dir, out)
+    assert res2["skipped"] == ["stats_dedup"] and not res2["done"]
