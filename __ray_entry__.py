@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": q.q_ann_ivf,
         "ann_pq": q.q_ann_pq,  # NEW round 5 (PQ-ADC memory-compression path)
         "cms_heavy_hitters": q.q_cms_heavy_hitters,  # NEW round 5 (count-min sketch)
+        "dup_ngram_spans": q.q_dup_ngram_spans,  # NEW round 5 (substring-span dedup)
         "fingerprint_docs": q.q_fingerprint_docs,
         "media_features": q.q_media_features,
         "approx_distinct_custs": q.q_approx_distinct_custs,

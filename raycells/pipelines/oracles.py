@@ -2058,6 +2058,58 @@ _LANG_SCORE = """
 """
 
 
+def _dup_ngram_spans_sql(w: int = 40, s: int = 8) -> str:
+    """Duplicated-substring spans (queries.q_dup_ngram_spans): every
+    w-char window at stride s fingerprinted with the _fingerprint_sql
+    polynomial at FIXED length w (so the seed·B^w term is one Python
+    literal, no per-row mulmod), windows whose hash repeats anywhere in
+    the corpus kept, per-doc stride-islands via the gaps-and-islands
+    p − s·row_number() key. range(0, 8192, s) is a constant bound +
+    filter (range is not lateral-correlatable); documents max 577 chars
+    at every gate sf."""
+    seed = 14695981039346656037
+    base = 1099511628211
+    m64 = "CAST('18446744073709551616' AS HUGEINT)"
+    sw = (seed * base**w) % (1 << 64)  # seed·B^w mod 2^64, exact in Python
+    return f"""
+WITH docs AS (
+    SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents
+),
+wins AS (
+    SELECT d.doc_id, d.text, CAST(r.range AS BIGINT) AS p
+    FROM docs d, range(0, 8192, {s}) r
+    WHERE r.range <= d.n - {w}
+),
+pows AS (
+    WITH RECURSIVE pp(k, v) AS (
+        SELECT CAST(0 AS BIGINT) AS k, CAST(1 AS HUGEINT) AS v
+        UNION ALL
+        SELECT k + 1, (v * {base}) % {m64} FROM pp WHERE k < {w - 1}
+    )
+    SELECT k, v FROM pp
+),
+wh AS MATERIALIZED (
+    SELECT doc_id, p,
+           (CAST('{sw}' AS HUGEINT)
+            + SUM((CAST(ord(substr(text, CAST(p + r.range + 1 AS INT), 1))
+                        AS HUGEINT) * pw.v) % {m64})) % {m64} AS h
+    FROM wins, range({w}) r
+    JOIN pows pw ON pw.k = {w - 1} - r.range
+    GROUP BY doc_id, p
+),
+dup AS (SELECT h FROM wh GROUP BY h HAVING COUNT(*) > 1),
+isl AS (
+    SELECT wh.doc_id, wh.p,
+           wh.p - {s} * ROW_NUMBER() OVER (
+               PARTITION BY wh.doc_id ORDER BY wh.p) AS grp
+    FROM wh JOIN dup USING (h)
+)
+SELECT doc_id, MIN(p) AS span_start, MAX(p) + {w} AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM isl GROUP BY doc_id, grp
+"""
+
+
 def _hits(word: str, col: str = "text") -> str:
     return f"len(list_filter(string_split({col}, ' '), x -> x = '{word}'))"
 
@@ -2355,6 +2407,7 @@ def build() -> dict:
         "ann_ivf": _ann_ivf_sql(),
         "ann_pq": _ann_pq_sql(),
         "cms_heavy_hitters": _cms_heavy_hitters_sql(),
+        "dup_ngram_spans": _dup_ngram_spans_sql(),
         "cluster_embeddings": _cluster_embeddings_sql(),
         # per-cluster text-quality rollup (round 3): Lloyd chain ⋈
         # documents on vec_id = doc_id (see _cluster_quality_sql)

@@ -3032,6 +3032,107 @@ def q_chunk_dedup(sf_dir: str, sink_dir: str | None = None):
     )
 
 
+def q_dup_ngram_spans(sf_dir: str):
+    """Exact duplicated-SUBSTRING spans (NEW round 5) — the
+    suffix-array-style dedup of Lee et al. ("Deduplicating Training
+    Data Makes Language Models Better"), approximated at positions
+    divisible by the stride: every 40-char window at stride 8 is
+    rolling-hashed in O(bytes) per batch (analysis.strided_window_fps:
+    B is odd hence invertible mod 2^64, so ONE wrap-cumsum prefix per
+    batch hashes every window — no O(windows×W) rescan), windows whose
+    fingerprint repeats ANYWHERE in the corpus are kept, and each doc's
+    kept positions merge into maximal stride-contiguous spans.
+
+    Scale shape: a single text scan, then two exchanges that move only
+    24-byte (hash, doc, pos) rows — first hash-bucketed to find global
+    repeats (one vectorized size-transform per coarse bucket), then
+    doc-bucketed so the island merge sees each doc's positions together.
+    No substring ever crosses a task boundary; nothing is broadcast
+    (the dup-window set is duplication-proportional, which at 100 TB is
+    too big to broadcast — unlike the decontaminate blocklist).
+
+    Output: (doc_id, span_start, span_end, n_windows) per maximal span;
+    the oracle reproduces the window fingerprints in HUGEINT from the
+    same polynomial (the _fingerprint_sql recipe at fixed length W)."""
+    w, s = ta.SPAN_W, ta.SPAN_S
+    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["doc_id", "text"])
+
+    def windows(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        ri, pos, h = ta.strided_window_fps(b["text"].to_pylist(), w, s)
+        return pa.table(
+            {
+                "wh": pa.array(h.view(np.int64), pa.int64()),
+                "doc_id": pa.array(ids[ri], pa.int64()),
+                "p": pa.array(pos, pa.int64()),
+            }
+        )
+
+    nb = shuffle_mod.scaled_buckets()  # ONCE on the driver (CLAUDE.md)
+
+    def dup_filter(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        keep = df.groupby("wh", sort=False)["wh"].transform("size") > 1
+        df = df.loc[keep, ["doc_id", "p"]]
+        if len(df) == 0:
+            return g.select(["doc_id", "p"]).slice(0, 0)
+        return shuffle_mod.from_pandas_clean(df)
+
+    def merge_spans(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        ps = g["p"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((ps, ids))
+        ids, ps = ids[o], ps[o]
+        new = np.ones(len(ids), bool)
+        new[1:] = (ids[1:] != ids[:-1]) | (ps[1:] - ps[:-1] != s)
+        sidx = np.flatnonzero(new)
+        ends = np.append(sidx[1:], len(ids))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[sidx], pa.int64()),
+                "span_start": pa.array(ps[sidx], pa.int64()),
+                "span_end": pa.array(ps[ends - 1] + w, pa.int64()),
+                "n_windows": pa.array(ends - sidx, pa.int64()),
+            }
+        )
+
+    kept = (
+        ds.map_batches(windows, batch_format="pyarrow")
+        .map_batches(
+            lambda b, nb=nb: shuffle_mod.add_bucket(b, "wh", nb),
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(dup_filter, batch_format="pyarrow")
+    )
+    spans = (
+        kept.map_batches(
+            lambda b, nb=nb: shuffle_mod.add_bucket(b, "doc_id", nb),
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(merge_spans, batch_format="pyarrow")
+    )
+    tabs = [t for t in ray_get_tables(spans) if t.num_rows]
+    if not tabs:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "span_start": pa.array([], pa.int64()),
+                "span_end": pa.array([], pa.int64()),
+                "n_windows": pa.array([], pa.int64()),
+            }
+        )
+    t = pa.concat_tables(tabs, promote_options="none")
+    order = np.lexsort(
+        (
+            t["span_start"].to_numpy(zero_copy_only=False),
+            t["doc_id"].to_numpy(zero_copy_only=False),
+        )
+    )
+    return t.take(pa.array(order))
+
+
 def q_media_dedup(sf_dir: str, sink_dir: str | None = None):
     """Exact MULTIMODAL dedup (NEW round 4) — the image-dedup shape of a
     training-data pipeline: every media span's tile is DECODED and

@@ -299,6 +299,85 @@ def add_fingerprints(batch: pa.Table, col: str = "text") -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# strided window fingerprints (exact duplicated-substring spans)
+# ---------------------------------------------------------------------------
+
+SPAN_W = 40  # duplicated-span window (chars)
+SPAN_S = 8  # stride
+
+# B is odd, hence invertible mod 2^64 — the rolling-prefix trick below
+# hashes EVERY strided window of a whole batch in O(total_bytes) instead
+# of O(windows × W): pref[j] = Σ_{i<j} byte[i]·B^{-i_local}, and the
+# window at local pos p is B^{W-1+p}·(pref[p+W] − pref[p]) + seed·B^W.
+_FP_BASE_INV = np.uint64(pow(int(_FP_BASE), -1, 1 << 64))
+
+
+def _fp_pow_table(name: str, base: np.uint64, n: int) -> np.ndarray:
+    """Grow-on-demand power table (base^0..base^{n-1} mod 2^64) in the
+    reused module scratch. Built FULLY before publishing to the cache —
+    Ray cancels stragglers with an async exception and a kill between a
+    store-then-init pair would leave a permanently garbage table in the
+    reused warm worker (the fp-scratch crash-safety lesson)."""
+    buf = _FP_SCRATCH.get(name)
+    if buf is None or buf.size < n:
+        size = max(n, 1 << 12)
+        fresh = np.empty(size, np.uint64)
+        fresh[0] = np.uint64(1)
+        fresh[1:] = base
+        with np.errstate(over="ignore"):
+            np.multiply.accumulate(fresh, out=fresh)
+        _FP_SCRATCH[name] = buf = fresh
+    return buf
+
+
+def strided_window_fps(
+    texts: Sequence[str], w: int = SPAN_W, s: int = SPAN_S
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fingerprint of every ``w``-char window at stride ``s`` of every
+    text: returns ``(row_idx, pos, h)`` flat arrays where ``h[i] ==
+    fingerprint64([texts[row_idx[i]][pos[i]:pos[i]+w]])`` (the identity
+    is pinned by a test). Windows never straddle texts, so one GLOBAL
+    wrap-cumsum over the concatenated bytes serves every row: the
+    prefix difference inside a row only spans that row's terms. ASCII
+    corpora only (char == utf-8 byte), like the fingerprint oracles."""
+    n_rows = len(texts)
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.uint64))
+    if n_rows == 0:
+        return empty
+    enc = [t.encode("utf-8") for t in texts]
+    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=n_rows)
+    total = int(lens.sum())
+    n_win = np.maximum(lens - w, -s) // s + 1  # 0 when len < w
+    total_w = int(n_win.sum())
+    if total_w == 0:
+        return empty
+    max_len = int(lens.max())
+    binv = _fp_pow_table("binv_pows", _FP_BASE_INV, max_len + 1)
+    bpow = _fp_pow_table("b_pows", _FP_BASE, max_len + w + 1)
+    starts = np.cumsum(lens) - lens
+    with np.errstate(over="ignore"):
+        flat = _fp_scratch("flat", total, np.uint64)
+        np.copyto(flat, np.frombuffer(b"".join(enc), dtype=np.uint8))
+        local = _fp_scratch("exps", total, np.int64)
+        np.subtract(_fp_scratch("ar", total, np.int64), np.repeat(starts, lens), out=local)
+        terms = _fp_scratch("terms", total, np.uint64)
+        np.take(binv, local, out=terms)
+        np.multiply(terms, flat, out=terms)
+        pref = np.empty(total + 1, np.uint64)
+        pref[0] = np.uint64(0)
+        np.cumsum(terms, out=pref[1:])
+        # enumerate (row, p) for every window
+        wstarts = np.cumsum(n_win) - n_win
+        row_idx = np.repeat(np.arange(n_rows, dtype=np.int64), n_win)
+        pos = (np.arange(total_w, dtype=np.int64) - np.repeat(wstarts, n_win)) * s
+        g = np.repeat(starts, n_win) + pos
+        h = pref[g + w] - pref[g]
+        np.multiply(h, bpow[pos + (w - 1)], out=h)
+        h += np.uint64(_FP_SEED) * bpow[w]
+    return row_idx, pos, h
+
+
+# ---------------------------------------------------------------------------
 # benchmark decontamination (token-window hashing)
 # ---------------------------------------------------------------------------
 

@@ -113,6 +113,7 @@ CHECKED = [
     "ann_ivf",
     "ann_pq",
     "cms_heavy_hitters",
+    "dup_ngram_spans",
     "cluster_embeddings",
     "fingerprint_docs",
     "media_features",

@@ -397,3 +397,41 @@ def test_fp_scratch_survives_cancellation_mid_init():
     finally:
         ta._FP_SCRATCH.clear()
         ta._FP_SCRATCH.update(saved)
+
+
+class TestStridedWindowFps:
+    def test_matches_fingerprint64_of_substrings(self):
+        texts = [
+            "the quick brown fox jumps over the lazy dog " * 3,
+            "",  # no windows
+            "short",  # shorter than W
+            "x" * 40,  # exactly one window
+            "x" * 47,  # still one window (41..47 start past stride 0 only)
+            "x" * 48,  # two windows
+            "abcdefgh" * 25,
+        ]
+        ri, pos, h = ta.strided_window_fps(texts, 40, 8)
+        exp = []
+        for r, t in enumerate(texts):
+            p = 0
+            while p + 40 <= len(t):
+                exp.append((r, p, int(ta.fingerprint64([t[p : p + 40]])[0])))
+                p += 8
+        got = list(zip(ri.tolist(), pos.tolist(), (int(x) for x in h)))
+        assert got == exp
+
+    def test_empty_and_all_short(self):
+        for texts in ([], ["a", "bb", ""]):
+            ri, pos, h = ta.strided_window_fps(texts, 40, 8)
+            assert len(ri) == len(pos) == len(h) == 0
+
+    def test_identical_windows_hash_equal_across_docs(self):
+        a = "PREFIX--" + "shared forty character block here!!!...." + "--SUF"
+        b = "OTHER-LEAD-IN---" + "shared forty character block here!!!...." + "Z"
+        # plant the shared block at stride-aligned offsets in both docs
+        a = a[: 8] + "shared forty character block here!!!....!"
+        b = b[: 16] + "shared forty character block here!!!....!"
+        ri, pos, h = ta.strided_window_fps([a, b], 40, 8)
+        ha = {int(v) for r, v in zip(ri, h) if r == 0}
+        hb = {int(v) for r, v in zip(ri, h) if r == 1}
+        assert ha & hb  # the planted block collides exactly
