@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq": q.q_ann_pq,  # NEW round 5 (PQ-ADC memory-compression path)
         "cms_heavy_hitters": q.q_cms_heavy_hitters,  # NEW round 5 (count-min sketch)
         "dup_ngram_spans": q.q_dup_ngram_spans,  # NEW round 5 (substring-span dedup)
+        "kcenter_diversity": q.q_kcenter_diversity,  # NEW round 5 (coreset sampling)
         "fingerprint_docs": q.q_fingerprint_docs,
         "media_features": q.q_media_features,
         "approx_distinct_custs": q.q_approx_distinct_custs,

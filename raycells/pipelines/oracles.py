@@ -2058,6 +2058,74 @@ _LANG_SCORE = """
 """
 
 
+def _kcenter_diversity_sql(k: int = 8) -> str:
+    """Greedy k-center selection (queries.q_kcenter_diversity) unrolled
+    into k argmax CTE steps: components quantized with the shared
+    floor(x·2^20 + 0.5) recipe, seed = max squared norm (ties min
+    vec_id), then per step the exact int64 squared distance to the new
+    center folds into the running min (LEAST) and the next center is
+    the global (max md, min vec_id). Every CTE is MATERIALIZED —
+    chained CTEs re-expand exponentially when inlined (CLAUDE.md)."""
+    quant = float(1 << 20)
+    steps = []
+    for r in range(1, k):
+        prev_m = "norms" if r == 1 else f"m{r - 1}"
+        prev_c = f"c{r - 1}"
+        md = (
+            f"SUM((q.e - c.e) * (q.e - c.e))"
+        )
+        base = (
+            f"nd{r} AS MATERIALIZED (\n"
+            f"    SELECT q.vec_id, {md} AS nd\n"
+            f"    FROM eq q JOIN eq c ON c.d = q.d\n"
+            f"    WHERE c.vec_id = (SELECT vec_id FROM {prev_c})\n"
+            f"    GROUP BY q.vec_id\n"
+            f")"
+        )
+        if r == 1:
+            merge = (
+                f"m1 AS MATERIALIZED (\n"
+                f"    SELECT vec_id, nd AS md FROM nd1\n"
+                f")"
+            )
+        else:
+            merge = (
+                f"m{r} AS MATERIALIZED (\n"
+                f"    SELECT p.vec_id, LEAST(p.md, n.nd) AS md\n"
+                f"    FROM m{r - 1} p JOIN nd{r} n USING (vec_id)\n"
+                f")"
+            )
+        pick = (
+            f"c{r} AS MATERIALIZED (\n"
+            f"    SELECT vec_id, md FROM m{r}\n"
+            f"    ORDER BY md DESC, vec_id LIMIT 1\n"
+            f")"
+        )
+        steps.append(base + ",\n" + merge + ",\n" + pick)
+    unions = ["SELECT CAST(0 AS BIGINT) AS rank, vec_id, CAST(n2 AS BIGINT) AS d2 FROM c0"]
+    unions += [
+        f"SELECT CAST({r} AS BIGINT), vec_id, CAST(md AS BIGINT) FROM c{r}"
+        for r in range(1, k)
+    ]
+    return f"""
+WITH eq AS MATERIALIZED (
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {quant} + 0.5)
+                AS BIGINT) AS e
+    FROM embeddings
+),
+norms AS MATERIALIZED (
+    SELECT vec_id, SUM(e * e) AS n2 FROM eq GROUP BY vec_id
+),
+c0 AS MATERIALIZED (
+    SELECT vec_id, n2 FROM norms ORDER BY n2 DESC, vec_id LIMIT 1
+),
+{",".join(steps)}
+{" UNION ALL ".join(unions)}
+"""
+
+
 def _dup_ngram_spans_sql(w: int = 40, s: int = 8) -> str:
     """Duplicated-substring spans (queries.q_dup_ngram_spans): every
     w-char window at stride s fingerprinted with the _fingerprint_sql
@@ -2408,6 +2476,7 @@ def build() -> dict:
         "ann_pq": _ann_pq_sql(),
         "cms_heavy_hitters": _cms_heavy_hitters_sql(),
         "dup_ngram_spans": _dup_ngram_spans_sql(),
+        "kcenter_diversity": _kcenter_diversity_sql(),
         "cluster_embeddings": _cluster_embeddings_sql(),
         # per-cluster text-quality rollup (round 3): Lloyd chain ⋈
         # documents on vec_id = doc_id (see _cluster_quality_sql)

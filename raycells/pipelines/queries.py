@@ -3032,6 +3032,25 @@ def q_chunk_dedup(sf_dir: str, sink_dir: str | None = None):
     )
 
 
+def q_kcenter_diversity(sf_dir: str):
+    """Greedy k-center diversity sampling (NEW round 5) — the coreset
+    selection step of embedding-space data curation (pick k maximally
+    spread exemplars; Gonzalez's farthest-point 2-approximation). The
+    engine runs k rounds of one small task per embedding block, each
+    updating that block's min-distance array IN the object store and
+    returning only an O(1) (best d2, id, candidate row) partial — the
+    driver folds #blocks tuples per round, never a vector table
+    (sim/kcenter.py). Distances are exact int64 over the shared
+    floor(x·2^20 + 0.5) quantization, so the oracle's 8 unrolled
+    argmax CTEs reproduce the selection chain bit-for-bit."""
+    from raycells.sim.kcenter import kcenter_select
+
+    ds = _read(
+        sf_dir, "embeddings", SMALL_TABLE_BLOCKS, columns=["vec_id", "embedding"]
+    )
+    return kcenter_select(ds, k=8)
+
+
 def q_dup_ngram_spans(sf_dir: str):
     """Exact duplicated-SUBSTRING spans (NEW round 5) — the
     suffix-array-style dedup of Lee et al. ("Deduplicating Training

@@ -114,6 +114,7 @@ CHECKED = [
     "ann_pq",
     "cms_heavy_hitters",
     "dup_ngram_spans",
+    "kcenter_diversity",
     "cluster_embeddings",
     "fingerprint_docs",
     "media_features",
