@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_heavy_hitters": q.q_cms_heavy_hitters,  # NEW round 5 (count-min sketch)
         "dup_ngram_spans": q.q_dup_ngram_spans,  # NEW round 5 (substring-span dedup)
         "kcenter_diversity": q.q_kcenter_diversity,  # NEW round 5 (coreset sampling)
+        "kcenter_assign": q.q_kcenter_assign,  # NEW round 5 (diversity assignment)
         "fingerprint_docs": q.q_fingerprint_docs,
         "media_features": q.q_media_features,
         "approx_distinct_custs": q.q_approx_distinct_custs,

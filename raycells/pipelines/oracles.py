@@ -2058,27 +2058,30 @@ _LANG_SCORE = """
 """
 
 
-def _kcenter_diversity_sql(k: int = 8) -> str:
-    """Greedy k-center selection (queries.q_kcenter_diversity) unrolled
-    into k argmax CTE steps: components quantized with the shared
-    floor(x·2^20 + 0.5) recipe, seed = max squared norm (ties min
-    vec_id), then per step the exact int64 squared distance to the new
-    center folds into the running min (LEAST) and the next center is
-    the global (max md, min vec_id). Every CTE is MATERIALIZED —
-    chained CTEs re-expand exponentially when inlined (CLAUDE.md)."""
+def _kcenter_chain_sql(k: int = 8) -> str:
+    """The shared greedy k-center CTE chain (selection steps c0..c{k-1})
+    used by both _kcenter_diversity_sql and _kcenter_assign_sql:
+    components quantized with the shared floor(x·2^20 + 0.5) recipe,
+    seed = max squared norm (ties min vec_id), then per step the exact
+    int64 squared distance to the new center folds into the running min
+    (LEAST) and the next center is the global (max md, min vec_id).
+    Every CTE is MATERIALIZED — chained CTEs re-expand exponentially
+    when inlined (CLAUDE.md)."""
     quant = float(1 << 20)
     steps = []
     for r in range(1, k):
-        prev_m = "norms" if r == 1 else f"m{r - 1}"
         prev_c = f"c{r - 1}"
-        md = (
-            f"SUM((q.e - c.e) * (q.e - c.e))"
-        )
+        # the new center's 64 components as a tiny MATERIALIZED CTE: a
+        # scalar-subquery filter inside the eq⋈eq join defeats pushdown
+        # (measured 2.3 s for the chain; this shape runs in ~0.1 s)
         base = (
+            f"cc{r - 1} AS MATERIALIZED (\n"
+            f"    SELECT e.d, e.e FROM eq e JOIN {prev_c} c\n"
+            f"    ON e.vec_id = c.vec_id\n"
+            f"),\n"
             f"nd{r} AS MATERIALIZED (\n"
-            f"    SELECT q.vec_id, {md} AS nd\n"
-            f"    FROM eq q JOIN eq c ON c.d = q.d\n"
-            f"    WHERE c.vec_id = (SELECT vec_id FROM {prev_c})\n"
+            f"    SELECT q.vec_id, SUM((q.e - c.e) * (q.e - c.e)) AS nd\n"
+            f"    FROM eq q JOIN cc{r - 1} c USING (d)\n"
             f"    GROUP BY q.vec_id\n"
             f")"
         )
@@ -2102,11 +2105,6 @@ def _kcenter_diversity_sql(k: int = 8) -> str:
             f")"
         )
         steps.append(base + ",\n" + merge + ",\n" + pick)
-    unions = ["SELECT CAST(0 AS BIGINT) AS rank, vec_id, CAST(n2 AS BIGINT) AS d2 FROM c0"]
-    unions += [
-        f"SELECT CAST({r} AS BIGINT), vec_id, CAST(md AS BIGINT) FROM c{r}"
-        for r in range(1, k)
-    ]
     return f"""
 WITH eq AS MATERIALIZED (
     SELECT vec_id,
@@ -2121,9 +2119,58 @@ norms AS MATERIALIZED (
 c0 AS MATERIALIZED (
     SELECT vec_id, n2 FROM norms ORDER BY n2 DESC, vec_id LIMIT 1
 ),
-{",".join(steps)}
-{" UNION ALL ".join(unions)}
+{",".join(steps)}"""
+
+
+def _kcenter_diversity_sql(k: int = 8) -> str:
+    """Greedy k-center selection (queries.q_kcenter_diversity): the
+    shared chain's k argmax steps emitted as (rank, vec_id, d2)."""
+    unions = ["SELECT CAST(0 AS BIGINT) AS rank, vec_id, CAST(n2 AS BIGINT) AS d2 FROM c0"]
+    unions += [
+        f"SELECT CAST({r} AS BIGINT), vec_id, CAST(md AS BIGINT) FROM c{r}"
+        for r in range(1, k)
+    ]
+    return _kcenter_chain_sql(k) + "\n" + " UNION ALL ".join(unions) + "\n"
+
+
+def _kcenter_assign_sql(k: int = 8) -> str:
+    """Full-corpus assignment to the k-center exemplars
+    (queries.q_kcenter_assign): every point's exact int64 squared
+    distance to each chosen center, argmin with ties to the smaller
+    rank, rolled up per center as (n_vectors, sum_vec_id, sum_d2) —
+    integer sums only, so any assignment flip changes the hash."""
+    cents = ["SELECT CAST(0 AS BIGINT) AS rank, vec_id FROM c0"]
+    cents += [
+        f"SELECT CAST({r} AS BIGINT), vec_id FROM c{r}" for r in range(1, k)
+    ]
+    return (
+        _kcenter_chain_sql(k)
+        + f""",
+cents AS MATERIALIZED (
+    {" UNION ALL ".join(cents)}
+),
+ce AS MATERIALIZED (
+    SELECT ct.rank, e.d, e.e FROM cents ct JOIN eq e USING (vec_id)
+),
+d2s AS (
+    SELECT q.vec_id, c.rank, SUM((q.e - c.e) * (q.e - c.e)) AS d2
+    FROM eq q JOIN ce c USING (d)
+    GROUP BY q.vec_id, c.rank
+),
+pick AS (
+    SELECT vec_id, rank, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, rank) AS rn
+    FROM d2s
+)
+SELECT p.rank, ct.vec_id AS center_vec_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(p.vec_id) AS BIGINT) AS sum_vec_id,
+       CAST(SUM(p.d2) AS BIGINT) AS sum_d2
+FROM pick p JOIN cents ct ON ct.rank = p.rank
+WHERE p.rn = 1
+GROUP BY p.rank, ct.vec_id
 """
+    )
 
 
 def _dup_ngram_spans_sql(w: int = 40, s: int = 8) -> str:
@@ -2477,6 +2524,7 @@ def build() -> dict:
         "cms_heavy_hitters": _cms_heavy_hitters_sql(),
         "dup_ngram_spans": _dup_ngram_spans_sql(),
         "kcenter_diversity": _kcenter_diversity_sql(),
+        "kcenter_assign": _kcenter_assign_sql(),
         "cluster_embeddings": _cluster_embeddings_sql(),
         # per-cluster text-quality rollup (round 3): Lloyd chain ⋈
         # documents on vec_id = doc_id (see _cluster_quality_sql)

@@ -3051,6 +3051,70 @@ def q_kcenter_diversity(sf_dir: str):
     return kcenter_select(ds, k=8)
 
 
+def q_kcenter_assign(sf_dir: str):
+    """Full-corpus assignment to the greedy k-center exemplars (NEW
+    round 5) — the consumption half of diversity sampling: after
+    ``kcenter_select`` picks 8 spread exemplars (k rounds of O(1)
+    driver traffic per block), the (8, dim) QUANTIZED center matrix
+    ships in the stage closure (KBs) and every batch assigns with one
+    integer matmul — |x|² − 2x·C^T + |c|², exact int64, argmin ties to
+    the smaller rank — then collapses map-side to ≤ 8 rollup rows
+    (count + vec_id sum + exact d2 sum, so any assignment flip changes
+    the hash). Driver folds O(blocks × 8) partials; the same streaming
+    profile as cluster_embeddings."""
+    from raycells.sim.kcenter import kcenter_select
+    from raycells.text.dedup import quantize_embeddings
+
+    ds = _read(
+        sf_dir, "embeddings", SMALL_TABLE_BLOCKS, columns=["vec_id", "embedding"]
+    )
+    sel, cmat = kcenter_select(ds, k=8, return_vectors=True)
+    c2 = np.einsum("ij,ij->i", cmat, cmat)
+
+    def assign(b: pa.Table) -> pa.Table:
+        q = quantize_embeddings(np.asarray(b["embedding"].to_pylist(), np.float64))
+        d2 = (
+            np.einsum("ij,ij->i", q, q)[:, None]
+            - 2 * (q @ cmat.T)
+            + c2[None, :]
+        )
+        a = np.argmin(d2, axis=1)  # first minimum = smallest rank on ties
+        best = d2[np.arange(len(a)), a]
+        part = (
+            pd.DataFrame(
+                {
+                    "rank": a.astype(np.int64),
+                    "n_vectors": np.ones(len(a), np.int64),
+                    "sum_vec_id": b["vec_id"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    "sum_d2": best.astype(np.int64),
+                }
+            )
+            .groupby("rank", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return shuffle_mod.from_pandas_clean(part)
+
+    parts = ds.map_batches(assign, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("rank", sort=True).sum().reset_index()
+    ranks = sel["rank"].to_numpy(zero_copy_only=False)
+    vec_ids = sel["vec_id"].to_numpy(zero_copy_only=False)
+    center_of = dict(zip(ranks.tolist(), vec_ids.tolist()))
+    return pa.table(
+        {
+            "rank": pa.array(out["rank"].to_numpy(np.int64)),
+            "center_vec_id": pa.array(
+                [center_of[r] for r in out["rank"]], pa.int64()
+            ),
+            "n_vectors": pa.array(out["n_vectors"].to_numpy(np.int64)),
+            "sum_vec_id": pa.array(out["sum_vec_id"].to_numpy(np.int64)),
+            "sum_d2": pa.array(out["sum_d2"].to_numpy(np.int64)),
+        }
+    )
+
+
 def q_dup_ngram_spans(sf_dir: str):
     """Exact duplicated-SUBSTRING spans (NEW round 5) — the
     suffix-array-style dedup of Lee et al. ("Deduplicating Training

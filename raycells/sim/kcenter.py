@@ -42,13 +42,23 @@ def _block_best(ids: np.ndarray, nm: np.ndarray, Q: np.ndarray):
     return int(m), int(j), row
 
 
-def kcenter_select(ds, k: int = 8, id_col: str = "vec_id", emb_col: str = "embedding"):
+def kcenter_select(
+    ds,
+    k: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    return_vectors: bool = False,
+):
     """Run greedy k-center over a Dataset of (id, embedding-list) rows.
 
     Returns a ``pa.Table`` of (rank, vec_id, d2): rank 0 is the seed
     (the max-norm point — d2 is its squared norm, ties to min id);
     rank r > 0 is the point farthest from the first r centers, with d2
     its exact squared distance to that chosen set at selection time.
+    With ``return_vectors`` also returns the (k, dim) QUANTIZED center
+    matrix (row r = center of rank r) — the broadcastable state an
+    assignment pass needs, collected center-by-center as each is chosen
+    (never a scan of the corpus).
     """
     import ray
 
@@ -84,24 +94,30 @@ def kcenter_select(ds, k: int = 8, id_col: str = "vec_id", emb_col: str = "embed
     preps = [_prep.remote(t) for t in ds.to_arrow_refs()]
     m, j, center = fold(ray.get([_seed.remote(p) for p in preps]))
     if center is None:  # empty input
-        return pa.table(
+        empty = pa.table(
             {
                 "rank": pa.array([], pa.int64()),
                 "vec_id": pa.array([], pa.int64()),
                 "d2": pa.array([], pa.int64()),
             }
         )
+        return (empty, np.empty((0, 1), np.int64)) if return_vectors else empty
     out = [(0, j, m)]
+    centers = [center]
     minds = [None] * len(preps)
     for rank in range(1, k):
         pairs = [_step.remote(p, s, center) for p, s in zip(preps, minds)]
         minds = [a for a, _ in pairs]
         m, j, center = fold(ray.get([b for _, b in pairs]))
         out.append((rank, j, m))
-    return pa.table(
+        centers.append(center)
+    table = pa.table(
         {
             "rank": pa.array([r for r, _, _ in out], pa.int64()),
             "vec_id": pa.array([v for _, v, _ in out], pa.int64()),
             "d2": pa.array([d for _, _, d in out], pa.int64()),
         }
     )
+    if return_vectors:
+        return table, np.stack(centers)
+    return table

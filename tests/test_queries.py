@@ -115,6 +115,7 @@ CHECKED = [
     "cms_heavy_hitters",
     "dup_ngram_spans",
     "kcenter_diversity",
+    "kcenter_assign",
     "cluster_embeddings",
     "fingerprint_docs",
     "media_features",
