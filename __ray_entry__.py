@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq": q.q_ann_pq,  # NEW round 5 (PQ-ADC memory-compression path)
         "cms_heavy_hitters": q.q_cms_heavy_hitters,  # NEW round 5 (count-min sketch)
         "dup_ngram_spans": q.q_dup_ngram_spans,  # NEW round 5 (substring-span dedup)
+        "dup_span_chars": q.q_dup_span_chars,  # NEW round 5 (substring removal plan)
         "kcenter_diversity": q.q_kcenter_diversity,  # NEW round 5 (coreset sampling)
         "kcenter_assign": q.q_kcenter_assign,  # NEW round 5 (diversity assignment)
         "fingerprint_docs": q.q_fingerprint_docs,

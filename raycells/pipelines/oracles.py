@@ -2173,15 +2173,13 @@ GROUP BY p.rank, ct.vec_id
     )
 
 
-def _dup_ngram_spans_sql(w: int = 40, s: int = 8) -> str:
-    """Duplicated-substring spans (queries.q_dup_ngram_spans): every
+def _window_hash_cte(w: int = 40, s: int = 8) -> str:
+    """Shared WITH-prefix of the duplicated-substring oracles: every
     w-char window at stride s fingerprinted with the _fingerprint_sql
     polynomial at FIXED length w (so the seed·B^w term is one Python
-    literal, no per-row mulmod), windows whose hash repeats anywhere in
-    the corpus kept, per-doc stride-islands via the gaps-and-islands
-    p − s·row_number() key. range(0, 8192, s) is a constant bound +
-    filter (range is not lateral-correlatable); documents max 577 chars
-    at every gate sf."""
+    literal, no per-row mulmod), as ``wh(doc_id, p, h)``.
+    range(0, 8192, s) is a constant bound + filter (range is not
+    lateral-correlatable); documents max 577 chars at every gate sf."""
     seed = 14695981039346656037
     base = 1099511628211
     m64 = "CAST('18446744073709551616' AS HUGEINT)"
@@ -2211,7 +2209,16 @@ wh AS MATERIALIZED (
     FROM wins, range({w}) r
     JOIN pows pw ON pw.k = {w - 1} - r.range
     GROUP BY doc_id, p
-),
+)"""
+
+
+def _dup_ngram_spans_sql(w: int = 40, s: int = 8) -> str:
+    """Duplicated-substring spans (queries.q_dup_ngram_spans): windows
+    whose hash repeats anywhere in the corpus kept, per-doc
+    stride-islands via the gaps-and-islands p − s·row_number() key."""
+    return (
+        _window_hash_cte(w, s)
+        + f""",
 dup AS (SELECT h FROM wh GROUP BY h HAVING COUNT(*) > 1),
 isl AS (
     SELECT wh.doc_id, wh.p,
@@ -2223,6 +2230,46 @@ SELECT doc_id, MIN(p) AS span_start, MAX(p) + {w} AS span_end,
        CAST(COUNT(*) AS BIGINT) AS n_windows
 FROM isl GROUP BY doc_id, grp
 """
+    )
+
+
+def _dup_span_chars_sql(w: int = 40, s: int = 8) -> str:
+    """Removal-plan accounting (queries.q_dup_span_chars): per window
+    group the min-(doc_id, p) occurrence is canonical; remaining
+    occurrences merge into COVERAGE intervals (a new interval starts
+    when the gap to the previous kept position is ≥ w, i.e. the windows
+    stop overlapping) and roll up per doc as exact removable chars."""
+    return (
+        _window_hash_cte(w, s)
+        + f""",
+ranked AS (
+    SELECT doc_id, p,
+           ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn,
+           COUNT(*) OVER (PARTITION BY h) AS cnt
+    FROM wh
+),
+kept AS (SELECT doc_id, p FROM ranked WHERE cnt > 1 AND rn > 1),
+isl AS (
+    SELECT doc_id, p,
+           SUM(CASE WHEN prev_p IS NULL OR p - prev_p >= {w}
+               THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY p
+                     ROWS UNBOUNDED PRECEDING) AS grp
+    FROM (
+        SELECT doc_id, p,
+               LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev_p
+        FROM kept
+    )
+),
+spans AS (
+    SELECT doc_id, grp, MAX(p) + {w} - MIN(p) AS chars
+    FROM isl GROUP BY doc_id, grp
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+       CAST(SUM(chars) AS BIGINT) AS n_dup_chars
+FROM spans GROUP BY doc_id
+"""
+    )
 
 
 def _hits(word: str, col: str = "text") -> str:
@@ -2523,6 +2570,7 @@ def build() -> dict:
         "ann_pq": _ann_pq_sql(),
         "cms_heavy_hitters": _cms_heavy_hitters_sql(),
         "dup_ngram_spans": _dup_ngram_spans_sql(),
+        "dup_span_chars": _dup_span_chars_sql(),
         "kcenter_diversity": _kcenter_diversity_sql(),
         "kcenter_assign": _kcenter_assign_sql(),
         "cluster_embeddings": _cluster_embeddings_sql(),

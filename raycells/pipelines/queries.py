@@ -3115,6 +3115,72 @@ def q_kcenter_assign(sf_dir: str):
     )
 
 
+def _dup_window_rows(sf_dir: str, w: int, s: int, drop_canonical: bool):
+    """Shared front half of the duplicated-substring queries: one text
+    scan emitting (wh, doc_id, p) per strided window (O(bytes) rolling
+    hash, analysis.strided_window_fps), then a hash-bucketed exchange of
+    those 24-byte rows where each coarse bucket keeps the windows whose
+    fingerprint repeats anywhere in the corpus — either ALL occurrences
+    (``drop_canonical=False``, the span-report shape) or every
+    occurrence EXCEPT the global min-(doc_id, p) canonical copy
+    (``True``, the removal-plan shape). Returns the kept (doc_id, p)
+    Dataset."""
+    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["doc_id", "text"])
+
+    def windows(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        ri, pos, h = ta.strided_window_fps(b["text"].to_pylist(), w, s)
+        return pa.table(
+            {
+                "wh": pa.array(h.view(np.int64), pa.int64()),
+                "doc_id": pa.array(ids[ri], pa.int64()),
+                "p": pa.array(pos, pa.int64()),
+            }
+        )
+
+    nb = shuffle_mod.scaled_buckets()  # ONCE on the driver (CLAUDE.md)
+
+    def dup_filter(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(["wh", "doc_id", "p"], kind="stable")
+        sizes = df.groupby("wh", sort=False)["wh"].transform("size")
+        keep = sizes.to_numpy() > 1
+        if drop_canonical:
+            wh = df["wh"].to_numpy()
+            first = np.ones(len(wh), bool)
+            first[1:] = wh[1:] != wh[:-1]
+            keep &= ~first
+        df = df.loc[keep, ["doc_id", "p"]]
+        if len(df) == 0:
+            return g.select(["doc_id", "p"]).slice(0, 0)
+        return shuffle_mod.from_pandas_clean(df)
+
+    return (
+        ds.map_batches(windows, batch_format="pyarrow")
+        .map_batches(
+            lambda b, nb=nb: shuffle_mod.add_bucket(b, "wh", nb),
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(dup_filter, batch_format="pyarrow")
+    )
+
+
+def _doc_bucket_groups(kept, fn):
+    """Back half of the duplicated-substring queries: exchange the kept
+    (doc_id, p) rows on a doc-id bucket so each doc's positions land in
+    one group, then run the vectorized per-bucket reducer ``fn``."""
+    nb = shuffle_mod.scaled_buckets()
+
+    return (
+        kept.map_batches(
+            lambda b, nb=nb: shuffle_mod.add_bucket(b, "doc_id", nb),
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(fn, batch_format="pyarrow")
+    )
+
+
 def q_dup_ngram_spans(sf_dir: str):
     """Exact duplicated-SUBSTRING spans (NEW round 5) — the
     suffix-array-style dedup of Lee et al. ("Deduplicating Training
@@ -3138,28 +3204,7 @@ def q_dup_ngram_spans(sf_dir: str):
     the oracle reproduces the window fingerprints in HUGEINT from the
     same polynomial (the _fingerprint_sql recipe at fixed length W)."""
     w, s = ta.SPAN_W, ta.SPAN_S
-    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["doc_id", "text"])
-
-    def windows(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        ri, pos, h = ta.strided_window_fps(b["text"].to_pylist(), w, s)
-        return pa.table(
-            {
-                "wh": pa.array(h.view(np.int64), pa.int64()),
-                "doc_id": pa.array(ids[ri], pa.int64()),
-                "p": pa.array(pos, pa.int64()),
-            }
-        )
-
-    nb = shuffle_mod.scaled_buckets()  # ONCE on the driver (CLAUDE.md)
-
-    def dup_filter(g: pa.Table) -> pa.Table:
-        df = g.to_pandas()
-        keep = df.groupby("wh", sort=False)["wh"].transform("size") > 1
-        df = df.loc[keep, ["doc_id", "p"]]
-        if len(df) == 0:
-            return g.select(["doc_id", "p"]).slice(0, 0)
-        return shuffle_mod.from_pandas_clean(df)
+    kept = _dup_window_rows(sf_dir, w, s, drop_canonical=False)
 
     def merge_spans(g: pa.Table) -> pa.Table:
         ids = g["doc_id"].to_numpy(zero_copy_only=False)
@@ -3179,23 +3224,7 @@ def q_dup_ngram_spans(sf_dir: str):
             }
         )
 
-    kept = (
-        ds.map_batches(windows, batch_format="pyarrow")
-        .map_batches(
-            lambda b, nb=nb: shuffle_mod.add_bucket(b, "wh", nb),
-            batch_format="pyarrow",
-        )
-        .groupby("_bucket")
-        .map_groups(dup_filter, batch_format="pyarrow")
-    )
-    spans = (
-        kept.map_batches(
-            lambda b, nb=nb: shuffle_mod.add_bucket(b, "doc_id", nb),
-            batch_format="pyarrow",
-        )
-        .groupby("_bucket")
-        .map_groups(merge_spans, batch_format="pyarrow")
-    )
+    spans = _doc_bucket_groups(kept, merge_spans)
     tabs = [t for t in ray_get_tables(spans) if t.num_rows]
     if not tabs:
         return pa.table(
@@ -3213,6 +3242,66 @@ def q_dup_ngram_spans(sf_dir: str):
             t["doc_id"].to_numpy(zero_copy_only=False),
         )
     )
+    return t.take(pa.array(order))
+
+
+def q_dup_span_chars(sf_dir: str):
+    """Removal PLAN for duplicated substrings (NEW round 5) — the
+    actionable half of dup_ngram_spans: per window-fingerprint group the
+    global min-(doc_id, p) occurrence is CANONICAL and survives; every
+    other occurrence is removable. Removable positions merge into
+    coverage intervals (union of [p, p+W): runs where the next kept
+    position starts before the previous window ends), and each doc
+    rolls up to (n_dup_spans, n_dup_chars) — the exact char count a
+    dedup pass would delete, Lee et al.'s "duplicate text removed"
+    accounting. Same two narrow exchanges as dup_ngram_spans (the
+    canonical drop is a vectorized first-of-group mask inside the
+    hash-bucket reducer — all occurrences of a fingerprint land in one
+    bucket, so bucket-local first == global first); the doc-bucket
+    reducer emits ONE row per doc, already output-sized."""
+    w, s = ta.SPAN_W, ta.SPAN_S
+    kept = _dup_window_rows(sf_dir, w, s, drop_canonical=True)
+
+    def doc_rollup(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        ps = g["p"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((ps, ids))
+        ids, ps = ids[o], ps[o]
+        # coverage intervals: a new interval starts when the gap to the
+        # previous kept position is >= W (the windows no longer overlap)
+        new = np.ones(len(ids), bool)
+        new[1:] = (ids[1:] != ids[:-1]) | (ps[1:] - ps[:-1] >= w)
+        sidx = np.flatnonzero(new)
+        ends = np.append(sidx[1:], len(ids))
+        span_doc = ids[sidx]
+        span_chars = ps[ends - 1] + w - ps[sidx]
+        # one row per doc: islands are doc-contiguous after the lexsort
+        dnew = np.ones(len(span_doc), bool)
+        dnew[1:] = span_doc[1:] != span_doc[:-1]
+        didx = np.flatnonzero(dnew)
+        dends = np.append(didx[1:], len(span_doc))
+        return pa.table(
+            {
+                "doc_id": pa.array(span_doc[didx], pa.int64()),
+                "n_dup_spans": pa.array(dends - didx, pa.int64()),
+                "n_dup_chars": pa.array(
+                    np.add.reduceat(span_chars, didx), pa.int64()
+                ),
+            }
+        )
+
+    rolled = _doc_bucket_groups(kept, doc_rollup)
+    tabs = [t for t in ray_get_tables(rolled) if t.num_rows]
+    if not tabs:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_dup_spans": pa.array([], pa.int64()),
+                "n_dup_chars": pa.array([], pa.int64()),
+            }
+        )
+    t = pa.concat_tables(tabs, promote_options="none")
+    order = np.argsort(t["doc_id"].to_numpy(zero_copy_only=False), kind="stable")
     return t.take(pa.array(order))
 
 

@@ -114,6 +114,7 @@ CHECKED = [
     "ann_pq",
     "cms_heavy_hitters",
     "dup_ngram_spans",
+    "dup_span_chars",
     "kcenter_diversity",
     "kcenter_assign",
     "cluster_embeddings",
