@@ -322,6 +322,23 @@ def run_stats_dedup_job(docs_dir: str, out_dir: str) -> dict:
     return _sink_job("stats_dedup", docs_dir, out_dir, "media_sd", build)
 
 
+def run_span_dedup_job(docs_dir: str, out_dir: str) -> dict:
+    """Duplicated-substring span report over the interleaved corpus
+    (Lee-et-al-style exact substring dedup at strided positions): the
+    span-concat text view → O(bytes) rolling window hashes → two
+    narrow exchanges → per-doc stride-island spans streamed to
+    ``out/spans/*.parquet`` (span output is duplication-proportional —
+    corpus-scale on a boilerplate-heavy crawl, never one driver heap)."""
+    from raycells.text.dedup import dup_span_report
+
+    def build(sink_dir):
+        return dup_span_report(
+            _docs_text(docs_dir), id_col="doc_key", sink_dir=sink_dir
+        )
+
+    return _sink_job("span_dedup", docs_dir, out_dir, "spans", build)
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--docs-dir", required=True)
@@ -330,14 +347,17 @@ def main():
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument(
         "--mode",
-        choices=["flagship", "dedup", "chunk-dedup", "media-dedup", "stats-dedup"],
+        choices=["flagship", "dedup", "chunk-dedup", "media-dedup",
+                 "stats-dedup", "span-dedup"],
         default="flagship",
         help="flagship = per-fragment cell aggregate; dedup = whole-corpus "
              "near-dup pair sink (out/pairs/*.parquet); chunk-dedup = "
              "chunk-fingerprint winner sink (out/chunks/); media-dedup = "
              "decoded-content-hash winner sink (out/media/); stats-dedup = "
              "cell aggregate AND dedup winners from ONE decode scan "
-             "(out/cells/ + out/media_sd/). Each publishes one manifest row.",
+             "(out/cells/ + out/media_sd/); span-dedup = duplicated-"
+             "substring span sink (out/spans/). Each publishes one "
+             "manifest row.",
     )
     ap.add_argument(
         "--clusters", action="store_true",
@@ -355,12 +375,15 @@ def main():
             include_dashboard=False,
             ignore_reinit_error=True,
         )
-    if args.mode in ("dedup", "chunk-dedup", "media-dedup", "stats-dedup"):
+    if args.mode in (
+        "dedup", "chunk-dedup", "media-dedup", "stats-dedup", "span-dedup"
+    ):
         job = {
             "dedup": run_dedup_job,
             "chunk-dedup": run_chunk_dedup_job,
             "media-dedup": run_media_dedup_job,
             "stats-dedup": run_stats_dedup_job,
+            "span-dedup": run_span_dedup_job,
         }[args.mode]
         summary = job(args.docs_dir, args.out)
         line = {

@@ -3115,70 +3115,8 @@ def q_kcenter_assign(sf_dir: str):
     )
 
 
-def _dup_window_rows(sf_dir: str, w: int, s: int, drop_canonical: bool):
-    """Shared front half of the duplicated-substring queries: one text
-    scan emitting (wh, doc_id, p) per strided window (O(bytes) rolling
-    hash, analysis.strided_window_fps), then a hash-bucketed exchange of
-    those 24-byte rows where each coarse bucket keeps the windows whose
-    fingerprint repeats anywhere in the corpus — either ALL occurrences
-    (``drop_canonical=False``, the span-report shape) or every
-    occurrence EXCEPT the global min-(doc_id, p) canonical copy
-    (``True``, the removal-plan shape). Returns the kept (doc_id, p)
-    Dataset."""
-    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["doc_id", "text"])
-
-    def windows(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        ri, pos, h = ta.strided_window_fps(b["text"].to_pylist(), w, s)
-        return pa.table(
-            {
-                "wh": pa.array(h.view(np.int64), pa.int64()),
-                "doc_id": pa.array(ids[ri], pa.int64()),
-                "p": pa.array(pos, pa.int64()),
-            }
-        )
-
-    nb = shuffle_mod.scaled_buckets()  # ONCE on the driver (CLAUDE.md)
-
-    def dup_filter(g: pa.Table) -> pa.Table:
-        df = g.to_pandas().sort_values(["wh", "doc_id", "p"], kind="stable")
-        sizes = df.groupby("wh", sort=False)["wh"].transform("size")
-        keep = sizes.to_numpy() > 1
-        if drop_canonical:
-            wh = df["wh"].to_numpy()
-            first = np.ones(len(wh), bool)
-            first[1:] = wh[1:] != wh[:-1]
-            keep &= ~first
-        df = df.loc[keep, ["doc_id", "p"]]
-        if len(df) == 0:
-            return g.select(["doc_id", "p"]).slice(0, 0)
-        return shuffle_mod.from_pandas_clean(df)
-
-    return (
-        ds.map_batches(windows, batch_format="pyarrow")
-        .map_batches(
-            lambda b, nb=nb: shuffle_mod.add_bucket(b, "wh", nb),
-            batch_format="pyarrow",
-        )
-        .groupby("_bucket")
-        .map_groups(dup_filter, batch_format="pyarrow")
-    )
-
-
-def _doc_bucket_groups(kept, fn):
-    """Back half of the duplicated-substring queries: exchange the kept
-    (doc_id, p) rows on a doc-id bucket so each doc's positions land in
-    one group, then run the vectorized per-bucket reducer ``fn``."""
-    nb = shuffle_mod.scaled_buckets()
-
-    return (
-        kept.map_batches(
-            lambda b, nb=nb: shuffle_mod.add_bucket(b, "doc_id", nb),
-            batch_format="pyarrow",
-        )
-        .groupby("_bucket")
-        .map_groups(fn, batch_format="pyarrow")
-    )
+def _dup_docs_ds(sf_dir: str):
+    return _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["doc_id", "text"])
 
 
 def q_dup_ngram_spans(sf_dir: str):
@@ -3202,31 +3140,11 @@ def q_dup_ngram_spans(sf_dir: str):
 
     Output: (doc_id, span_start, span_end, n_windows) per maximal span;
     the oracle reproduces the window fingerprints in HUGEINT from the
-    same polynomial (the _fingerprint_sql recipe at fixed length W)."""
-    w, s = ta.SPAN_W, ta.SPAN_S
-    kept = _dup_window_rows(sf_dir, w, s, drop_canonical=False)
-
-    def merge_spans(g: pa.Table) -> pa.Table:
-        ids = g["doc_id"].to_numpy(zero_copy_only=False)
-        ps = g["p"].to_numpy(zero_copy_only=False)
-        o = np.lexsort((ps, ids))
-        ids, ps = ids[o], ps[o]
-        new = np.ones(len(ids), bool)
-        new[1:] = (ids[1:] != ids[:-1]) | (ps[1:] - ps[:-1] != s)
-        sidx = np.flatnonzero(new)
-        ends = np.append(sidx[1:], len(ids))
-        return pa.table(
-            {
-                "doc_id": pa.array(ids[sidx], pa.int64()),
-                "span_start": pa.array(ps[sidx], pa.int64()),
-                "span_end": pa.array(ps[ends - 1] + w, pa.int64()),
-                "n_windows": pa.array(ends - sidx, pa.int64()),
-            }
-        )
-
-    spans = _doc_bucket_groups(kept, merge_spans)
-    tabs = [t for t in ray_get_tables(spans) if t.num_rows]
-    if not tabs:
+    same polynomial (the _fingerprint_sql recipe at fixed length W).
+    The id-type-generic engine lives in dedup.dup_span_report (also the
+    interleaved-corpus ``driver --mode span-dedup`` streamed sink)."""
+    out = dd.dup_span_report(_dup_docs_ds(sf_dir))
+    if out is None:
         return pa.table(
             {
                 "doc_id": pa.array([], pa.int64()),
@@ -3235,14 +3153,7 @@ def q_dup_ngram_spans(sf_dir: str):
                 "n_windows": pa.array([], pa.int64()),
             }
         )
-    t = pa.concat_tables(tabs, promote_options="none")
-    order = np.lexsort(
-        (
-            t["span_start"].to_numpy(zero_copy_only=False),
-            t["doc_id"].to_numpy(zero_copy_only=False),
-        )
-    )
-    return t.take(pa.array(order))
+    return out
 
 
 def q_dup_span_chars(sf_dir: str):
@@ -3260,13 +3171,14 @@ def q_dup_span_chars(sf_dir: str):
     bucket, so bucket-local first == global first); the doc-bucket
     reducer emits ONE row per doc, already output-sized."""
     w, s = ta.SPAN_W, ta.SPAN_S
-    kept = _dup_window_rows(sf_dir, w, s, drop_canonical=True)
+    kept = dd.dup_window_rows(
+        _dup_docs_ds(sf_dir), w=w, s=s, drop_canonical=True
+    )
 
     def doc_rollup(g: pa.Table) -> pa.Table:
-        ids = g["doc_id"].to_numpy(zero_copy_only=False)
-        ps = g["p"].to_numpy(zero_copy_only=False)
-        o = np.lexsort((ps, ids))
-        ids, ps = ids[o], ps[o]
+        df = g.to_pandas().sort_values(["doc_id", "p"], kind="stable")
+        ids = df["doc_id"].to_numpy()
+        ps = df["p"].to_numpy()
         # coverage intervals: a new interval starts when the gap to the
         # previous kept position is >= W (the windows no longer overlap)
         new = np.ones(len(ids), bool)
@@ -3275,7 +3187,7 @@ def q_dup_span_chars(sf_dir: str):
         ends = np.append(sidx[1:], len(ids))
         span_doc = ids[sidx]
         span_chars = ps[ends - 1] + w - ps[sidx]
-        # one row per doc: islands are doc-contiguous after the lexsort
+        # one row per doc: islands are doc-contiguous after the sort
         dnew = np.ones(len(span_doc), bool)
         dnew[1:] = span_doc[1:] != span_doc[:-1]
         didx = np.flatnonzero(dnew)
@@ -3290,7 +3202,7 @@ def q_dup_span_chars(sf_dir: str):
             }
         )
 
-    rolled = _doc_bucket_groups(kept, doc_rollup)
+    rolled = dd._doc_bucket_reduce(kept, "doc_id", doc_rollup)
     tabs = [t for t in ray_get_tables(rolled) if t.num_rows]
     if not tabs:
         return pa.table(

@@ -1359,3 +1359,130 @@ def embedding_near_dup_pairs(
          out["id_a"].to_numpy(zero_copy_only=False))
     )
     return out.take(pa.array(order))
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-substring spans (strided rolling windows)
+# ---------------------------------------------------------------------------
+
+
+def dup_window_rows(ds, id_col="doc_id", col="text", w=None, s=None,
+                    drop_canonical=False):
+    """Front half of the duplicated-substring operators, id-type-generic
+    (int doc ids for the tabular table, string doc keys for the
+    interleaved corpus): one text scan emitting (wh, id, p) per strided
+    window (O(bytes) rolling hash — analysis.strided_window_fps), then a
+    hash-bucketed exchange of those narrow rows where each coarse
+    bucket keeps windows whose fingerprint repeats anywhere in the
+    corpus — all occurrences (span-report shape) or all but the global
+    min-(id, p) canonical copy (``drop_canonical``, removal-plan
+    shape; all occurrences of a fingerprint land in one bucket, so the
+    bucket-local first row after an (wh, id, p) sort IS the global
+    canonical). Returns the kept (id, p) Dataset."""
+    from raycells.engine.shuffle import add_bucket
+    from raycells.text import analysis as ta
+
+    w = ta.SPAN_W if w is None else w
+    s = ta.SPAN_S if s is None else s
+
+    def windows(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        ri, pos, h = ta.strided_window_fps(b[col].to_pylist(), w, s)
+        return pa.table(
+            {
+                "wh": pa.array(h.view(np.int64), pa.int64()),
+                id_col: pa.array(ids[ri]),
+                "p": pa.array(pos, pa.int64()),
+            }
+        )
+
+    nb = scaled_buckets()  # ONCE on the driver (CLAUDE.md)
+
+    def dup_filter(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = g.to_pandas().sort_values(["wh", id_col, "p"], kind="stable")
+        sizes = df.groupby("wh", sort=False)["wh"].transform("size")
+        keep = sizes.to_numpy() > 1
+        if drop_canonical:
+            wh = df["wh"].to_numpy()
+            first = np.ones(len(wh), bool)
+            first[1:] = wh[1:] != wh[:-1]
+            keep &= ~first
+        df = df.loc[keep, [id_col, "p"]]
+        if len(df) == 0:
+            return g.select([id_col, "p"]).slice(0, 0)
+        return from_pandas_clean(df)
+
+    return (
+        ds.map_batches(windows, batch_format="pyarrow")
+        .map_batches(
+            lambda b, nb=nb: add_bucket(b, "wh", nb), batch_format="pyarrow"
+        )
+        .groupby("_bucket")
+        .map_groups(dup_filter, batch_format="pyarrow")
+    )
+
+
+def _doc_bucket_reduce(kept, id_col, fn):
+    """Back half: exchange the kept (id, p) rows on an id bucket so each
+    doc's positions land in one group, then run the vectorized
+    per-bucket reducer ``fn``."""
+    from raycells.engine.shuffle import add_bucket
+
+    nb = scaled_buckets()
+    return (
+        kept.map_batches(
+            lambda b, nb=nb: add_bucket(b, id_col, nb), batch_format="pyarrow"
+        )
+        .groupby("_bucket")
+        .map_groups(fn, batch_format="pyarrow")
+    )
+
+
+def dup_span_report(ds, id_col="doc_id", col="text", w=None, s=None,
+                    sink_dir=None):
+    """Duplicated-substring spans over any (id, text) Dataset: windows
+    whose fingerprint repeats anywhere merge per doc into maximal
+    stride-contiguous spans of (id, span_start, span_end, n_windows).
+    Collect path returns the pa.Table sorted by (id, span_start);
+    ``sink_dir`` instead STREAMS the span blocks to partitioned parquet
+    (checkpoint.sink_to_parquet summary back) — span output is
+    duplication-proportional, corpus-scale on a boilerplate-heavy
+    crawl, so the 100-TB path never concats it on one driver heap."""
+    from raycells.text import analysis as ta
+
+    w = ta.SPAN_W if w is None else w
+    s = ta.SPAN_S if s is None else s
+    kept = dup_window_rows(ds, id_col, col, w, s, drop_canonical=False)
+
+    def merge_spans(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values([id_col, "p"], kind="stable")
+        ids = df[id_col].to_numpy()
+        ps = df["p"].to_numpy()
+        new = np.ones(len(ids), bool)
+        new[1:] = (ids[1:] != ids[:-1]) | (ps[1:] - ps[:-1] != s)
+        sidx = np.flatnonzero(new)
+        ends = np.append(sidx[1:], len(ids))
+        return pa.table(
+            {
+                id_col: pa.array(ids[sidx]),
+                "span_start": pa.array(ps[sidx], pa.int64()),
+                "span_end": pa.array(ps[ends - 1] + w, pa.int64()),
+                "n_windows": pa.array(ends - sidx, pa.int64()),
+            }
+        )
+
+    spans = _doc_bucket_reduce(kept, id_col, merge_spans)
+    if sink_dir is not None:
+        from raycells.engine.checkpoint import sink_to_parquet
+
+        return sink_to_parquet(spans, sink_dir)
+    import ray
+
+    tabs = [t for t in (ray.get(r) for r in spans.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return None
+    t = pa.concat_tables(tabs, promote_options="none")
+    df = t.to_pandas().sort_values([id_col, "span_start"], kind="stable")
+    return from_pandas_clean(df)

@@ -355,3 +355,33 @@ def test_stats_dedup_job_single_scan_matches_both(docs_dir, tmp_path, ray_sessio
 
     res2 = driver.run_stats_dedup_job(docs_dir, out)
     assert res2["skipped"] == ["stats_dedup"] and not res2["done"]
+
+
+def test_span_dedup_sink_job_matches_collect(docs_dir, tmp_path, ray_session):
+    """--mode span-dedup: the streamed duplicated-substring span sink
+    over the interleaved corpus (STRING doc keys — the id-type-generic
+    path) == the collect-mode report; manifest no-op on re-run."""
+    import pandas as pd
+
+    from raycells.text.dedup import dup_span_report
+
+    out = str(tmp_path / "sd_out")
+    res = driver.run_span_dedup_job(docs_dir, out)
+    assert res["done"] == ["span_dedup"]
+    man = res["manifest"]
+    sunk = _read_sink(man["sink_dir"])
+    n_sunk = sunk.num_rows if sunk is not None else 0
+    assert n_sunk == man["n_rows"]
+
+    collected = dup_span_report(driver._docs_text(docs_dir), id_col="doc_key")
+    if collected is None:
+        assert n_sunk == 0
+    else:
+        assert n_sunk > 0  # the interleaved fixture plants near-dup docs
+        key_cols = ["doc_key", "span_start"]
+        pd.testing.assert_frame_equal(
+            _sorted_df(sunk, key_cols), _sorted_df(collected, key_cols)
+        )
+
+    res2 = driver.run_span_dedup_job(docs_dir, out)
+    assert res2["skipped"] == ["span_dedup"] and not res2["done"]
