@@ -457,3 +457,31 @@ def test_bloom_bit_indices_match_duckdb(keys):
     ).fetchall()
     want = np.array([r[2] for r in rows], np.int64).reshape(len(keys), BLOOM_K)
     assert np.array_equal(got, want)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                min_size=0, max_size=120),
+        min_size=0, max_size=12,
+    ),
+    w=st.integers(3, 50),
+    s=st.integers(1, 12),
+)
+@settings(max_examples=60, deadline=None)
+def test_strided_window_fps_matches_fingerprint64(texts, w, s):
+    """Every strided window hash == fingerprint64 of the substring —
+    the O(bytes) rolling-prefix kernel (B inverse mod 2^64) agrees with
+    the direct polynomial for arbitrary ASCII texts, window sizes and
+    strides (including texts shorter than the window and empty texts)."""
+    from raycells.text.analysis import fingerprint64, strided_window_fps
+
+    ri, pos, h = strided_window_fps(texts, w, s)
+    exp = []
+    for r, t in enumerate(texts):
+        p = 0
+        while p + w <= len(t):
+            exp.append((r, p, int(fingerprint64([t[p : p + w]])[0])))
+            p += s
+    got = list(zip(ri.tolist(), pos.tolist(), (int(x) for x in h)))
+    assert got == exp
