@@ -59,14 +59,22 @@ def kcenter_select(
     matrix (row r = center of rank r) — the broadcastable state an
     assignment pass needs, collected center-by-center as each is chosen
     (never a scan of the corpus).
+
+    Saturated-selection corner (fewer distinct vectors than k): once
+    every point is distance 0 from the chosen set the (max d2, min id)
+    rule keeps picking the GLOBAL min id — a repeated center row with
+    d2 = 0, identical to the oracle's unrolled chain (test-pinned).
     """
     import ray
 
     @ray.remote
     def _prep(tab: pa.Table):
+        # empty blocks pass through upstream stages with whatever schema
+        # the producer had (the block_tables lesson) — guard on rows AND
+        # column presence before touching columns
+        if tab.num_rows == 0 or id_col not in tab.column_names:
+            return np.empty(0, np.int64), np.empty((0, 1), np.int64)
         ids = tab[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(ids) == 0:
-            return ids, np.empty((0, 1), np.int64)
         q = quantize_embeddings(np.asarray(tab[emb_col].to_pylist(), np.float64))
         return ids, q
 

@@ -379,3 +379,67 @@ def test_cms_build_merges_blocks_and_never_undercounts(ray_session):
     # bucket rows are distinct hash functions
     bks = _cms_buckets(uniq, w)
     assert any(not np.array_equal(bks[0], bks[r]) for r in range(1, CMS_D))
+
+
+class TestKCenter:
+    def _ds(self, vecs, ids=None, blocks=3):
+        import ray.data as rd
+
+        n = len(vecs)
+        t = pa.table(
+            {
+                "vec_id": pa.array(
+                    np.asarray(ids if ids is not None else np.arange(n)),
+                    pa.int64(),
+                ),
+                "embedding": pa.array([list(map(float, r)) for r in vecs]),
+            }
+        )
+        return rd.from_arrow(t).repartition(blocks)
+
+    def test_matches_serial_greedy(self, ray_session):
+        from raycells.sim.kcenter import kcenter_select
+        from raycells.text.dedup import quantize_embeddings
+
+        rng = np.random.default_rng(7)
+        vecs = rng.normal(size=(40, 6)) * 0.3
+        out = kcenter_select(self._ds(vecs), k=5).to_pandas()
+        # serial reference: identical quantized-int greedy chain
+        q = quantize_embeddings(vecs)
+        n2 = np.einsum("ij,ij->i", q, q)
+        order = [(0, int(np.flatnonzero(n2 == n2.max()).min()), int(n2.max()))]
+        mind = np.einsum(
+            "ij,ij->i", q - q[order[0][1]], q - q[order[0][1]]
+        )
+        for r in range(1, 5):
+            m = mind.max()
+            j = int(np.flatnonzero(mind == m).min())
+            order.append((r, j, int(m)))
+            d2 = np.einsum("ij,ij->i", q - q[j], q - q[j])
+            mind = np.minimum(mind, d2)
+        assert list(zip(out["rank"], out["vec_id"], out["d2"])) == order
+
+    def test_duplicate_vectors_and_ties_pick_min_id(self, ray_session):
+        from raycells.sim.kcenter import kcenter_select
+
+        # 3 distinct locations; the far pair are exact duplicates, so
+        # after both real locations are centers every remaining point is
+        # a dup with md = 0 → rank 2+ must pick the MIN remaining id
+        base = [[0.1, 0.1], [0.1, 0.1], [0.4, 0.4], [0.4, 0.4], [0.4, 0.4]]
+        out = kcenter_select(self._ds(base, ids=[11, 7, 20, 3, 5]), k=4).to_pandas()
+        # seed: max norm (the 0.4 dups), tie → min id 3
+        assert out.iloc[0]["vec_id"] == 3 and out.iloc[0]["d2"] > 0
+        # rank 1: farthest from the 0.4 cluster = a 0.1 point, min id 7
+        assert out.iloc[1]["vec_id"] == 7 and out.iloc[1]["d2"] > 0
+        # everything (including the chosen centers, whose md is 0 by
+        # definition) is now distance 0 from a center: the deterministic
+        # (max md, min id) rule picks the GLOBAL min id 3 again — the
+        # saturated-selection corner, identical to the oracle's chain
+        assert list(out.iloc[2:]["vec_id"]) == [3, 3]
+        assert list(out.iloc[2:]["d2"]) == [0, 0]
+
+    def test_empty_dataset(self, ray_session):
+        from raycells.sim.kcenter import kcenter_select
+
+        out = kcenter_select(self._ds(np.empty((0, 2))), k=3, )
+        assert out.num_rows == 0
