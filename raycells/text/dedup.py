@@ -48,6 +48,8 @@ __all__ = [
     "simhash64",
     "simhash_near_dup_pairs",
     "embedding_near_dup_pairs",
+    "dup_window_rows",
+    "dup_span_report",
 ]
 
 _MERSENNE = (1 << 61) - 1

@@ -385,3 +385,10 @@ def test_span_dedup_sink_job_matches_collect(docs_dir, tmp_path, ray_session):
 
     res2 = driver.run_span_dedup_job(docs_dir, out)
     assert res2["skipped"] == ["span_dedup"] and not res2["done"]
+    # lost sink file → manifest alone must NOT skip; the job repairs
+    if man["n_files"]:
+        victim = sorted(os.listdir(man["sink_dir"]))[0]
+        os.unlink(os.path.join(man["sink_dir"], victim))
+        res3 = driver.run_span_dedup_job(docs_dir, out)
+        assert res3["done"] == ["span_dedup"]
+        assert res3["manifest"]["n_rows"] == man["n_rows"]
