@@ -2058,6 +2058,54 @@ _LANG_SCORE = """
 """
 
 
+def _shuffle_shards_sql(n_shards: int = 16) -> str:
+    """Deterministic resharding manifest (queries.q_shuffle_shards):
+    the murmur3 finalizer chain from the HLL recipe (HUGEINT wraps,
+    32-bit-split mulmod) assigns shard = h % n and position = unsigned
+    h; per shard COUNT / SUM(chars) / bit_xor of the int64 BIT PATTERN
+    (matches numpy's int64 xor exactly) / first doc by (unsigned h,
+    doc_id) via ROW_NUMBER."""
+    m64 = "CAST('18446744073709551616' AS HUGEINT)"
+    i63 = "CAST('9223372036854775808' AS HUGEINT)"
+    c1 = 0xFF51AFD7ED558CCD
+    c2 = 0xC4CEB9FE1A85EC53
+
+    def mulmod(expr: str, c: int) -> str:
+        return (
+            f"CAST(((CAST({expr} AS HUGEINT) % 4294967296) * {c} % {m64}"
+            f" + ((CAST({expr} AS HUGEINT) // 4294967296 * {c}) % 4294967296)"
+            f" * 4294967296) % {m64} AS UBIGINT)"
+        )
+
+    return f"""
+WITH keys AS (
+    SELECT doc_id, n_chars, CAST(doc_id AS UBIGINT) AS k FROM documents
+),
+h1 AS (SELECT doc_id, n_chars, xor(k, k >> 33) AS h FROM keys),
+h2 AS (SELECT doc_id, n_chars, {mulmod('h', c1)} AS h FROM h1),
+h3 AS (SELECT doc_id, n_chars, xor(h, h >> 33) AS h FROM h2),
+h4 AS (SELECT doc_id, n_chars, {mulmod('h', c2)} AS h FROM h3),
+h5 AS (SELECT doc_id, n_chars, xor(h, h >> 33) AS h FROM h4),
+sh AS (
+    SELECT doc_id, n_chars, h,
+           CAST(h % {n_shards} AS BIGINT) AS shard,
+           CAST(CASE WHEN CAST(h AS HUGEINT) >= {i63}
+                THEN CAST(h AS HUGEINT) - {m64}
+                ELSE CAST(h AS HUGEINT) END AS BIGINT) AS hbits
+    FROM h5
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS rn
+    FROM sh
+)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(bit_xor(hbits) AS BIGINT) AS xor_hash,
+       MAX(CASE WHEN rn = 1 THEN doc_id END) AS first_doc
+FROM ranked GROUP BY shard
+"""
+
+
 def _kcenter_chain_sql(k: int = 8) -> str:
     """The shared greedy k-center CTE chain (selection steps c0..c{k-1})
     used by both _kcenter_diversity_sql and _kcenter_assign_sql:
@@ -2573,6 +2621,7 @@ def build() -> dict:
         "dup_span_chars": _dup_span_chars_sql(),
         "kcenter_diversity": _kcenter_diversity_sql(),
         "kcenter_assign": _kcenter_assign_sql(),
+        "shuffle_shards": _shuffle_shards_sql(),
         "cluster_embeddings": _cluster_embeddings_sql(),
         # per-cluster text-quality rollup (round 3): Lloyd chain ⋈
         # documents on vec_id = doc_id (see _cluster_quality_sql)

@@ -3032,6 +3032,82 @@ def q_chunk_dedup(sf_dir: str, sink_dir: str | None = None):
     )
 
 
+N_SHUFFLE_SHARDS = 16
+
+
+def q_shuffle_shards(sf_dir: str):
+    """Deterministic training-order resharding MANIFEST (NEW round 5) —
+    the plan of the final step of a pretraining pipeline: every doc is
+    assigned a shard and an in-shard position by a murmur3-finalizer
+    mix of its id (sim/hll._hash64 — RNG-free, identical under Ray
+    retries, SQL-reproducible), i.e. a globally shuffled training order
+    with no random state. The manifest emits per shard: doc count,
+    payload chars, an ORDER-FREE xor fold of the position hashes (any
+    assignment flip changes it), and the FIRST training example (min
+    unsigned hash, ties min doc_id).
+
+    Scale shape: count/sum/xor/min are all commutative-associative, so
+    the whole manifest is map-side partials (≤ n_shards rows per batch)
+    + a driver fold of O(blocks × shards) — NO exchange at all; the
+    actual shard write would be one partitioned write_parquet keyed by
+    the same shard column. Hash bits are carried as the int64 bit
+    pattern; the min compares the UNSIGNED view (uint64 keys > 2^63
+    would pickle-fall-back in Arrow blocks — CLAUDE.md)."""
+    from raycells.sim.hll import _hash64
+
+    ds = _read(
+        sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["doc_id", "n_chars"]
+    )
+    n_shards = N_SHUFFLE_SHARDS
+
+    def part(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _hash64(ids)
+        shard = (h % np.uint64(n_shards)).astype(np.int64)
+        hi = h.view(np.int64)
+        nch = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # order rows by (shard, unsigned h, doc_id): first row per shard
+        # is its partial min; xor/sum/count are order-free
+        o = np.lexsort((ids, h, shard))
+        shard, hi, ids, nch = shard[o], hi[o], ids[o], nch[o]
+        first = np.ones(len(shard), bool)
+        first[1:] = shard[1:] != shard[:-1]
+        sidx = np.flatnonzero(first)
+        ends = np.append(sidx[1:], len(shard))
+        return pa.table(
+            {
+                "shard": pa.array(shard[sidx], pa.int64()),
+                "n_docs": pa.array(ends - sidx, pa.int64()),
+                "sum_chars": pa.array(np.add.reduceat(nch, sidx), pa.int64()),
+                "xor_hash": pa.array(
+                    np.bitwise_xor.reduceat(hi, sidx), pa.int64()
+                ),
+                "min_h": pa.array(hi[sidx], pa.int64()),
+                "first_doc": pa.array(ids[sidx], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    # driver fold over O(blocks × shards) partial rows
+    parts["_uh"] = parts["min_h"].to_numpy(np.int64).view(np.uint64)
+    parts = parts.sort_values(["shard", "_uh", "first_doc"], kind="stable")
+    agg = parts.groupby("shard", sort=True).agg(
+        n_docs=("n_docs", "sum"),
+        sum_chars=("sum_chars", "sum"),
+        xor_hash=("xor_hash", lambda s: np.bitwise_xor.reduce(s.to_numpy())),
+        first_doc=("first_doc", "first"),
+    ).reset_index()
+    return pa.table(
+        {
+            "shard": pa.array(agg["shard"].to_numpy(np.int64)),
+            "n_docs": pa.array(agg["n_docs"].to_numpy(np.int64)),
+            "sum_chars": pa.array(agg["sum_chars"].to_numpy(np.int64)),
+            "xor_hash": pa.array(agg["xor_hash"].to_numpy(np.int64)),
+            "first_doc": pa.array(agg["first_doc"].to_numpy(np.int64)),
+        }
+    )
+
+
 def q_kcenter_diversity(sf_dir: str):
     """Greedy k-center diversity sampling (NEW round 5) — the coreset
     selection step of embedding-space data curation (pick k maximally

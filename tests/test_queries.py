@@ -117,6 +117,7 @@ CHECKED = [
     "dup_span_chars",
     "kcenter_diversity",
     "kcenter_assign",
+    "shuffle_shards",
     "cluster_embeddings",
     "fingerprint_docs",
     "media_features",
