@@ -103,7 +103,15 @@ oracles in raycells/pipelines/oracles.py):
   harmonic-sum estimator), media_features (the plumbing metadata the
   pipeline emits is shape arithmetic — and since round 2 the decoded
   CONTENT too: SQL-reproducible payloads + exact byte moments through
-  resize and frame-sample). EVERY driver query hash-matches
+  resize and frame-sample). Round-5 additions: simhash128_pairs
+  (two-lane wide fingerprint), media_dedup_real (real-codec dedup),
+  ann_pq (PQ-ADC compressed ANN), cms_heavy_hitters (count-min
+  sketch), dup_ngram_spans + dup_span_chars (Lee-et-al exact
+  duplicated-substring spans + removal accounting via O(bytes)
+  rolling window hashes), kcenter_diversity + kcenter_assign
+  (greedy farthest-point coreset selection + broadcast assignment),
+  and shuffle_shards (deterministic training-order reshard manifest,
+  exchange-free). EVERY driver query hash-matches
   DuckDB, and ALL BUT ONE also run in the sf0.001 pytest replica
   (band_tile_stats is the single gate-only row — its 28M-cell SQL
   belongs at sf0.01).
@@ -149,7 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     sits in the first eight entries, then the round-3 additions, then
     the long-green tail. After the round-4 oracle rewrites the FULL
     gate costs ~58 s at sf0.01 (41 s Ray + 17 s DuckDB), so one
-    snapshot should now hold all 101. ALL queries hash-match DuckDB
+    snapshot should now hold all 102. ALL queries hash-match DuckDB
     locally at sf0.01 (the timed replica of the gate)."""
     from raycells.pipelines import queries as q
 
