@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcenter_diversity": q.q_kcenter_diversity,  # NEW round 5 (coreset sampling)
         "kcenter_assign": q.q_kcenter_assign,  # NEW round 5 (diversity assignment)
         "shuffle_shards": q.q_shuffle_shards,  # NEW round 5 (training-order reshard)
+        "curation_funnel": q.q_curation_funnel,  # NEW round 5 (end-to-end funnel)
         "fingerprint_docs": q.q_fingerprint_docs,
         "media_features": q.q_media_features,
         "approx_distinct_custs": q.q_approx_distinct_custs,

@@ -2058,6 +2058,99 @@ _LANG_SCORE = """
 """
 
 
+def _curation_funnel_sql(score_cols: str, detect_case: str) -> str:
+    """End-to-end curation funnel (queries.q_curation_funnel): the
+    lang-ID scorer, the Gopher repetition rule and the rolling-hash
+    fingerprint composed into one accounting query. Reuses the exact
+    recipes of the standalone oracles (lang_id detect CASE, the
+    repetition integer counts, the _fingerprint_sql HUGEINT chain) so
+    the funnel's exactness inherits from theirs."""
+    seed = 14695981039346656037
+    base = 1099511628211
+    m64 = "CAST('18446744073709551616' AS HUGEINT)"
+    s_hi, s_lo = divmod(seed, 1 << 32)
+    return f"""
+WITH scored AS (
+    SELECT doc_id, lang, text, {score_cols}
+    FROM documents
+),
+det AS (
+    SELECT doc_id, lang, text, {detect_case} AS det FROM scored
+),
+q AS (
+    SELECT doc_id, det, lang,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           CAST(len(toks) - 1 AS BIGINT) AS n_bigrams,
+           CAST(len(list_distinct(list_transform(
+                generate_series(1, len(toks) - 1),
+                i -> toks[i] || chr(1) || toks[i + 1]))) AS BIGINT) AS n_dbig
+    FROM (SELECT doc_id, det, lang, string_split(text, ' ') AS toks FROM det)
+),
+flags AS (
+    SELECT doc_id, n_tokens,
+           CASE WHEN det = lang THEN 1 ELSE 0 END AS s1,
+           CASE WHEN (n_tokens - n_distinct) * 2 > n_tokens
+                  OR (n_bigrams - n_dbig) * 4 > n_bigrams
+                THEN 0 ELSE 1 END AS s2
+    FROM q
+),
+fdocs AS (
+    SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents
+),
+fpows AS (
+    WITH RECURSIVE p(k, v) AS (
+        SELECT CAST(0 AS BIGINT) AS k, CAST(1 AS HUGEINT) AS v
+        UNION ALL
+        SELECT k + 1, (v * {base}) % {m64} FROM p
+        WHERE k < (SELECT MAX(n) FROM fdocs)
+    )
+    SELECT k, v FROM p
+),
+fbytes AS (
+    SELECT d.doc_id, d.n, r.range AS i,
+           CAST(ord(substr(d.text, CAST(r.range + 1 AS INT), 1)) AS HUGEINT) AS b
+    FROM fdocs d, range(8192) r WHERE r.range < d.n
+),
+fterms AS (
+    SELECT doc_id, SUM((b * p.v) % {m64}) AS acc
+    FROM fbytes JOIN fpows p ON p.k = fbytes.n - 1 - fbytes.i
+    GROUP BY doc_id
+),
+fp AS (
+    SELECT d.doc_id,
+           ( (({s_lo} * pn.v) % {m64}
+              + ((({s_hi} * pn.v) % 4294967296) * 4294967296)) % {m64}
+             + COALESCE(t.acc, 0) ) % {m64} AS f
+    FROM fdocs d
+    JOIN fpows pn ON pn.k = d.n
+    LEFT JOIN fterms t ON t.doc_id = d.doc_id
+),
+surv AS (
+    SELECT fl.doc_id, fl.n_tokens, fp.f
+    FROM flags fl JOIN fp USING (doc_id)
+    WHERE fl.s1 = 1 AND fl.s2 = 1
+),
+winners AS (
+    SELECT f, n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+    FROM surv
+)
+SELECT CAST(0 AS BIGINT) AS stage, 'all' AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens FROM flags
+UNION ALL
+SELECT 1, 'lang_ok', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(n_tokens) AS BIGINT) FROM flags WHERE s1 = 1
+UNION ALL
+SELECT 2, 'quality_ok', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(n_tokens) AS BIGINT) FROM flags WHERE s1 = 1 AND s2 = 1
+UNION ALL
+SELECT 3, 'deduped', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(n_tokens) AS BIGINT) FROM winners WHERE rn = 1
+"""
+
+
 def _shuffle_shards_sql(n_shards: int = 16) -> str:
     """Deterministic resharding manifest (queries.q_shuffle_shards):
     the murmur3 finalizer chain from the HLL recipe (HUGEINT wraps,
@@ -2622,6 +2715,9 @@ def build() -> dict:
         "kcenter_diversity": _kcenter_diversity_sql(),
         "kcenter_assign": _kcenter_assign_sql(),
         "shuffle_shards": _shuffle_shards_sql(),
+        "curation_funnel": _curation_funnel_sql(
+            ", ".join(f"{scores[l]} AS s_{l}" for l in langs), detect_case
+        ),
         "cluster_embeddings": _cluster_embeddings_sql(),
         # per-cluster text-quality rollup (round 3): Lloyd chain ⋈
         # documents on vec_id = doc_id (see _cluster_quality_sql)

@@ -3032,6 +3032,128 @@ def q_chunk_dedup(sf_dir: str, sink_dir: str | None = None):
     )
 
 
+def q_curation_funnel(sf_dir: str):
+    """End-to-end curation FUNNEL (NEW round 5) — the composition a
+    pretraining pipeline actually runs, as one operator with exact
+    per-stage accounting: stage 0 = all docs; stage 1 = language-
+    verified (marker-score detector agrees with the declared lang);
+    stage 2 = + Gopher-style repetition quality; stage 3 = + exact
+    dedup (one copy per content fingerprint, min-doc winner). Output is
+    the funnel table (stage, label, n_docs, sum_tokens) — the numbers a
+    data team reports after every curation run.
+
+    Shape at scale: ONE text scan computes every per-doc signal
+    (detector scores, repetition counts, rolling-hash fingerprint) and
+    materializes only the narrow (doc, fp, n_tokens, s1, s2) stream
+    (~40 B/doc); stages 0-2 are map-side partial sums + a driver fold,
+    and stage 3 is one coarse-bucket exchange of the surviving narrow
+    rows whose bucket reducers emit COUNTS (never winner rows) — the
+    funnel's driver traffic is O(blocks + buckets) regardless of corpus
+    size."""
+    ds = _read(
+        sf_dir, "documents", SMALL_TABLE_BLOCKS,
+        columns=["doc_id", "lang", "text"],
+    )
+    nb = shuffle_mod.scaled_buckets()  # ONCE on the driver (CLAUDE.md)
+
+    def perdoc(b: pa.Table) -> pa.Table:
+        det = ta.lang_id(b, col="text")["lang_detected"].to_numpy(
+            zero_copy_only=False
+        )
+        lang = b["lang"].to_numpy(zero_copy_only=False)
+        _, flat, parent = ta._split(b["text"])
+        toks = flat.to_numpy(zero_copy_only=False)
+        n = b.num_rows
+        n_tokens = np.bincount(parent, minlength=n).astype(np.int64)
+        d = pd.DataFrame({"p": parent, "t": toks}).drop_duplicates()
+        n_distinct = np.bincount(d["p"].to_numpy(), minlength=n).astype(np.int64)
+        same = parent[1:] == parent[:-1]
+        bp = parent[1:][same]
+        n_bigrams = np.bincount(bp, minlength=n).astype(np.int64)
+        bd = pd.DataFrame(
+            {"p": bp, "a": toks[:-1][same], "b": toks[1:][same]}
+        ).drop_duplicates()
+        n_dbig = np.bincount(bd["p"].to_numpy(), minlength=n).astype(np.int64)
+        repetitive = ((n_tokens - n_distinct) * 2 > n_tokens) | (
+            (n_bigrams - n_dbig) * 4 > n_bigrams
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "fp": pa.array(
+                    dd.content_hash64(b["text"].to_pylist()), pa.int64()
+                ),
+                "n_tokens": pa.array(n_tokens),
+                "s1": pa.array((det == lang).astype(np.int64)),
+                "s2": pa.array((~repetitive).astype(np.int64)),
+            }
+        )
+
+    narrow = ds.map_batches(perdoc, batch_format="pyarrow").materialize()
+
+    def stage_parts(b: pa.Table) -> pa.Table:
+        s1 = b["s1"].to_numpy(zero_copy_only=False).astype(bool)
+        s2 = b["s2"].to_numpy(zero_copy_only=False).astype(bool)
+        nt = b["n_tokens"].to_numpy(zero_copy_only=False)
+        masks = [np.ones(len(nt), bool), s1, s1 & s2]
+        return pa.table(
+            {
+                "stage": pa.array(np.arange(3, dtype=np.int64)),
+                "n_docs": pa.array(
+                    np.array([int(m.sum()) for m in masks], np.int64)
+                ),
+                "sum_tokens": pa.array(
+                    np.array([int(nt[m].sum()) for m in masks], np.int64)
+                ),
+            }
+        )
+
+    parts = narrow.map_batches(stage_parts, batch_format="pyarrow").to_pandas()
+    folded = parts.groupby("stage", sort=True).sum().reset_index()
+
+    def dedup_counts(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(["fp", "doc_id"], kind="stable")
+        first = df.drop_duplicates("fp", keep="first")
+        return pa.table(
+            {
+                "n_docs": pa.array([np.int64(len(first))]),
+                "sum_tokens": pa.array(
+                    [np.int64(first["n_tokens"].to_numpy().sum())]
+                ),
+            }
+        )
+
+    surv = (
+        narrow.map_batches(
+            lambda b: b.filter(
+                pc.and_(pc.equal(b["s1"], 1), pc.equal(b["s2"], 1))
+            ).select(["fp", "doc_id", "n_tokens"]),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            lambda b, nb=nb: shuffle_mod.add_bucket(b, "fp", nb),
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(dedup_counts, batch_format="pyarrow")
+        .to_pandas()
+        .sum()
+    )
+    labels = ["all", "lang_ok", "quality_ok", "deduped"]
+    n_docs = [*folded["n_docs"].tolist(), int(surv["n_docs"])]
+    sum_tokens = [*folded["sum_tokens"].tolist(), int(surv["sum_tokens"])]
+    return pa.table(
+        {
+            "stage": pa.array(np.arange(4, dtype=np.int64)),
+            "label": pa.array(labels, pa.string()),
+            "n_docs": pa.array(np.array(n_docs, np.int64)),
+            "sum_tokens": pa.array(np.array(sum_tokens, np.int64)),
+        }
+    )
+
+
 N_SHUFFLE_SHARDS = 16
 
 

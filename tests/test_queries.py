@@ -118,6 +118,7 @@ CHECKED = [
     "kcenter_diversity",
     "kcenter_assign",
     "shuffle_shards",
+    "curation_funnel",
     "cluster_embeddings",
     "fingerprint_docs",
     "media_features",
