@@ -110,8 +110,9 @@ oracles in raycells/pipelines/oracles.py):
   duplicated-substring spans + removal accounting via O(bytes)
   rolling window hashes), kcenter_diversity + kcenter_assign
   (greedy farthest-point coreset selection + broadcast assignment),
-  and shuffle_shards (deterministic training-order reshard manifest,
-  exchange-free). EVERY driver query hash-matches
+  shuffle_shards (deterministic training-order reshard manifest,
+  exchange-free), and curation_funnel (lang → quality → exact-dedup
+  composed with exact per-stage accounting). EVERY driver query hash-matches
   DuckDB, and ALL BUT ONE also run in the sf0.001 pytest replica
   (band_tile_stats is the single gate-only row — its 28M-cell SQL
   belongs at sf0.01).
