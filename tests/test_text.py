@@ -435,3 +435,69 @@ class TestStridedWindowFps:
         ha = {int(v) for r, v in zip(ri, h) if r == 0}
         hb = {int(v) for r, v in zip(ri, h) if r == 1}
         assert ha & hb  # the planted block collides exactly
+
+
+class TestDupSpanSemantics:
+    """Crafted-fixture pins for the duplicated-substring operators
+    (parity tests cover the fixture corpus; these document intent)."""
+
+    def _ds(self, texts, blocks=3):
+        import ray.data as rd
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        return rd.from_arrow(t).repartition(blocks)
+
+    def test_planted_shared_block_yields_expected_span(self, ray_session):
+        from raycells.text.dedup import dup_span_report
+
+        shared = "0123456789" * 6  # 60 chars, stride-aligned at 0
+        a = shared + "A-unique-tail-for-doc-a-000000000000000"
+        b = shared + "B-different-tail-goes-here-999999999999"
+        out = dup_span_report(self._ds([a, b]), w=40, s=8).to_pandas()
+        # windows at p=0,8,16 fit inside the shared 60-char prefix and
+        # repeat across both docs; p=24 crosses into the distinct tails
+        # (24+40 > 60) — so each doc gets exactly [0, 56) with 3 windows
+        assert len(out) == 2
+        assert set(out["doc_id"]) == {0, 1}
+        assert (out["span_start"] == 0).all()
+        assert (out["span_end"] == 16 + 40).all()
+        assert (out["n_windows"] == 3).all()
+
+    def test_combined_plan_identical_on_crafted_docs(self, ray_session):
+        import pandas as pd
+
+        from raycells.text.dedup import dup_span_report
+
+        texts = ["xy" * 40, "xy" * 40, "unique-" * 12, "xy" * 25 + "zz" * 12]
+        direct = dup_span_report(self._ds(texts), combine=False)
+        combined = dup_span_report(self._ds(texts), combine=True)
+        pd.testing.assert_frame_equal(
+            direct.to_pandas().reset_index(drop=True),
+            combined.to_pandas().reset_index(drop=True),
+        )
+
+
+def test_shuffle_shards_block_count_invariant(ray_session):
+    """The reshard manifest's partials are commutative-associative:
+    the folded result is identical at 1, 3 and 8 read blocks."""
+    import pandas as pd
+
+    from raycells.pipelines import queries as q
+
+    ref = None
+    for nb in (1, 3, 8):
+        saved = q.SMALL_TABLE_BLOCKS
+        q.SMALL_TABLE_BLOCKS = nb
+        try:
+            t = q.q_shuffle_shards("/root/testdata/sf0.001").to_pandas()
+        finally:
+            q.SMALL_TABLE_BLOCKS = saved
+        if ref is None:
+            ref = t
+        else:
+            pd.testing.assert_frame_equal(ref, t)
