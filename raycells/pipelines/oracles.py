@@ -2034,6 +2034,84 @@ SELECT token, n, est, rank FROM ranked WHERE rank <= {k}
     return "".join(parts)
 
 
+def _paragraph_dedup_sql(w: int = 8) -> str:
+    """C4-style paragraph dedup manifest (queries.q_paragraph_dedup):
+    word-aligned ``w``-word segments via list_slice over string_split
+    (identical word lists both engines), first-occurrence winner per
+    DISTINCT segment string ordered by (doc_id, seg_idx), per-doc
+    kept/removed/chars-removed rollup. The per-doc segment-count bound
+    derives from each doc's own word count (expression-level range() +
+    unnest — the chunk_docs recipe), so the oracle is length-unbounded
+    like the engine."""
+    return f"""
+WITH docs AS (
+    SELECT CAST(doc_id AS VARCHAR) AS dk, CAST(doc_id AS BIGINT) AS did,
+           string_split(text, ' ') AS toks
+    FROM documents
+),
+segs AS MATERIALIZED (
+    SELECT dk, did, CAST(seg_idx AS BIGINT) AS seg_idx,
+           array_to_string(
+               list_slice(toks, CAST(seg_idx * {w} + 1 AS INT),
+                          CAST(seg_idx * {w} + {w} AS INT)), ' ') AS seg
+    FROM (
+        SELECT dk, did, toks,
+               unnest(range(GREATEST(
+                   1, CAST(CEIL(len(toks) / {w}.0) AS BIGINT)))) AS seg_idx
+        FROM docs
+    )
+),
+ranked AS (
+    SELECT dk, length(seg) AS nch,
+           ROW_NUMBER() OVER (PARTITION BY seg ORDER BY did, seg_idx) AS rn
+    FROM segs
+)
+SELECT dk AS doc_key,
+       CAST(COUNT(*) AS BIGINT) AS n_segs,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN rn > 1 THEN nch ELSE 0 END) AS BIGINT)
+           AS chars_removed
+FROM ranked GROUP BY dk
+"""
+
+
+def _cluster_cap_sql(k: int = 8) -> str:
+    """SemDeDup cluster cap (queries.q_cluster_cap): the shared
+    unrolled-Lloyd chain (spliced from _ann_ivf_sql at its probes tail,
+    the _cluster_quality_sql pattern), then keep the ``k`` most central
+    vectors per final cluster — centrality = the assigned-cluster sim
+    (exact-int dot / |s_c|) divided by sqrt of the exact-int |x|², the
+    identical IEEE tree the engine's numpy evaluates."""
+    full = _ann_ivf_sql(n_centroids=16, n_iters=10)
+    marker = ",\nprobes AS ("
+    prefix = full[: full.index(marker)]
+    return (
+        prefix
+        + f""",
+xnorm AS (
+    SELECT vec_id, SUM(CAST(e AS HUGEINT) * e) AS n2 FROM eq GROUP BY vec_id
+),
+cen AS (
+    SELECT a.vec_id, a.c,
+           s.sim / sqrt(CAST(x.n2 AS DOUBLE)) AS centrality
+    FROM asgF a
+    JOIN allsims s ON s.vec_id = a.vec_id AND s.c = a.c
+    JOIN xnorm x ON x.vec_id = a.vec_id
+),
+capped AS (
+    SELECT c, vec_id, centrality,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY c ORDER BY centrality DESC, vec_id
+           ) AS BIGINT) AS rank
+    FROM cen
+)
+SELECT CAST(c AS BIGINT) AS cluster, vec_id, centrality, rank
+FROM capped WHERE rank <= {k}
+"""
+    )
+
+
 def _cluster_embeddings_sql(n_centroids: int = 16, n_iters: int = 10) -> str:
     """K-means assignment rollup (q_cluster_embeddings): the EXACT same
     unrolled-Lloyd CTE chain as _ann_ivf_sql (shared by construction —
@@ -2718,6 +2796,8 @@ def build() -> dict:
         "curation_funnel": _curation_funnel_sql(
             ", ".join(f"{scores[l]} AS s_{l}" for l in langs), detect_case
         ),
+        "paragraph_dedup": _paragraph_dedup_sql(),
+        "cluster_cap": _cluster_cap_sql(),
         "cluster_embeddings": _cluster_embeddings_sql(),
         # per-cluster text-quality rollup (round 3): Lloyd chain ⋈
         # documents on vec_id = doc_id (see _cluster_quality_sql)

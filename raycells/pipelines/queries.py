@@ -3032,6 +3032,115 @@ def q_chunk_dedup(sf_dir: str, sink_dir: str | None = None):
     )
 
 
+PARA_W = 8  # words per word-aligned "paragraph" segment
+
+
+def q_paragraph_dedup(sf_dir: str):
+    """C4-style PARAGRAPH-level exact dedup accounting (NEW round 5,
+    Raffel et al. C4: 'discard all but one of any three-sentence span
+    occurring more than once'): every document splits into word-aligned
+    ``PARA_W``-word segments (this corpus has no newline/sentence
+    structure, so the paragraph boundary is a word-count rule both
+    engines apply identically), any segment occurring elsewhere in the
+    corpus keeps only its FIRST (doc_id, seg_idx) occurrence, and the
+    output is the per-document CLEANING MANIFEST a C4 pipeline reports:
+    segments seen / kept / removed and exact characters removed.
+
+    Shape at scale: segmentation is map-side; exchange 1 hash-buckets
+    (segment, doc, idx) rows on a coarse bucket of the segment STRING
+    (equal strings co-locate by construction) and each bucket reduces
+    with ONE vectorized first-occurrence pass that immediately
+    collapses to per-doc PARTIALS, so exchange 2 moves only
+    O(buckets × docs-touched) partial rows. Carrying segment text
+    through exchange 1 costs ≈ corpus bytes ONCE and buys exact string
+    identity — no hash-collision semantics (the fingerprint-keyed
+    sibling is q_chunk_dedup)."""
+    nb = shuffle_mod.scaled_buckets()  # ONCE on the driver (CLAUDE.md)
+    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["doc_id", "text"])
+
+    def segment(b: pa.Table) -> pa.Table:
+        segs: list[str] = []
+        dids: list[np.ndarray] = []
+        idxs: list[np.ndarray] = []
+        did_col = b["doc_id"].to_numpy(zero_copy_only=False)
+        for did, text in zip(did_col, b["text"].to_pylist()):
+            words = text.split(" ")
+            n = max(1, -(-len(words) // PARA_W))
+            segs.extend(
+                " ".join(words[i * PARA_W : (i + 1) * PARA_W]) for i in range(n)
+            )
+            dids.append(np.full(n, did, np.int64))
+            idxs.append(np.arange(n, dtype=np.int64))
+        return pa.table(
+            {
+                "seg": pa.array(segs, pa.string()),
+                "did": pa.array(
+                    np.concatenate(dids) if dids else np.empty(0, np.int64)
+                ),
+                "seg_idx": pa.array(
+                    np.concatenate(idxs) if idxs else np.empty(0, np.int64)
+                ),
+            }
+        )
+
+    def mark(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().drop(columns=["_bucket"])
+        df = df.sort_values(["seg", "did", "seg_idx"], kind="stable")
+        dup = (df.groupby("seg", sort=False).cumcount() > 0).to_numpy()
+        nch = df["seg"].str.len().to_numpy().astype(np.int64)
+        part = (
+            pd.DataFrame(
+                {
+                    "did": df["did"].to_numpy(),
+                    "n_segs": np.ones(len(df), np.int64),
+                    "n_removed": dup.astype(np.int64),
+                    "chars_removed": np.where(dup, nch, 0),
+                }
+            )
+            .groupby("did", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return shuffle_mod.from_pandas_clean(part)
+
+    def fold(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().drop(columns=["_bucket"])
+        out = df.groupby("did", sort=False).sum().reset_index()
+        n_segs = out["n_segs"].to_numpy(np.int64)
+        n_rem = out["n_removed"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "doc_key": pa.array(
+                    out["did"].astype(np.int64).astype(str), pa.string()
+                ),
+                "n_segs": pa.array(n_segs),
+                "n_kept": pa.array(n_segs - n_rem),
+                "n_removed": pa.array(n_rem),
+                "chars_removed": pa.array(
+                    out["chars_removed"].to_numpy(np.int64)
+                ),
+            }
+        )
+
+    parts = (
+        ds.map_batches(segment, batch_format="pyarrow")
+        .map_batches(
+            lambda b, nb=nb: shuffle_mod.add_bucket(b, "seg", nb),
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(mark, batch_format="pyarrow")
+    )
+    return (
+        parts.map_batches(
+            lambda b, nb=nb: shuffle_mod.add_bucket(b, "did", nb),
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
 def q_curation_funnel(sf_dir: str):
     """End-to-end curation FUNNEL (NEW round 5) — the composition a
     pretraining pipeline actually runs, as one operator with exact
@@ -4240,6 +4349,61 @@ def q_cluster_embeddings(sf_dir: str):
             "n_vectors": pa.array(out["n_vectors"].to_numpy(np.int64)),
             "sum_vec_id": pa.array(out["sum_vec_id"].to_numpy(np.int64)),
         }
+    )
+
+
+def q_cluster_cap(sf_dir: str, k: int = 8):
+    """SemDeDup-style cluster-cap curation (NEW round 5, Abbas et al.):
+    after k-means bucketing (the exact-integer Lloyd recipe shared with
+    ann_ivf / cluster_embeddings), keep only the ``k`` most CENTRAL
+    vectors per cluster — the 'prune each semantic cluster to its
+    representatives' step a curation pipeline runs between clustering
+    and training. Centrality = cosine(x, centroid) computed as
+    (exact-int dot / |s_c|) / sqrt(exact-int |x|²) — identical IEEE
+    expression trees both engines (the embedding_dups convention); ties
+    break to the lower vec_id.
+
+    Shape at scale: centroids train on the bounded driver sample and
+    ship in the stage closure (KBs); each batch assigns with one matmul
+    and emits only (cluster, vec_id, centrality); grouped_topk keeps
+    ≤ k survivors per batch per cluster, so the exchange moves
+    O(blocks × C × k) rows and the result is O(C × k) regardless of
+    corpus size."""
+    from raycells.engine.joins import grouped_topk
+    from raycells.sim.ivf import _cent_norms, train_from_ds
+    from raycells.text.dedup import quantize_embeddings
+
+    ds = _read(
+        sf_dir, "embeddings", SMALL_TABLE_BLOCKS, columns=["vec_id", "embedding"]
+    )
+    sums = train_from_ds(ds, n_centroids=16)
+    nrm = _cent_norms(sums)
+
+    def central(b: pa.Table) -> pa.Table:
+        eq = quantize_embeddings(
+            np.asarray(b["embedding"].to_pylist(), dtype=np.float64)
+        )
+        sims = (eq @ sums.T).astype(np.float64) / nrm[None, :]
+        a = np.argmax(sims, axis=1)  # first maximum = lowest cluster on ties
+        x2 = np.einsum("ij,ij->i", eq, eq)  # exact int64 (|e|<2^21, d=64)
+        cen = sims[np.arange(len(a)), a] / np.sqrt(x2.astype(np.float64))
+        return pa.table(
+            {
+                "cluster": pa.array(a.astype(np.int64)),
+                "vec_id": pa.array(
+                    b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "centrality": pa.array(cen),
+            }
+        )
+
+    return grouped_topk(
+        ds.map_batches(central, batch_format="pyarrow"),
+        group_col="cluster",
+        k=k,
+        order_col="centrality",
+        tiebreak_col="vec_id",
+        ascending=(False, True),
     )
 
 

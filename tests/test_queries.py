@@ -119,6 +119,8 @@ CHECKED = [
     "kcenter_assign",
     "shuffle_shards",
     "curation_funnel",
+    "paragraph_dedup",
+    "cluster_cap",
     "cluster_embeddings",
     "fingerprint_docs",
     "media_features",

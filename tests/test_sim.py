@@ -443,3 +443,47 @@ class TestKCenter:
 
         out = kcenter_select(self._ds(np.empty((0, 2))), k=3, )
         assert out.num_rows == 0
+
+
+def test_cluster_cap_invariants_and_matches_undistributed(ray_session):
+    """cluster_cap (SemDeDup keep-K-per-cluster): per-cluster row count
+    ≤ k, ranks contiguous from 1, centrality non-increasing within a
+    cluster, and the distributed grouped_topk keeps exactly the rows a
+    single-process full ranking keeps."""
+    import pandas as pd
+
+    from raycells.pipelines.queries import q_cluster_cap, _read, SMALL_TABLE_BLOCKS
+    from raycells.sim.ivf import _cent_norms, train_from_ds
+    from raycells.text.dedup import quantize_embeddings
+
+    sf = "/root/testdata/sf0.001"
+    out = q_cluster_cap(sf, k=5).to_pandas()
+    for _, g in out.groupby("cluster"):
+        g = g.sort_values("rank")
+        assert len(g) <= 5
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert (np.diff(g["centrality"].to_numpy()) <= 0).all()
+
+    # undistributed reference: same centroids, full pandas ranking
+    ds = _read(sf, "embeddings", SMALL_TABLE_BLOCKS,
+               columns=["vec_id", "embedding"])
+    sums = train_from_ds(ds, n_centroids=16)
+    nrm = _cent_norms(sums)
+    t = ds.to_pandas()
+    eq = quantize_embeddings(np.asarray(list(t["embedding"]), np.float64))
+    sims = (eq @ sums.T).astype(np.float64) / nrm[None, :]
+    a = np.argmax(sims, axis=1)
+    x2 = np.einsum("ij,ij->i", eq, eq)
+    ref = pd.DataFrame({
+        "cluster": a.astype(np.int64),
+        "vec_id": t["vec_id"].to_numpy().astype(np.int64),
+        "centrality": sims[np.arange(len(a)), a] / np.sqrt(x2.astype(np.float64)),
+    }).sort_values(["cluster", "centrality", "vec_id"],
+                   ascending=[True, False, True], kind="stable")
+    ref = ref.groupby("cluster", sort=True).head(5).reset_index(drop=True)
+    ref["rank"] = ref.groupby("cluster", sort=False).cumcount() + 1
+    got = out.sort_values(["cluster", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["cluster", "vec_id", "centrality", "rank"]],
+        ref[["cluster", "vec_id", "centrality", "rank"]],
+    )

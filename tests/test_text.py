@@ -501,3 +501,46 @@ def test_shuffle_shards_block_count_invariant(ray_session):
             ref = t
         else:
             pd.testing.assert_frame_equal(ref, t)
+
+
+class TestParagraphDedup:
+    """Crafted-fixture pins for the C4-style paragraph dedup manifest:
+    global first-(doc, idx) occurrence wins, within-doc repeats count as
+    removed, tail segments shorter than PARA_W participate."""
+
+    def _sf(self, tmp_path, texts):
+        import pyarrow.parquet as pq
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        return str(tmp_path)
+
+    def test_cross_doc_within_doc_and_tail(self, ray_session, tmp_path):
+        from raycells.pipelines.queries import q_paragraph_dedup
+
+        w8 = " ".join(f"w{i}" for i in range(8))
+        uniq = " ".join(f"u{i}" for i in range(8))
+        other = " ".join(f"v{i}" for i in range(8))
+        docs = [
+            w8 + " " + uniq,            # doc 0: [w8, uniq] — both first
+            w8 + " " + other,           # doc 1: [w8 dup, other first]
+            other + " " + other,        # doc 2: both segs dup of doc1
+            w8 + " tail",               # doc 3: [w8 dup, short tail first]
+        ]
+        out = (
+            q_paragraph_dedup(self._sf(tmp_path, docs))
+            .to_pandas()
+            .set_index("doc_key")
+            .sort_index()
+        )
+        assert list(out["n_segs"]) == [2, 2, 2, 2]
+        assert list(out["n_kept"]) == [2, 1, 0, 1]
+        assert list(out["n_removed"]) == [0, 1, 2, 1]
+        assert list(out["chars_removed"]) == [
+            0, len(w8), 2 * len(other), len(w8),
+        ]
