@@ -350,6 +350,23 @@ def run_span_dedup_job(docs_dir: str, out_dir: str) -> dict:
     return _sink_job("span_dedup", docs_dir, out_dir, "spans", build)
 
 
+def run_paragraph_dedup_job(docs_dir: str, out_dir: str) -> dict:
+    """C4-style paragraph-dedup cleaning manifest over the interleaved
+    corpus (text/dedup.paragraph_dedup_manifest): word-aligned segments,
+    global first-occurrence winners, per-doc kept/removed/chars rollup
+    streamed to ``out/paragraphs/*.parquet`` — the manifest is
+    corpus-sized (one row per doc), so it must never concat on the
+    driver."""
+    from raycells.text.dedup import paragraph_dedup_manifest
+
+    def build(sink_dir):
+        return paragraph_dedup_manifest(
+            _docs_text(docs_dir), id_col="doc_key", sink_dir=sink_dir
+        )
+
+    return _sink_job("paragraph_dedup", docs_dir, out_dir, "paragraphs", build)
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--docs-dir", required=True)
@@ -359,7 +376,7 @@ def main():
     ap.add_argument(
         "--mode",
         choices=["flagship", "dedup", "chunk-dedup", "media-dedup",
-                 "stats-dedup", "span-dedup"],
+                 "stats-dedup", "span-dedup", "paragraph-dedup"],
         default="flagship",
         help="flagship = per-fragment cell aggregate; dedup = whole-corpus "
              "near-dup pair sink (out/pairs/*.parquet); chunk-dedup = "
@@ -367,8 +384,9 @@ def main():
              "decoded-content-hash winner sink (out/media/); stats-dedup = "
              "cell aggregate AND dedup winners from ONE decode scan "
              "(out/cells/ + out/media_sd/); span-dedup = duplicated-"
-             "substring span sink (out/spans/). Each publishes one "
-             "manifest row.",
+             "substring span sink (out/spans/); paragraph-dedup = "
+             "C4-style per-doc cleaning manifest (out/paragraphs/). "
+             "Each publishes one manifest row.",
     )
     ap.add_argument(
         "--clusters", action="store_true",
@@ -387,7 +405,8 @@ def main():
             ignore_reinit_error=True,
         )
     if args.mode in (
-        "dedup", "chunk-dedup", "media-dedup", "stats-dedup", "span-dedup"
+        "dedup", "chunk-dedup", "media-dedup", "stats-dedup", "span-dedup",
+        "paragraph-dedup",
     ):
         job = {
             "dedup": run_dedup_job,
@@ -395,6 +414,7 @@ def main():
             "media-dedup": run_media_dedup_job,
             "stats-dedup": run_stats_dedup_job,
             "span-dedup": run_span_dedup_job,
+            "paragraph-dedup": run_paragraph_dedup_job,
         }[args.mode]
         summary = job(args.docs_dir, args.out)
         line = {

@@ -3032,9 +3032,6 @@ def q_chunk_dedup(sf_dir: str, sink_dir: str | None = None):
     )
 
 
-PARA_W = 8  # words per word-aligned "paragraph" segment
-
-
 def q_paragraph_dedup(sf_dir: str):
     """C4-style PARAGRAPH-level exact dedup accounting (NEW round 5,
     Raffel et al. C4: 'discard all but one of any three-sentence span
@@ -3046,98 +3043,29 @@ def q_paragraph_dedup(sf_dir: str):
     output is the per-document CLEANING MANIFEST a C4 pipeline reports:
     segments seen / kept / removed and exact characters removed.
 
-    Shape at scale: segmentation is map-side; exchange 1 hash-buckets
-    (segment, doc, idx) rows on a coarse bucket of the segment STRING
-    (equal strings co-locate by construction) and each bucket reduces
-    with ONE vectorized first-occurrence pass that immediately
-    collapses to per-doc PARTIALS, so exchange 2 moves only
-    O(buckets × docs-touched) partial rows. Carrying segment text
-    through exchange 1 costs ≈ corpus bytes ONCE and buys exact string
-    identity — no hash-collision semantics (the fingerprint-keyed
-    sibling is q_chunk_dedup)."""
-    nb = shuffle_mod.scaled_buckets()  # ONCE on the driver (CLAUDE.md)
+    Thin adapter over ``text/dedup.paragraph_dedup_manifest`` (the
+    generic, any-id-type engine the driver's ``--mode paragraph-dedup``
+    sink job shares); int64 doc_id order = the oracle's ORDER BY did,
+    stringified to doc_key only at the output boundary. Exchange
+    anatomy and the exact-string-identity tradeoff are documented on
+    the manifest function."""
+    from raycells.text.dedup import PARA_W, paragraph_dedup_manifest
+
     ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["doc_id", "text"])
 
-    def segment(b: pa.Table) -> pa.Table:
-        segs: list[str] = []
-        dids: list[np.ndarray] = []
-        idxs: list[np.ndarray] = []
-        did_col = b["doc_id"].to_numpy(zero_copy_only=False)
-        for did, text in zip(did_col, b["text"].to_pylist()):
-            words = text.split(" ")
-            n = max(1, -(-len(words) // PARA_W))
-            segs.extend(
-                " ".join(words[i * PARA_W : (i + 1) * PARA_W]) for i in range(n)
-            )
-            dids.append(np.full(n, did, np.int64))
-            idxs.append(np.arange(n, dtype=np.int64))
+    def to_key(b: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "seg": pa.array(segs, pa.string()),
-                "did": pa.array(
-                    np.concatenate(dids) if dids else np.empty(0, np.int64)
-                ),
-                "seg_idx": pa.array(
-                    np.concatenate(idxs) if idxs else np.empty(0, np.int64)
-                ),
+                "doc_key": pc.cast(b["doc_id"], pa.string()),
+                "n_segs": b["n_segs"],
+                "n_kept": b["n_kept"],
+                "n_removed": b["n_removed"],
+                "chars_removed": b["chars_removed"],
             }
         )
 
-    def mark(g: pa.Table) -> pa.Table:
-        df = g.to_pandas().drop(columns=["_bucket"])
-        df = df.sort_values(["seg", "did", "seg_idx"], kind="stable")
-        dup = (df.groupby("seg", sort=False).cumcount() > 0).to_numpy()
-        nch = df["seg"].str.len().to_numpy().astype(np.int64)
-        part = (
-            pd.DataFrame(
-                {
-                    "did": df["did"].to_numpy(),
-                    "n_segs": np.ones(len(df), np.int64),
-                    "n_removed": dup.astype(np.int64),
-                    "chars_removed": np.where(dup, nch, 0),
-                }
-            )
-            .groupby("did", sort=False)
-            .sum()
-            .reset_index()
-        )
-        return shuffle_mod.from_pandas_clean(part)
-
-    def fold(g: pa.Table) -> pa.Table:
-        df = g.to_pandas().drop(columns=["_bucket"])
-        out = df.groupby("did", sort=False).sum().reset_index()
-        n_segs = out["n_segs"].to_numpy(np.int64)
-        n_rem = out["n_removed"].to_numpy(np.int64)
-        return pa.table(
-            {
-                "doc_key": pa.array(
-                    out["did"].astype(np.int64).astype(str), pa.string()
-                ),
-                "n_segs": pa.array(n_segs),
-                "n_kept": pa.array(n_segs - n_rem),
-                "n_removed": pa.array(n_rem),
-                "chars_removed": pa.array(
-                    out["chars_removed"].to_numpy(np.int64)
-                ),
-            }
-        )
-
-    parts = (
-        ds.map_batches(segment, batch_format="pyarrow")
-        .map_batches(
-            lambda b, nb=nb: shuffle_mod.add_bucket(b, "seg", nb),
-            batch_format="pyarrow",
-        )
-        .groupby("_bucket")
-        .map_groups(mark, batch_format="pyarrow")
-    )
-    return (
-        parts.map_batches(
-            lambda b, nb=nb: shuffle_mod.add_bucket(b, "did", nb),
-            batch_format="pyarrow",
-        )
-        .groupby("_bucket")
-        .map_groups(fold, batch_format="pyarrow")
+    return paragraph_dedup_manifest(ds, id_col="doc_id", w=PARA_W).map_batches(
+        to_key, batch_format="pyarrow"
     )
 
 

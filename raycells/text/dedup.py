@@ -50,6 +50,7 @@ __all__ = [
     "embedding_near_dup_pairs",
     "dup_window_rows",
     "dup_span_report",
+    "paragraph_dedup_manifest",
 ]
 
 _MERSENNE = (1 << 61) - 1
@@ -1657,3 +1658,116 @@ def _spans_out(spans, id_col: str, sink_dir):
     t = pa.concat_tables(tabs, promote_options="none")
     df = t.to_pandas().sort_values([id_col, "span_start"], kind="stable")
     return from_pandas_clean(df)
+
+
+PARA_W = 8  # words per word-aligned "paragraph" segment
+
+
+def paragraph_dedup_manifest(
+    ds,
+    id_col: str = "doc_id",
+    col: str = "text",
+    w: int = PARA_W,
+    num_buckets: int | None = None,
+    sink_dir: str | None = None,
+):
+    """C4-style PARAGRAPH-level exact dedup manifest (Raffel et al. C4:
+    'discard all but one of any span occurring more than once'): each
+    document splits into word-aligned ``w``-word segments, any segment
+    occurring elsewhere in the corpus keeps only its FIRST (id, seg_idx)
+    occurrence (id order = the id column's natural order — int ids sort
+    numerically, string keys lexicographically), and the result is the
+    per-document cleaning manifest ``(id_col, n_segs, n_kept,
+    n_removed, chars_removed)``.
+
+    Shape at scale: segmentation is map-side; exchange 1 hash-buckets
+    (segment, id, idx) rows on a coarse bucket of the segment STRING
+    (equal strings co-locate by construction) and each bucket reduces
+    with ONE vectorized first-occurrence pass that immediately collapses
+    to per-doc PARTIALS, so exchange 2 moves only O(buckets × docs)
+    partial rows. Carrying segment text through exchange 1 costs
+    ≈ corpus bytes ONCE and buys exact string identity (the
+    fingerprint-keyed sibling is shuffle.exact_dedup_winners). The
+    manifest itself is corpus-sized (one row per doc): ``sink_dir``
+    streams it to partitioned parquet and returns the
+    ``checkpoint.sink_to_parquet`` summary — the 100-TB path; without
+    it the manifest Dataset is returned (still streaming — callers
+    collect only at gate scales)."""
+    import pandas as pd
+
+    from raycells.engine import shuffle as shuffle_mod
+
+    if num_buckets is None:
+        num_buckets = shuffle_mod.scaled_buckets()  # ONCE on the driver
+
+    def segment(b: pa.Table) -> pa.Table:
+        segs: list = []
+        ids: list = []
+        idxs: list = []
+        id_vals = b[id_col].to_numpy(zero_copy_only=False)
+        for did, text in zip(id_vals, b[col].to_pylist()):
+            words = text.split(" ")
+            n = max(1, -(-len(words) // w))
+            segs.extend(" ".join(words[i * w : (i + 1) * w]) for i in range(n))
+            ids.extend([did] * n)
+            idxs.append(np.arange(n, dtype=np.int64))
+        return pa.table(
+            {
+                "seg": pa.array(segs, pa.string()),
+                id_col: pa.array(ids, b.schema.field(id_col).type),
+                "seg_idx": pa.array(
+                    np.concatenate(idxs) if idxs else np.empty(0, np.int64)
+                ),
+            }
+        )
+
+    def mark(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().drop(columns=["_bucket"])
+        df = df.sort_values(["seg", id_col, "seg_idx"], kind="stable")
+        dup = (df.groupby("seg", sort=False).cumcount() > 0).to_numpy()
+        nch = df["seg"].str.len().to_numpy().astype(np.int64)
+        part = (
+            pd.DataFrame(
+                {
+                    id_col: df[id_col].to_numpy(),
+                    "n_segs": np.ones(len(df), np.int64),
+                    "n_removed": dup.astype(np.int64),
+                    "chars_removed": np.where(dup, nch, 0),
+                }
+            )
+            .groupby(id_col, sort=False)
+            .sum()
+            .reset_index()
+        )
+        return from_pandas_clean(part)
+
+    def fold(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().drop(columns=["_bucket"])
+        out = df.groupby(id_col, sort=False).sum().reset_index()
+        out["n_kept"] = out["n_segs"] - out["n_removed"]
+        return from_pandas_clean(
+            out[[id_col, "n_segs", "n_kept", "n_removed", "chars_removed"]]
+        )
+
+    parts = (
+        ds.map_batches(segment, batch_format="pyarrow")
+        .map_batches(
+            lambda b, nb=num_buckets: shuffle_mod.add_bucket(b, "seg", nb),
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(mark, batch_format="pyarrow")
+    )
+    manifest = (
+        parts.map_batches(
+            lambda b, nb=num_buckets: shuffle_mod.add_bucket(b, id_col, nb),
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    if sink_dir is not None:
+        from raycells.engine.checkpoint import sink_to_parquet
+
+        return sink_to_parquet(manifest, sink_dir)
+    return manifest

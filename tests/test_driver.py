@@ -411,3 +411,39 @@ def test_dup_span_combined_plan_matches_direct(docs_dir, ray_session):
             direct.to_pandas().reset_index(drop=True),
             combined.to_pandas().reset_index(drop=True),
         )
+
+
+def test_paragraph_dedup_sink_job_matches_collect(docs_dir, tmp_path, ray_session):
+    """--mode paragraph-dedup: streamed per-doc cleaning manifest ==
+    the collect-mode manifest over the same span-concat corpus; every
+    doc appears exactly once; kept + removed == segments; manifest
+    no-op on re-run."""
+    import pandas as pd
+
+    from raycells.text.dedup import paragraph_dedup_manifest
+
+    out = str(tmp_path / "pd_out")
+    res = driver.run_paragraph_dedup_job(docs_dir, out)
+    assert res["done"] == ["paragraph_dedup"]
+    man = res["manifest"]
+    sunk = _read_sink(man["sink_dir"])
+    assert sunk is not None and sunk.num_rows == man["n_rows"]
+    df = sunk.to_pandas()
+    assert df["doc_key"].is_unique
+    assert (df["n_kept"] + df["n_removed"] == df["n_segs"]).all()
+
+    collected = paragraph_dedup_manifest(
+        driver._docs_text(docs_dir), id_col="doc_key"
+    ).to_arrow_refs()
+    import pyarrow as pa
+    import ray
+
+    tabs = [t for t in (ray.get(r) for r in collected) if t.num_rows]
+    coll = pa.concat_tables(tabs, promote_options="none")
+    key_cols = ["doc_key"]
+    pd.testing.assert_frame_equal(
+        _sorted_df(sunk, key_cols), _sorted_df(coll, key_cols)
+    )
+
+    res2 = driver.run_paragraph_dedup_job(docs_dir, out)
+    assert res2["skipped"] == ["paragraph_dedup"] and not res2["done"]
