@@ -114,9 +114,12 @@ oracles in raycells/pipelines/oracles.py):
   exchange-free), curation_funnel (lang → quality → exact-dedup
   composed with exact per-stage accounting), paragraph_dedup
   (C4-style word-aligned paragraph dedup with per-doc cleaning
-  manifest — exact string identity, first-occurrence winner), and
+  manifest — exact string identity, first-occurrence winner),
   cluster_cap (SemDeDup keep-K-most-central-per-cluster pruning over
-  the shared exact-integer Lloyd chain). EVERY driver query hash-matches
+  the shared exact-integer Lloyd chain), and incremental_dedup
+  (delta-shard dedup: a Bloom of the small incoming shard prunes the
+  base-corpus chunk stream map-side, exact hash_join verify — the
+  new-crawl-drop production shape). EVERY driver query hash-matches
   DuckDB, and ALL BUT ONE also run in the sf0.001 pytest replica
   (band_tile_stats is the single gate-only row — its 28M-cell SQL
   belongs at sf0.01).
@@ -162,7 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     sits in the first eight entries, then the round-3 additions, then
     the long-green tail. After the round-4 oracle rewrites the FULL
     gate costs ~58 s at sf0.01 (41 s Ray + 17 s DuckDB), so one
-    snapshot should now hold all 105. ALL queries hash-match DuckDB
+    snapshot should now hold all 106. ALL queries hash-match DuckDB
     locally at sf0.01 (the timed replica of the gate)."""
     from raycells.pipelines import queries as q
 
@@ -194,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_funnel": q.q_curation_funnel,  # NEW round 5 (end-to-end funnel)
         "paragraph_dedup": q.q_paragraph_dedup,  # NEW round 5 (C4 paragraph dedup)
         "cluster_cap": q.q_cluster_cap,  # NEW round 5 (SemDeDup cluster cap)
+        "incremental_dedup": q.q_incremental_dedup,  # NEW round 5 (delta-shard dedup)
         "fingerprint_docs": q.q_fingerprint_docs,
         "media_features": q.q_media_features,
         "approx_distinct_custs": q.q_approx_distinct_custs,

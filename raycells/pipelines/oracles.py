@@ -2796,6 +2796,22 @@ def build() -> dict:
         "curation_funnel": _curation_funnel_sql(
             ", ".join(f"{scores[l]} AS s_{l}" for l in langs), detect_case
         ),
+        # incremental_dedup: incoming-shard (doc_id % 3 == 2) chunks
+        # whose content exists in the base corpus, with base copy
+        # counts — plain exact join over the chunk_docs fingerprint
+        # CTE (the bloom only prunes; it never changes the answer)
+        "incremental_dedup": f"""
+            WITH ch AS MATERIALIZED ({_chunk_docs_sql()}),
+            base AS (
+                SELECT chunk_hash,
+                       CAST(COUNT(*) AS BIGINT) AS n_base_copies
+                FROM ch WHERE CAST(doc_key AS BIGINT) % 3 <> 2
+                GROUP BY chunk_hash
+            )
+            SELECT c.doc_key, c.chunk_idx, c.chunk_hash, b.n_base_copies
+            FROM ch c JOIN base b USING (chunk_hash)
+            WHERE CAST(c.doc_key AS BIGINT) % 3 = 2
+        """,
         "paragraph_dedup": _paragraph_dedup_sql(),
         "cluster_cap": _cluster_cap_sql(),
         "cluster_embeddings": _cluster_embeddings_sql(),

@@ -3032,6 +3032,73 @@ def q_chunk_dedup(sf_dir: str, sink_dir: str | None = None):
     )
 
 
+def q_incremental_dedup(sf_dir: str):
+    """INCREMENTAL (delta) dedup (NEW round 5) — the shape a production
+    pipeline runs on every new crawl drop: dedupe an INCOMING shard
+    (docs with doc_id % 3 == 2) against the EXISTING base corpus (the
+    rest) at chunk granularity, reporting every incoming chunk whose
+    content already exists in the base with its base copy count.
+
+    Shape at scale (the whole point): the base corpus is 100 TB and the
+    incoming shard is small, so the base must never be exchanged — a
+    Bloom bitmap of the INCOMING chunk fingerprints (KBs, built with
+    partial bitmaps OR-merged in ONE Ray task) prunes the base stream
+    MAP-SIDE to approximately the true collision set; only those
+    survivors pay the per-hash aggregate, and one co-partitioned
+    hash_join against the shard-sized incoming set makes the result
+    exact (Bloom false positives die in the inner join — no base hash
+    absent from incoming can match, and no incoming chunk absent from
+    base finds a row). The chunk stream materializes once as 24-B
+    (hash, doc, idx) rows — the curation_funnel narrow-stream pattern —
+    so base and incoming filters don't re-run the chunking scan."""
+    from raycells.engine.joins import hash_join
+    from raycells.sim.sketch import bloom_build, bloom_prune
+
+    chunks = q_chunk_docs(sf_dir).map_batches(
+        lambda b: b.select(["chunk_hash", "doc_key", "chunk_idx"]),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def split(incoming: bool):
+        def f(b: pa.Table) -> pa.Table:
+            did = np.array(
+                [int(x) for x in b["doc_key"].to_pylist()], np.int64
+            )
+            keep = (did % 3 == 2) == incoming
+            b = b.filter(pa.array(keep))
+            # bloom key: fold the int64 bit-pattern hash into the
+            # sketch's BIGINT-parity range (bloom.py prescribes h >> 33;
+            # fold collisions only add false positives, which the exact
+            # join below removes)
+            bk = (
+                b["chunk_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
+                >> np.uint64(33)
+            ).astype(np.int64)
+            return b.append_column("bkey", pa.array(bk))
+
+        return f
+
+    incoming = chunks.map_batches(split(True), batch_format="pyarrow")
+    base = chunks.map_batches(split(False), batch_format="pyarrow")
+
+    bm = bloom_build(incoming, "bkey")
+    base_hits = bloom_prune(base, bm, "bkey")
+    base_agg = shuffle_mod.salted_aggregate(
+        base_hits,
+        key="chunk_hash",
+        count_alias="n_base_copies",
+        salt_col="doc_key",
+    )
+    return hash_join(
+        incoming,
+        base_agg,
+        key_left="chunk_hash",
+        key_right="chunk_hash",
+        keep_left=["doc_key", "chunk_idx", "chunk_hash"],
+        keep_right=["n_base_copies"],
+    )
+
+
 def q_paragraph_dedup(sf_dir: str):
     """C4-style PARAGRAPH-level exact dedup accounting (NEW round 5,
     Raffel et al. C4: 'discard all but one of any three-sentence span

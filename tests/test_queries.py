@@ -121,6 +121,7 @@ CHECKED = [
     "curation_funnel",
     "paragraph_dedup",
     "cluster_cap",
+    "incremental_dedup",
     "cluster_embeddings",
     "fingerprint_docs",
     "media_features",
