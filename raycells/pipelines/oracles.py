@@ -2812,6 +2812,46 @@ def build() -> dict:
             FROM ch c JOIN base b USING (chunk_hash)
             WHERE CAST(c.doc_key AS BIGINT) % 3 = 2
         """,
+        # range_partition: sorted-export planning manifest — the same
+        # deterministic mod-sample, evenly-spaced sample ranks and
+        # #{splitter <= key} assignment as the engine (queries.
+        # q_range_partition); key cents via the shared FLOOR(x·100+0.5)
+        "range_partition": """
+            WITH t AS (
+                SELECT CAST(l_orderkey AS BIGINT) AS ok,
+                       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                           AS kc,
+                       row_number() OVER () AS rid
+                FROM lineitem
+            ),
+            samp AS (SELECT kc FROM t WHERE ok % 97 = 0),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM samp),
+            ranked AS (
+                SELECT kc, ROW_NUMBER() OVER (ORDER BY kc) AS r FROM samp
+            ),
+            spl AS MATERIALIZED (
+                SELECT rk.kc AS v
+                FROM (
+                    SELECT GREATEST(1, (u.i * n.c) // 16) AS rnk
+                    FROM (SELECT unnest(range(1, 16)) AS i) u, n
+                ) rr
+                JOIN ranked rk ON rk.r = rr.rnk
+            ),
+            asn AS (
+                SELECT t.rid, t.kc,
+                       CAST(COALESCE(
+                           SUM(CASE WHEN s.v <= t.kc THEN 1 ELSE 0 END), 0
+                       ) AS BIGINT) AS pid
+                FROM t LEFT JOIN spl s ON TRUE
+                GROUP BY t.rid, t.kc
+            )
+            SELECT pid AS partition_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(kc) AS BIGINT) AS sum_key_c,
+                   CAST(MIN(kc) AS BIGINT) AS min_key_c,
+                   CAST(MAX(kc) AS BIGINT) AS max_key_c
+            FROM asn GROUP BY pid
+        """,
         "paragraph_dedup": _paragraph_dedup_sql(),
         "cluster_cap": _cluster_cap_sql(),
         "cluster_embeddings": _cluster_embeddings_sql(),

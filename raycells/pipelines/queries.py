@@ -3099,6 +3099,95 @@ def q_incremental_dedup(sf_dir: str):
     )
 
 
+def q_range_partition(sf_dir: str, n_parts: int = 16, sample_mod: int = 97):
+    """Range-partition PLANNING for a globally-sorted export (NEW round
+    5) — the primitive behind sorted parquet writes at 100 TB without a
+    full sort exchange: a DETERMINISTIC mod-sample of the key column
+    (rows with l_orderkey % sample_mod == 0; in production the mod
+    scales with corpus size so the sample stays a driver-side constant)
+    yields ``n_parts - 1`` splitter keys at evenly spaced sample ranks,
+    the splitters ship in the stage closure (bytes), and every batch
+    assigns its partition id with one vectorized searchsorted —
+    pid = #{splitter <= key}. The data itself never shuffles for the
+    PLAN; the subsequent write routes each row straight to its range
+    file. Output = the plan manifest a sorted-export job consumes:
+    per-partition row count and exact min/max/sum key cents (the
+    _half_up cents recipe, identical FLOOR(x·100 + 0.5) tree in SQL).
+    Only the O(blocks × parts) aggregate partials reach the exchange."""
+    ds = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"]
+    )
+
+    def cents(b: pa.Table) -> pa.Table:
+        kc = _half_up(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(b["l_orderkey"], pa.int64()),
+                "key_c": pa.array(kc),
+            }
+        )
+
+    narrow = ds.map_batches(cents, batch_format="pyarrow")
+
+    def sample_keys(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        return b.select(["key_c"]).filter(pa.array(ok % sample_mod == 0))
+
+    samp = np.sort(
+        np.concatenate(
+            [
+                t["key_c"].to_numpy(zero_copy_only=False)
+                for t in shuffle_mod.block_tables(
+                    ray_get_tables(
+                        narrow.map_batches(sample_keys, batch_format="pyarrow")
+                    ),
+                    "key_c",
+                )
+            ]
+            or [np.empty(0, np.int64)]
+        )
+    )
+    n = len(samp)
+    # rank_i = max(1, (i·n) // n_parts), value at that 1-based sorted
+    # rank — tied ranks pick a deterministic VALUE regardless of tie
+    # order (a sorted multiset has one value per rank)
+    splitters = samp[
+        np.maximum(1, (np.arange(1, n_parts) * n) // n_parts) - 1
+    ] if n else np.empty(0, np.int64)
+
+    def assign(b: pa.Table, spl=splitters) -> pa.Table:
+        kc = b["key_c"].to_numpy(zero_copy_only=False)
+        pid = np.searchsorted(spl, kc, side="right").astype(np.int64)
+        return pa.table(
+            {"pid": pa.array(pid), "key_c": b["key_c"], "l_orderkey": b["l_orderkey"]}
+        )
+
+    agg = shuffle_mod.salted_aggregate(
+        narrow.map_batches(assign, batch_format="pyarrow"),
+        key="pid",
+        sums=("key_c",),
+        mins=("key_c",),
+        maxs=("key_c",),
+        count_alias="n_rows",
+        salt_col="l_orderkey",
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "partition_id": b["pid"],
+                "n_rows": b["n_rows"],
+                "sum_key_c": b["sum_key_c"],
+                "min_key_c": b["min_key_c"],
+                "max_key_c": b["max_key_c"],
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
 def q_paragraph_dedup(sf_dir: str):
     """C4-style PARAGRAPH-level exact dedup accounting (NEW round 5,
     Raffel et al. C4: 'discard all but one of any three-sentence span

@@ -399,3 +399,37 @@ def test_band_join_count_matches_brute_force(ray_session):
     }
     got = dict(zip(out["tag"], out["m"].astype(int)))
     assert got == want
+
+
+def test_range_partition_plan_is_a_valid_routing(ray_session):
+    """range_partition: the plan manifest must describe a true range
+    routing — partition key ranges are disjoint and ordered (max of
+    partition p < min of partition p+2 at worst; adjacent partitions
+    may share a boundary value only through splitter ties), row counts
+    sum to the table size, and every partition id is in [0, 16)."""
+    import duckdb
+    import numpy as np
+
+    from raycells.pipelines.queries import q_range_partition
+
+    sf = "/root/testdata/sf0.001"
+    df = (
+        q_range_partition(sf)
+        .to_pandas()
+        .sort_values("partition_id")
+        .reset_index(drop=True)
+    )
+    total = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{sf}/lineitem.parquet')"
+    ).fetchone()[0]
+    assert df["n_rows"].sum() == total
+    assert df["partition_id"].between(0, 15).all()
+    assert (df["min_key_c"] <= df["max_key_c"]).all()
+    # ranges ordered: each partition's max <= the next partition's...
+    # boundary values can straddle only when equal (searchsorted puts
+    # every key == splitter on the left side, so max_p <= min_{p+1}
+    # can fail only never: side='right' is a strict partition)
+    mx = df["max_key_c"].to_numpy()
+    mn = df["min_key_c"].to_numpy()
+    assert (mx[:-1] <= mn[1:]).all()
+    assert (np.diff(df["partition_id"].to_numpy()) > 0).all()

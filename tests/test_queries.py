@@ -122,6 +122,7 @@ CHECKED = [
     "paragraph_dedup",
     "cluster_cap",
     "incremental_dedup",
+    "range_partition",
     "cluster_embeddings",
     "fingerprint_docs",
     "media_features",
