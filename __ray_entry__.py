@@ -119,10 +119,13 @@ oracles in raycells/pipelines/oracles.py):
   the shared exact-integer Lloyd chain), incremental_dedup
   (delta-shard dedup: a Bloom of the small incoming shard prunes the
   base-corpus chunk stream map-side, exact hash_join verify — the
-  new-crawl-drop production shape), and range_partition
+  new-crawl-drop production shape), range_partition
   (sorted-export planning: deterministic mod-sample → evenly-spaced
   splitter ranks → broadcast searchsorted routing — a global sort's
-  partition plan with no sort exchange). EVERY driver query hash-matches
+  partition plan with no sort exchange), and leakage_safe_split
+  (train/val split keyed on the near-dup cluster canonical id, so no
+  near-duplicate pair straddles the split — murmur of the canonical
+  id, per-(split, lang) accounting). EVERY driver query hash-matches
   DuckDB, and ALL BUT ONE also run in the sf0.001 pytest replica
   (band_tile_stats is the single gate-only row — its 28M-cell SQL
   belongs at sf0.01).
@@ -168,7 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     sits in the first eight entries, then the round-3 additions, then
     the long-green tail. After the round-4 oracle rewrites the FULL
     gate costs ~58 s at sf0.01 (41 s Ray + 17 s DuckDB), so one
-    snapshot should now hold all 107. ALL queries hash-match DuckDB
+    snapshot should now hold all 108. ALL queries hash-match DuckDB
     locally at sf0.01 (the timed replica of the gate)."""
     from raycells.pipelines import queries as q
 
@@ -202,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_cap": q.q_cluster_cap,  # NEW round 5 (SemDeDup cluster cap)
         "incremental_dedup": q.q_incremental_dedup,  # NEW round 5 (delta-shard dedup)
         "range_partition": q.q_range_partition,  # NEW round 5 (sorted-export plan)
+        "leakage_safe_split": q.q_leakage_safe_split,  # NEW round 5 (cluster-keyed split)
         "fingerprint_docs": q.q_fingerprint_docs,
         "media_features": q.q_media_features,
         "approx_distinct_custs": q.q_approx_distinct_custs,

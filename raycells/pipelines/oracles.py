@@ -2034,6 +2034,42 @@ SELECT token, n, est, rank FROM ranked WHERE rank <= {k}
     return "".join(parts)
 
 
+def _leakage_safe_split_sql(val_mod: int = 10) -> str:
+    """Leakage-safe train/val split (queries.q_leakage_safe_split):
+    canonical near-dup id from the dedup_clusters recursive CTE
+    (singletons fall back to their own doc_key via COALESCE), split =
+    murmur64(canonical id) % val_mod == 0 → 'val' — the exact
+    sim/hll._hash64 chain (xor33 · c1 · xor33 · c2 · xor33) in UBIGINT,
+    rolled up per (split, lang)."""
+    c1 = 0xFF51AFD7ED558CCD
+    c2 = 0xC4CEB9FE1A85EC53
+    return f"""
+WITH cl AS MATERIALIZED (
+    SELECT doc_key, canon_key FROM ({_dedup_clusters_sql()})
+),
+d AS (
+    SELECT CAST(doc_id AS VARCHAR) AS dk, lang,
+           CAST(n_chars AS BIGINT) AS nc
+    FROM documents
+),
+cn AS (
+    SELECT d.dk, d.lang, d.nc,
+           CAST(COALESCE(cl.canon_key, d.dk) AS UBIGINT) AS h
+    FROM d LEFT JOIN cl ON cl.doc_key = d.dk
+),
+k1 AS (SELECT lang, nc, xor(h, h >> 33) AS h FROM cn),
+k2 AS (SELECT lang, nc, {_mulmod64('h', c1)} AS h FROM k1),
+k3 AS (SELECT lang, nc, xor(h, h >> 33) AS h FROM k2),
+k4 AS (SELECT lang, nc, {_mulmod64('h', c2)} AS h FROM k3),
+k5 AS (SELECT lang, nc, xor(h, h >> 33) AS h FROM k4)
+SELECT CASE WHEN h % {val_mod} = 0 THEN 'val' ELSE 'train' END AS split,
+       lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nc) AS BIGINT) AS sum_chars
+FROM k5 GROUP BY split, lang
+"""
+
+
 def _paragraph_dedup_sql(w: int = 8) -> str:
     """C4-style paragraph dedup manifest (queries.q_paragraph_dedup):
     word-aligned ``w``-word segments via list_slice over string_split
@@ -2854,6 +2890,7 @@ def build() -> dict:
         """,
         "paragraph_dedup": _paragraph_dedup_sql(),
         "cluster_cap": _cluster_cap_sql(),
+        "leakage_safe_split": _leakage_safe_split_sql(),
         "cluster_embeddings": _cluster_embeddings_sql(),
         # per-cluster text-quality rollup (round 3): Lloyd chain ⋈
         # documents on vec_id = doc_id (see _cluster_quality_sql)

@@ -3099,6 +3099,95 @@ def q_incremental_dedup(sf_dir: str):
     )
 
 
+class _CanonSplitStage:
+    """Broadcast-state stage for q_leakage_safe_split: the near-dup
+    canonical-key map reads zero-copy from plasma once per worker
+    (stages.broadcast_task memo), each batch maps docs to their
+    canonical id, derives the murmur split, and collapses map-side to
+    ≤ splits × langs partial rows. Module-level so the memo key works."""
+
+    def __init__(self, ref, val_mod: int):
+        import ray
+
+        self.map = ray.get(ref)
+        self.val_mod = val_mod
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        from raycells.sim.hll import _hash64
+
+        dk = pd.Series(pc.cast(b["doc_id"], pa.string()).to_pylist())
+        canon = dk.map(self.map).fillna(dk)
+        h = _hash64(canon.astype(np.int64).to_numpy())
+        part = (
+            pd.DataFrame(
+                {
+                    "split": np.where(
+                        h % np.uint64(self.val_mod) == 0, "val", "train"
+                    ),
+                    "lang": b["lang"].to_numpy(zero_copy_only=False),
+                    "n_docs": np.ones(b.num_rows, np.int64),
+                    "sum_chars": b["n_chars"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                }
+            )
+            .groupby(["split", "lang"], sort=False)
+            .sum()
+            .reset_index()
+        )
+        return shuffle_mod.from_pandas_clean(part)
+
+
+def q_leakage_safe_split(sf_dir: str, val_mod: int = 10):
+    """LEAKAGE-SAFE train/validation split (NEW round 5) — the split a
+    careful data team actually ships: assignment keys on each doc's
+    NEAR-DUP CLUSTER canonical id (min member of its MinHash component;
+    singletons key on themselves), so no near-duplicate pair ever
+    straddles train and val (the classic eval-contamination leak).
+    Split = murmur64(canonical id) % val_mod == 0 → val — deterministic,
+    RNG-free, stable under resharding. Output is the per-(split, lang)
+    accounting table (n_docs, sum_chars).
+
+    Shape at scale: the component table is NODE-sized (only docs that
+    near-dup anything — the engine/cc.py contraction already folds it
+    driver-side) and broadcasts ONCE via plasma; the documents scan
+    reads only (doc_id, lang, n_chars) — never text — and collapses
+    map-side to ≤ splits × langs rows per batch, so the driver folds
+    O(blocks × splits × langs) partials."""
+    import ray
+
+    from raycells.engine.cc import connected_components
+
+    comp = connected_components(_minhash_pairs_cached(sf_dir), a="id_a", b="id_b")
+    canon_map = (
+        dict(zip(comp["node"], comp["root"])) if len(comp) else {}
+    )
+    ref = ray.put(canon_map)
+    ds = _read(
+        sf_dir, "documents", SMALL_TABLE_BLOCKS,
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    parts = ds.map_batches(
+        stages.broadcast_task(_CanonSplitStage, ref, val_mod),
+        batch_format="pyarrow",
+    )
+    df = (
+        parts.to_pandas()
+        .groupby(["split", "lang"], sort=False)
+        .sum()
+        .reset_index()
+        .sort_values(["split", "lang"], kind="stable")
+    )
+    return pa.table(
+        {
+            "split": pa.array(df["split"], pa.string()),
+            "lang": pa.array(df["lang"], pa.string()),
+            "n_docs": pa.array(df["n_docs"].to_numpy(np.int64)),
+            "sum_chars": pa.array(df["sum_chars"].to_numpy(np.int64)),
+        }
+    )
+
+
 def q_range_partition(sf_dir: str, n_parts: int = 16, sample_mod: int = 97):
     """Range-partition PLANNING for a globally-sorted export (NEW round
     5) — the primitive behind sorted parquet writes at 100 TB without a

@@ -123,6 +123,7 @@ CHECKED = [
     "cluster_cap",
     "incremental_dedup",
     "range_partition",
+    "leakage_safe_split",
     "cluster_embeddings",
     "fingerprint_docs",
     "media_features",

@@ -544,3 +544,32 @@ class TestParagraphDedup:
         assert list(out["chars_removed"]) == [
             0, len(w8), 2 * len(other), len(w8),
         ]
+
+
+def test_leakage_safe_split_never_straddles_near_dup_pairs(ray_session):
+    """Every MinHash near-dup pair must land on ONE side of the
+    train/val split: both endpoints share a canonical cluster id, and
+    the split keys on that id alone. Re-derives the per-doc split with
+    the same rule and checks each verified pair agrees."""
+    import numpy as np
+
+    from raycells.engine.cc import connected_components
+    from raycells.pipelines import queries as q
+    from raycells.sim.hll import _hash64
+
+    sf = "/root/testdata/sf0.001"
+    # run the query first (exercises the broadcast stage end-to-end)
+    out = q.q_leakage_safe_split(sf).to_pandas()
+    assert set(out["split"]) <= {"train", "val"}
+    assert out["n_docs"].sum() == 500
+
+    pairs = q._minhash_pairs_cached(sf)
+    comp = connected_components(pairs, a="id_a", b="id_b")
+    canon = dict(zip(comp["node"], comp["root"]))
+
+    def split_of(key: str) -> bool:
+        ci = np.array([int(canon.get(key, key))], np.int64)
+        return bool(_hash64(ci)[0] % np.uint64(10) == 0)
+
+    for ka, kb in zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()):
+        assert split_of(ka) == split_of(kb)
