@@ -2891,6 +2891,30 @@ def build() -> dict:
         "paragraph_dedup": _paragraph_dedup_sql(),
         "cluster_cap": _cluster_cap_sql(),
         "leakage_safe_split": _leakage_safe_split_sql(),
+        # vocab_coverage: exact global top-16 vocabulary by
+        # (count DESC, token ASC), per-doc OOV accounting — same
+        # string_split(' ') tokenization as token_stats
+        "vocab_coverage": """
+            WITH d AS (
+                SELECT CAST(doc_id AS VARCHAR) AS dk,
+                       string_split(text, ' ') AS toks
+                FROM documents
+            ),
+            tok AS (SELECT dk, unnest(toks) AS t FROM d),
+            cnt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY t),
+            voc AS (
+                SELECT t FROM (
+                    SELECT t, ROW_NUMBER() OVER (ORDER BY n DESC, t) AS r
+                    FROM cnt
+                ) WHERE r <= 16
+            )
+            SELECT tk.dk AS doc_key,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_oov
+            FROM tok tk LEFT JOIN voc v ON v.t = tk.t
+            GROUP BY tk.dk
+        """,
         "cluster_embeddings": _cluster_embeddings_sql(),
         # per-cluster text-quality rollup (round 3): Lloyd chain ⋈
         # documents on vec_id = doc_id (see _cluster_quality_sql)

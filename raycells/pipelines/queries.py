@@ -4023,6 +4023,71 @@ def q_top_bigrams(sf_dir: str):
     )
 
 
+def q_vocab_coverage(sf_dir: str, v: int = 16):
+    """Tokenizer VOCABULARY COVERAGE analysis (NEW round 5) — the
+    report a team runs before committing to a tokenizer: the exact
+    global top-``v`` vocabulary by (count DESC, token ASC), then every
+    document's out-of-vocabulary accounting (n_tokens, n_oov).
+
+    Shape at scale: pass 1 is the top_bigrams recipe — per-batch
+    np.unique pre-aggregation, ONE salted token-count exchange, top-v
+    via per-batch survivors (grouped_topk, constant group) so only the
+    v-row vocabulary ever reaches the driver; pass 2 broadcasts the
+    tiny vocab array in the stage closure and counts membership per doc
+    with one vectorized isin + bincount — per-doc rows stream out, no
+    exchange."""
+    from raycells.engine.joins import grouped_topk
+
+    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["doc_id", "text"])
+
+    def tokens(b: pa.Table) -> pa.Table:
+        _, flat, _ = ta._split(b["text"])
+        vals, n = np.unique(flat.to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table(
+            {"token": pa.array(vals), "n": pa.array(n.astype(np.int64))}
+        )
+
+    counted = shuffle_mod.salted_aggregate(
+        ds.map_batches(tokens, batch_format="pyarrow"),
+        key="token",
+        sums=["n"],
+        count_alias="_nb",
+        salt=1,
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "token": b["token"],
+                "n": pc.cast(b["sum_n"], pa.int64()),
+                "_g": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    top = grouped_topk(counted, "_g", v, "n", "token", ascending=(False, True))
+    vocab = np.sort(
+        pa.concat_tables(
+            shuffle_mod.block_tables(ray_get_tables(top), "token")
+        )["token"].to_numpy(zero_copy_only=False)
+    )
+
+    def oov(b: pa.Table, voc=vocab) -> pa.Table:
+        _, flat, parent = ta._split(b["text"])
+        toks = flat.to_numpy(zero_copy_only=False)
+        n = b.num_rows
+        n_tokens = np.bincount(parent, minlength=n).astype(np.int64)
+        miss = ~np.isin(toks, voc)
+        n_oov = np.bincount(parent[miss], minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                "doc_key": pc.cast(b["doc_id"], pa.string()),
+                "n_tokens": pa.array(n_tokens),
+                "n_oov": pa.array(n_oov),
+            }
+        )
+
+    return ds.map_batches(oov, batch_format="pyarrow")
+
+
 def q_cms_heavy_hitters(sf_dir: str):
     """Heavy hitters via a COUNT-MIN SKETCH paired with exact counts
     (NEW round 5): the CMS pass folds every token occurrence into one

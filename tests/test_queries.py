@@ -124,6 +124,7 @@ CHECKED = [
     "incremental_dedup",
     "range_partition",
     "leakage_safe_split",
+    "vocab_coverage",
     "cluster_embeddings",
     "fingerprint_docs",
     "media_features",
