@@ -3061,8 +3061,8 @@ def q_incremental_dedup(sf_dir: str):
 
     def split(incoming: bool):
         def f(b: pa.Table) -> pa.Table:
-            did = np.array(
-                [int(x) for x in b["doc_key"].to_pylist()], np.int64
+            did = pc.cast(b["doc_key"], pa.int64()).to_numpy(
+                zero_copy_only=False
             )
             keep = (did % 3 == 2) == incoming
             b = b.filter(pa.array(keep))
