@@ -125,7 +125,10 @@ oracles in raycells/pipelines/oracles.py):
   partition plan with no sort exchange), leakage_safe_split
   (train/val split keyed on the near-dup cluster canonical id, so no
   near-duplicate pair straddles the split — murmur of the canonical
-  id, per-(split, lang) accounting), and vocab_coverage (tokenizer
+  id, per-(split, lang) accounting), media_captions (caption pairing:
+  every media span paired with its nearest preceding text span —
+  batch-local, zero exchange, leaf-pruned (kind, text) read), and
+  vocab_coverage (tokenizer
   OOV report: exact global top-V vocabulary via survivor-only top-k,
   broadcast vocab, per-doc isin+bincount accounting). EVERY driver
   query hash-matches
@@ -174,7 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     sits in the first eight entries, then the round-3 additions, then
     the long-green tail. After the round-4 oracle rewrites the FULL
     gate costs ~58 s at sf0.01 (41 s Ray + 17 s DuckDB), so one
-    snapshot should now hold all 109. ALL queries hash-match DuckDB
+    snapshot should now hold all 110. ALL queries hash-match DuckDB
     locally at sf0.01 (the timed replica of the gate)."""
     from raycells.pipelines import queries as q
 
@@ -210,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_partition": q.q_range_partition,  # NEW round 5 (sorted-export plan)
         "leakage_safe_split": q.q_leakage_safe_split,  # NEW round 5 (cluster-keyed split)
         "vocab_coverage": q.q_vocab_coverage,  # NEW round 5 (tokenizer OOV report)
+        "media_captions": q.q_media_captions,  # NEW round 5 (caption pairing)
         "fingerprint_docs": q.q_fingerprint_docs,
         "media_features": q.q_media_features,
         "approx_distinct_custs": q.q_approx_distinct_custs,

@@ -2560,6 +2560,29 @@ def build() -> dict:
                                   chr(30) ORDER BY span_idx)) AS digest
             FROM ex GROUP BY doc_id
         """,
+        # media_captions: each media span paired with its nearest
+        # PRECEDING text span in the same document (-1 / 0 when none)
+        "media_captions": _EXPLODE
+        + """
+            , f AS (
+                SELECT doc_id, span_idx, s.kind AS kind,
+                       CAST(length(s.text) AS BIGINT) AS nch
+                FROM ex
+            ),
+            m AS (SELECT doc_id, span_idx FROM f WHERE kind = 'media'),
+            cap AS (
+                SELECT m.doc_id, m.span_idx, MAX(t.span_idx) AS ci
+                FROM m LEFT JOIN f t
+                  ON t.doc_id = m.doc_id AND t.kind = 'text'
+                 AND t.span_idx < m.span_idx
+                GROUP BY m.doc_id, m.span_idx
+            )
+            SELECT c.doc_id AS doc_key, c.span_idx,
+                   CAST(COALESCE(c.ci, -1) AS BIGINT) AS cap_span_idx,
+                   CAST(COALESCE(t2.nch, 0) AS BIGINT) AS cap_chars
+            FROM cap c
+            LEFT JOIN f t2 ON t2.doc_id = c.doc_id AND t2.span_idx = c.ci
+        """,
         "band_tile_stats": _BAND_STATS + _GRID
         + """
             SELECT doc_id, span_idx, seed, valid_count, nodata_count,

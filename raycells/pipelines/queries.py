@@ -116,6 +116,80 @@ def q_span_digest(sf_dir: str):
     )
 
 
+def q_media_captions(sf_dir: str):
+    """CAPTION PAIRING over the interleaved spans (NEW round 5) — the
+    multimodal-training prep step that pairs every media span with its
+    nearest PRECEDING text span in the same document (the heuristic
+    caption): per media span emit (doc_key, span_idx, cap_span_idx,
+    cap_chars), cap_span_idx = -1 / cap_chars = 0 when the media opens
+    the document.
+
+    Shape at scale: spans of a document live in ONE row, so pairing is
+    purely batch-local — no exchange at all. The leaf-pruned read loads
+    only (kind, text) span subfields (media payloads never leave
+    storage), and the scan is fully vectorized: one
+    list_parent_indices + searchsorted for per-doc span positions, one
+    maximum.accumulate for the running last-text-span, no per-span
+    Python loop."""
+    docs_dir = pl.docs_dir_for_sf(sf_dir)
+    ds = docsource.read_documents_media(
+        docs_dir, span_fields=("kind", "text"), num_blocks=SMALL_TABLE_BLOCKS
+    )
+
+    def caps(b: pa.Table) -> pa.Table:
+        spans = b["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        flat = spans.flatten()
+        n_flat = len(parent)
+        if n_flat == 0:
+            return pa.table(
+                {
+                    "doc_key": pa.array([], pa.string()),
+                    "span_idx": pa.array([], pa.int64()),
+                    "cap_span_idx": pa.array([], pa.int64()),
+                    "cap_chars": pa.array([], pa.int64()),
+                }
+            )
+        is_text = pc.equal(flat.field("kind"), "text").to_numpy(
+            zero_copy_only=False
+        )
+        txt_len = pc.utf8_length(flat.field("text")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        # per-doc first flat index (parent is sorted): vectorized
+        # first-occurrence via searchsorted
+        starts = np.searchsorted(parent, parent, side="left")
+        span_idx = np.arange(n_flat, dtype=np.int64) - starts
+        # running last-text flat position, strictly BEFORE each span
+        tp = np.where(is_text, np.arange(n_flat, dtype=np.int64), -1)
+        cm = np.maximum.accumulate(tp)
+        prev = np.empty(n_flat, np.int64)
+        prev[0] = -1
+        prev[1:] = cm[:-1]
+        valid = prev >= starts  # a text span exists earlier in THIS doc
+        sel = ~is_text
+        doc_flat = pc.take(
+            pa.chunked_array([b["doc_id"]]).combine_chunks(),
+            pa.array(parent),
+        )
+        return pa.table(
+            {
+                "doc_key": doc_flat.filter(pa.array(sel)),
+                "span_idx": pa.array(span_idx[sel]),
+                "cap_span_idx": pa.array(
+                    np.where(valid, prev - starts, -1)[sel]
+                ),
+                "cap_chars": pa.array(
+                    np.where(valid, txt_len[np.clip(prev, 0, None)], 0)[sel]
+                ),
+            }
+        )
+
+    return ds.map_batches(caps, batch_format="pyarrow")
+
+
 def q_band_tile_stats(sf_dir: str):
     """Decode band-4 tiles through the erased-cell kernel path → per-tile
     integer stats + SQL-parity grid cell."""

@@ -125,6 +125,7 @@ CHECKED = [
     "range_partition",
     "leakage_safe_split",
     "vocab_coverage",
+    "media_captions",
     "cluster_embeddings",
     "fingerprint_docs",
     "media_features",
