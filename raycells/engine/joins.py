@@ -103,6 +103,7 @@ def hash_join(
     keep_right: Sequence[str],
     how: str = "inner",
     num_buckets: int | None = None,
+    type_hints: dict | None = None,
 ):
     """Large-large equi-join (``how`` = "inner" or "left") with NO
     broadcast side: both inputs
@@ -115,13 +116,48 @@ def hash_join(
     store; use this when BOTH sides are large. Skewed keys: a single
     hot key's bucket holds that key's rows from both sides — raise
     ``num_buckets`` to isolate it; per-key row explosions are inherent
-    to the join itself."""
+    to the join itself.
+
+    A fully-empty side (zero blocks — the shape a groupby/map_groups
+    produces on empty input) has no Dataset schema; ``type_hints``
+    supplies the carried-column Arrow types for that case so the
+    result keeps a stable typed schema (empty inner join → typed empty
+    table; left join with empty right → left rows with typed nulls)."""
     if num_buckets is None:
         num_buckets = scaled_buckets()  # driver-side, once per pipeline
-    l_schema = left_ds.schema().base_schema
-    r_schema = right_ds.schema().base_schema
-    l_types = {c: l_schema.field(c).type for c in keep_left}
-    r_types = {c: r_schema.field(c).type for c in keep_right}
+    hints = dict(type_hints or {})
+    l_schema = left_ds.schema()
+    r_schema = right_ds.schema()
+
+    def _types(schema, cols, side):
+        if schema is not None:
+            base = schema.base_schema
+            return {c: base.field(c).type for c in cols}
+        try:
+            return {c: hints[c] for c in cols}
+        except KeyError as e:
+            raise ValueError(
+                f"{side} side of hash_join is empty with no schema; pass "
+                f"type_hints covering its carried columns (missing {e})"
+            ) from None
+
+    l_types = _types(l_schema, keep_left, "left")
+    r_types = _types(r_schema, keep_right, "right")
+    if l_schema is None or (r_schema is None and how == "inner"):
+        import ray
+
+        return ray.data.from_arrow(
+            _empty_join_table(keep_left, keep_right, l_types, r_types)
+        )
+    if r_schema is None:  # how == "left": all left rows, typed null right
+
+        def pad_right(b: pa.Table) -> pa.Table:
+            data = {c: pc.cast(b[c], _out_type(l_types[c])) for c in keep_left}
+            for c in keep_right:
+                data[c] = pa.nulls(b.num_rows, _out_type(r_types[c]))
+            return pa.table(data)
+
+        return left_ds.map_batches(pad_right, batch_format="pyarrow")
 
     def project_left(b: pa.Table) -> pa.Table:
         data = {"_k": b[key_left], "_side": pa.array(np.zeros(b.num_rows, np.int8))}

@@ -3170,6 +3170,10 @@ def q_incremental_dedup(sf_dir: str):
         key_right="chunk_hash",
         keep_left=["doc_key", "chunk_idx", "chunk_hash"],
         keep_right=["n_base_copies"],
+        # zero bloom survivors → base_agg is a zero-block Dataset with no
+        # schema (the novel-crawl-drop case); the hint keeps the empty
+        # result's schema typed instead of crashing the join
+        type_hints={"n_base_copies": pa.int64()},
     )
 
 

@@ -240,3 +240,35 @@ def test_chunk_docs_unbounded_long_docs(ray_session, tmp_path, contract):
         )
     cd = _to_df(queries["chunk_docs"](str(tmp_path)))
     assert cd["chunk_idx"].max() >= 64  # genuinely beyond the old bound
+
+
+def test_incremental_dedup_zero_collision_shard(ray_session, tmp_path):
+    """A shard sharing no chunk content with the base must produce an
+    EMPTY result with the full typed schema (the hash_join empty path),
+    not an error — the common case for a genuinely novel crawl drop."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raycells.pipelines.queries import q_incremental_dedup
+
+    # doc_id % 3 == 2 rows share nothing with the rest
+    texts = [f"base doc {i} " + ("alpha " * 30) + str(i) for i in range(6)]
+    for i in (2, 5):
+        texts[i] = f"novel doc {i} " + ("omega " * 30) + str(i * 7)
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(6, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = q_incremental_dedup(str(tmp_path))
+    assert out.count() == 0
+    # Ray's to_pandas() drops columns on a zero-row block; the Dataset
+    # schema is the contract surface here.
+    schema = out.schema()
+    assert schema.names == [
+        "doc_key", "chunk_idx", "chunk_hash", "n_base_copies",
+    ]
+    assert str(schema.types[3]) == "int64"
