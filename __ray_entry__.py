@@ -88,6 +88,10 @@ oracles in raycells/pipelines/oracles.py):
   SQL),
   decontaminate (token-window blocklist hashing — benchmark overlap
   flagging, windows from the same token-fingerprint CTEs),
+  contamination_overlap (the fuzzy-decontamination DROP rule: per
+  contaminated doc n_windows + n_hits + the 10%-overlap verdict),
+  quality_filter (Gopher-rules composite quality filter with per-rule
+  drop accounting per source — all exact-integer predicates),
   ngram_jaccard (EXACT prefix-filter set-similarity join, recall 1.0:
   hash-ordered shingle prefixes + integer size filter + exact-integer
   threshold, mirrored CTE-for-CTE in SQL),
@@ -177,7 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     sits in the first eight entries, then the round-3 additions, then
     the long-green tail. After the round-4 oracle rewrites the FULL
     gate costs ~58 s at sf0.01 (41 s Ray + 17 s DuckDB), so one
-    snapshot should now hold all 110. ALL queries hash-match DuckDB
+    snapshot should now hold all 112. ALL queries hash-match DuckDB
     locally at sf0.01 (the timed replica of the gate)."""
     from raycells.pipelines import queries as q
 
@@ -220,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hist_quantiles": q.q_hist_quantiles,
         "customer_set_ops": q.q_customer_set_ops,
         "decontaminate": q.q_decontaminate,
+        "contamination_overlap": q.q_contamination_overlap,
         "ngram_jaccard": q.q_ngram_jaccard,
         "cluster_embeddings": q.q_cluster_embeddings,
         "resample_lanczos": q.q_resample_lanczos,  # NEW round 3
@@ -290,6 +295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_terms": q.q_tfidf_terms,
         "top_bigrams": q.q_top_bigrams,
         "repetition_filter": q.q_repetition_filter,
+        "quality_filter": q.q_quality_filter,
         "token_cooccurrence": q.q_token_cooccurrence,
         "redact_props": q.q_redact_props,
         "regex_tokens": q.q_regex_tokens,

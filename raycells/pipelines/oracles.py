@@ -532,14 +532,16 @@ SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}
 """
 
 
-def _decontaminate_sql(w: int = 4, mod: int = 101) -> str:
+def _decontaminate_sql(w: int = 4, mod: int = 101, overlap: bool = False) -> str:
     """Benchmark decontamination reproduced in SQL
     (pipelines/queries.q_decontaminate): the same polynomial token
     fingerprints as the simhash oracle, window hash = Σ (th·31^i mod
     2^64) mod 2^64 over each w-token window (per-term wrap then summed
     wrap — exactly numpy's uint64 elementwise-multiply + sum), blocklist
     = distinct window hashes of docs with doc_id % {mod} == 0, hits
-    counted per non-benchmark doc."""
+    counted per non-benchmark doc. ``overlap`` switches to the
+    q_contamination_overlap report: per contaminated doc the total
+    window count and the 10%-rule verdict (10·n_hits ≥ n_windows)."""
     seed = 14695981039346656037
     base = 1099511628211
     m64 = "CAST('18446744073709551616' AS HUGEINT)"
@@ -604,11 +606,31 @@ wh AS MATERIALIZED (
     HAVING COUNT(*) = {w}
 ),
 blockset AS (SELECT DISTINCT h FROM wh WHERE did % {mod} = 0)
+""" + (
+        f"""
+, hits AS (
+    SELECT w.dk, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM wh w JOIN blockset b ON b.h = w.h
+    WHERE w.did % {mod} <> 0
+    GROUP BY w.dk
+),
+wins AS (
+    SELECT dk, CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM wh WHERE did % {mod} <> 0 GROUP BY dk
+)
+SELECT h.dk AS doc_key, wn.n_windows, h.n_hits,
+       CAST(CASE WHEN 10 * h.n_hits >= wn.n_windows THEN 1 ELSE 0 END
+            AS BIGINT) AS dropped
+FROM hits h JOIN wins wn ON wn.dk = h.dk
+"""
+        if overlap
+        else f"""
 SELECT w.dk AS doc_key, CAST(COUNT(*) AS BIGINT) AS n_hits
 FROM wh w JOIN blockset b ON b.h = w.h
 WHERE w.did % {mod} <> 0
 GROUP BY w.dk
 """
+    )
 
 
 def _dedup_clusters_sql() -> str:
@@ -2818,6 +2840,7 @@ def build() -> dict:
         "minhash_pairs": _minhash_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "decontaminate": _decontaminate_sql(),
+        "contamination_overlap": _decontaminate_sql(overlap=True),
         "ngram_jaccard": _ngram_jaccard_sql(),
         "embedding_dups": _embedding_dups_sql(),
         "embedding_dup_clusters": _embedding_clusters_sql(),
@@ -3495,6 +3518,69 @@ def build() -> dict:
                    CAST(SUM(n_bigrams) AS BIGINT) AS sum_bigrams,
                    CAST(SUM(n_dbig) AS BIGINT) AS sum_distinct_bigrams
             FROM perdoc GROUP BY source
+        """,
+        # Gopher-rules composite quality filter (q_quality_filter):
+        # four exact-integer per-doc predicates (min tokens, mean word
+        # length via cross-multiplied tok_chars vs 4·n/10·n, symbol
+        # ratio 10·n_other > n_chars, ≥2 distinct stopwords), per-rule
+        # drop counts + survivors + raw sums per source. n_tokens /
+        # tok_chars mirror the token_counts SQL recipe; char classes
+        # via regexp_replace deletion lengths (RE2-safe classes).
+        "quality_filter": """
+            WITH d AS (
+                SELECT source, string_split(text, ' ') AS toks,
+                       CAST(CASE WHEN length(text) = 0 THEN 0
+                            ELSE length(text) - length(replace(text, ' ', '')) + 1
+                            END AS BIGINT) AS n_tokens,
+                       CAST(length(replace(text, ' ', '')) AS BIGINT)
+                           AS tok_chars,
+                       CAST(length(text) AS BIGINT) AS n_chars,
+                       CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                           AS BIGINT) AS n_alpha,
+                       CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                           AS BIGINT) AS n_digit,
+                       CAST(length(text) - length(replace(text, ' ', ''))
+                           AS BIGINT) AS n_space
+                FROM documents
+            ),
+            s AS (
+                SELECT source, n_tokens, tok_chars,
+                       n_chars - n_alpha - n_digit - n_space AS n_other,
+                       n_chars,
+                       (CASE WHEN len(list_filter(toks, x -> x = 'the')) > 0
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN len(list_filter(toks, x -> x = 'a')) > 0
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN len(list_filter(toks, x -> x = 'of')) > 0
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN len(list_filter(toks, x -> x = 'and')) > 0
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN len(list_filter(toks, x -> x = 'to')) > 0
+                             THEN 1 ELSE 0 END) AS n_stop
+                FROM d
+            ),
+            f AS (
+                SELECT source, n_tokens, tok_chars,
+                       CASE WHEN n_tokens < 50 THEN 1 ELSE 0 END AS dl,
+                       CASE WHEN tok_chars < 4 * n_tokens
+                              OR tok_chars > 10 * n_tokens
+                            THEN 1 ELSE 0 END AS dw,
+                       CASE WHEN 10 * n_other > n_chars THEN 1 ELSE 0 END
+                           AS dy,
+                       CASE WHEN n_stop < 2 THEN 1 ELSE 0 END AS ds
+                FROM s
+            )
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(dl) AS BIGINT) AS n_drop_len,
+                   CAST(SUM(dw) AS BIGINT) AS n_drop_word_len,
+                   CAST(SUM(dy) AS BIGINT) AS n_drop_symbol,
+                   CAST(SUM(ds) AS BIGINT) AS n_drop_stopword,
+                   CAST(SUM(CASE WHEN dl + dw + dy + ds = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_kept,
+                   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+                   CAST(SUM(tok_chars) AS BIGINT) AS sum_tok_chars
+            FROM f GROUP BY source
         """,
         # token co-occurrence lift (q_token_cooccurrence): unordered
         # token pairs within a doc's DISTINCT token set; lift_e6 =

@@ -3905,10 +3905,13 @@ DECON_W = 4  # window tokens (real corpora use ~13; sized to this fixture)
 DECON_MOD = 101  # benchmark subset = doc_id % DECON_MOD == 0
 
 
-def q_decontaminate(sf_dir: str):
+def _decontaminate_impl(sf_dir: str, overlap: bool):
     """Benchmark decontamination — flag training docs sharing any
     DECON_W-token window with a held-out 'benchmark' subset
-    (doc_id % DECON_MOD == 0). The
+    (doc_id % DECON_MOD == 0). With ``overlap`` the report adds each
+    contaminated doc's total window count and the 10%-overlap drop
+    decision (10·n_hits ≥ n_windows) — the fuzzy-decontamination rule a
+    curation run actually applies, vs the raw hit counts alone. The
     blocklist of window hashes is the canonical broadcast small side,
     built DISTRIBUTED: per-batch ``np.unique`` window-hash partials over
     the bench rows, unioned worker-side by ONE Ray task into a single
@@ -3968,8 +3971,9 @@ def q_decontaminate(sf_dir: str):
     ref = ray.remote(num_cpus=1)(_union_hash_blocks).remote(*partial_refs)
 
     class Flag:
-        def __init__(self, r):
+        def __init__(self, r, emit_overlap):
             self.block = ray.get(r)  # sorted unique uint64
+            self.emit_overlap = emit_overlap
 
         def __call__(self, b: pa.Table) -> pa.Table:
             keep = pc.invert(b["is_bench"])
@@ -3988,24 +3992,60 @@ def q_decontaminate(sf_dir: str):
             else:
                 counts = np.zeros(len(texts), dtype=np.int64)
             nz = np.nonzero(counts)[0]
-            return pa.table(
-                {
-                    "doc_key": dk.take(pa.array(nz, pa.int64())),
-                    "n_hits": pa.array(counts[nz], pa.int64()),
-                }
-            )
+            cols = {
+                "doc_key": dk.take(pa.array(nz, pa.int64())),
+            }
+            if self.emit_overlap:
+                n_win = np.bincount(rows, minlength=len(texts)) if wh.size \
+                    else np.zeros(len(texts), dtype=np.int64)
+                cols["n_windows"] = pa.array(n_win[nz], pa.int64())
+                cols["n_hits"] = pa.array(counts[nz], pa.int64())
+                cols["dropped"] = pa.array(
+                    (10 * counts[nz] >= n_win[nz]).astype(np.int64)
+                )
+            else:
+                cols["n_hits"] = pa.array(counts[nz], pa.int64())
+            return pa.table(cols)
 
     # deliberately a SECOND streaming pass over the corpus: the
     # blocklist must be complete before flagging, and re-reading beats
     # pinning the full text corpus in the object store at 100 TB
     out = tagged.map_batches(
-        stages_mod.broadcast_task(Flag, ref), batch_format="pyarrow"
+        stages_mod.broadcast_task(Flag, ref, overlap), batch_format="pyarrow"
     ).to_arrow_refs()
     import ray as _ray
 
-    t = pa.concat_tables([_ray.get(r) for r in out])
+    # empty read blocks pass through map_batches with the UPSTREAM
+    # schema (the UDF never runs) — skip them before the concat
+    tabs = shuffle_mod.block_tables([_ray.get(r) for r in out], "doc_key")
+    if not tabs:
+        cols = {"doc_key": pa.array([], pa.string())}
+        if overlap:
+            cols["n_windows"] = pa.array([], pa.int64())
+        cols["n_hits"] = pa.array([], pa.int64())
+        if overlap:
+            cols["dropped"] = pa.array([], pa.int64())
+        return pa.table(cols)
+    t = pa.concat_tables(tabs)
     order = np.lexsort((np.asarray(t["doc_key"].to_pylist(), dtype=object),))
     return t.take(pa.array(order))
+
+
+def q_decontaminate(sf_dir: str):
+    """Exact-window benchmark decontamination report (doc_key, n_hits);
+    see :func:`_decontaminate_impl`."""
+    return _decontaminate_impl(sf_dir, overlap=False)
+
+
+def q_contamination_overlap(sf_dir: str):
+    """Fuzzy-decontamination DROP DECISIONS: every contaminated training
+    doc with its total window count, blocklist-hit count, and the
+    10%-overlap rule verdict (dropped ⇔ 10·n_hits ≥ n_windows) — the
+    normalized-overlap thresholding of Brown et al.'s GPT-3 appendix-C
+    filter, vs q_decontaminate's raw hit counts. Same 100-TB shape:
+    distributed blocklist build, ONE broadcast array, a second
+    streaming pass, output sized by the contaminated set only."""
+    return _decontaminate_impl(sf_dir, overlap=True)
 
 
 def q_grouped_quantiles(sf_dir: str):
@@ -4393,6 +4433,90 @@ def q_repetition_filter(sf_dir: str):
                     "sum_distinct_tokens",
                     "sum_bigrams",
                     "sum_distinct_bigrams",
+                )
+            },
+        }
+    )
+
+
+# Gopher-style composite quality rule bounds (exact-integer predicates;
+# the word-length low bound is tuned to the synthetic corpus so the rule
+# discriminates — Rae et al.'s published bounds are [3, 10])
+QF_MIN_TOKENS = 50
+QF_MIN_MWL = 4  # mean word length lower bound, compared as tok_chars < 4·n
+QF_MAX_MWL = 10
+QF_MIN_STOP = 2  # distinct stopwords required
+
+
+def q_quality_filter(sf_dir: str):
+    """Gopher-rules composite quality filter (Rae et al. 2021 §A1.1
+    style) with PER-RULE drop accounting, rolled up per source: each doc
+    is tested against four independent rules — minimum token count, mean
+    word length in [QF_MIN_MWL, QF_MAX_MWL], symbol-to-char ratio ≤ 10%,
+    and ≥ QF_MIN_STOP distinct stopwords present — and the report counts
+    docs tripping each rule plus the survivors, with the raw token/char
+    sums pinning the arithmetic. Every predicate is an exact-integer
+    cross-multiplied comparison (no float ratios), so the DuckDB oracle
+    hash-matches.
+
+    Shape at scale: all metrics are row-local Arrow kernels (utf8_length
+    / count_substring_regex / one split per batch), the map-side combine
+    collapses each batch to ≤ |sources| partial rows, and the merge is a
+    driver fold over O(blocks × sources) partials — no exchange (the
+    q_lineitem_pricing pattern)."""
+    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["source", "text"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        text = b["text"]
+        m = ta.char_metrics(text)
+        ntok = ta.token_counts(text)
+        tok_chars = m["n_chars"] - m["n_space"]
+        nstop = np.zeros(b.num_rows, np.int64)
+        for w in ta.STOPWORDS:
+            nstop += (ta.word_hits(text, w) > 0).astype(np.int64)
+        drop_len = ntok < QF_MIN_TOKENS
+        drop_wl = (tok_chars < QF_MIN_MWL * ntok) | (
+            tok_chars > QF_MAX_MWL * ntok
+        )
+        drop_sym = 10 * m["n_other"] > m["n_chars"]
+        drop_stop = nstop < QF_MIN_STOP
+        kept = ~(drop_len | drop_wl | drop_sym | drop_stop)
+        agg = (
+            pd.DataFrame(
+                {
+                    "source": b["source"].to_numpy(zero_copy_only=False),
+                    "n_docs": np.ones(b.num_rows, np.int64),
+                    "n_drop_len": drop_len.astype(np.int64),
+                    "n_drop_word_len": drop_wl.astype(np.int64),
+                    "n_drop_symbol": drop_sym.astype(np.int64),
+                    "n_drop_stopword": drop_stop.astype(np.int64),
+                    "n_kept": kept.astype(np.int64),
+                    "sum_tokens": ntok,
+                    "sum_tok_chars": tok_chars,
+                }
+            )
+            .groupby("source", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return shuffle_mod.from_pandas_clean(agg)
+
+    parts = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("source", sort=False).sum().reset_index()
+    return pa.table(
+        {
+            "source": pa.array(out["source"], pa.string()),
+            **{
+                c: pa.array(out[c].to_numpy(np.int64))
+                for c in (
+                    "n_docs",
+                    "n_drop_len",
+                    "n_drop_word_len",
+                    "n_drop_symbol",
+                    "n_drop_stopword",
+                    "n_kept",
+                    "sum_tokens",
+                    "sum_tok_chars",
                 )
             },
         }

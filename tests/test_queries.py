@@ -126,6 +126,8 @@ CHECKED = [
     "leakage_safe_split",
     "vocab_coverage",
     "media_captions",
+    "quality_filter",
+    "contamination_overlap",
     "cluster_embeddings",
     "fingerprint_docs",
     "media_features",
@@ -240,6 +242,36 @@ def test_chunk_docs_unbounded_long_docs(ray_session, tmp_path, contract):
         )
     cd = _to_df(queries["chunk_docs"](str(tmp_path)))
     assert cd["chunk_idx"].max() >= 64  # genuinely beyond the old bound
+
+
+def test_contamination_overlap_drop_rule(ray_session, tmp_path):
+    """The 10%-overlap drop rule must actually fire: a non-bench doc
+    that IS the benchmark doc gets every window hit (dropped=1), while
+    one sharing a single window out of >10 stays (dropped=0)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raycells.pipelines.queries import q_contamination_overlap
+
+    bench = " ".join(f"tok{i}" for i in range(20))  # doc_id 0 → benchmark
+    near = bench  # full copy: 17/17 windows hit
+    # shares exactly one 4-token window (tok0..tok3) out of 27
+    far = " ".join(f"tok{i}" for i in range(4)) + " " + " ".join(
+        f"other{i}" for i in range(26)
+    )
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.array([0, 1, 2], dtype=np.int64)),
+            "text": pa.array([bench, near, far], pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    df = q_contamination_overlap(str(tmp_path)).to_pandas()
+    by = df.set_index("doc_key")
+    assert by.loc["1", "dropped"] == 1 and by.loc["1", "n_hits"] == 17
+    assert by.loc["2", "dropped"] == 0 and by.loc["2", "n_hits"] == 1
+    assert by.loc["2", "n_windows"] == 27  # 30 tokens, w=4
 
 
 def test_incremental_dedup_zero_collision_shard(ray_session, tmp_path):
