@@ -129,7 +129,10 @@ oracles in raycells/pipelines/oracles.py):
   partition plan with no sort exchange), leakage_safe_split
   (train/val split keyed on the near-dup cluster canonical id, so no
   near-duplicate pair straddles the split — murmur of the canonical
-  id, per-(split, lang) accounting), media_captions (caption pairing:
+  id, per-(split, lang) accounting), pack_multimodal (MMC4-style
+  interleaved sequence packing: text tokens + fixed image-token charge
+  per media span, shard-parallel greedy first-fit),
+  media_captions (caption pairing:
   every media span paired with its nearest preceding text span —
   batch-local, zero exchange, leaf-pruned (kind, text) read), and
   vocab_coverage (tokenizer
@@ -236,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_multimodal_profile": q.q_doc_multimodal_profile,  # NEW round 3 (interleaved)
         "cluster_quality": q.q_cluster_quality,  # NEW round 3 (cluster ⋈ quality)
         "pack_sequences": q.q_pack_sequences,  # NEW round 3 (LLM seq packing)
+        "pack_multimodal": q.q_pack_multimodal,  # NEW round 5 (MMC4 packing)
         "top_tiles_per_cell": q.q_top_tiles_per_cell,  # NEW round 3 (spatial top-k)
         "corpus_mixture": q.q_corpus_mixture,  # NEW round 3 (data mixing)
         "zonal_by_nearest": q.q_zonal_by_nearest,  # NEW round 3 (NN-zonal composite)

@@ -3412,6 +3412,57 @@ def build() -> dict:
                    CAST(SUM(ntok) AS BIGINT) AS total_tokens
             FROM rec GROUP BY shard, bin
         """,
+        # pack_multimodal (q_pack_multimodal): per-doc cost = text-span
+        # tokens + 64 per media span; same shard/greedy recursive rule
+        # as pack_sequences, over the interleaved spans table.
+        "pack_multimodal": f"""
+            WITH RECURSIVE ex AS (
+                SELECT doc_id, unnest(spans) AS s
+                FROM read_parquet('{DOCS_GLOB}')
+            ),
+            per AS MATERIALIZED (
+                SELECT CAST(substr(doc_id, 5) AS BIGINT) AS did,
+                       CAST(SUM(CASE WHEN s.kind = 'text' THEN
+                           CASE WHEN length(s.text) = 0 THEN 0
+                                ELSE length(s.text)
+                                     - length(replace(s.text, ' ', '')) + 1
+                           END ELSE 64 END) AS BIGINT) AS cost,
+                       CAST(SUM(CASE WHEN s.kind = 'media' THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_media,
+                       CAST(SUM(CASE WHEN s.kind = 'text' THEN
+                           CASE WHEN length(s.text) = 0 THEN 0
+                                ELSE length(s.text)
+                                     - length(replace(s.text, ' ', '')) + 1
+                           END ELSE 0 END) AS BIGINT) AS text_tokens
+                FROM ex GROUP BY doc_id
+            ),
+            docs2 AS MATERIALIZED (
+                SELECT did // 64 AS shard, did, cost, n_media, text_tokens,
+                       ROW_NUMBER() OVER (PARTITION BY did // 64
+                                          ORDER BY did) AS rn
+                FROM per
+            ),
+            rec AS (
+                SELECT shard, rn, cost, n_media, text_tokens,
+                       CAST(0 AS BIGINT) AS bin, cost AS fill
+                FROM docs2 WHERE rn = 1
+                UNION ALL
+                SELECT d.shard, d.rn, d.cost, d.n_media, d.text_tokens,
+                       CASE WHEN r.fill + d.cost > 600 THEN r.bin + 1
+                            ELSE r.bin END,
+                       CASE WHEN r.fill + d.cost > 600 THEN d.cost
+                            ELSE r.fill + d.cost END
+                FROM rec r JOIN docs2 d
+                  ON d.shard = r.shard AND d.rn = r.rn + 1
+            )
+            SELECT CAST(shard AS BIGINT) AS shard,
+                   CAST(bin AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(cost) AS BIGINT) AS total_cost,
+                   CAST(SUM(n_media) AS BIGINT) AS n_media,
+                   CAST(SUM(text_tokens) AS BIGINT) AS text_tokens
+            FROM rec GROUP BY shard, bin
+        """,
         "stratified_sample": """
             WITH keyed AS (
                 SELECT c_mktsegment,

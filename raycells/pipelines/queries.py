@@ -920,6 +920,104 @@ def q_pack_sequences(sf_dir: str):
     return packed
 
 
+MM_TOK = 64  # fixed token cost charged per media span (image-token budget)
+
+
+def q_pack_multimodal(sf_dir: str):
+    """MULTIMODAL sequence packing (NEW round 5) — the MMC4/interleaved
+    training prep op: pack interleaved documents into ≤PACK_CAP-token
+    bins where a document's cost is its text-span token count plus a
+    fixed MM_TOK charge per media span (the image-token budget a
+    vision-language model pays per image). Same deterministic
+    PACK_SHARD-doc shards and greedy first-fit-in-order rule as
+    q_pack_sequences, so packing is embarrassingly parallel.
+
+    Shape at scale: the per-doc cost is ONE batch-local pass over the
+    leaf-pruned (kind, text) span fields (media payloads never leave
+    storage — list_parent_indices + two bincounts, no per-span loop);
+    the single coarse-bucket exchange moves only (shard, doc, cost,
+    n_media, text_tokens) rows; the pack kernel is the shared
+    vectorized segmented-cumsum prefix-take. Output per (shard, bin):
+    doc count, total cost, media count, text-token total — exact ints."""
+    docs_dir = pl.docs_dir_for_sf(sf_dir)
+    ds = docsource.read_documents_media(
+        docs_dir, span_fields=("kind", "text"), num_blocks=SMALL_TABLE_BLOCKS
+    )
+
+    def costs(b: pa.Table) -> pa.Table:
+        spans = b["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        n = b.num_rows
+        parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        flat = spans.flatten()
+        is_text = pc.equal(flat.field("kind"), "text").to_numpy(
+            zero_copy_only=False
+        )
+        ntok = ta.token_counts(flat.field("text"))
+        text_toks = np.bincount(
+            parent[is_text], weights=ntok[is_text], minlength=n
+        ).astype(np.int64)
+        n_media = np.bincount(parent[~is_text], minlength=n).astype(np.int64)
+        n_spans = np.bincount(parent, minlength=n)
+        did = pc.cast(
+            pc.utf8_slice_codeunits(
+                pa.chunked_array([b["doc_id"]]).combine_chunks(), 4, 99
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        keep = n_spans > 0  # span-less docs don't reach the packer
+        return pa.table(
+            {
+                "shard": pa.array(did[keep] // PACK_SHARD),
+                "doc_id": pa.array(did[keep]),
+                "cost": pa.array(text_toks[keep] + MM_TOK * n_media[keep]),
+                "n_media": pa.array(n_media[keep]),
+                "text_tokens": pa.array(text_toks[keep]),
+            }
+        )
+
+    def pack(g: pa.Table) -> pa.Table:
+        df = (
+            g.to_pandas().drop(columns=["_cbucket"]).sort_values(["shard", "doc_id"])
+        )
+        shard = df["shard"].to_numpy()
+        cost = df["cost"].to_numpy()
+        bins = greedy_pack_bins(shard, cost, PACK_CAP)
+        out = (
+            pd.DataFrame(
+                {
+                    "shard": shard,
+                    "bin": bins,
+                    "cost": cost,
+                    "n_media": df["n_media"].to_numpy(),
+                    "text_tokens": df["text_tokens"].to_numpy(),
+                }
+            )
+            .groupby(["shard", "bin"], sort=False, as_index=False)
+            .agg(
+                n_docs=("cost", "size"),
+                total_cost=("cost", "sum"),
+                n_media=("n_media", "sum"),
+                text_tokens=("text_tokens", "sum"),
+            )
+        )
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        return shuffle_mod.from_pandas_clean(out)
+
+    return (
+        ds.map_batches(costs, batch_format="pyarrow")
+        .map_batches(
+            lambda b, nb=shuffle_mod.scaled_buckets(): dd._coarse_bucket(
+                b, ["shard"], nb
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("_cbucket")
+        .map_groups(pack, batch_format="pyarrow")
+    )
+
+
 def q_cluster_quality(sf_dir: str):
     """Cross-table CURATION composite (NEW round 3): k-means topic
     clusters over the embedding table JOINED to per-doc text-quality

@@ -128,6 +128,7 @@ CHECKED = [
     "media_captions",
     "quality_filter",
     "contamination_overlap",
+    "pack_multimodal",
     "cluster_embeddings",
     "fingerprint_docs",
     "media_features",
