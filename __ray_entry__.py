@@ -73,7 +73,9 @@ oracles in raycells/pipelines/oracles.py):
 - co-partitioned join/window family (engine/joins.py):
   asof_latest_order, priority_revenue (hash join),
   customer_order_profile (LEFT OUTER hash join, zero-fill retained
-  rows), event_bursts (temporal band join — count ALL same-user rows in the
+  rows), funnel_coverage (FULL OUTER hash join — per-(user, day) click
+  vs purchase coverage, unmatched rows from both sides with a
+  coalesced key), event_bursts (temporal band join — count ALL same-user rows in the
   trailing week, d−7…d inclusive, via engine/joins.band_join_count; no
   match materialization), customer_set_ops (INTERSECT/EXCEPT/complement via
   per-key MAX membership flags), events_rolling7,
@@ -310,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_price_corr": q.q_qty_price_corr,
         "doc_surprisal": q.q_doc_surprisal,
         "event_bursts": q.q_event_bursts,
+        "funnel_coverage": q.q_funnel_coverage,  # NEW round 5 (FULL OUTER)
     }
 
 

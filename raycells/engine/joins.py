@@ -104,8 +104,9 @@ def hash_join(
     how: str = "inner",
     num_buckets: int | None = None,
     type_hints: dict | None = None,
+    key_out: str | None = None,
 ):
-    """Large-large equi-join (``how`` = "inner" or "left") with NO
+    """Large-large equi-join (``how`` = "inner", "left" or "outer") with NO
     broadcast side: both inputs
     are projected to (key, carried columns), tagged, unioned, shuffled
     once on a coarse hash bucket of the key, and merged with one
@@ -122,7 +123,16 @@ def hash_join(
     produces on empty input) has no Dataset schema; ``type_hints``
     supplies the carried-column Arrow types for that case so the
     result keeps a stable typed schema (empty inner join → typed empty
-    table; left join with empty right → left rows with typed nulls)."""
+    table; left join with empty right → left rows with typed nulls).
+
+    ``how="outer"`` (FULL OUTER) keeps unmatched rows from BOTH sides
+    with typed nulls for the absent side's carried columns. A full
+    outer join has no anchor side for the key, so ``key_out`` names
+    the output column carrying the (never-null) coalesced join key —
+    required for "outer", ignored otherwise; both key columns must
+    share one Arrow type."""
+    if how == "outer" and key_out is None:
+        raise ValueError("hash_join(how='outer') requires key_out")
     if num_buckets is None:
         num_buckets = scaled_buckets()  # driver-side, once per pipeline
     hints = dict(type_hints or {})
@@ -143,21 +153,56 @@ def hash_join(
 
     l_types = _types(l_schema, keep_left, "left")
     r_types = _types(r_schema, keep_right, "right")
-    if l_schema is None or (r_schema is None and how == "inner"):
+    if how == "outer":
+        if l_schema is not None:
+            k_type = l_schema.base_schema.field(key_left).type
+        elif r_schema is not None:
+            k_type = r_schema.base_schema.field(key_right).type
+        else:
+            k_type = _types(None, [key_out], "key")[key_out]
+    else:
+        k_type = None
+
+    def _empty_result() -> pa.Table:
+        cols = {}
+        if k_type is not None:
+            cols[key_out] = pa.array([], _out_type(k_type))
+        return pa.table(
+            cols
+            | {c: pa.array([], _out_type(l_types[c])) for c in keep_left}
+            | {c: pa.array([], _out_type(r_types[c])) for c in keep_right}
+        )
+
+    if (
+        (l_schema is None and r_schema is None)
+        or (how == "inner" and (l_schema is None or r_schema is None))
+        or (how == "left" and l_schema is None)
+    ):
         import ray
 
-        return ray.data.from_arrow(
-            _empty_join_table(keep_left, keep_right, l_types, r_types)
-        )
-    if r_schema is None:  # how == "left": all left rows, typed null right
+        return ray.data.from_arrow(_empty_result())
+    if r_schema is None:  # left/outer: all left rows, typed null right
 
         def pad_right(b: pa.Table) -> pa.Table:
-            data = {c: pc.cast(b[c], _out_type(l_types[c])) for c in keep_left}
+            data = {}
+            if k_type is not None:
+                data[key_out] = pc.cast(b[key_left], _out_type(k_type))
+            data |= {c: pc.cast(b[c], _out_type(l_types[c])) for c in keep_left}
             for c in keep_right:
                 data[c] = pa.nulls(b.num_rows, _out_type(r_types[c]))
             return pa.table(data)
 
         return left_ds.map_batches(pad_right, batch_format="pyarrow")
+    if l_schema is None:  # how == "outer": all right rows, typed null left
+
+        def pad_left(b: pa.Table) -> pa.Table:
+            data = {key_out: pc.cast(b[key_right], _out_type(k_type))}
+            for c in keep_left:
+                data[c] = pa.nulls(b.num_rows, _out_type(l_types[c]))
+            data |= {c: pc.cast(b[c], _out_type(r_types[c])) for c in keep_right}
+            return pa.table(data)
+
+        return right_ds.map_batches(pad_left, batch_format="pyarrow")
 
     def project_left(b: pa.Table) -> pa.Table:
         data = {"_k": b[key_left], "_side": pa.array(np.zeros(b.num_rows, np.int8))}
@@ -192,7 +237,7 @@ def hash_join(
         right = _to_pandas_exact(
             g.filter(pc.invert(lmask)).select(["_k", *keep_right])
         )
-        if left.empty or (right.empty and how == "inner"):
+        if (left.empty and how != "outer") or (right.empty and how == "inner"):
             return _empty_join_table(keep_left, keep_right, l_types, r_types)
         # merge on plain numpy keys when possible: pandas merges on
         # nullable-int extension keys are several times slower, and join
@@ -207,11 +252,16 @@ def hash_join(
             right["_k"] = right["_k"].astype(right["_k"].dtype.numpy_dtype)
         merged = left.merge(right, on="_k", how=how)
         out = merged[[*keep_left, *keep_right]].copy()
-        out = _restore_ints(
-            out,
-            [*((c, l_types[c]) for c in keep_left),
-             *((c, r_types[c]) for c in keep_right)],
-        )
+        restore = [
+            *((c, l_types[c]) for c in keep_left),
+            *((c, r_types[c]) for c in keep_right),
+        ]
+        if how == "outer":
+            # the coalesced merge key is never null — both sides' rows
+            # carry it, so it restores as a plain (non-nullable) column
+            out.insert(0, key_out, merged["_k"])
+            restore.insert(0, (key_out, k_type))
+        out = _restore_ints(out, restore)
         return from_pandas_clean(out)
 
     return bucketed.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")

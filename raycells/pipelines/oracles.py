@@ -3762,6 +3762,35 @@ def build() -> dict:
         # the two sides genuinely overlap in time, so the window logic is
         # exercised with non-trivial counts; the self-match is subtracted
         # identically on both sides)
+        # funnel_coverage (q_funnel_coverage): per-(user, day) click vs
+        # purchase counts, FULL OUTER — unmatched rows from both sides
+        # with coalesced key, zero-filled counts, coverage label.
+        "funnel_coverage": """
+            WITH c AS (
+                SELECT CAST(user_id AS BIGINT) AS user_id,
+                       CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                           AS day_num,
+                       CAST(COUNT(*) AS BIGINT) AS n_clicks
+                FROM events WHERE event_type = 'click' GROUP BY 1, 2
+            ),
+            p AS (
+                SELECT CAST(user_id AS BIGINT) AS user_id,
+                       CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                           AS day_num,
+                       CAST(COUNT(*) AS BIGINT) AS n_purchases
+                FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+            )
+            SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+                   COALESCE(c.day_num, p.day_num) AS day_num,
+                   CAST(COALESCE(c.n_clicks, 0) AS BIGINT) AS n_clicks,
+                   CAST(COALESCE(p.n_purchases, 0) AS BIGINT) AS n_purchases,
+                   CASE WHEN c.user_id IS NOT NULL AND p.user_id IS NOT NULL
+                        THEN 'both'
+                        WHEN c.user_id IS NOT NULL THEN 'click_only'
+                        ELSE 'purchase_only' END AS coverage
+            FROM c FULL OUTER JOIN p
+              ON p.user_id = c.user_id AND p.day_num = c.day_num
+        """,
         "event_bursts": """
             WITH ev AS (
                 SELECT event_id, event_type, user_id, CAST(ts AS DATE) AS d

@@ -5307,6 +5307,78 @@ def q_qty_price_corr(sf_dir: str):
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
+def q_funnel_coverage(sf_dir: str):
+    """FULL OUTER join coverage report (NEW round 5): per (user, day),
+    click count vs purchase count with unmatched rows kept from BOTH
+    sides — the funnel/coverage shape ("days with clicks but no
+    purchases and vice versa") that inner/left joins cannot express.
+    Completes the join-type matrix: inner (priority_revenue), LEFT
+    (customer_order_profile), anti (customers_no_orders), as-of, band,
+    range — and now FULL OUTER via ``hash_join(how="outer")``.
+
+    Shape at scale: each side collapses to per-key counts via the
+    two-stage salted aggregate BEFORE the join, so the outer exchange
+    moves count rows, never events; the (user, day) composite packs
+    into one int64 key (user·2^20 + epoch_day), and the coalesced key
+    comes back through ``key_out`` — never null on either side's
+    unmatched rows."""
+    from raycells.engine.joins import hash_join
+
+    ds = _read(
+        sf_dir, "events", SMALL_TABLE_BLOCKS,
+        columns=["user_id", "ts", "event_type"],
+    ).materialize()  # two sides project from one read, not two scans
+
+    def side(ev_type: str, alias: str):
+        def project(b: pa.Table) -> pa.Table:
+            sub = b.filter(pc.equal(b["event_type"], ev_type))
+            d = (
+                sub["ts"]
+                .to_numpy(zero_copy_only=False)
+                .astype("datetime64[D]")
+                .astype(np.int64)
+            )
+            uid = pc.cast(sub["user_id"], pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            return pa.table({"k": pa.array(uid * (1 << 20) + d)})
+
+        proj = ds.map_batches(project, batch_format="pyarrow")
+        return shuffle_mod.salted_aggregate(proj, key="k", count_alias=alias)
+
+    joined = hash_join(
+        side("click", "n_clicks"),
+        side("purchase", "n_purchases"),
+        key_left="k",
+        key_right="k",
+        keep_left=["n_clicks"],
+        keep_right=["n_purchases"],
+        how="outer",
+        key_out="k",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        k = b["k"].to_numpy(zero_copy_only=False)
+        nc = pc.fill_null(b["n_clicks"], 0)
+        npu = pc.fill_null(b["n_purchases"], 0)
+        has_c = pc.is_valid(b["n_clicks"]).to_numpy(zero_copy_only=False)
+        has_p = pc.is_valid(b["n_purchases"]).to_numpy(zero_copy_only=False)
+        label = np.where(
+            has_c & has_p, "both", np.where(has_c, "click_only", "purchase_only")
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(k >> 20),
+                "day_num": pa.array(k & ((1 << 20) - 1)),
+                "n_clicks": pc.cast(nc, pa.int64()),
+                "n_purchases": pc.cast(npu, pa.int64()),
+                "coverage": pa.array(label, pa.string()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def q_events_pivot(sf_dir: str):
     """Pivot / wide reshape: one row per day, one count column per event
     type (the feature-matrix layout). Shape at scale: the long→wide turn

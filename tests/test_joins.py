@@ -433,3 +433,66 @@ def test_range_partition_plan_is_a_valid_routing(ray_session):
     mn = df["min_key_c"].to_numpy()
     assert (mx[:-1] <= mn[1:]).all()
     assert (np.diff(df["partition_id"].to_numpy()) > 0).all()
+
+
+def test_hash_join_outer_matrix(ray_session):
+    """FULL OUTER semantics on a crafted fixture: matched rows join,
+    left-only and right-only rows survive with typed nulls, and the
+    coalesced key (key_out) is never null. Also pins the empty-side
+    short-circuits: outer with an empty (schemaless) right pads typed
+    null right columns onto every left row, and vice versa."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from raycells.engine.joins import hash_join
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2, 3], pa.int64()),
+                "lv": pa.array([10, 20, 30], pa.int64()),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([2, 3, 4], pa.int64()),
+                "rv": pa.array([200, 300, 400], pa.int64()),
+            }
+        )
+    )
+    out = (
+        hash_join(
+            left, right, key_left="k", key_right="k",
+            keep_left=["lv"], keep_right=["rv"],
+            how="outer", key_out="k",
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 2, 3, 4]
+    assert out["k"].notna().all()
+    assert out["lv"].tolist()[:3] == [10, 20, 30] and pd_isna(out["lv"][3])
+    assert pd_isna(out["rv"][0]) and out["rv"].tolist()[1:] == [200, 300, 400]
+
+    # empty right (zero-block, schemaless) -> every left row, typed nulls
+    empty = ray.data.from_arrow(
+        pa.table({"k": pa.array([], pa.int64()), "rv": pa.array([], pa.int64())})
+    ).filter(lambda r: False).map_batches(lambda b: b, batch_format="pyarrow")
+    padded = hash_join(
+        left, empty, key_left="k", key_right="k",
+        keep_left=["lv"], keep_right=["rv"],
+        how="outer", key_out="k",
+        type_hints={"rv": pa.int64()},
+    ).to_pandas()
+    assert sorted(padded["k"].tolist()) == [1, 2, 3]
+    assert padded["rv"].isna().all()
+
+
+def pd_isna(v):
+    import pandas as pd
+
+    return pd.isna(v)

@@ -129,6 +129,7 @@ CHECKED = [
     "quality_filter",
     "contamination_overlap",
     "pack_multimodal",
+    "funnel_coverage",
     "cluster_embeddings",
     "fingerprint_docs",
     "media_features",
