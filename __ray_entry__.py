@@ -28,7 +28,10 @@ oracles in raycells/pipelines/oracles.py):
   stencil via 9-key fan), cell_pyramid (multi-zoom rollup),
   footprint_metrics (exact integer shoelace), nearest_footprint (NN
   spatial join), zonal_by_nearest (NN-join → salted zonal aggregate),
-  top_tiles_per_cell (spatial grouped top-k), tile_convolve_stats
+  top_tiles_per_cell (spatial grouped top-k), radius_neighbors
+  (round-5 distance-band spatial self-join: DBSCAN-style neighbor
+  counts within R milli-degrees via R-cell bucketing + 3×3 probe
+  replication, exact integer d²), tile_convolve_stats
   (in-tile focal kernel with edge clamp), doc_multimodal_profile
   (both span kinds in one batch-local pass), cluster_quality (k-means
   buckets ⋈ doc quality), pack_sequences (greedy first-fit token
@@ -276,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_mode": q.q_resample_mode,
         "tile_type_hist": q.q_tile_type_hist,
         "knn_tiles": q.q_knn_tiles,
+        "radius_neighbors": q.q_radius_neighbors,  # NEW round 5 (distance band)
         "flagship_cells": q.q_flagship_cells,
         "pip_join_counts": q.q_pip_join_counts,
         "zonal_stats": q.q_zonal_stats,

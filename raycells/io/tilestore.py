@@ -458,6 +458,33 @@ def centroids(seeds: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return lon, lat
 
 
+def centroids_e3(seeds: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Tile centroid in EXACT integer milli-degrees (lon_e3, lat_e3):
+    the same LCG arithmetic as :func:`centroids` on the common e3 grid.
+    NOT bit-equal to ``centroids()`` × 1000 — the float path pays 1-2
+    extra IEEE ops (``clon + frac/1000.0``; ``x/1000.0 - 180.0``) —
+    but rounding the floats to e3 recovers these integers exactly
+    (pinned in tests/test_io.py). Spatial operators
+    that need hashable exact distances (radius_neighbors) work in
+    these integer units end-to-end, never the floats.
+
+    SQL equivalent (seed ≥ 0 so every % is non-negative):
+      lon_e3 = CASE WHEN s % 10 < 6 THEN clon_e3(s % 3) + (s*31) % 2000 - 1000
+                    ELSE (s*9973) % 360000 - 180000 END
+      lat_e3 analogous with 57 / 7919 / 170000 / -85000.
+    """
+    s = np.asarray(seeds, dtype=np.int64)
+    in_city = (s % CITY_FRAC_MOD) < CITY_CUT
+    c = s % 3
+    clon = np.array([int(round(cc[0] * 1000)) for cc in CITY_CENTERS])[c]
+    clat = np.array([int(round(cc[1] * 1000)) for cc in CITY_CENTERS])[c]
+    lon = np.where(in_city, clon + (s * 31) % 2000 - 1000,
+                   (s * 9973) % 360000 - 180000)
+    lat = np.where(in_city, clat + (s * 57) % 2000 - 1000,
+                   (s * 7919) % 170000 - 85000)
+    return lon.astype(np.int64), lat.astype(np.int64)
+
+
 def extents(seeds: np.ndarray):
     lon, lat = centroids(seeds)
     return {

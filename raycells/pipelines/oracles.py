@@ -2757,6 +2757,34 @@ def build() -> dict:
             FROM hcells GROUP BY face, cell_id
         """,
         "knn_tiles": _MEDIA + _KNN_TAIL,
+        # radius_neighbors (q_radius_neighbors): distance-band spatial
+        # self-join over DISTINCT tile points in exact integer
+        # milli-degrees (tilestore.centroids_e3); BETWEEN band prejoin
+        # (IEJoin-friendly) then the exact d² ≤ R² filter. R = 50 e3.
+        "radius_neighbors": _MEDIA + """
+            , pts AS MATERIALIZED (
+                SELECT seed,
+                       CASE WHEN seed % 10 < 6 THEN
+                            (CASE seed % 3 WHEN 0 THEN -74000
+                                  WHEN 1 THEN 2350 ELSE 139700 END)
+                            + (seed * 31) % 2000 - 1000
+                       ELSE (seed * 9973) % 360000 - 180000 END AS xe,
+                       CASE WHEN seed % 10 < 6 THEN
+                            (CASE seed % 3 WHEN 0 THEN 40700
+                                  WHEN 1 THEN 48850 ELSE 35700 END)
+                            + (seed * 57) % 2000 - 1000
+                       ELSE (seed * 7919) % 170000 - 85000 END AS ye
+                FROM (SELECT DISTINCT seed FROM media)
+            )
+            SELECT a.seed, CAST(COUNT(*) AS BIGINT) AS n_neighbors
+            FROM pts a JOIN pts b
+              ON b.xe BETWEEN a.xe - 50 AND a.xe + 50
+             AND b.ye BETWEEN a.ye - 50 AND a.ye + 50
+             AND b.seed <> a.seed
+            WHERE (a.xe - b.xe) * (a.xe - b.xe)
+                  + (a.ye - b.ye) * (a.ye - b.ye) <= 2500
+            GROUP BY a.seed
+        """,
         # exact PIP join (even-odd ray cast over the unnested edge table):
         # per-category count of (tile centroid, footprint) containment hits
         "pip_join_counts": _MEDIA + _GEO_PTS + _PIP_HITS

@@ -1651,6 +1651,93 @@ def _seed_points(batch: pa.Table) -> pa.Table:
     )
 
 
+RN_RADIUS_E3 = 50  # neighbor radius, integer milli-degrees (planar)
+_RN_OFF = 4096  # cell-key offset: |coord| / R < 3600 for any lon/lat
+_RN_MOD = 8192
+
+
+def q_radius_neighbors(sf_dir: str):
+    """DBSCAN-style radius-neighbor counting (NEW round 5) — the
+    distance-band spatial SELF-join: for every distinct tile point, the
+    number of OTHER points within RN_RADIUS_E3 milli-degrees (planar
+    d² ≤ R², exact integers — hashable cross-engine). This is the
+    density/core-point primitive clustering and spatial-outlier passes
+    build on, and the join shape (pairs within a radius) that kNN and
+    bbox joins don't cover.
+
+    Shape at scale — NO all-pairs anywhere: each point maps to an
+    R-sized grid cell; the probe side replicates into its 3×3 ring
+    (every ≤R pair is then cell-co-located), ONE coarse-bucket exchange
+    of 40-B rows co-partitions hosts and probes, and each bucket runs a
+    vectorized cell-equijoin + exact d² filter. A point's cell is a
+    pure function of its seed, so per-bucket dedup of repeated seeds IS
+    global dedup (same seed → same cell → same bucket). Skew: a dense
+    city cell holds O(density·R²) points — shrink R (cells are free)
+    before any single cell's candidate product exceeds a worker."""
+    from raycells.io import tilestore
+
+    R = RN_RADIUS_E3
+
+    def emit(b: pa.Table) -> pa.Table:
+        seeds = np.unique(tilestore.seed_of_refs(b["media_ref"]))
+        x, y = tilestore.centroids_e3(seeds)
+        cx, cy = x // R, y // R
+        n = seeds.size
+        # host row (side 0) in its own cell + 9 probe rows (side 1)
+        reps = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                ck = (cx + dx + _RN_OFF) * _RN_MOD + (cy + dy + _RN_OFF)
+                reps.append(ck)
+        host_ck = (cx + _RN_OFF) * _RN_MOD + (cy + _RN_OFF)
+        cell = np.concatenate([host_ck, *reps])
+        side = np.concatenate(
+            [np.zeros(n, np.int8), np.ones(9 * n, np.int8)]
+        )
+        return pa.table(
+            {
+                "cell": pa.array(cell),
+                "side": pa.array(side),
+                "seed": pa.array(np.tile(seeds, 10)),
+                "x": pa.array(np.tile(x, 10)),
+                "y": pa.array(np.tile(y, 10)),
+            }
+        )
+
+    def count(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        hosts = df[df["side"] == 0].drop_duplicates(["cell", "seed"])
+        probes = df[df["side"] == 1].drop_duplicates(["cell", "seed"])
+        cand = hosts.merge(
+            probes[["cell", "seed", "x", "y"]], on="cell", suffixes=("", "_p")
+        )
+        dx = cand["x"].to_numpy() - cand["x_p"].to_numpy()
+        dy = cand["y"].to_numpy() - cand["y_p"].to_numpy()
+        ok = (cand["seed"].to_numpy() != cand["seed_p"].to_numpy()) & (
+            dx * dx + dy * dy <= R * R
+        )
+        out = (
+            cand[ok]
+            .groupby("seed", sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "n_neighbors"})
+        )
+        out["n_neighbors"] = out["n_neighbors"].astype(np.int64)
+        return shuffle_mod.from_pandas_clean(out[["seed", "n_neighbors"]])
+
+    nb = shuffle_mod.scaled_buckets()
+    return (
+        _exploded(sf_dir)
+        .map_batches(emit, batch_format="pyarrow")
+        .map_batches(
+            lambda b, n=nb: shuffle_mod.add_bucket(b, "cell", n),
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(count, batch_format="pyarrow")
+    )
+
+
 def q_top_dense_cells(sf_dir: str):
     """Top-k dense cells diagnostic (SURVEY.md §2.9): per-cell aggregate
     → sort by tile count desc (grid_cell tie-break) → limit 20. The

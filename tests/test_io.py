@@ -282,3 +282,20 @@ def test_scaled_buckets_floor_and_cluster_width(ray_session):
     cpus = int(ray.cluster_resources().get("CPU", 0))
     assert scaled_buckets() == max(DEFAULT_BUCKETS, 2 * cpus)
     assert scaled_buckets(floor=1) == max(1, 2 * cpus)
+
+
+def test_centroids_e3_matches_float_centroids():
+    """centroids_e3 is the integer milli-degree grid point under
+    centroids: rounding the float path to e3 recovers the integers
+    exactly (the float path pays 1-2 extra IEEE ops, so bit-equality
+    does NOT hold — the e3 ints are the hashable ground truth)."""
+    import numpy as np
+
+    from raycells.io import tilestore
+
+    seeds = np.arange(0, 100000, 37, dtype=np.int64)
+    lon, lat = tilestore.centroids(seeds)
+    xe, ye = tilestore.centroids_e3(seeds)
+    assert np.array_equal(np.floor(lon * 1000.0 + 0.5).astype(np.int64), xe)
+    assert np.array_equal(np.floor(lat * 1000.0 + 0.5).astype(np.int64), ye)
+    assert xe.dtype == np.int64 and ye.dtype == np.int64

@@ -130,6 +130,7 @@ CHECKED = [
     "contamination_overlap",
     "pack_multimodal",
     "funnel_coverage",
+    "radius_neighbors",
     "cluster_embeddings",
     "fingerprint_docs",
     "media_features",
