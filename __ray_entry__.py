@@ -95,6 +95,8 @@ oracles in raycells/pipelines/oracles.py):
   flagging, windows from the same token-fingerprint CTEs),
   contamination_overlap (the fuzzy-decontamination DROP rule: per
   contaminated doc n_windows + n_hits + the 10%-overlap verdict),
+  ngram_novelty (per-ingest-shard window-hash novelty curve — the
+  corpus-growth signal that drives dedup budgets),
   quality_filter (Gopher-rules composite quality filter with per-rule
   drop accounting per source — all exact-integer predicates),
   ngram_jaccard (EXACT prefix-filter set-similarity join, recall 1.0:
@@ -233,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_set_ops": q.q_customer_set_ops,
         "decontaminate": q.q_decontaminate,
         "contamination_overlap": q.q_contamination_overlap,
+        "ngram_novelty": q.q_ngram_novelty,  # NEW round 5 (novelty curve)
         "ngram_jaccard": q.q_ngram_jaccard,
         "cluster_embeddings": q.q_cluster_embeddings,
         "resample_lanczos": q.q_resample_lanczos,  # NEW round 3

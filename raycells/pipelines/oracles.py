@@ -532,7 +532,9 @@ SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}
 """
 
 
-def _decontaminate_sql(w: int = 4, mod: int = 101, overlap: bool = False) -> str:
+def _decontaminate_sql(
+    w: int = 4, mod: int = 101, overlap: bool = False, final: str | None = None
+) -> str:
     """Benchmark decontamination reproduced in SQL
     (pipelines/queries.q_decontaminate): the same polynomial token
     fingerprints as the simhash oracle, window hash = Σ (th·31^i mod
@@ -541,7 +543,11 @@ def _decontaminate_sql(w: int = 4, mod: int = 101, overlap: bool = False) -> str
     = distinct window hashes of docs with doc_id % {mod} == 0, hits
     counted per non-benchmark doc. ``overlap`` switches to the
     q_contamination_overlap report: per contaminated doc the total
-    window count and the 10%-rule verdict (10·n_hits ≥ n_windows)."""
+    window count and the 10%-rule verdict (10·n_hits ≥ n_windows).
+    ``final`` replaces the whole tail after the window-hash CTE chain —
+    other window-hash consumers (ngram_novelty) reuse the proven
+    ``wh(dk, did, s, h)`` prefix this way (the unused plain ``blockset``
+    CTE costs nothing when the final never references it)."""
     seed = 14695981039346656037
     base = 1099511628211
     m64 = "CAST('18446744073709551616' AS HUGEINT)"
@@ -607,7 +613,9 @@ wh AS MATERIALIZED (
 ),
 blockset AS (SELECT DISTINCT h FROM wh WHERE did % {mod} = 0)
 """ + (
-        f"""
+        final
+        if final is not None
+        else f"""
 , hits AS (
     SELECT w.dk, CAST(COUNT(*) AS BIGINT) AS n_hits
     FROM wh w JOIN blockset b ON b.h = w.h
@@ -2869,6 +2877,29 @@ def build() -> dict:
         "dedup_clusters": _dedup_clusters_sql(),
         "decontaminate": _decontaminate_sql(),
         "contamination_overlap": _decontaminate_sql(overlap=True),
+        # ngram_novelty (q_ngram_novelty): per-16-doc-shard novelty of
+        # DECON_W-token window hashes — occurrences whose hash first
+        # appears in that shard, plus distinct new hashes per shard.
+        "ngram_novelty": _decontaminate_sql(
+            final="""
+, occ AS (SELECT did // 16 AS shard, h FROM wh),
+mins AS MATERIALIZED (SELECT h, MIN(shard) AS ms FROM occ GROUP BY h),
+per AS (
+    SELECT o.shard,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN m.ms = o.shard THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel_windows
+    FROM occ o JOIN mins m USING (h) GROUP BY o.shard
+),
+newh AS (
+    SELECT ms AS shard, CAST(COUNT(*) AS BIGINT) AS n_new_hashes
+    FROM mins GROUP BY ms
+)
+SELECT CAST(p.shard AS BIGINT) AS shard, p.n_windows, p.n_novel_windows,
+       CAST(COALESCE(n.n_new_hashes, 0) AS BIGINT) AS n_new_hashes
+FROM per p LEFT JOIN newh n USING (shard)
+"""
+        ),
         "ngram_jaccard": _ngram_jaccard_sql(),
         "embedding_dups": _embedding_dups_sql(),
         "embedding_dup_clusters": _embedding_clusters_sql(),

@@ -4233,6 +4233,97 @@ def q_contamination_overlap(sf_dir: str):
     return _decontaminate_impl(sf_dir, overlap=True)
 
 
+NOV_SHARD = 16  # docs per novelty shard (doc_id // NOV_SHARD)
+
+
+def q_ngram_novelty(sf_dir: str):
+    """N-GRAM NOVELTY CURVE (NEW round 5) — the corpus-growth
+    diagnostic a crawl pipeline tracks per ingest shard: over
+    DECON_W-token window hashes, how many of each shard's window
+    occurrences are NOVEL (their hash first appears in that shard —
+    min shard over all occurrences == own shard) and how many distinct
+    new hashes each shard introduces. A flattening novelty curve means
+    additional crawl is mostly duplication — the signal that drives
+    dedup budgets.
+
+    Shape at scale: ONE streaming pass computes batch-level
+    (hash, shard, count) partials (the vectorized whole-batch window
+    kernel + one pandas groupby per batch); ONE coarse-bucket exchange
+    on the hash co-locates every occurrence of a hash, so per-bucket
+    min-shard IS the global min; each bucket folds to ≤ |shards| rows
+    and the driver folds O(buckets × shards) partials. Window hashes
+    ride as int64 bit patterns (CLAUDE.md uint64 rule)."""
+    from raycells.text.analysis import window_hashes_batch
+
+    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["doc_id", "text"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        did = pc.cast(b["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        ntok = ta.token_counts(b["text"])
+        if ntok.size and int(ntok.max()) > 512:
+            raise ValueError(
+                f"ngram_novelty oracle caps docs at 512 tokens; saw {int(ntok.max())}"
+            )
+        wh, rows = window_hashes_batch(b["text"].to_pylist(), DECON_W)
+        df = (
+            pd.DataFrame(
+                {
+                    "h": wh.view(np.int64),
+                    "shard": (did // NOV_SHARD)[rows],
+                }
+            )
+            .groupby(["h", "shard"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        df["cnt"] = df["cnt"].astype(np.int64)
+        return shuffle_mod.from_pandas_clean(df)
+
+    def fold(g: pa.Table) -> pa.Table:
+        df = (
+            g.to_pandas()
+            .groupby(["h", "shard"], sort=False, as_index=False)["cnt"]
+            .sum()
+        )
+        ms = df.groupby("h", sort=False)["shard"].transform("min")
+        novel = (df["shard"] == ms).to_numpy()
+        out = (
+            pd.DataFrame(
+                {
+                    "shard": df["shard"],
+                    "n_windows": df["cnt"],
+                    "n_novel_windows": np.where(novel, df["cnt"], 0),
+                    "n_new_hashes": novel.astype(np.int64),
+                }
+            )
+            .groupby("shard", sort=False, as_index=False)
+            .sum()
+        )
+        return shuffle_mod.from_pandas_clean(out)
+
+    nb = shuffle_mod.scaled_buckets()
+    parts = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .map_batches(
+            lambda b, n=nb: shuffle_mod.add_bucket(b, "h", n),
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = parts.groupby("shard", sort=False, as_index=False).sum()
+    return pa.table(
+        {
+            "shard": pa.array(out["shard"].to_numpy(np.int64)),
+            **{
+                c: pa.array(out[c].to_numpy(np.int64))
+                for c in ("n_windows", "n_novel_windows", "n_new_hashes")
+            },
+        }
+    )
+
+
 def q_grouped_quantiles(sf_dir: str):
     """Per-group exact quantiles over a discrete domain (the grouped
     variant of q_quantiles_qty): per-batch (group, value) count partials

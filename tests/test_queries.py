@@ -131,6 +131,7 @@ CHECKED = [
     "pack_multimodal",
     "funnel_coverage",
     "radius_neighbors",
+    "ngram_novelty",
     "cluster_embeddings",
     "fingerprint_docs",
     "media_features",
