@@ -350,6 +350,32 @@ def run_span_dedup_job(docs_dir: str, out_dir: str) -> dict:
     return _sink_job("span_dedup", docs_dir, out_dir, "spans", build)
 
 
+def run_pack_job(docs_dir: str, out_dir: str) -> dict:
+    """Multimodal sequence-packing export (pack_multimodal_pipeline,
+    emit="docs"): the corpus-sized per-document bin assignment table
+    (doc_id, shard, bin, cost, n_media, text_tokens) streams to
+    ``out/pack/*.parquet`` — at 100 TB the assignment is the training
+    manifest a dataloader consumes, so it must never concat on the
+    driver; the per-(shard, bin) aggregate the gate checks is a rollup
+    of these rows (pinned equal in tests/test_driver.py)."""
+    import ray
+
+    from raycells.io import docsource
+    from raycells.pipelines.queries import pack_multimodal_pipeline
+
+    nb = max(32, 2 * int(ray.cluster_resources().get("CPU", 16)))
+
+    def build(sink_dir):
+        ds = docsource.read_documents_media(
+            docs_dir, span_fields=("kind", "text"), num_blocks=nb
+        )
+        return checkpoint.sink_to_parquet(
+            pack_multimodal_pipeline(ds, emit="docs"), sink_dir
+        )
+
+    return _sink_job("pack", docs_dir, out_dir, "pack", build)
+
+
 def run_paragraph_dedup_job(docs_dir: str, out_dir: str) -> dict:
     """C4-style paragraph-dedup cleaning manifest over the interleaved
     corpus (text/dedup.paragraph_dedup_manifest): word-aligned segments,
@@ -385,7 +411,7 @@ def main():
     ap.add_argument(
         "--mode",
         choices=["flagship", "dedup", "chunk-dedup", "media-dedup",
-                 "stats-dedup", "span-dedup", "paragraph-dedup"],
+                 "stats-dedup", "span-dedup", "paragraph-dedup", "pack"],
         default="flagship",
         help="flagship = per-fragment cell aggregate; dedup = whole-corpus "
              "near-dup pair sink (out/pairs/*.parquet); chunk-dedup = "
@@ -394,8 +420,9 @@ def main():
              "cell aggregate AND dedup winners from ONE decode scan "
              "(out/cells/ + out/media_sd/); span-dedup = duplicated-"
              "substring span sink (out/spans/); paragraph-dedup = "
-             "C4-style per-doc cleaning manifest (out/paragraphs/). "
-             "Each publishes one manifest row.",
+             "C4-style per-doc cleaning manifest (out/paragraphs/); "
+             "pack = multimodal sequence-packing assignment table "
+             "(out/pack/). Each publishes one manifest row.",
     )
     ap.add_argument(
         "--clusters", action="store_true",
@@ -415,7 +442,7 @@ def main():
         )
     if args.mode in (
         "dedup", "chunk-dedup", "media-dedup", "stats-dedup", "span-dedup",
-        "paragraph-dedup",
+        "paragraph-dedup", "pack",
     ):
         job = {
             "dedup": run_dedup_job,
@@ -424,6 +451,7 @@ def main():
             "stats-dedup": run_stats_dedup_job,
             "span-dedup": run_span_dedup_job,
             "paragraph-dedup": run_paragraph_dedup_job,
+            "pack": run_pack_job,
         }[args.mode]
         summary = job(args.docs_dir, args.out)
         line = {

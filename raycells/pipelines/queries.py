@@ -943,6 +943,17 @@ def q_pack_multimodal(sf_dir: str):
     ds = docsource.read_documents_media(
         docs_dir, span_fields=("kind", "text"), num_blocks=SMALL_TABLE_BLOCKS
     )
+    return pack_multimodal_pipeline(ds, emit="bins")
+
+
+def pack_multimodal_pipeline(ds, emit: str = "bins"):
+    """The q_pack_multimodal pipeline over an already-opened interleaved
+    documents Dataset. ``emit="bins"`` → per-(shard, bin) aggregate (the
+    gate query); ``emit="docs"`` → the corpus-sized per-document bin
+    ASSIGNMENT table (doc_id, shard, bin, cost, n_media, text_tokens) —
+    what a training-data export job writes to its sink (`driver --mode
+    pack`); both come from the same exchange, the aggregate is just the
+    bucket-local rollup of the assignments."""
 
     def costs(b: pa.Table) -> pa.Table:
         spans = b["spans"]
@@ -984,16 +995,20 @@ def q_pack_multimodal(sf_dir: str):
         shard = df["shard"].to_numpy()
         cost = df["cost"].to_numpy()
         bins = greedy_pack_bins(shard, cost, PACK_CAP)
+        packed = pd.DataFrame(
+            {
+                "shard": shard,
+                "bin": bins,
+                "doc_id": df["doc_id"].to_numpy(),
+                "cost": cost,
+                "n_media": df["n_media"].to_numpy(),
+                "text_tokens": df["text_tokens"].to_numpy(),
+            }
+        )
+        if emit == "docs":
+            return shuffle_mod.from_pandas_clean(packed)
         out = (
-            pd.DataFrame(
-                {
-                    "shard": shard,
-                    "bin": bins,
-                    "cost": cost,
-                    "n_media": df["n_media"].to_numpy(),
-                    "text_tokens": df["text_tokens"].to_numpy(),
-                }
-            )
+            packed.drop(columns=["doc_id"])
             .groupby(["shard", "bin"], sort=False, as_index=False)
             .agg(
                 n_docs=("cost", "size"),

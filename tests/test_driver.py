@@ -447,3 +447,53 @@ def test_paragraph_dedup_sink_job_matches_collect(docs_dir, tmp_path, ray_sessio
 
     res2 = driver.run_paragraph_dedup_job(docs_dir, out)
     assert res2["skipped"] == ["paragraph_dedup"] and not res2["done"]
+
+
+def test_pack_job_assignments_roll_up_to_gate_bins(docs_dir, tmp_path, ray_session):
+    """--mode pack: the streamed per-doc bin-assignment sink, rolled up
+    by (shard, bin), must equal the gate's per-bin aggregate over the
+    same corpus; re-run with the manifest present is a no-op."""
+    import glob as _glob
+
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    from raycells.io import docsource as _ds
+    from raycells.pipelines.queries import pack_multimodal_pipeline
+
+    out = str(tmp_path / "pack_out")
+    res = driver.run_pack_job(docs_dir, out)
+    assert res["done"] == ["pack"]
+    man = res["manifest"]
+    files = sorted(_glob.glob(os.path.join(man["sink_dir"], "*.parquet")))
+    sunk = pd.concat([_pq.read_table(f).to_pandas() for f in files])
+    assert len(sunk) == man["n_rows"]
+    # every doc assigned exactly once
+    assert sunk["doc_id"].is_unique
+
+    rolled = (
+        sunk.groupby(["shard", "bin"], as_index=False)
+        .agg(
+            n_docs=("cost", "size"),
+            total_cost=("cost", "sum"),
+            n_media=("n_media", "sum"),
+            text_tokens=("text_tokens", "sum"),
+        )
+        .sort_values(["shard", "bin"])
+        .reset_index(drop=True)
+    )
+    gate = (
+        pack_multimodal_pipeline(
+            _ds.read_documents_media(docs_dir, span_fields=("kind", "text")),
+            emit="bins",
+        )
+        .to_pandas()
+        .sort_values(["shard", "bin"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        rolled.astype("int64"), gate.astype("int64")
+    )
+
+    rerun = driver.run_pack_job(docs_dir, out)
+    assert rerun["skipped"] == ["pack"] and rerun["done"] == []
