@@ -68,7 +68,9 @@ oracles in raycells/pipelines/oracles.py):
   user_gaps (LAG-style per-user inter-event gaps, bucket-co-located
   vectorized window), user_running_value (ROW_NUMBER + running-SUM
   cumulative window, one output row per input row), events_pivot
-  (long→wide reshape on the aggregated rollup), qty_price_corr
+  (long→wide reshape on the aggregated rollup), events_rollup
+  (GROUPING SETS — one finest-grain aggregation, every coarser level
+  derived driver-side from the folded base), qty_price_corr
   (grouped Pearson correlation from exact integer moment sums,
   bit-identical derived doubles),
   lang_id, events_daily, events_props_k,
@@ -320,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_surprisal": q.q_doc_surprisal,
         "event_bursts": q.q_event_bursts,
         "funnel_coverage": q.q_funnel_coverage,  # NEW round 5 (FULL OUTER)
+        "events_rollup": q.q_events_rollup,  # NEW round 5 (GROUPING SETS)
     }
 
 

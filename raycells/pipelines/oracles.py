@@ -3998,6 +3998,19 @@ FROM per p LEFT JOIN newh n USING (shard)
                    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
             FROM events GROUP BY event_type, day
         """,
+        # events_rollup (q_events_rollup): GROUPING SETS over
+        # (event_type, day) / (event_type) / (day) / () with the 'ALL'
+        # sentinel for rolled dimensions — exact cent sums.
+        "events_rollup": """
+            SELECT COALESCE(event_type, 'ALL') AS event_type,
+                   COALESCE(day, 'ALL') AS day,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_value_c
+            FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value
+                  FROM events)
+            GROUP BY GROUPING SETS ((event_type, day), (event_type), (day), ())
+        """,
         # as-of join: each event → the user's latest order at event time;
         # ties on o_orderdate break toward the greatest o_orderkey (same
         # deterministic rule as the merge_asof sort in engine/joins.py)

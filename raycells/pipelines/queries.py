@@ -2213,6 +2213,53 @@ def q_events_daily(sf_dir: str):
     )
 
 
+def q_events_rollup(sf_dir: str):
+    """GROUPING-SETS rollup (NEW round 5): (event_type, day),
+    (event_type), (day) and the grand total in ONE pass — the OLAP
+    rollup/cube-lite reshape. Rolled-up dimensions carry the 'ALL'
+    sentinel.
+
+    Shape at scale: aggregate ONCE at the finest grain ((type, day)
+    map-side partials, driver fold — the q_events_daily shape), then
+    derive every coarser level from the folded base on the driver:
+    counts and exact cent-sums are associative, so the three rollups
+    are O(|types × days|) pandas folds of the ~2k-row base, never a
+    second scan or a second exchange. The GROUPING SETS answer falls
+    out of one aggregation — the canonical partial-reuse pattern."""
+    base = q_events_daily(sf_dir).to_pandas()
+
+    def lvl(keys: list) -> pd.DataFrame:
+        g = (
+            base.groupby(keys, sort=False, as_index=False)[
+                ["n_events", "sum_value_c"]
+            ].sum()
+            if keys
+            else pd.DataFrame(
+                {
+                    "n_events": [base["n_events"].sum()],
+                    "sum_value_c": [base["sum_value_c"].sum()],
+                }
+            )
+        )
+        for c in ("event_type", "day"):
+            if c not in g.columns:
+                g[c] = "ALL"
+        return g[["event_type", "day", "n_events", "sum_value_c"]]
+
+    out = pd.concat(
+        [lvl(["event_type", "day"]), lvl(["event_type"]), lvl(["day"]), lvl([])],
+        ignore_index=True,
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "day": pa.array(out["day"], pa.string()),
+            "n_events": pa.array(out["n_events"].to_numpy(np.int64)),
+            "sum_value_c": pa.array(out["sum_value_c"].to_numpy(np.int64)),
+        }
+    )
+
+
 def q_knn_embeddings(sf_dir: str):
     """Brute-force cosine top-k: queries = embeddings of vec_id 0..2,
     broadcast once; per-batch matmul top-k; tiny final merge."""

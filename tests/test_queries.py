@@ -132,6 +132,7 @@ CHECKED = [
     "funnel_coverage",
     "radius_neighbors",
     "ngram_novelty",
+    "events_rollup",
     "cluster_embeddings",
     "fingerprint_docs",
     "media_features",
