@@ -72,7 +72,11 @@ oracles in raycells/pipelines/oracles.py):
   (GROUPING SETS — one finest-grain aggregation, every coarser level
   derived driver-side from the folded base), qty_price_corr
   (grouped Pearson correlation from exact integer moment sums,
-  bit-identical derived doubles),
+  bit-identical derived doubles), value_outliers (grouped 3σ z-score
+  outliers via the cross-multiplied exact-integer predicate),
+  csv_quality_filter (sharded-CSV source mirror through the
+  quality_filter chain — source-format independence next to
+  jsonl_token_stats),
   lang_id, events_daily, events_props_k,
   knn_embeddings — oracle-checked.
 - co-partitioned join/window family (engine/joins.py):
@@ -311,6 +315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": q.q_top_bigrams,
         "repetition_filter": q.q_repetition_filter,
         "quality_filter": q.q_quality_filter,
+        "csv_quality_filter": q.q_csv_quality_filter,  # NEW round 5 (CSV source)
         "token_cooccurrence": q.q_token_cooccurrence,
         "redact_props": q.q_redact_props,
         "regex_tokens": q.q_regex_tokens,
@@ -323,6 +328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_bursts": q.q_event_bursts,
         "funnel_coverage": q.q_funnel_coverage,  # NEW round 5 (FULL OUTER)
         "events_rollup": q.q_events_rollup,  # NEW round 5 (GROUPING SETS)
+        "value_outliers": q.q_value_outliers,  # NEW round 5 (exact z-score)
     }
 
 

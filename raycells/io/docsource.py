@@ -349,6 +349,63 @@ def ensure_documents_jsonl(parquet_path: str, out_dir: str, n_shards: int = 4) -
     return out_dir
 
 
+def ensure_documents_csv(parquet_path: str, out_dir: str, n_shards: int = 4) -> str:
+    """Idempotently mirror a documents parquet table as sharded CSV
+    (header per shard, stdlib quoting — the lowest-common-denominator
+    interchange format). Same deterministic row-position sharding and
+    ``_DONE`` idempotence as the JSONL mirror."""
+    import csv
+    import os
+
+    import pyarrow.parquet as pq
+
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    t = pq.read_table(parquet_path)
+    names = t.column_names
+    cols = {name: t[name].to_pylist() for name in names}
+    n = t.num_rows
+    for s in range(n_shards):
+        with open(
+            os.path.join(out_dir, f"part-{s:03d}.csv"), "w", newline=""
+        ) as f:
+            w = csv.writer(f)
+            w.writerow(names)
+            for i in range(s, n, n_shards):
+                w.writerow([cols[k][i] for k in names])
+    with open(done, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def read_documents_csv(csv_dir: str, num_blocks: int = None):
+    """Documents from sharded CSV via ``ray.data.read_csv`` — the same
+    downstream schema as the parquet read (int columns re-pinned to
+    int64; the Arrow CSV reader infers per shard), block count pinned
+    like every other small-table read."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    kw = {"override_num_blocks": num_blocks} if num_blocks else {}
+    ds = rd.read_csv(csv_dir, file_extensions=["csv"], **kw)
+
+    def normalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "text": b["text"],
+                "lang": b["lang"],
+                "source": b["source"],
+                "n_chars": pc.cast(b["n_chars"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(normalize, batch_format="pyarrow")
+
+
 def read_documents_jsonl(jsonl_dir: str, num_blocks: int = None):
     """Documents from sharded JSONL via ``ray.data.read_json`` — the same
     downstream schema as the parquet read, so every text operator works

@@ -2577,7 +2577,7 @@ def build() -> dict:
         detect_case += f"WHEN s_{l} = {greatest} THEN '{l}' "
     detect_case += "END"
 
-    return {
+    out = {
         "explode_media": _EXPLODE
         + """
             SELECT doc_id, span_idx, s.media_ref AS media_ref
@@ -3998,6 +3998,28 @@ FROM per p LEFT JOIN newh n USING (shard)
                    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
             FROM events GROUP BY event_type, day
         """,
+        # value_outliers (q_value_outliers): grouped 3-sigma outliers in
+        # exact integers — the cross-multiplied predicate in HUGEINT
+        # ((n·x−S)² > 9(nQ−S²)) mirrors the engine's |n·x−S| > isqrt
+        # boundary exactly.
+        "value_outliers": """
+            WITH t AS (
+                SELECT CAST(event_id AS BIGINT) AS event_id,
+                       event_type AS g,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+                FROM events
+            ),
+            m AS (
+                SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+                       SUM(CAST(x AS HUGEINT)) AS s,
+                       SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS q
+                FROM t GROUP BY g
+            )
+            SELECT t.event_id, t.g AS event_type, t.x AS value_c
+            FROM t JOIN m USING (g)
+            WHERE (m.n * t.x - m.s) * (m.n * t.x - m.s)
+                  > 9 * (m.n * m.q - m.s * m.s)
+        """,
         # events_rollup (q_events_rollup): GROUPING SETS over
         # (event_type, day) / (event_type) / (day) / () with the 'ALL'
         # sentinel for rolled dimensions — exact cent sums.
@@ -4258,6 +4280,11 @@ FROM per p LEFT JOIN newh n USING (shard)
             SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 10
         """,
     }
+    # source-format-independence rows share the parquet-view oracle:
+    # the engine reads CSV shards, the SQL reads the parquet view —
+    # a hash match proves the alternate source preserves content
+    out["csv_quality_filter"] = out["quality_filter"]
+    return out
 
 
 _KNN_TAIL = """

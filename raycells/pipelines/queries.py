@@ -2213,6 +2213,75 @@ def q_events_daily(sf_dir: str):
     )
 
 
+def q_value_outliers(sf_dir: str):
+    """Grouped z-score OUTLIER detection (NEW round 5), exact integers
+    end to end: events whose value deviates more than 3σ from their
+    event_type's mean. The float rule (x−μ)² > 9σ² cross-multiplies to
+    (n·x − S)² > 9(nQ − S²) over cent units (S = Σx, Q = Σx²), so both
+    engines evaluate identical integer predicates — no float means or
+    stds anywhere.
+
+    Shape at scale: pass 1 folds per-type (n, S, Q) batch partials on
+    the driver in PYTHON ints (exact at any magnitude); the per-group
+    threshold t = isqrt(9(nQ − S²)) is precomputed once (|L| > t ⟺
+    L² > 9(nQ−S²) — isqrt+1 is the exact integer boundary), broadcast
+    in-closure, and pass 2 streams rows through one vectorized
+    |n·x − S| > t filter. Per-row int64 bound: n·x_c < 2^63 holds to
+    ~10^11 rows at 10^7 cents; beyond that, rescale units or recheck
+    the float-prefiltered boundary rows exactly."""
+    import math
+
+    ds = _read(
+        sf_dir, "events", SMALL_TABLE_BLOCKS,
+        columns=["event_id", "event_type", "value"],
+    ).materialize()  # both passes read the same narrow projection
+
+    def moments(b: pa.Table) -> pa.Table:
+        x = _half_up(b["value"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        df = pd.DataFrame(
+            {"g": b["event_type"].to_numpy(zero_copy_only=False), "x": x,
+             "x2": x * x}
+        )
+        agg = df.groupby("g", sort=False).agg(
+            n=("x", "size"), s=("x", "sum"), q=("x2", "sum")
+        ).reset_index()
+        return shuffle_mod.from_pandas_clean(agg)
+
+    parts = ds.map_batches(moments, batch_format="pyarrow").to_pandas()
+    thresholds = {}
+    for g, sub in parts.groupby("g"):
+        n = int(sub["n"].sum())
+        s = sum(int(v) for v in sub["s"])  # Python bigints: exact
+        qq = sum(int(v) for v in sub["q"])
+        thresholds[g] = (n, s, math.isqrt(9 * (n * qq - s * s)))
+
+    def flag(b: pa.Table, th=thresholds) -> pa.Table:
+        x = _half_up(b["value"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        g = b["event_type"].to_numpy(zero_copy_only=False)
+        n = np.empty(len(g), np.int64)
+        s = np.empty(len(g), np.int64)
+        t = np.empty(len(g), np.int64)
+        for key, (kn, ks, kt) in th.items():
+            m = g == key
+            n[m], s[m], t[m] = kn, ks, kt
+        keep = np.abs(n * x - s) > t
+        return pa.table(
+            {
+                "event_id": pc.cast(b["event_id"], pa.int64()).filter(
+                    pa.array(keep)
+                ),
+                "event_type": b["event_type"].filter(pa.array(keep)),
+                "value_c": pa.array(x[keep]),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
 def q_events_rollup(sf_dir: str):
     """GROUPING-SETS rollup (NEW round 5): (event_type, day),
     (event_type), (day) and the grand total in ONE pass — the OLAP
@@ -4803,7 +4872,28 @@ def q_quality_filter(sf_dir: str):
     driver fold over O(blocks × sources) partials — no exchange (the
     q_lineitem_pricing pattern)."""
     ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["source", "text"])
+    return _quality_filter_over(ds)
 
+
+def q_csv_quality_filter(sf_dir: str):
+    """quality_filter over a sharded-CSV mirror of the documents table —
+    the second source-format-independence proof next to
+    jsonl_token_stats: the Arrow CSV read (header + quoting round-trip)
+    feeds the identical operator chain and must hash-match the
+    parquet-view oracle. The mirror is synthesized idempotently under
+    /tmp from the sf's parquet."""
+    import hashlib
+
+    from raycells.io.docsource import ensure_documents_csv, read_documents_csv
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.blake2b(os.path.abspath(src).encode(), digest_size=6).hexdigest()
+    cdir = ensure_documents_csv(src, f"/tmp/raycells_csv/{tag}")
+    ds = read_documents_csv(cdir, num_blocks=SMALL_TABLE_BLOCKS)
+    return _quality_filter_over(ds)
+
+
+def _quality_filter_over(ds):
     def partials(b: pa.Table) -> pa.Table:
         text = b["text"]
         m = ta.char_metrics(text)

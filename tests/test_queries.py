@@ -127,12 +127,14 @@ CHECKED = [
     "vocab_coverage",
     "media_captions",
     "quality_filter",
+    "csv_quality_filter",
     "contamination_overlap",
     "pack_multimodal",
     "funnel_coverage",
     "radius_neighbors",
     "ngram_novelty",
     "events_rollup",
+    "value_outliers",
     "cluster_embeddings",
     "fingerprint_docs",
     "media_features",
