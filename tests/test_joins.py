@@ -496,3 +496,29 @@ def pd_isna(v):
     import pandas as pd
 
     return pd.isna(v)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_join_tables())
+def test_hash_join_outer_matches_pandas_merge(ray_session, tables):
+    """Randomized FULL OUTER equivalence vs a pandas outer merge: same
+    row multiset (coalesced key + zero-filled sides) on arbitrary
+    overlapping/disjoint key sets."""
+    from raycells.engine.joins import hash_join
+
+    lk, rk = tables
+    left = pa.table({"k": lk, "lv": list(range(len(lk)))})
+    right = pa.table({"k": rk, "rv": list(range(100, 100 + len(rk)))})
+    got = hash_join(
+        _ds(left, 2), _ds(right, 2),
+        key_left="k", key_right="k",
+        keep_left=["lv"], keep_right=["rv"],
+        how="outer", key_out="k",
+    ).to_pandas()
+    want = left.to_pandas().merge(right.to_pandas(), on="k", how="outer")
+    for df in (got, want):
+        df["lv"] = df["lv"].fillna(-1).astype("int64")
+        df["rv"] = df["rv"].fillna(-1).astype("int64")
+    got = got[["k", "lv", "rv"]].sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    want = want[["k", "lv", "rv"]].sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
