@@ -76,7 +76,9 @@ oracles in raycells/pipelines/oracles.py):
   outliers via the cross-multiplied exact-integer predicate),
   csv_quality_filter (sharded-CSV source mirror through the
   quality_filter chain — source-format independence next to
-  jsonl_token_stats),
+  jsonl_token_stats), cohort_retention (cohort × month retention
+  matrix — the customer-sized first-order table co-partitions with
+  the orders stream, never broadcast),
   lang_id, events_daily, events_props_k,
   knn_embeddings — oracle-checked.
 - co-partitioned join/window family (engine/joins.py):
@@ -329,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_coverage": q.q_funnel_coverage,  # NEW round 5 (FULL OUTER)
         "events_rollup": q.q_events_rollup,  # NEW round 5 (GROUPING SETS)
         "value_outliers": q.q_value_outliers,  # NEW round 5 (exact z-score)
+        "cohort_retention": q.q_cohort_retention,  # NEW round 5 (cohorts)
     }
 
 

@@ -3998,6 +3998,19 @@ FROM per p LEFT JOIN newh n USING (shard)
                    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
             FROM events GROUP BY event_type, day
         """,
+        # cohort_retention (q_cohort_retention): orders counted into
+        # (first-order month of the customer, order month).
+        "cohort_retention": """
+            WITH o AS (
+                SELECT CAST(o_custkey AS BIGINT) AS ck,
+                       strftime(o_orderdate, '%Y-%m') AS m
+                FROM orders
+            ),
+            f AS (SELECT ck, MIN(m) AS cohort FROM o GROUP BY ck)
+            SELECT f.cohort, o.m AS month,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM o JOIN f USING (ck) GROUP BY 1, 2
+        """,
         # value_outliers (q_value_outliers): grouped 3-sigma outliers in
         # exact integers — the cross-multiplied predicate in HUGEINT
         # ((n·x−S)² > 9(nQ−S²)) mirrors the engine's |n·x−S| > isqrt

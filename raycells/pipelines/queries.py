@@ -2213,6 +2213,72 @@ def q_events_daily(sf_dir: str):
     )
 
 
+def q_cohort_retention(sf_dir: str):
+    """Cohort RETENTION matrix (NEW round 5) — the classic product
+    analytics reshape: every order counted into (cohort month = the
+    customer's FIRST order month, order month). The shape is
+    aggregate-then-join-back: the per-customer first month is itself a
+    customer-sized table, so at 100 TB it can neither broadcast nor
+    land on the driver — it CO-PARTITIONS with the orders stream
+    through the same hash_join exchange (both sides large). The final
+    (cohort, month) rollup is bounded by months², so it folds map-side
+    + driver (the q_lineitem_pricing pattern). Month strings compare
+    lexicographically == chronologically ('%Y-%m'), keeping the MIN
+    exact on both engines."""
+    from raycells.engine.joins import hash_join
+
+    ds = _read(
+        sf_dir, "orders", SMALL_TABLE_BLOCKS,
+        columns=["o_custkey", "o_orderdate"],
+    ).materialize()  # feeds both the first-month aggregate and the join
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ck": pc.cast(b["o_custkey"], pa.int64()),
+                "month": pc.strftime(b["o_orderdate"], format="%Y-%m"),
+            }
+        )
+
+    o = ds.map_batches(project, batch_format="pyarrow")
+    first = shuffle_mod.salted_aggregate(
+        o, key="ck", mins=["month"], count_alias="n_orders", salt_col="month"
+    ).map_batches(
+        lambda b: pa.table({"ck": b["ck"], "cohort": b["min_month"]}),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(
+        o, first,
+        key_left="ck", key_right="ck",
+        keep_left=["month"], keep_right=["cohort"],
+    )
+
+    def partials(b: pa.Table) -> pa.Table:
+        df = (
+            pd.DataFrame(
+                {
+                    "cohort": b["cohort"].to_numpy(zero_copy_only=False),
+                    "month": b["month"].to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby(["cohort", "month"], sort=False)
+            .size()
+            .reset_index(name="n_orders")
+        )
+        df["n_orders"] = df["n_orders"].astype(np.int64)
+        return shuffle_mod.from_pandas_clean(df)
+
+    parts = joined.map_batches(partials, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["cohort", "month"], sort=False, as_index=False).sum()
+    return pa.table(
+        {
+            "cohort": pa.array(out["cohort"], pa.string()),
+            "month": pa.array(out["month"], pa.string()),
+            "n_orders": pa.array(out["n_orders"].to_numpy(np.int64)),
+        }
+    )
+
+
 def q_value_outliers(sf_dir: str):
     """Grouped z-score OUTLIER detection (NEW round 5), exact integers
     end to end: events whose value deviates more than 3σ from their

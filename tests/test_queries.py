@@ -135,6 +135,7 @@ CHECKED = [
     "ngram_novelty",
     "events_rollup",
     "value_outliers",
+    "cohort_retention",
     "cluster_embeddings",
     "fingerprint_docs",
     "media_features",
