@@ -208,6 +208,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (a) never driver-hash-checked (VERDICT r02 item #1) — first.
         # minhash_pairs precedes dedup_clusters so the cluster query
         # reuses the in-process verified-pair table.
+        "hillshade_stats": q.q_hillshade_stats,  # NEW round 5 (Horn terrain gradient)
+        "pmi_collocations": q.q_pmi_collocations,  # NEW round 5 (PMI phrase mining)
+        "lexical_search": q.q_lexical_search,  # NEW round 5 (integer BM25 top-k)
         "minhash_pairs": q.q_minhash_pairs,
         "dedup_clusters": q.q_dedup_clusters,
         "simhash_pairs": q.q_simhash_pairs,

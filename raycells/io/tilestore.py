@@ -416,6 +416,46 @@ def synth_band_conv3(
     return out
 
 
+# Horn 1981 3×3 gradient taps: {(dy, dx): weight}. gx differences the
+# east column against the west, gy the south row against the north —
+# the slope/hillshade stencil every terrain package (GDAL gdaldem,
+# Esri Slope) uses.
+_HORN_GX = {(-1, 1): 1, (0, 1): 2, (1, 1): 1, (-1, -1): -1, (0, -1): -2, (1, -1): -1}
+_HORN_GY = {(1, -1): 1, (1, 0): 2, (1, 1): 1, (-1, -1): -1, (-1, 0): -2, (-1, 1): -1}
+
+
+def synth_band_horn(
+    seeds: np.ndarray,
+    band: int,
+    window: Tuple[int, int],
+    window_size: Tuple[int, int],
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(gx, gy) int64 arrays of shape (len(seeds), wh·ww): the Horn
+    3×3 terrain gradient of the band tile over ``window`` with
+    TILE-edge replicate clamping (same clamp convention as
+    ``synth_band_conv3``). Pure integer arithmetic — a DuckDB oracle
+    inlines the identical 6 clamped taps per component, so slope
+    statistics derived from (gx, gy) hash-match exactly (the float
+    hillshade cosine would not; integer gradient moments do)."""
+    (c0, r0), (w, h) = window, window_size
+    s = np.asarray(seeds, dtype=np.int64)[:, None]
+    rows = r0 + np.arange(h)
+    cols = c0 + np.arange(w)
+    gx = np.zeros((len(s), h * w), dtype=np.int64)
+    gy = np.zeros((len(s), h * w), dtype=np.int64)
+    for (dy, dx), wt in _HORN_GX.items():
+        yy = np.clip(rows + dy, 0, TILE_H - 1)
+        xx = np.clip(cols + dx, 0, TILE_W - 1)
+        i = (yy[:, None] * TILE_W + xx[None, :]).reshape(1, -1)
+        gx += wt * _band_values_at(s, i, band)
+    for (dy, dx), wt in _HORN_GY.items():
+        yy = np.clip(rows + dy, 0, TILE_H - 1)
+        xx = np.clip(cols + dx, 0, TILE_W - 1)
+        i = (yy[:, None] * TILE_W + xx[None, :]).reshape(1, -1)
+        gy += wt * _band_values_at(s, i, band)
+    return gx, gy
+
+
 def synth_band_window(
     seeds: np.ndarray,
     band: int,

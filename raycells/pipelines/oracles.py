@@ -2565,6 +2565,55 @@ def _score(words) -> str:
     return " + ".join(_hits(w) for w in words)
 
 
+def _horn_sql() -> str:
+    """Horn 3×3 gradient oracle (q_hillshade_stats): the 8 clamped LCG
+    taps per out cell, hoisted per-tile constants (mh) + per-out-cell
+    tap constants (tapc MATERIALIZED, 64 rows) — the round-4 hoist
+    recipe. Weights mirror raycells/io/tilestore._HORN_GX/_HORN_GY."""
+    from raycells.io.tilestore import _HORN_GX, _HORN_GY
+
+    offs = sorted(set(_HORN_GX) | set(_HORN_GY))
+    tapcols = []
+    for dy, dx in offs:
+        ie = (
+            f"(LEAST(GREATEST(CAST(rr.range AS BIGINT) + {dy}, 0), 63) * 64"
+            f" + LEAST(GREATEST(CAST(cc.range AS BIGINT) + {dx}, 0), 63))"
+        )
+        tapcols.append(f"({ie} * 7) % 33 AS m7_{dy + 1}{dx + 1}")
+        tapcols.append(f"(({ie} + 404) * 40503) % 65520 AS mh_{dy + 1}{dx + 1}")
+
+    def v(dy: int, dx: int) -> str:
+        return (
+            f"(CASE WHEN (m.s33 + t.m7_{dy + 1}{dx + 1}) % 33 = 0 THEN 0 "
+            f"ELSE 1 + (m.sh + t.mh_{dy + 1}{dx + 1}) % 65520 END)"
+        )
+
+    gx = " + ".join(f"({w}) * {v(dy, dx)}" for (dy, dx), w in _HORN_GX.items())
+    gy = " + ".join(f"({w}) * {v(dy, dx)}" for (dy, dx), w in _HORN_GY.items())
+    return f"""
+        , mh AS (SELECT doc_id, span_idx, seed,
+                 (seed * 2654435761) % 65520 AS sh, seed % 33 AS s33
+                 FROM media),
+        tapc AS MATERIALIZED (
+            SELECT {", ".join(tapcols)}
+            FROM range(8) rr, range(8) cc
+        ),
+        g AS (
+            SELECT m.doc_id, m.span_idx, m.seed,
+                   CAST({gx} AS BIGINT) AS gx,
+                   CAST({gy} AS BIGINT) AS gy
+            FROM mh m, tapc t
+        )
+        SELECT doc_id, span_idx, seed,
+               CAST(SUM(gx) AS BIGINT) AS sum_gx,
+               CAST(SUM(gy) AS BIGINT) AS sum_gy,
+               CAST(SUM(ABS(gx)) AS BIGINT) AS sum_abs_gx,
+               CAST(SUM(ABS(gy)) AS BIGINT) AS sum_abs_gy,
+               CAST(MAX(gx * gx + gy * gy) AS BIGINT) AS max_g2
+        FROM g GROUP BY doc_id, span_idx, seed
+    """
+
+
 def build() -> dict:
     from raycells.text.analysis import LANG_MARKERS, STOPWORDS
 
@@ -2578,6 +2627,116 @@ def build() -> dict:
     detect_case += "END"
 
     out = {
+        # hillshade_stats (q_hillshade_stats): Horn 3×3 gradient moments
+        # over band 4, window (0,0)+(8,8), tile-edge replicate clamp.
+        "hillshade_stats": _MEDIA + _horn_sql(),
+        # pmi_collocations (q_pmi_collocations): adjacent-bigram PMI in
+        # exact integers — pmi_e6 = n_xy·N_uni²·10⁶ // (n_x·n_y·N_big)
+        # in HUGEINT (tops BIGINT once N_uni ≳ 2M), min_count 3, top 30.
+        "pmi_collocations": """
+            WITH tl AS MATERIALIZED (
+                SELECT CAST(doc_id AS VARCHAR) AS dk,
+                       string_split(text, ' ') AS toks
+                FROM documents
+            ),
+            tpos AS MATERIALIZED (
+                SELECT dk, r.range AS pos,
+                       list_extract(toks, CAST(r.range + 1 AS INT)) AS tok
+                FROM tl, range(512) r WHERE r.range < len(toks)
+            ),
+            uni AS MATERIALIZED (
+                SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+                FROM tpos GROUP BY tok
+            ),
+            big AS MATERIALIZED (
+                SELECT a.tok AS ta, b.tok AS tb,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM tpos a JOIN tpos b ON b.dk = a.dk AND b.pos = a.pos + 1
+                GROUP BY 1, 2
+            ),
+            tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nu FROM uni),
+            btot AS (SELECT CAST(SUM(n) AS BIGINT) AS nb FROM big),
+            scored AS (
+                SELECT big.ta AS tok_a, big.tb AS tok_b,
+                       big.n AS n_pair, ua.n AS n_a, ub.n AS n_b,
+                       CAST(CAST(big.n AS HUGEINT) * tot.nu * tot.nu
+                            * 1000000
+                            // (CAST(ua.n AS HUGEINT) * ub.n * btot.nb)
+                            AS BIGINT) AS pmi_e6
+                FROM big
+                JOIN uni ua ON ua.tok = big.ta
+                JOIN uni ub ON ub.tok = big.tb
+                CROSS JOIN tot CROSS JOIN btot
+                WHERE big.n >= 3
+            ),
+            ranked AS (
+                SELECT *,
+                       CAST(ROW_NUMBER() OVER (
+                           ORDER BY pmi_e6 DESC, tok_a, tok_b) AS BIGINT)
+                           AS rank
+                FROM scored
+            )
+            SELECT tok_a, tok_b, n_pair, n_a, n_b, pmi_e6, rank
+            FROM ranked WHERE rank <= 30
+        """,
+        # lexical_search (q_lexical_search): integer BM25 (k1=6/5,
+        # b=3/4, rational idf D/df at e6) — per-term score
+        # (D·10⁶ // df) · 44·tf·T // (20·tf·T + 6·T + 18·dl·D), summed
+        # over matched terms; top 10 per query by (score DESC, doc_id).
+        "lexical_search": """
+            WITH qt AS (
+                SELECT * FROM (VALUES
+                    ('q1', 'hash'), ('q1', 'join'),
+                    ('q2', 'slow'), ('q2', 'scan'), ('q2', 'vector'),
+                    ('q3', 'customer'), ('q3', 'order'), ('q3', 'data')
+                ) AS t(query_id, term)
+            ),
+            d AS MATERIALIZED (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       string_split(text, ' ') AS toks
+                FROM documents
+            ),
+            dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+            tot AS (
+                SELECT CAST(SUM(dl) AS BIGINT) AS t,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM dl
+            ),
+            tf AS MATERIALIZED (
+                SELECT d.doc_id, q.query_id, q.term,
+                       CAST(len(list_filter(d.toks, x -> x = q.term))
+                            AS BIGINT) AS tf
+                FROM d CROSS JOIN qt q
+            ),
+            tfp AS (SELECT * FROM tf WHERE tf > 0),
+            dfreq AS (
+                SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                FROM tfp GROUP BY term
+            ),
+            ts AS (
+                SELECT p.query_id, p.doc_id,
+                       (tot.n * 1000000 // f.df) * (44 * p.tf * tot.t)
+                           // (20 * p.tf * tot.t + 6 * tot.t
+                               + 18 * dl.dl * tot.n) AS s
+                FROM tfp p
+                JOIN dfreq f USING (term)
+                JOIN dl USING (doc_id)
+                CROSS JOIN tot
+            ),
+            sc AS (
+                SELECT query_id, doc_id, CAST(SUM(s) AS BIGINT) AS score_e6
+                FROM ts GROUP BY 1, 2
+            ),
+            ranked AS (
+                SELECT *,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rank
+                FROM sc
+            )
+            SELECT query_id, doc_id, score_e6, rank
+            FROM ranked WHERE rank <= 10
+        """,
         "explode_media": _EXPLODE
         + """
             SELECT doc_id, span_idx, s.media_ref AS media_ref

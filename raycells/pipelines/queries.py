@@ -5992,3 +5992,224 @@ def q_redact_props(sf_dir: str):
             },
         }
     )
+
+
+def q_hillshade_stats(sf_dir: str):
+    """Horn 3×3 terrain-GRADIENT statistics (NEW round 5) — the slope /
+    hillshade stencil (Horn 1981; GDAL ``gdaldem`` uses the same taps)
+    over band 4 of every media tile, window (0,0)+(8,8) so the
+    replicate-clamp edge path is exercised. The float hillshade cosine
+    is NOT hashable cross-engine (atan/cos of a quotient), so the query
+    emits the exact-integer gradient MOMENTS the shade derives from:
+    per-tile Σgx, Σgy, Σ|gx|, Σ|gy| and max(gx²+gy²) — pure int64
+    (|g| ≤ 4·65520 so the squared magnitude sum is < 2⁴⁴). Shape at
+    scale: one fused map-only decode pass (no exchange at all); the
+    oracle inlines the 8 clamped LCG taps per out cell with the
+    hoisted per-tile constants (CLAUDE.md round-4 recipe).
+    Cf. /root/reference/src/gdal/rasterband.rs:37-79 (windowed band
+    reads the stencil consumes)."""
+    from raycells.io import tilestore
+
+    WINDOW, WSIZE = (0, 0), (8, 8)
+
+    def horn_stats(b: pa.Table) -> pa.Table:
+        seeds = tilestore.seed_of_refs(b["media_ref"])
+        gx, gy = tilestore.synth_band_horn(seeds, 4, WINDOW, WSIZE)
+        g2 = gx * gx + gy * gy
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "span_idx": pc.cast(b["span_idx"], pa.int64()),
+                "seed": pa.array(seeds, pa.int64()),
+                "sum_gx": pa.array(gx.sum(axis=1)),
+                "sum_gy": pa.array(gy.sum(axis=1)),
+                "sum_abs_gx": pa.array(np.abs(gx).sum(axis=1)),
+                "sum_abs_gy": pa.array(np.abs(gy).sum(axis=1)),
+                "max_g2": pa.array(g2.max(axis=1)),
+            }
+        )
+
+    return _exploded(sf_dir).map_batches(horn_stats, batch_format="pyarrow")
+
+
+def q_pmi_collocations(sf_dir: str, min_count: int = 3, k: int = 30):
+    """PMI COLLOCATION extraction (NEW round 5) — the classic phrase
+    miner: adjacent token bigrams ranked by pointwise mutual
+    information. PMI = log(P(xy)/(P(x)P(y))) is order-isomorphic to the
+    integer ratio n_xy·N_uni² / (n_x·n_y·N_big), so the score is its
+    exact e6-scaled floor — Python bigints here, HUGEINT in the oracle
+    (the product tops int64 once N_uni ≳ 2×10⁶). Top ``k`` by
+    (pmi_e6 DESC, tok_a, tok_b) among bigrams seen ≥ ``min_count``.
+
+    Shape at scale: bigram and unigram counting are the top_bigrams
+    recipe — per-batch np.unique partials, ONE salted exchange each;
+    both totals (N_uni, N_big) fold from the aggregates themselves, so
+    no extra pass. Scoring runs on the vocabulary-sized aggregate (the
+    min-count filter is applied first); for an open web vocabulary,
+    rank on the distributed aggregate with grouped_topk over a
+    float prefilter and exact-rescore the survivors."""
+    ds = _read(
+        sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["text"]
+    ).materialize()  # feeds the unigram AND bigram counting passes
+
+    def unigrams(b: pa.Table) -> pa.Table:
+        _, flat, _ = ta._split(b["text"])
+        vals, n = np.unique(flat.to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"tok": pa.array(vals), "n": pa.array(n.astype(np.int64))})
+
+    def bigrams(b: pa.Table) -> pa.Table:
+        _, flat, parent = ta._split(b["text"])
+        toks = flat.to_numpy(zero_copy_only=False)
+        if toks.size < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        same_doc = parent[1:] == parent[:-1]
+        left, right = toks[:-1][same_doc], toks[1:][same_doc]
+        big = np.char.add(np.char.add(left.astype(str), " "), right.astype(str))
+        vals, n = np.unique(big, return_counts=True)
+        return pa.table(
+            {"bigram": pa.array(vals), "n": pa.array(n.astype(np.int64))}
+        )
+
+    uni = shuffle_mod.salted_aggregate(
+        ds.map_batches(unigrams, batch_format="pyarrow"),
+        key="tok", sums=["n"], count_alias="_nb", salt=1,
+    ).to_pandas()
+    big = shuffle_mod.salted_aggregate(
+        ds.map_batches(bigrams, batch_format="pyarrow"),
+        key="bigram", sums=["n"], count_alias="_nb", salt=1,
+    ).to_pandas()
+
+    n_uni = int(uni["sum_n"].sum())  # total token positions
+    n_big = int(big["sum_n"].sum())  # total bigram positions
+    uni_map = dict(zip(uni["tok"], uni["sum_n"].astype(np.int64)))
+
+    cand = big[big["sum_n"] >= min_count].copy()
+    toks = cand["bigram"].str.split(" ", n=1, expand=True)
+    n_xy = cand["sum_n"].to_numpy(np.int64)
+    n_a = toks[0].map(uni_map).to_numpy(np.int64)
+    n_b = toks[1].map(uni_map).to_numpy(np.int64)
+    # exact full-precision floor — Python bigints (n_xy·N² ≥ 2^63 once
+    # the corpus passes ~2M tokens; the oracle matches with HUGEINT)
+    pmi = np.array(
+        [
+            int(nxy) * n_uni * n_uni * 1_000_000 // (int(na) * int(nb) * n_big)
+            for nxy, na, nb in zip(n_xy, n_a, n_b)
+        ],
+        dtype=np.int64,
+    )
+    out = pd.DataFrame(
+        {
+            "tok_a": toks[0].to_numpy(),
+            "tok_b": toks[1].to_numpy(),
+            "n_pair": n_xy,
+            "n_a": n_a,
+            "n_b": n_b,
+            "pmi_e6": pmi,
+        }
+    ).sort_values(["pmi_e6", "tok_a", "tok_b"], ascending=[False, True, True])
+    out = out.head(k).reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# lexical_search query set: small, broadcast in the stage closure.
+_SEARCH_QUERIES = (
+    ("q1", ("hash", "join")),
+    ("q2", ("slow", "scan", "vector")),
+    ("q3", ("customer", "order", "data")),
+)
+
+
+def q_lexical_search(sf_dir: str, k: int = 10):
+    """BM25-style LEXICAL SEARCH (NEW round 5) — integer-exact top-k
+    retrieval for a broadcast query set. With k1 = 6/5 and b = 3/4 the
+    BM25 term ratio tf·(k1+1) / (tf + k1(1−b+b·dl/avgdl)) clears its
+    denominators against avgdl = T/D into 44·tf·T / (20·tf·T + 6·T +
+    18·dl·D) — exact integers; idf is the rational D/df at e6 (the ln
+    idf is not cross-engine hashable). Per-term score =
+    (D·10⁶ // df) · 44·tf·T // (20·tf·T + 6·T + 18·dl·D), summed over
+    matched terms — identical floor-division trees both engines.
+
+    Shape at scale: pass 1 folds per-batch (df per query term, ΣT)
+    partials on the driver — O(blocks × terms) rows; pass 2 broadcasts
+    the term table in the closure, computes tf per doc with one
+    bincount over the token parent index per term, and streams
+    (query, doc, score) into grouped_topk — only per-batch top-k
+    survivors cross the exchange. int64 bound: idf_e6·44·tf·T < 2^63
+    holds to ~10¹² total tokens at df ≥ N/10³; beyond that, rescore
+    in bigints (the pmi_collocations pattern)."""
+    from raycells.engine.joins import grouped_topk
+
+    terms = sorted({t for _, ts in _SEARCH_QUERIES for t in ts})
+    ds = _read(
+        sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["doc_id", "text"]
+    ).materialize()  # pass 1 (df, T) and pass 2 (scores) share the read
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")
+    ).metadata.num_rows
+
+    def df_partials(b: pa.Table) -> pa.Table:
+        _, flat, parent = ta._split(b["text"])
+        toks = flat.to_numpy(zero_copy_only=False)
+        rows = {"term": [], "df": [], "toks": []}
+        for t in terms:  # |terms| is constant — not a row loop
+            hit = np.bincount(parent[toks == t], minlength=b.num_rows) > 0
+            rows["term"].append(t)
+            rows["df"].append(int(hit.sum()))
+            rows["toks"].append(0)
+        rows["term"].append("\x01total")
+        rows["df"].append(0)
+        rows["toks"].append(int(toks.size))
+        return pa.table(
+            {
+                "term": pa.array(rows["term"], pa.string()),
+                "df": pa.array(rows["df"], pa.int64()),
+                "toks": pa.array(rows["toks"], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(df_partials, batch_format="pyarrow").to_pandas()
+    folded = parts.groupby("term", sort=False).sum()
+    total_toks = int(folded.loc["\x01total", "toks"])
+    df_map = {t: int(folded.loc[t, "df"]) for t in terms if t in folded.index}
+
+    T, D = total_toks, int(n_docs)
+
+    def score(b: pa.Table) -> pa.Table:
+        _, flat, parent = ta._split(b["text"])
+        toks = flat.to_numpy(zero_copy_only=False)
+        dl = np.bincount(parent, minlength=b.num_rows).astype(np.int64)
+        doc_id = pc.cast(b["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        tfs = {
+            t: np.bincount(parent[toks == t], minlength=b.num_rows).astype(np.int64)
+            for t in terms
+        }
+        out_q, out_d, out_s = [], [], []
+        for qid, qterms in _SEARCH_QUERIES:  # constant-size loop
+            s = np.zeros(b.num_rows, dtype=np.int64)
+            for t in qterms:
+                df = df_map.get(t, 0)
+                if df == 0:
+                    continue
+                tf = tfs[t]
+                idf_e6 = D * 1_000_000 // df
+                num = 44 * tf * T
+                den = 20 * tf * T + 6 * T + 18 * dl * D
+                s += np.where(tf > 0, idf_e6 * num // den, 0)
+            hit = s > 0
+            out_q.append(np.full(int(hit.sum()), qid, dtype=object))
+            out_d.append(doc_id[hit])
+            out_s.append(s[hit])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.string()),
+                "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+                "score_e6": pa.array(np.concatenate(out_s), pa.int64()),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    return grouped_topk(
+        scored, "query_id", k, "score_e6", "doc_id", ascending=(False, True)
+    )

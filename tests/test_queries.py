@@ -102,6 +102,9 @@ CHECKED = [
     "top_parts_by_brand",
     "customers_no_orders",
     "priority_revenue",
+    "hillshade_stats",
+    "pmi_collocations",
+    "lexical_search",
     "minhash_pairs",
     "dedup_clusters",
     "decontaminate",
