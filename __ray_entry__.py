@@ -152,7 +152,14 @@ oracles in raycells/pipelines/oracles.py):
   batch-local, zero exchange, leaf-pruned (kind, text) read), and
   vocab_coverage (tokenizer
   OOV report: exact global top-V vocabulary via survivor-only top-k,
-  broadcast vocab, per-doc isin+bincount accounting). EVERY driver
+  broadcast vocab, per-doc isin+bincount accounting),
+  hillshade_stats (Horn 3×3 terrain gradient over band tiles —
+  exact-integer per-tile gradient moments from one map-only decode
+  pass), pmi_collocations (adjacent-bigram PMI phrase mining as the
+  exact integer ratio n_xy·N²·10⁶ // (n_x·n_y·N_big)), and
+  lexical_search (integer BM25 top-k retrieval: k1=6/5, b=3/4 clear
+  denominators against avgdl=T/D, rational idf at e6, grouped_topk
+  per query). EVERY driver
   query hash-matches
   DuckDB, and ALL BUT ONE also run in the sf0.001 pytest replica
   (band_tile_stats is the single gate-only row — its 28M-cell SQL
@@ -199,7 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     sits in the first eight entries, then the round-3 additions, then
     the long-green tail. After the round-4 oracle rewrites the FULL
     gate costs ~58 s at sf0.01 (41 s Ray + 17 s DuckDB), so one
-    snapshot should now hold all 120. ALL queries hash-match DuckDB
+    snapshot should now hold all 123. ALL queries hash-match DuckDB
     locally at sf0.01 (the timed replica of the gate)."""
     from raycells.pipelines import queries as q
 
