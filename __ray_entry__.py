@@ -215,6 +215,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (a) never driver-hash-checked (VERDICT r02 item #1) — first.
         # minhash_pairs precedes dedup_clusters so the cluster query
         # reuses the in-process verified-pair table.
+        "aspect_octants": q.q_aspect_octants,  # NEW round 5 (terrain aspect classes)
+        "event_ohlc": q.q_event_ohlc,  # NEW round 5 (time-bar OHLC)
         "hillshade_stats": q.q_hillshade_stats,  # NEW round 5 (Horn terrain gradient)
         "pmi_collocations": q.q_pmi_collocations,  # NEW round 5 (PMI phrase mining)
         "lexical_search": q.q_lexical_search,  # NEW round 5 (integer BM25 top-k)

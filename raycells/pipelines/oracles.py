@@ -2565,11 +2565,13 @@ def _score(words) -> str:
     return " + ".join(_hits(w) for w in words)
 
 
-def _horn_sql() -> str:
-    """Horn 3×3 gradient oracle (q_hillshade_stats): the 8 clamped LCG
-    taps per out cell, hoisted per-tile constants (mh) + per-out-cell
-    tap constants (tapc MATERIALIZED, 64 rows) — the round-4 hoist
-    recipe. Weights mirror raycells/io/tilestore._HORN_GX/_HORN_GY."""
+def _horn_g_sql() -> str:
+    """Shared Horn 3×3 gradient CTE chain (q_hillshade_stats /
+    q_aspect_octants): the 8 clamped LCG taps per out cell, hoisted
+    per-tile constants (mh) + per-out-cell tap constants (tapc
+    MATERIALIZED, 64 rows) — the round-4 hoist recipe. Defines ``g``
+    with one (gx, gy) row per out cell. Weights mirror
+    raycells/io/tilestore._HORN_GX/_HORN_GY."""
     from raycells.io.tilestore import _HORN_GX, _HORN_GY
 
     offs = sorted(set(_HORN_GX) | set(_HORN_GY))
@@ -2604,6 +2606,12 @@ def _horn_sql() -> str:
                    CAST({gy} AS BIGINT) AS gy
             FROM mh m, tapc t
         )
+    """
+
+
+def _horn_sql() -> str:
+    """Horn gradient moments (q_hillshade_stats) over the shared g CTE."""
+    return _horn_g_sql() + """
         SELECT doc_id, span_idx, seed,
                CAST(SUM(gx) AS BIGINT) AS sum_gx,
                CAST(SUM(gy) AS BIGINT) AS sum_gy,
@@ -2630,6 +2638,64 @@ def build() -> dict:
         # hillshade_stats (q_hillshade_stats): Horn 3×3 gradient moments
         # over band 4, window (0,0)+(8,8), tile-edge replicate clamp.
         "hillshade_stats": _MEDIA + _horn_sql(),
+        # aspect_octants (q_aspect_octants): gdaldem-aspect octant
+        # histogram per tile — the Bresenham octant tree (negate/rotate/
+        # diagonal compare) in pure integer comparisons, identical CASE
+        # tree both engines; (0,0) gradients count as flat.
+        "aspect_octants": _MEDIA + _horn_g_sql()
+        + """
+            , oc AS (
+                SELECT doc_id, span_idx, seed,
+                       CASE WHEN gx = 0 AND gy = 0 THEN -1
+                            WHEN gy >= 0 AND gx >= 0 THEN
+                                CASE WHEN gy > gx THEN 1 ELSE 0 END
+                            WHEN gy >= 0 THEN
+                                CASE WHEN -gx > gy THEN 3 ELSE 2 END
+                            WHEN gx <= 0 THEN
+                                CASE WHEN -gy > -gx THEN 5 ELSE 4 END
+                            ELSE CASE WHEN gx > -gy THEN 7 ELSE 6 END
+                       END AS o
+                FROM g
+            )
+            SELECT doc_id, span_idx, seed,
+                   CAST(SUM(CASE WHEN o = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_flat,
+                   CAST(SUM(CASE WHEN o = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_o0,
+                   CAST(SUM(CASE WHEN o = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_o1,
+                   CAST(SUM(CASE WHEN o = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_o2,
+                   CAST(SUM(CASE WHEN o = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_o3,
+                   CAST(SUM(CASE WHEN o = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_o4,
+                   CAST(SUM(CASE WHEN o = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_o5,
+                   CAST(SUM(CASE WHEN o = 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_o6,
+                   CAST(SUM(CASE WHEN o = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_o7
+            FROM oc GROUP BY doc_id, span_idx, seed
+        """,
+        # event_ohlc (q_event_ohlc): time-bar aggregation — per
+        # (event_type, day) open/high/low/close in exact cents; first /
+        # last by the deterministic (ts, event_id) order.
+        "event_ohlc": """
+            WITH t AS (
+                SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, ts,
+                       CAST(event_id AS BIGINT) AS event_id,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+                FROM events
+            ),
+            r AS (
+                SELECT *,
+                       ROW_NUMBER() OVER (PARTITION BY event_type, day
+                           ORDER BY ts, event_id) AS rf,
+                       ROW_NUMBER() OVER (PARTITION BY event_type, day
+                           ORDER BY ts DESC, event_id DESC) AS rl
+                FROM t
+            )
+            SELECT event_type, day,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(x) AS BIGINT) AS sum_c,
+                   CAST(MIN(x) AS BIGINT) AS low_c,
+                   CAST(MAX(x) AS BIGINT) AS high_c,
+                   CAST(MIN(CASE WHEN rf = 1 THEN x END) AS BIGINT) AS open_c,
+                   CAST(MIN(CASE WHEN rl = 1 THEN x END) AS BIGINT) AS close_c
+            FROM r GROUP BY event_type, day
+        """,
         # pmi_collocations (q_pmi_collocations): adjacent-bigram PMI in
         # exact integers — pmi_e6 = n_xy·N_uni²·10⁶ // (n_x·n_y·N_big)
         # in HUGEINT (tops BIGINT once N_uni ≳ 2M), min_count 3, top 30.

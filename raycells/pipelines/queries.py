@@ -6213,3 +6213,136 @@ def q_lexical_search(sf_dir: str, k: int = 10):
     return grouped_topk(
         scored, "query_id", k, "score_e6", "doc_id", ascending=(False, True)
     )
+
+
+def q_aspect_octants(sf_dir: str):
+    """Terrain ASPECT octant histogram (NEW round 5) — the gdaldem
+    aspect classification re-expressed exactly: each cell's Horn
+    gradient (gx, gy) mapped to one of 8 compass octants by the
+    Bresenham octant tree (negate / rotate / diagonal compare — pure
+    integer comparisons, no atan2), zero gradients counted as flat;
+    per-tile class counts. Identical nested-CASE tree in the oracle, so
+    the histogram hash-matches. One map-only decode pass — zero
+    exchange (the companion moment query is q_hillshade_stats)."""
+    from raycells.io import tilestore
+
+    WINDOW, WSIZE = (0, 0), (8, 8)
+
+    def octants(b: pa.Table) -> pa.Table:
+        seeds = tilestore.seed_of_refs(b["media_ref"])
+        gx, gy = tilestore.synth_band_horn(seeds, 4, WINDOW, WSIZE)
+        o = np.where(
+            gy >= 0,
+            np.where(
+                gx >= 0,
+                (gy > gx).astype(np.int64),
+                2 + (-gx > gy).astype(np.int64),
+            ),
+            np.where(
+                gx <= 0,
+                4 + (-gy > -gx).astype(np.int64),
+                6 + (gx > -gy).astype(np.int64),
+            ),
+        )
+        o = np.where((gx == 0) & (gy == 0), -1, o)
+        cols = {
+            "doc_id": b["doc_id"],
+            "span_idx": pc.cast(b["span_idx"], pa.int64()),
+            "seed": pa.array(seeds, pa.int64()),
+            "n_flat": pa.array((o == -1).sum(axis=1).astype(np.int64)),
+        }
+        for k in range(8):
+            cols[f"n_o{k}"] = pa.array((o == k).sum(axis=1).astype(np.int64))
+        return pa.table(cols)
+
+    return _exploded(sf_dir).map_batches(octants, batch_format="pyarrow")
+
+
+def q_event_ohlc(sf_dir: str):
+    """Time-BAR (OHLC) aggregation (NEW round 5) — the telemetry /
+    market-data resample: per (event_type, day) open / high / low /
+    close / sum in exact cents, where open and close are the values of
+    the FIRST and LAST event under the deterministic (ts, event_id)
+    total order. Shape at scale: argmin/argmax are associative — each
+    batch emits ONE partial row per (type, day) carrying its candidate
+    first/last (with their (ts, id) keys) plus the commutative sums;
+    the driver folds the O(blocks × bars) partials (the
+    q_lineitem_pricing no-exchange pattern — bar count is bounded by
+    types × days, never by rows)."""
+    ds = _read(
+        sf_dir, "events", SMALL_TABLE_BLOCKS,
+        columns=["event_id", "ts", "event_type", "value"],
+    )
+
+    def partials(b: pa.Table) -> pa.Table:
+        ts = (
+            b["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(zero_copy_only=False),
+                "day": pc.strftime(b["ts"], format="%Y-%m-%d").to_numpy(
+                    zero_copy_only=False
+                ),
+                "ts_us": ts,
+                "event_id": pc.cast(b["event_id"], pa.int64()).to_numpy(
+                    zero_copy_only=False
+                ),
+                "x": _half_up(
+                    b["value"].to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64),
+            }
+        ).sort_values(["ts_us", "event_id"], kind="stable")
+        g = df.groupby(["event_type", "day"], sort=False)
+        part = g.agg(
+            n_events=("x", "size"),
+            sum_c=("x", "sum"),
+            low_c=("x", "min"),
+            high_c=("x", "max"),
+            open_c=("x", "first"),
+            close_c=("x", "last"),
+            ts_first=("ts_us", "first"),
+            id_first=("event_id", "first"),
+            ts_last=("ts_us", "last"),
+            id_last=("event_id", "last"),
+        ).reset_index()
+        return shuffle_mod.from_pandas_clean(part)
+
+    parts = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    # associative fold: first = row with the min (ts_first, id_first),
+    # last = row with the max (ts_last, id_last); sums/extrema merge
+    opens = (
+        parts.sort_values(["ts_first", "id_first"], kind="stable")
+        .groupby(["event_type", "day"], sort=False)
+        .first()["open_c"]
+    )
+    closes = (
+        parts.sort_values(["ts_last", "id_last"], ascending=False, kind="stable")
+        .groupby(["event_type", "day"], sort=False)
+        .first()["close_c"]
+    )
+    folded = (
+        parts.groupby(["event_type", "day"], sort=False)
+        .agg(
+            n_events=("n_events", "sum"),
+            sum_c=("sum_c", "sum"),
+            low_c=("low_c", "min"),
+            high_c=("high_c", "max"),
+        )
+    )
+    folded["open_c"] = opens
+    folded["close_c"] = closes
+    folded = folded.reset_index()
+    return pa.table(
+        {
+            "event_type": pa.array(folded["event_type"], pa.string()),
+            "day": pa.array(folded["day"], pa.string()),
+            **{
+                c: pa.array(folded[c].to_numpy(np.int64))
+                for c in ("n_events", "sum_c", "low_c", "high_c",
+                          "open_c", "close_c")
+            },
+        }
+    )

@@ -102,6 +102,8 @@ CHECKED = [
     "top_parts_by_brand",
     "customers_no_orders",
     "priority_revenue",
+    "aspect_octants",
+    "event_ohlc",
     "hillshade_stats",
     "pmi_collocations",
     "lexical_search",
