@@ -159,7 +159,13 @@ oracles in raycells/pipelines/oracles.py):
   exact integer ratio n_xy·N²·10⁶ // (n_x·n_y·N_big)), and
   lexical_search (integer BM25 top-k retrieval: k1=6/5, b=3/4 clear
   denominators against avgdl=T/D, rational idf at e6, grouped_topk
-  per query). EVERY driver
+  per query), aspect_octants (terrain aspect classes via the integer
+  Bresenham octant tree — no atan2), mosaic_blend (multi-tile raster
+  combine: per-grid-cell MAX blend with map-side pre-blending),
+  event_ohlc (time-bar open/high/low/close in exact cents,
+  deterministic (ts, id) first/last partials), and ordered_funnel
+  (click → strictly-later purchase per user with exact µs lag, one
+  user-bucket exchange). EVERY driver
   query hash-matches
   DuckDB, and ALL BUT ONE also run in the sf0.001 pytest replica
   (band_tile_stats is the single gate-only row — its 28M-cell SQL
@@ -215,6 +221,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (a) never driver-hash-checked (VERDICT r02 item #1) — first.
         # minhash_pairs precedes dedup_clusters so the cluster query
         # reuses the in-process verified-pair table.
+        "ordered_funnel": q.q_ordered_funnel,  # NEW round 5 (sequence conversion)
+        "mosaic_blend": q.q_mosaic_blend,  # NEW round 5 (multi-tile raster combine)
         "aspect_octants": q.q_aspect_octants,  # NEW round 5 (terrain aspect classes)
         "event_ohlc": q.q_event_ohlc,  # NEW round 5 (time-bar OHLC)
         "hillshade_stats": q.q_hillshade_stats,  # NEW round 5 (Horn terrain gradient)

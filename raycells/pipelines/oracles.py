@@ -2669,6 +2669,75 @@ def build() -> dict:
                    CAST(SUM(CASE WHEN o = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_o7
             FROM oc GROUP BY doc_id, span_idx, seed
         """,
+        # mosaic_blend (q_mosaic_blend): per-grid-cell MAX blend of the
+        # member tiles' 8×8 band-4 windows (nodata = 0 loses to any
+        # valid value), then per-cell stats of the blended raster.
+        "mosaic_blend": _MEDIA + """
+            , mh AS (
+                SELECT seed,
+                       (seed * 2654435761) % 65520 AS sh, seed % 33 AS s33,
+                       CAST(floor((CASE WHEN seed % 10 < 6 THEN
+                                (CASE seed % 3 WHEN 0 THEN 40.7 WHEN 1 THEN 48.85 ELSE 35.7 END)
+                                + ((seed * 57) % 2000 - 1000) / 1000.0
+                            ELSE ((seed * 7919) % 170000) / 1000.0 - 85.0 END
+                            + 90.0) / 0.25) * 1440
+                          + floor((CASE WHEN seed % 10 < 6 THEN
+                                (CASE seed % 3 WHEN 0 THEN -74.0 WHEN 1 THEN 2.35 ELSE 139.7 END)
+                                + ((seed * 31) % 2000 - 1000) / 1000.0
+                            ELSE ((seed * 9973) % 360000) / 1000.0 - 180.0 END
+                            + 180.0) / 0.25) AS BIGINT) AS grid_cell
+                FROM media
+            ),
+            tapc AS MATERIALIZED (
+                SELECT CAST(rr.range * 8 + cc.range AS BIGINT) AS pos,
+                       ((rr.range * 64 + cc.range) * 7) % 33 AS m7,
+                       (((rr.range * 64 + cc.range) + 404) * 40503) % 65520 AS mhh
+                FROM range(8) rr, range(8) cc
+            ),
+            blend AS (
+                SELECT m.grid_cell, t.pos,
+                       MAX(CASE WHEN (m.s33 + t.m7) % 33 = 0 THEN 0
+                           ELSE 1 + (m.sh + t.mhh) % 65520 END) AS bv
+                FROM mh m, tapc t GROUP BY m.grid_cell, t.pos
+            ),
+            nt AS (
+                SELECT grid_cell, CAST(COUNT(*) AS BIGINT) AS n_tiles
+                FROM mh GROUP BY grid_cell
+            )
+            SELECT b.grid_cell, nt.n_tiles,
+                   CAST(SUM(bv) AS BIGINT) AS blend_sum,
+                   CAST(MIN(bv) AS BIGINT) AS blend_min,
+                   CAST(MAX(bv) AS BIGINT) AS blend_max
+            FROM blend b JOIN nt USING (grid_cell)
+            GROUP BY b.grid_cell, nt.n_tiles
+        """,
+        # ordered_funnel (q_ordered_funnel): per-user click → purchase
+        # sequence conversion with exact integer microsecond lag.
+        "ordered_funnel": """
+            WITH e AS (
+                SELECT CAST(user_id AS BIGINT) AS u, event_type,
+                       epoch_us(ts) AS tus
+                FROM events
+                WHERE event_type IN ('click', 'purchase')
+            ),
+            fc AS (SELECT u, MIN(tus) AS fcu,
+                          CAST(COUNT(*) AS BIGINT) AS n_clicks
+                   FROM e WHERE event_type = 'click' GROUP BY u),
+            np AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n_purchases
+                   FROM e WHERE event_type = 'purchase' GROUP BY u),
+            cv AS (SELECT e.u, MIN(e.tus) AS cts
+                   FROM e JOIN fc ON fc.u = e.u
+                   WHERE e.event_type = 'purchase' AND e.tus > fc.fcu
+                   GROUP BY e.u)
+            SELECT fc.u AS user_id, fc.n_clicks,
+                   COALESCE(np.n_purchases, 0) AS n_purchases,
+                   CAST(CASE WHEN cv.cts IS NOT NULL THEN 1 ELSE 0 END
+                        AS BIGINT) AS converted,
+                   CAST(COALESCE(cv.cts - fc.fcu, -1) AS BIGINT) AS lag_us
+            FROM fc
+            LEFT JOIN np ON np.u = fc.u
+            LEFT JOIN cv ON cv.u = fc.u
+        """,
         # event_ohlc (q_event_ohlc): time-bar aggregation — per
         # (event_type, day) open/high/low/close in exact cents; first /
         # last by the deterministic (ts, event_id) order.

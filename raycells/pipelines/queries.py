@@ -6346,3 +6346,147 @@ def q_event_ohlc(sf_dir: str):
             },
         }
     )
+
+
+def q_mosaic_blend(sf_dir: str):
+    """Raster MOSAIC blending (NEW round 5) — the multi-tile combine
+    every tile server runs: all tiles landing in one grid cell blended
+    per-pixel by MAX over their 8×8 band-4 windows (nodata decodes to
+    the 0 sentinel, so any valid observation wins — the standard
+    mosaic nodata rule), then per-cell stats of the blended raster.
+
+    Shape at scale: MAX is associative, so each batch PRE-BLENDS its
+    tiles per cell (one vectorized pandas groupby-max over the 64 pixel
+    columns + a tile count) — the exchange then moves one 520-B partial
+    row per (batch, cell), never one row per tile; a coarse-bucket
+    map_groups finishes the blend (the merge_cell_agg pattern: bucket
+    count scales with the cluster, not with cell cardinality)."""
+    from raycells.geo import cellid
+    from raycells.io import tilestore
+
+    WINDOW, WSIZE = (0, 0), (8, 8)
+    vcols = [f"v{j}" for j in range(64)]
+
+    def tile_windows(b: pa.Table) -> pa.Table:
+        seeds = tilestore.seed_of_refs(b["media_ref"])
+        v = tilestore.synth_band_window(seeds, 4, WINDOW, WSIZE, WSIZE).astype(
+            np.int64
+        )
+        lon, lat = tilestore.centroids(seeds)
+        df = pd.DataFrame(v, columns=vcols)
+        df["grid_cell"] = cellid.grid_cell(lon, lat)
+        g = df.groupby("grid_cell", sort=False)
+        part = g.max()
+        part["n_tiles"] = g.size()
+        return shuffle_mod.from_pandas_clean(part.reset_index())
+
+    def combine(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        gb = df.groupby("grid_cell", sort=False)
+        out = gb[vcols].max()
+        out["n_tiles"] = gb["n_tiles"].sum()
+        blended = out[vcols].to_numpy(np.int64)
+        res = pd.DataFrame(
+            {
+                "grid_cell": out.index.to_numpy(np.int64),
+                "n_tiles": out["n_tiles"].to_numpy(np.int64),
+                "blend_sum": blended.sum(axis=1),
+                "blend_min": blended.min(axis=1),
+                "blend_max": blended.max(axis=1),
+            }
+        )
+        return shuffle_mod.from_pandas_clean(res)
+
+    nb = shuffle_mod.scaled_buckets()  # driver-side, once per pipeline
+    return (
+        _exploded(sf_dir)
+        .map_batches(tile_windows, batch_format="pyarrow")
+        .map_batches(
+            lambda b, nb=nb: shuffle_mod.add_bucket(b, "grid_cell", nb),
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(combine, batch_format="pyarrow")
+    )
+
+
+def q_ordered_funnel(sf_dir: str):
+    """ORDERED conversion funnel (NEW round 5) — the product-analytics
+    sequence query funnel_coverage (per-day FULL OUTER counts) cannot
+    answer: per user, did a purchase happen strictly AFTER the first
+    click, and with what exact lag? Emits one row per user with ≥1
+    click: click/purchase counts, converted flag, lag in exact integer
+    MICROSECONDS (-1 when never converted).
+
+    Shape at scale: the same single coarse-bucket exchange as the
+    window family — hash(user_id) co-locates each user's events, every
+    per-user reduction (first click, first qualifying purchase, counts)
+    is one vectorized pandas pass per bucket; output is user-sized and
+    streams, nothing folds on the driver."""
+    from raycells.engine.shuffle import add_bucket
+
+    ds = _read(
+        sf_dir, "events", SMALL_TABLE_BLOCKS,
+        columns=["user_id", "event_type", "ts"],
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            b["event_type"], value_set=pa.array(["click", "purchase"])
+        )
+        b = b.filter(keep)
+        us = (
+            b["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "is_click": pc.equal(b["event_type"], "click"),
+                "ts_us": pa.array(us),
+            }
+        )
+
+    def funnel(g: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "u": g["user_id"].to_numpy(zero_copy_only=False),
+                "c": g["is_click"].to_numpy(zero_copy_only=False),
+                "t": g["ts_us"].to_numpy(zero_copy_only=False),
+            }
+        )
+        cl = df[df["c"]]
+        pu = df[~df["c"]]
+        fc = cl.groupby("u", sort=False)["t"].min()
+        n_clicks = cl.groupby("u", sort=False).size()
+        n_purch = pu.groupby("u", sort=False).size()
+        after = pu.merge(fc.rename("fcu"), left_on="u", right_index=True)
+        after = after[after["t"] > after["fcu"]]
+        cts = after.groupby("u", sort=False)["t"].min()
+        out = pd.DataFrame(
+            {
+                "user_id": fc.index.to_numpy(np.int64),
+                "n_clicks": n_clicks.reindex(fc.index).to_numpy(np.int64),
+                "n_purchases": n_purch.reindex(fc.index)
+                .fillna(0)
+                .to_numpy(np.int64),
+                "lag_us": (cts.reindex(fc.index) - fc).fillna(-1)
+                .to_numpy(np.int64),
+            }
+        )
+        out["converted"] = (out["lag_us"] >= 0).astype(np.int64)
+        return shuffle_mod.from_pandas_clean(
+            out[["user_id", "n_clicks", "n_purchases", "converted", "lag_us"]]
+        )
+
+    nb = shuffle_mod.scaled_buckets()  # driver-side, once per pipeline
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .map_batches(
+            lambda b, nb=nb: add_bucket(b, "user_id", nb),
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(funnel, batch_format="pyarrow")
+    )

@@ -102,6 +102,8 @@ CHECKED = [
     "top_parts_by_brand",
     "customers_no_orders",
     "priority_revenue",
+    "ordered_funnel",
+    "mosaic_blend",
     "aspect_octants",
     "event_ohlc",
     "hillshade_stats",
