@@ -163,9 +163,14 @@ oracles in raycells/pipelines/oracles.py):
   Bresenham octant tree — no atan2), mosaic_blend (multi-tile raster
   combine: per-grid-cell MAX blend with map-side pre-blending),
   event_ohlc (time-bar open/high/low/close in exact cents,
-  deterministic (ts, id) first/last partials), and ordered_funnel
+  deterministic (ts, id) first/last partials), ordered_funnel
   (click → strictly-later purchase per user with exact µs lag, one
-  user-bucket exchange). EVERY driver
+  user-bucket exchange), cusum_daily (one-sided CUSUM change
+  detection in division-free n-scaled integers — recursive CTE
+  oracle), value_ntiles (distributed NTILE(4) via two-pass exact
+  rank selection, no sort exchange), and column_profile (per-column
+  null / exact-distinct / min-max data-quality report with bucketed
+  distinct counting). EVERY driver
   query hash-matches
   DuckDB, and ALL BUT ONE also run in the sf0.001 pytest replica
   (band_tile_stats is the single gate-only row — its 28M-cell SQL
@@ -221,7 +226,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (a) never driver-hash-checked (VERDICT r02 item #1) — first.
         # minhash_pairs precedes dedup_clusters so the cluster query
         # reuses the in-process verified-pair table.
-        "ordered_funnel": q.q_ordered_funnel,  # NEW round 5 (sequence conversion)
+        "cusum_daily": q.q_cusum_daily,  # NEW round 5 (sequential change detection)
+        "value_ntiles": q.q_value_ntiles,  # NEW round 5 (distributed NTILE)
+        "column_profile": q.q_column_profile,  # NEW round 5 (data-quality profile)
+        "ordered_funnel": q.q_ordered_funnel,  # NEW round 5 (sequence conversion)  # NEW round 5 (sequence conversion)
         "mosaic_blend": q.q_mosaic_blend,  # NEW round 5 (multi-tile raster combine)
         "aspect_octants": q.q_aspect_octants,  # NEW round 5 (terrain aspect classes)
         "event_ohlc": q.q_event_ohlc,  # NEW round 5 (time-bar OHLC)

@@ -2711,6 +2711,98 @@ def build() -> dict:
             FROM blend b JOIN nt USING (grid_cell)
             GROUP BY b.grid_cell, nt.n_tiles
         """,
+        # cusum_daily (q_cusum_daily): one-sided positive CUSUM of daily
+        # cent sums per type, division-free n-scaled units — the
+        # recurrence as a recursive CTE over the day rank.
+        "cusum_daily": """
+            WITH RECURSIVE daily AS (
+                SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                            AS BIGINT) AS x_c
+                FROM events GROUP BY 1, 2
+            ),
+            tot AS (
+                SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(x_c) AS BIGINT) AS t
+                FROM daily GROUP BY 1
+            ),
+            dev AS MATERIALIZED (
+                SELECT d.event_type, d.day, d.x_c,
+                       d.x_c * tot.n - tot.t AS dev_n,
+                       ROW_NUMBER() OVER (PARTITION BY d.event_type
+                           ORDER BY d.day) AS rn
+                FROM daily d JOIN tot USING (event_type)
+            ),
+            cus AS (
+                SELECT event_type, day, x_c, dev_n, rn,
+                       GREATEST(CAST(0 AS BIGINT), dev_n) AS cusum_n
+                FROM dev WHERE rn = 1
+                UNION ALL
+                SELECT d.event_type, d.day, d.x_c, d.dev_n, d.rn,
+                       GREATEST(CAST(0 AS BIGINT), c.cusum_n + d.dev_n)
+                FROM dev d JOIN cus c
+                  ON c.event_type = d.event_type AND d.rn = c.rn + 1
+            )
+            SELECT event_type, day, x_c, dev_n, cusum_n FROM cus
+        """,
+        # value_ntiles (q_value_ntiles): NTILE(4) under the
+        # deterministic (cents, event_id) order, per-(type, ntile)
+        # exact-integer rollup.
+        "value_ntiles": """
+            WITH t AS (
+                SELECT event_type,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+                       NTILE(4) OVER (PARTITION BY event_type
+                           ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT),
+                                    event_id) AS nt
+                FROM events
+            )
+            SELECT event_type, CAST(nt AS BIGINT) AS ntile,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(x) AS BIGINT) AS sum_c,
+                   CAST(MIN(x) AS BIGINT) AS min_c,
+                   CAST(MAX(x) AS BIGINT) AS max_c
+            FROM t GROUP BY 1, 2
+        """,
+        # column_profile (q_column_profile): per-column null / exact
+        # distinct / min-max profile; o_orderdate profiled as its
+        # '%Y-%m-%d' string, int extrema cast AFTER the numeric fold.
+        "column_profile": """
+            WITH d AS (SELECT *, strftime(o_orderdate, '%Y-%m-%d') AS od
+                       FROM orders)
+            SELECT 'o_orderkey' AS col,
+                   CAST(COUNT(o_orderkey) AS BIGINT) AS n_nonnull,
+                   CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_null,
+                   CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+                   CAST(MIN(o_orderkey) AS VARCHAR) AS min_s,
+                   CAST(MAX(o_orderkey) AS VARCHAR) AS max_s
+            FROM d
+            UNION ALL
+            SELECT 'o_custkey', CAST(COUNT(o_custkey) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+                   CAST(MIN(o_custkey) AS VARCHAR),
+                   CAST(MAX(o_custkey) AS VARCHAR)
+            FROM d
+            UNION ALL
+            SELECT 'o_orderstatus', CAST(COUNT(o_orderstatus) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+                   MIN(o_orderstatus), MAX(o_orderstatus)
+            FROM d
+            UNION ALL
+            SELECT 'o_orderpriority', CAST(COUNT(o_orderpriority) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+                   MIN(o_orderpriority), MAX(o_orderpriority)
+            FROM d
+            UNION ALL
+            SELECT 'o_orderdate', CAST(COUNT(od) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(od) AS BIGINT),
+                   CAST(COUNT(DISTINCT od) AS BIGINT),
+                   MIN(od), MAX(od)
+            FROM d
+        """,
         # ordered_funnel (q_ordered_funnel): per-user click → purchase
         # sequence conversion with exact integer microsecond lag.
         "ordered_funnel": """

@@ -6490,3 +6490,349 @@ def q_ordered_funnel(sf_dir: str):
         .groupby("_bucket")
         .map_groups(funnel, batch_format="pyarrow")
     )
+
+
+def q_cusum_daily(sf_dir: str):
+    """CUSUM change detection (NEW round 5) — the sequential STATEFUL
+    scan family (drift / anomaly monitors) the other operators don't
+    exercise: per event_type, the one-sided positive CUSUM of daily
+    cent sums against the type's mean. Division-free exact integers:
+    working in n-scaled units, dev_n(d) = n·x_c(d) − T and
+    S(d) = max(0, S(d−1) + dev_n(d)) — the classic CUSUM recurrence
+    with every term an exact int (oracle: recursive CTE).
+
+    Shape at scale: the heavy part (daily cent sums) is the
+    events_daily fold — O(blocks × bars) partials, no exchange; the
+    inherently sequential recurrence runs on the BAR table (types ×
+    days, bounded by the calendar — never by event rows), so the
+    driver loop is O(bars)."""
+    ds = _read(
+        sf_dir, "events", SMALL_TABLE_BLOCKS, columns=["ts", "event_type", "value"]
+    )
+
+    def daily(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(zero_copy_only=False),
+                "day": pc.strftime(b["ts"], format="%Y-%m-%d").to_numpy(
+                    zero_copy_only=False
+                ),
+                "x": _half_up(
+                    b["value"].to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64),
+            }
+        )
+        part = (
+            df.groupby(["event_type", "day"], sort=False)["x"]
+            .sum()
+            .reset_index(name="x_c")
+        )
+        return shuffle_mod.from_pandas_clean(part)
+
+    bars = (
+        ds.map_batches(daily, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["event_type", "day"], sort=False, as_index=False)["x_c"]
+        .sum()
+        .sort_values(["event_type", "day"], kind="stable")
+    )
+    out_rows = {"event_type": [], "day": [], "x_c": [], "dev_n": [], "cusum_n": []}
+    for et, sub in bars.groupby("event_type", sort=False):
+        x = sub["x_c"].to_numpy(np.int64)
+        n, t = len(x), int(x.sum())
+        s = 0
+        for day, xc in zip(sub["day"], x):  # O(bars), not O(rows)
+            dev = int(xc) * n - t
+            s = max(0, s + dev)
+            out_rows["event_type"].append(et)
+            out_rows["day"].append(day)
+            out_rows["x_c"].append(int(xc))
+            out_rows["dev_n"].append(dev)
+            out_rows["cusum_n"].append(s)
+    return pa.table(
+        {
+            "event_type": pa.array(out_rows["event_type"], pa.string()),
+            "day": pa.array(out_rows["day"], pa.string()),
+            "x_c": pa.array(np.array(out_rows["x_c"], np.int64)),
+            "dev_n": pa.array(np.array(out_rows["dev_n"], np.int64)),
+            "cusum_n": pa.array(np.array(out_rows["cusum_n"], np.int64)),
+        }
+    )
+
+
+def q_value_ntiles(sf_dir: str):
+    """Distributed NTILE(4) (NEW round 5) — exact quartile-bucket
+    assignment per event under the deterministic (value cents,
+    event_id) order, rolled up per (event_type, ntile). The rank
+    machinery is the quantiles_price two-pass selection generalized to
+    a composite key (value_c·2³¹ + event_id — ids < 2³¹ documented):
+    pass 1 folds per-(type, range) histograms (≤ blocks × types × K
+    driver rows), the NTILE cut ranks e_i = i·(n//4) + min(i, n%4)
+    pick each boundary's range, pass 2 streams ONLY those ranges back
+    for the exact boundary element, pass 3 assigns buckets by three
+    broadcast comparisons and folds the bounded (type, ntile) rollup.
+    No sort exchange anywhere — ranks come from counting."""
+    import ray
+
+    ds = _read(
+        sf_dir, "events", SMALL_TABLE_BLOCKS,
+        columns=["event_id", "event_type", "value"],
+    ).materialize()  # three passes share the narrow projection
+
+    def keyed(b: pa.Table):
+        x = _half_up(b["value"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        eid = pc.cast(b["event_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        return (
+            b["event_type"].to_numpy(zero_copy_only=False),
+            x,
+            (x << np.int64(31)) + eid,
+        )
+
+    K = 4096
+
+    # pass 0: global cent-value span, O(blocks) driver partials
+    def mmc(b: pa.Table) -> pa.Table:
+        _, x, _ = keyed(b)
+        return pa.table(
+            {
+                "lo": pa.array([int(x.min())] if x.size else [np.iinfo(np.int64).max]),
+                "hi": pa.array([int(x.max())] if x.size else [np.iinfo(np.int64).min]),
+            }
+        )
+
+    g0 = ds.map_batches(mmc, batch_format="pyarrow").to_pandas()
+    lo, hi = int(g0["lo"].min()), int(g0["hi"].max())
+    span = max(hi - lo, 1)
+
+    def bidx(x: np.ndarray) -> np.ndarray:
+        return np.clip((x - lo) * K // span, 0, K - 1).astype(np.int64)
+
+    def hist(b: pa.Table) -> pa.Table:
+        et, x, _ = keyed(b)
+        df = pd.DataFrame({"event_type": et, "bucket": bidx(x)})
+        part = df.groupby(["event_type", "bucket"], sort=False).size()
+        return shuffle_mod.from_pandas_clean(part.reset_index(name="n"))
+
+    h = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["event_type", "bucket"], sort=True, as_index=False)["n"]
+        .sum()
+    )
+    # NTILE cut ranks per type; target (type, range) pairs for pass 2
+    cuts: dict = {}
+    need: set = set()
+    for et, sub in h.groupby("event_type", sort=False):
+        n = int(sub["n"].sum())
+        cum = sub["n"].cumsum().to_numpy()
+        bks = sub["bucket"].to_numpy(np.int64)
+        for i in (1, 2, 3):
+            r = i * (n // 4) + min(i, n % 4)  # 1-based NTILE cut rank
+            j = int(np.searchsorted(cum, r))
+            cuts.setdefault(et, []).append(
+                (int(bks[j]), r - (int(cum[j - 1]) if j else 0))
+            )
+            need.add((et, int(bks[j])))
+    need_ref = ray.put(need)
+
+    def grab(b: pa.Table) -> pa.Table:
+        want = ray.get(need_ref)
+        et, x, key = keyed(b)
+        rng = bidx(x)
+        keep = np.fromiter(
+            ((e, int(r)) in want for e, r in zip(et, rng)), bool, len(et)
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(et[keep]),
+                "rng": pa.array(rng[keep]),
+                "key": pa.array(key[keep]),
+            }
+        )
+
+    grabbed = ds.map_batches(grab, batch_format="pyarrow").to_pandas()
+    bounds: dict = {}
+    for et, triples in cuts.items():
+        ks = grabbed[grabbed["event_type"] == et]
+        arr: dict = {}
+        for rng, within in triples:
+            sub = np.sort(
+                ks[ks["rng"].to_numpy(np.int64) == rng]["key"].to_numpy(np.int64)
+            )
+            arr[(rng, within)] = int(sub[within - 1])
+        bounds[et] = [arr[t] for t in triples]
+
+    def assign(b: pa.Table) -> pa.Table:
+        et, x, key = keyed(b)
+        nt = np.ones(len(et), np.int64)
+        for e, (k1, k2, k3) in bounds.items():
+            m = et == e
+            nt[m] += (
+                (key[m] > k1).astype(np.int64)
+                + (key[m] > k2)
+                + (key[m] > k3)
+            )
+        df = pd.DataFrame({"event_type": et, "ntile": nt, "x": x})
+        part = df.groupby(["event_type", "ntile"], sort=False).agg(
+            n_rows=("x", "size"), sum_c=("x", "sum"),
+            min_c=("x", "min"), max_c=("x", "max"),
+        )
+        return shuffle_mod.from_pandas_clean(part.reset_index())
+
+    parts = ds.map_batches(assign, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.groupby(["event_type", "ntile"], sort=False, as_index=False)
+        .agg(
+            n_rows=("n_rows", "sum"), sum_c=("sum_c", "sum"),
+            min_c=("min_c", "min"), max_c=("max_c", "max"),
+        )
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "ntile": pa.array(out["ntile"].to_numpy(np.int64)),
+            **{
+                c: pa.array(out[c].to_numpy(np.int64))
+                for c in ("n_rows", "sum_c", "min_c", "max_c")
+            },
+        }
+    )
+
+
+def q_column_profile(sf_dir: str):
+    """Table PROFILING (NEW round 5) — the data-quality report every
+    ingest runs: per column, non-null/null counts, EXACT distinct
+    count, and min/max (as strings, via each engine's identical
+    integer/string cast). o_orderdate profiles as its '%Y-%m-%d' day
+    string (a raw timestamp cast prints differently across engines).
+
+    Shape at scale: counts and min/max fold as O(blocks × cols) driver
+    partials; the distinct count NEVER materializes the value universe
+    on the driver — per-batch pre-deduped (col, val) pairs go through
+    ONE coarse-bucket exchange (equal values co-locate) and each bucket
+    emits per-col partial distinct counts, so driver traffic is
+    O(buckets × cols) however many distinct keys exist."""
+    from raycells.engine.shuffle import add_bucket
+
+    COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+            "o_orderdate")
+    ds = _read(sf_dir, "orders", SMALL_TABLE_BLOCKS, columns=list(COLS)).materialize()
+
+    def as_strings(b: pa.Table) -> dict:
+        out = {}
+        for c in COLS:
+            if c == "o_orderdate":
+                out[c] = pc.strftime(b[c], format="%Y-%m-%d").to_numpy(
+                    zero_copy_only=False
+                )
+            elif c in ("o_orderkey", "o_custkey"):
+                out[c] = b[c].to_numpy(zero_copy_only=False).astype("U")
+            else:
+                out[c] = b[c].to_numpy(zero_copy_only=False)
+        return out
+
+    INT_COLS = ("o_orderkey", "o_custkey")
+
+    def stat_partials(b: pa.Table) -> pa.Table:
+        # int columns fold their extrema NUMERICALLY (a string fold
+        # would rank "10" < "9"); string/date columns fold on the
+        # string (binary collation == DuckDB MIN/MAX on ASCII;
+        # '%Y-%m-%d' sorts chronologically). None/NaN on the unused
+        # side — the pandas fold skips them.
+        vals = as_strings(b)
+        rows = {"col": [], "n_nonnull": [], "n_null": [],
+                "min_i": [], "max_i": [], "min_s": [], "max_s": []}
+        for c in COLS:  # constant column loop, vectorized inside
+            nn = int(pc.count(b[c], mode="only_valid").as_py())
+            rows["col"].append(c)
+            rows["n_nonnull"].append(nn)
+            rows["n_null"].append(b.num_rows - nn)
+            if c in INT_COLS:
+                v = b[c].to_numpy(zero_copy_only=False)
+                rows["min_i"].append(int(v.min()) if len(v) else None)
+                rows["max_i"].append(int(v.max()) if len(v) else None)
+                rows["min_s"].append(None)
+                rows["max_s"].append(None)
+            else:
+                v = vals[c]
+                rows["min_i"].append(None)
+                rows["max_i"].append(None)
+                rows["min_s"].append(str(v.min()) if len(v) else None)
+                rows["max_s"].append(str(v.max()) if len(v) else None)
+        return pa.table(
+            {
+                "col": pa.array(rows["col"], pa.string()),
+                "n_nonnull": pa.array(rows["n_nonnull"], pa.int64()),
+                "n_null": pa.array(rows["n_null"], pa.int64()),
+                "min_i": pa.array(rows["min_i"], pa.int64()),
+                "max_i": pa.array(rows["max_i"], pa.int64()),
+                "min_s": pa.array(rows["min_s"], pa.string()),
+                "max_s": pa.array(rows["max_s"], pa.string()),
+            }
+        )
+
+    stats = (
+        ds.map_batches(stat_partials, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("col", sort=False)
+        .agg(
+            n_nonnull=("n_nonnull", "sum"), n_null=("n_null", "sum"),
+            min_i=("min_i", "min"), max_i=("max_i", "max"),
+            min_s=("min_s", "min"), max_s=("max_s", "max"),
+        )
+    )
+    for c in INT_COLS:
+        stats.loc[c, "min_s"] = str(int(stats.loc[c, "min_i"]))
+        stats.loc[c, "max_s"] = str(int(stats.loc[c, "max_i"]))
+    stats = stats.drop(columns=["min_i", "max_i"])
+
+    def distinct_pairs(b: pa.Table) -> pa.Table:
+        vals = as_strings(b)
+        cols_out, vals_out = [], []
+        for c in COLS:
+            u = np.unique(vals[c])
+            cols_out.append(np.full(len(u), c, dtype=object))
+            vals_out.append(u.astype(object))
+        return pa.table(
+            {
+                "col": pa.array(np.concatenate(cols_out), pa.string()),
+                "val": pa.array(np.concatenate(vals_out), pa.string()),
+            }
+        )
+
+    def bucket_distinct(g: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "col": g["col"].to_numpy(zero_copy_only=False),
+                "val": g["val"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        part = df.groupby("col", sort=False).size().reset_index(name="nd")
+        return shuffle_mod.from_pandas_clean(part)
+
+    nb = shuffle_mod.scaled_buckets()  # driver-side, once per pipeline
+    nd = (
+        ds.map_batches(distinct_pairs, batch_format="pyarrow")
+        .map_batches(
+            lambda b, nb=nb: add_bucket(b, "val", nb), batch_format="pyarrow"
+        )
+        .groupby("_bucket")
+        .map_groups(bucket_distinct, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("col", sort=False)["nd"]
+        .sum()
+    )
+    stats["n_distinct"] = nd
+    stats = stats.reset_index().sort_values("col", kind="stable")
+    return pa.table(
+        {
+            "col": pa.array(stats["col"], pa.string()),
+            "n_nonnull": pa.array(stats["n_nonnull"].to_numpy(np.int64)),
+            "n_null": pa.array(stats["n_null"].to_numpy(np.int64)),
+            "n_distinct": pa.array(stats["n_distinct"].to_numpy(np.int64)),
+            "min_s": pa.array(stats["min_s"], pa.string()),
+            "max_s": pa.array(stats["max_s"], pa.string()),
+        }
+    )

@@ -102,6 +102,9 @@ CHECKED = [
     "top_parts_by_brand",
     "customers_no_orders",
     "priority_revenue",
+    "cusum_daily",
+    "value_ntiles",
+    "column_profile",
     "ordered_funnel",
     "mosaic_blend",
     "aspect_octants",
