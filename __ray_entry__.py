@@ -170,7 +170,10 @@ oracles in raycells/pipelines/oracles.py):
   oracle), value_ntiles (distributed NTILE(4) via two-pass exact
   rank selection, no sort exchange), and column_profile (per-column
   null / exact-distinct / min-max data-quality report with bucketed
-  distinct counting). EVERY driver
+  distinct counting), and fuzzy_token_match (SymSpell
+  deletion-neighborhood join at Levenshtein ≤ 1 with the exact
+  prefix+suffix verify — DuckDB's levenshtein() is the oracle).
+  EVERY driver
   query hash-matches
   DuckDB, and ALL BUT ONE also run in the sf0.001 pytest replica
   (band_tile_stats is the single gate-only row — its 28M-cell SQL
@@ -226,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (a) never driver-hash-checked (VERDICT r02 item #1) — first.
         # minhash_pairs precedes dedup_clusters so the cluster query
         # reuses the in-process verified-pair table.
+        "fuzzy_token_match": q.q_fuzzy_token_match,  # NEW round 5 (SymSpell lev<=1 join)
         "cusum_daily": q.q_cusum_daily,  # NEW round 5 (sequential change detection)
         "value_ntiles": q.q_value_ntiles,  # NEW round 5 (distributed NTILE)
         "column_profile": q.q_column_profile,  # NEW round 5 (data-quality profile)

@@ -2803,6 +2803,27 @@ def build() -> dict:
                    MIN(od), MAX(od)
             FROM d
         """,
+        # fuzzy_token_match (q_fuzzy_token_match): middle-deletion typo
+        # probes joined to the vocabulary at levenshtein ≤ 1 — DuckDB's
+        # own levenshtein() is the semantic truth the SymSpell
+        # deletion-neighborhood join must reproduce at recall 1.0.
+        "fuzzy_token_match": """
+            WITH w AS MATERIALIZED (
+                SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+                FROM documents
+            ),
+            wv AS (SELECT word FROM w WHERE length(word) > 0),
+            pr AS (
+                SELECT DISTINCT
+                       substr(word, 1, CAST(length(word) // 2 AS INT))
+                       || substr(word, CAST(length(word) // 2 AS INT) + 2)
+                           AS probe
+                FROM wv WHERE length(word) >= 2
+            )
+            SELECT p.probe, v.word,
+                   CAST(levenshtein(p.probe, v.word) AS BIGINT) AS dist
+            FROM pr p JOIN wv v ON levenshtein(p.probe, v.word) <= 1
+        """,
         # ordered_funnel (q_ordered_funnel): per-user click → purchase
         # sequence conversion with exact integer microsecond lag.
         "ordered_funnel": """

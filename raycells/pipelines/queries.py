@@ -6836,3 +6836,165 @@ def q_column_profile(sf_dir: str):
             "max_s": pa.array(stats["max_s"], pa.string()),
         }
     )
+
+
+def q_fuzzy_token_match(sf_dir: str):
+    """FUZZY string matching (NEW round 5) — the entity-cleaning join:
+    every typo probe (each vocabulary word with its middle character
+    deleted) matched against the corpus vocabulary at Levenshtein
+    distance ≤ 1, via the SymSpell DELETION-NEIGHBORHOOD join: each
+    side fans out to {word} ∪ {word minus one char}, equal variants
+    co-locate in ONE hash exchange, and candidates verify with the
+    exact prefix+suffix rule (lev(a,b) ≤ 1 ⟺ |la−lb| ≤ 1 ∧ longest
+    common prefix + longest common suffix ≥ max(la,lb) − 1) — fully
+    vectorized over fixed-width char matrices, no DP and no all-pairs.
+
+    Shape at scale: three exchanges, all of bounded rows — distinct
+    tokens (pre-deduped per batch), (variant, side, word) fan-out
+    (≤ len+1 variants per word), and the (probe, word) pair dedup
+    (equal pairs hash to one bucket, so bucket-local dedup is global).
+    The oracle is DuckDB's own levenshtein() over the cross join — the
+    candidate join must reproduce it EXACTLY (recall 1.0)."""
+    from raycells.engine.shuffle import add_bucket
+
+    W = 16  # max token width for the char matrices (fixture max is 8)
+
+    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["text"])
+
+    def batch_tokens(b: pa.Table) -> pa.Table:
+        _, flat, _ = ta._split(b["text"])
+        toks = np.unique(flat.to_numpy(zero_copy_only=False))
+        toks = toks[np.char.str_len(toks.astype(str)) > 0]
+        return pa.table({"word": pa.array(toks.astype(object), pa.string())})
+
+    def bucket_distinct(g: pa.Table) -> pa.Table:
+        u = np.unique(g["word"].to_numpy(zero_copy_only=False))
+        return pa.table({"word": pa.array(u.astype(object), pa.string())})
+
+    nb = shuffle_mod.scaled_buckets()  # driver-side, once per pipeline
+    vocab = (
+        ds.map_batches(batch_tokens, batch_format="pyarrow")
+        .map_batches(
+            lambda b, nb=nb: add_bucket(b, "word", nb), batch_format="pyarrow"
+        )
+        .groupby("_bucket")
+        .map_groups(bucket_distinct, batch_format="pyarrow")
+        .materialize()  # feeds BOTH fan-out sides
+    )
+
+    def deletions(words: np.ndarray) -> tuple:
+        """All 1-char deletions of each word → (variants, parent_idx).
+        The loops run over the DISTINCT vocabulary (already deduped,
+        bounded), never over corpus rows."""
+        ls = np.char.str_len(words.astype(str))
+        outs, idxs = [], []
+        for p in range(int(ls.max()) if len(ls) else 0):
+            m = ls > p
+            w = words[m].astype(str)
+            outs.append(
+                np.array([x[:p] + x[p + 1:] for x in w], dtype=object)
+            )
+            idxs.append(np.flatnonzero(m))
+        if not outs:
+            return np.array([], object), np.array([], np.int64)
+        return np.concatenate(outs), np.concatenate(idxs)
+
+    def fan_out(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            words = b["word"].to_numpy(zero_copy_only=False)
+            if side == 1:  # probe side: middle-deletion typos, len ≥ 2
+                ls = np.char.str_len(words.astype(str))
+                src = words[ls >= 2]
+                words = np.unique(
+                    np.array([x[: len(x) // 2] + x[len(x) // 2 + 1:] for x in src],
+                             dtype=object)
+                )
+            dels, parent = deletions(words)
+            var = np.concatenate([words.astype(object), dels])
+            orig = np.concatenate(
+                [words.astype(object), words[parent].astype(object)]
+            )
+            return pa.table(
+                {
+                    "variant": pa.array(var, pa.string()),
+                    "side": pa.array(np.full(len(var), side, np.int64)),
+                    "word": pa.array(orig, pa.string()),
+                }
+            )
+
+        return fn
+
+    fanned = vocab.map_batches(fan_out(0), batch_format="pyarrow").union(
+        vocab.map_batches(fan_out(1), batch_format="pyarrow")
+    )
+
+    def lev1_mask(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+        a, b = A.astype(str), B.astype(str)
+        la, lb = np.char.str_len(a), np.char.str_len(b)
+        al = a.astype(f"U{W}").view("U1").reshape(len(a), W)
+        bl = b.astype(f"U{W}").view("U1").reshape(len(b), W)
+        p = np.minimum((al == bl).cumprod(axis=1).sum(axis=1), np.minimum(la, lb))
+        ar = np.char.rjust(a, W, "\x01").astype(f"U{W}").view("U1").reshape(len(a), W)
+        br = np.char.rjust(b, W, "\x01").astype(f"U{W}").view("U1").reshape(len(b), W)
+        s = np.minimum(
+            (ar == br)[:, ::-1].cumprod(axis=1).sum(axis=1), np.minimum(la, lb)
+        )
+        return (np.abs(la - lb) <= 1) & (p + s >= np.maximum(la, lb) - 1)
+
+    def candidates(g: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "variant": g["variant"].to_numpy(zero_copy_only=False),
+                "side": g["side"].to_numpy(zero_copy_only=False),
+                "word": g["word"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        pr = df[df["side"] == 1]
+        wd = df[df["side"] == 0]
+        cand = pr.merge(wd, on="variant")[["word_x", "word_y"]].drop_duplicates()
+        if not len(cand):
+            return pa.table(
+                {"probe": pa.array([], pa.string()),
+                 "word": pa.array([], pa.string())}
+            )
+        ok = lev1_mask(
+            cand["word_x"].to_numpy(), cand["word_y"].to_numpy()
+        )
+        return pa.table(
+            {
+                "probe": pa.array(cand["word_x"].to_numpy()[ok], pa.string()),
+                "word": pa.array(cand["word_y"].to_numpy()[ok], pa.string()),
+            }
+        )
+
+    def pair_dedup(g: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "probe": g["probe"].to_numpy(zero_copy_only=False),
+                "word": g["word"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        df["dist"] = (df["probe"] != df["word"]).astype(np.int64)
+        return shuffle_mod.from_pandas_clean(df[["probe", "word", "dist"]])
+
+    pairs = (
+        fanned.map_batches(
+            lambda b, nb=nb: add_bucket(b, "variant", nb), batch_format="pyarrow"
+        )
+        .groupby("_bucket")
+        .map_groups(candidates, batch_format="pyarrow")
+        .map_batches(
+            lambda b, nb=nb: add_bucket(
+                b.append_column(
+                    "pk",
+                    pc.binary_join_element_wise(b["probe"], b["word"], "\x01"),
+                ),
+                "pk",
+                nb,
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(pair_dedup, batch_format="pyarrow")
+    )
+    return pairs

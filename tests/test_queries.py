@@ -102,6 +102,7 @@ CHECKED = [
     "top_parts_by_brand",
     "customers_no_orders",
     "priority_revenue",
+    "fuzzy_token_match",
     "cusum_daily",
     "value_ntiles",
     "column_profile",
@@ -260,6 +261,37 @@ def test_chunk_docs_unbounded_long_docs(ray_session, tmp_path, contract):
         )
     cd = _to_df(queries["chunk_docs"](str(tmp_path)))
     assert cd["chunk_idx"].max() >= 64  # genuinely beyond the old bound
+
+
+def test_fuzzy_match_adversarial_vocab(ray_session, tmp_path, contract):
+    """The SymSpell deletion-neighborhood join must reproduce DuckDB's
+    levenshtein() EXACTLY on the hard cases: transpositions ('ab'/'ba'
+    is distance 2 — deletion variants collide but the prefix+suffix
+    verify must reject), repeated characters ('aaa'/'aa'), shared
+    prefixes+suffixes at distance 2 ('axxb'/'ayyb'), and 1-char
+    words."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    queries, sqls = contract
+    vocab = "ab ba aba aa aaa axxb ayyb xyz xz hello hullo help x helo"
+    docs = pa.table({"doc_id": [0], "text": [vocab]})
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    con2 = duckdb.connect()
+    con2.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    got = _norm(_to_df(queries["fuzzy_token_match"](str(tmp_path))))
+    want = _norm(con2.sql(sqls["fuzzy_token_match"]).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want) and len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    # the transposition trap must be absent: probe 'b a'? no — pair
+    # ('ab','ba') via shared deletion variants would be a false positive
+    pairs = set(zip(got["probe"], got["word"]))
+    assert ("a", "ba") in pairs  # probe of 'ab' matches 'ba' at dist 1
+    assert ("aa", "aaa") in pairs and ("aa", "aa") in pairs
 
 
 def test_contamination_overlap_drop_rule(ray_session, tmp_path):
