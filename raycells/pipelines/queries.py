@@ -6928,19 +6928,6 @@ def q_fuzzy_token_match(sf_dir: str):
         vocab.map_batches(fan_out(1), batch_format="pyarrow")
     )
 
-    def lev1_mask(A: np.ndarray, B: np.ndarray) -> np.ndarray:
-        a, b = A.astype(str), B.astype(str)
-        la, lb = np.char.str_len(a), np.char.str_len(b)
-        al = a.astype(f"U{W}").view("U1").reshape(len(a), W)
-        bl = b.astype(f"U{W}").view("U1").reshape(len(b), W)
-        p = np.minimum((al == bl).cumprod(axis=1).sum(axis=1), np.minimum(la, lb))
-        ar = np.char.rjust(a, W, "\x01").astype(f"U{W}").view("U1").reshape(len(a), W)
-        br = np.char.rjust(b, W, "\x01").astype(f"U{W}").view("U1").reshape(len(b), W)
-        s = np.minimum(
-            (ar == br)[:, ::-1].cumprod(axis=1).sum(axis=1), np.minimum(la, lb)
-        )
-        return (np.abs(la - lb) <= 1) & (p + s >= np.maximum(la, lb) - 1)
-
     def candidates(g: pa.Table) -> pa.Table:
         df = pd.DataFrame(
             {
@@ -6957,8 +6944,8 @@ def q_fuzzy_token_match(sf_dir: str):
                 {"probe": pa.array([], pa.string()),
                  "word": pa.array([], pa.string())}
             )
-        ok = lev1_mask(
-            cand["word_x"].to_numpy(), cand["word_y"].to_numpy()
+        ok = ta.lev1_pairs_mask(
+            cand["word_x"].to_numpy(), cand["word_y"].to_numpy(), width=W
         )
         return pa.table(
             {

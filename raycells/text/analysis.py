@@ -501,3 +501,28 @@ def regex_token_counts(text: pa.ChunkedArray) -> Dict[str, np.ndarray]:
     dig = row_sums(digit_start)
     pun = row_sums(punct)
     return {"tokens": alpha + dig + pun, "alpha": alpha, "digit": dig, "punct": pun}
+
+
+def lev1_pairs_mask(A: np.ndarray, B: np.ndarray, width: int = 16) -> np.ndarray:
+    """Exact Levenshtein ≤ 1 for aligned candidate pairs, fully
+    vectorized (no DP): lev(a,b) ≤ 1 ⟺ |la−lb| ≤ 1 AND longest common
+    prefix + longest common suffix ≥ max(la,lb) − 1. The two overlap
+    lengths come from fixed-width char matrices (left-aligned for the
+    prefix, right-aligned for the suffix, '\\x01' fill — never a token
+    char), each capped at min(la,lb). Property-tested against a
+    reference DP (tests/test_text.py). Words longer than ``width``
+    raise rather than silently truncate."""
+    a, b = A.astype(str), B.astype(str)
+    la, lb = np.char.str_len(a), np.char.str_len(b)
+    if len(a) and max(int(la.max()), int(lb.max())) > width:
+        raise ValueError(f"token longer than width={width}")
+    lmin = np.minimum(la, lb)
+    al = a.astype(f"U{width}").view("U1").reshape(len(a), width)
+    bl = b.astype(f"U{width}").view("U1").reshape(len(b), width)
+    p = np.minimum((al == bl).cumprod(axis=1).sum(axis=1), lmin)
+    ar = np.char.rjust(a, width, "\x01").astype(f"U{width}").view("U1")
+    br = np.char.rjust(b, width, "\x01").astype(f"U{width}").view("U1")
+    ar = ar.reshape(len(a), width)
+    br = br.reshape(len(b), width)
+    s = np.minimum((ar == br)[:, ::-1].cumprod(axis=1).sum(axis=1), lmin)
+    return (np.abs(la - lb) <= 1) & (p + s >= np.maximum(la, lb) - 1)

@@ -573,3 +573,37 @@ def test_leakage_safe_split_never_straddles_near_dup_pairs(ray_session):
 
     for ka, kb in zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()):
         assert split_of(ka) == split_of(kb)
+
+
+def test_lev1_pairs_mask_property():
+    """The prefix+suffix rule must equal true Levenshtein ≤ 1 on random
+    short-alphabet pairs (small alphabet maximizes repeated-char and
+    transposition traps)."""
+    from hypothesis import given, settings, strategies as st
+
+    from raycells.text.analysis import lev1_pairs_mask
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    word = st.text(alphabet="abc", min_size=0, max_size=6)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.tuples(word, word), min_size=1, max_size=8))
+    def check(pairs):
+        import numpy as np
+
+        A = np.array([p[0] for p in pairs], dtype=object)
+        B = np.array([p[1] for p in pairs], dtype=object)
+        got = lev1_pairs_mask(A, B)
+        want = np.array([lev(a, b) <= 1 for a, b in pairs])
+        assert (got == want).all(), list(zip(A, B, got, want))
+
+    check()
