@@ -170,9 +170,11 @@ oracles in raycells/pipelines/oracles.py):
   oracle), value_ntiles (distributed NTILE(4) via two-pass exact
   rank selection, no sort exchange), and column_profile (per-column
   null / exact-distinct / min-max data-quality report with bucketed
-  distinct counting), and fuzzy_token_match (SymSpell
+  distinct counting), fuzzy_token_match (SymSpell
   deletion-neighborhood join at Levenshtein ≤ 1 with the exact
-  prefix+suffix verify — DuckDB's levenshtein() is the oracle).
+  prefix+suffix verify — DuckDB's levenshtein() is the oracle), and
+  embedding_profile (per-dimension exact quantized feature
+  statistics — the feature-store drift report, map-side only).
   EVERY driver
   query hash-matches
   DuckDB, and ALL BUT ONE also run in the sf0.001 pytest replica
@@ -229,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (a) never driver-hash-checked (VERDICT r02 item #1) — first.
         # minhash_pairs precedes dedup_clusters so the cluster query
         # reuses the in-process verified-pair table.
+        "embedding_profile": q.q_embedding_profile,  # NEW round 5 (feature-store stats)
         "fuzzy_token_match": q.q_fuzzy_token_match,  # NEW round 5 (SymSpell lev<=1 join)
         "cusum_daily": q.q_cusum_daily,  # NEW round 5 (sequential change detection)
         "value_ntiles": q.q_value_ntiles,  # NEW round 5 (distributed NTILE)

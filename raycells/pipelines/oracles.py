@@ -2803,6 +2803,25 @@ def build() -> dict:
                    MIN(od), MAX(od)
             FROM d
         """,
+        # embedding_profile (q_embedding_profile): per-dimension exact
+        # quantized feature statistics (2^-20 — the shared recipe).
+        "embedding_profile": """
+            WITH e AS (
+                SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+                           AS dim,
+                       CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                  * 1048576.0 + 0.5) AS BIGINT) AS v
+                FROM embeddings
+            )
+            SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(v) AS BIGINT) AS sum_q,
+                   CAST(MIN(v) AS BIGINT) AS min_q,
+                   CAST(MAX(v) AS BIGINT) AS max_q,
+                   CAST(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_pos,
+                   CAST(SUM(v * v) AS BIGINT) AS sum_q2
+            FROM e GROUP BY dim
+        """,
         # fuzzy_token_match (q_fuzzy_token_match): middle-deletion typo
         # probes joined to the vocabulary at levenshtein ≤ 1 — DuckDB's
         # own levenshtein() is the semantic truth the SymSpell

@@ -6985,3 +6985,68 @@ def q_fuzzy_token_match(sf_dir: str):
         .map_groups(pair_dedup, batch_format="pyarrow")
     )
     return pairs
+
+
+def q_embedding_profile(sf_dir: str):
+    """Per-DIMENSION embedding feature statistics (NEW round 5) — the
+    drift/monitoring report a feature store runs over an embedding
+    column: for every dimension, count, exact quantized sum / min /
+    max / sum-of-squares and the positive-component count. Components
+    quantize at 2⁻²⁰ (the shared exact recipe, text/dedup.py — CAST
+    REAL→DOUBLE is exact and both engines floor the identical double),
+    so every statistic is an exact integer.
+
+    Shape at scale: purely map-side — each batch reduces to ONE row
+    per dimension (vectorized column reductions on the (rows, dim)
+    matrix), the driver folds O(blocks × dims) partials; no exchange.
+    int64 bound: Σv² ≤ rows·2⁴⁰ holds to ~8×10⁶ rows per fold — beyond
+    that, fold in Python bigints (the value_outliers pattern)."""
+    ds = _read(sf_dir, "embeddings", SMALL_TABLE_BLOCKS, columns=["embedding"])
+
+    def parts(b: pa.Table) -> pa.Table:
+        col = b["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        if b.num_rows == 0:
+            dims = np.array([], np.int64)
+            m = np.zeros((0, 0), np.int64)
+        else:
+            dim = len(flat) // b.num_rows
+            m = dd.quantize_embeddings(flat.reshape(b.num_rows, dim))
+            dims = np.arange(dim, dtype=np.int64)
+        return pa.table(
+            {
+                "dim": pa.array(dims),
+                "n": pa.array(np.full(len(dims), m.shape[0], np.int64)),
+                "sum_q": pa.array(m.sum(axis=0).astype(np.int64)),
+                "min_q": pa.array(
+                    m.min(axis=0).astype(np.int64)
+                    if m.shape[0] else np.array([], np.int64)
+                ),
+                "max_q": pa.array(
+                    m.max(axis=0).astype(np.int64)
+                    if m.shape[0] else np.array([], np.int64)
+                ),
+                "n_pos": pa.array((m > 0).sum(axis=0).astype(np.int64)),
+                "sum_q2": pa.array((m * m).sum(axis=0).astype(np.int64)),
+            }
+        )
+
+    folded = (
+        ds.map_batches(parts, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("dim", sort=True)
+        .agg(
+            n=("n", "sum"), sum_q=("sum_q", "sum"),
+            min_q=("min_q", "min"), max_q=("max_q", "max"),
+            n_pos=("n_pos", "sum"), sum_q2=("sum_q2", "sum"),
+        )
+        .reset_index()
+    )
+    return pa.table(
+        {
+            c: pa.array(folded[c].to_numpy(np.int64))
+            for c in ("dim", "n", "sum_q", "min_q", "max_q", "n_pos", "sum_q2")
+        }
+    )
