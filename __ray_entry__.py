@@ -174,7 +174,10 @@ oracles in raycells/pipelines/oracles.py):
   deletion-neighborhood join at Levenshtein ≤ 1 with the exact
   prefix+suffix verify — DuckDB's levenshtein() is the oracle), and
   embedding_profile (per-dimension exact quantized feature
-  statistics — the feature-store drift report, map-side only).
+  statistics — the feature-store drift report, map-side only), and
+  bpe_merges (BPE tokenizer training: one distributed word-count
+  exchange + k boundary-anchored merge steps over the vocabulary
+  table; oracle = k unrolled count→argmax→replace CTEs).
   EVERY driver
   query hash-matches
   DuckDB, and ALL BUT ONE also run in the sf0.001 pytest replica
@@ -222,7 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     sits in the first eight entries, then the round-3 additions, then
     the long-green tail. After the round-4 oracle rewrites the FULL
     gate costs ~58 s at sf0.01 (41 s Ray + 17 s DuckDB), so one
-    snapshot should now hold all 132. ALL queries hash-match DuckDB
+    snapshot should now hold all 133. ALL queries hash-match DuckDB
     locally at sf0.01 (the timed replica of the gate)."""
     from raycells.pipelines import queries as q
 
@@ -231,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (a) never driver-hash-checked (VERDICT r02 item #1) — first.
         # minhash_pairs precedes dedup_clusters so the cluster query
         # reuses the in-process verified-pair table.
+        "bpe_merges": q.q_bpe_merges,  # NEW round 5 (BPE tokenizer training)
         "embedding_profile": q.q_embedding_profile,  # NEW round 5 (feature-store stats)
         "fuzzy_token_match": q.q_fuzzy_token_match,  # NEW round 5 (SymSpell lev<=1 join)
         "cusum_daily": q.q_cusum_daily,  # NEW round 5 (sequential change detection)

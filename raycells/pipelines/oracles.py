@@ -2622,6 +2622,58 @@ def _horn_sql() -> str:
     """
 
 
+def _bpe_sql(k: int = 8) -> str:
+    """BPE merge-loop oracle (q_bpe_merges): k unrolled
+    count→argmax→replace steps over the word-frequency table. Symbol
+    sequences use the engine's '\\x02sym ' boundary-anchored encoding;
+    DuckDB replace() is the same greedy left-to-right non-overlapping
+    scan as Python str.replace, so each step rewrites identically."""
+    steps = []
+    for i in range(1, k + 1):
+        prev = f"v{i - 1}"
+        steps.append(f"""
+            t{i} AS (
+                SELECT v.n, rtrim(list_extract(string_split(v.seq, chr(2)),
+                           CAST(r.range + 2 AS INT))) AS sa,
+                       rtrim(list_extract(string_split(v.seq, chr(2)),
+                           CAST(r.range + 3 AS INT))) AS sb
+                FROM {prev} v, range(32) r
+                WHERE r.range < len(string_split(v.seq, chr(2))) - 2
+            ),
+            b{i} AS MATERIALIZED (
+                SELECT sa, sb, CAST(SUM(n) AS BIGINT) AS n
+                FROM t{i} GROUP BY sa, sb
+                ORDER BY n DESC, sa, sb LIMIT 1
+            ),
+            v{i} AS MATERIALIZED (
+                SELECT replace(v.seq,
+                               chr(2) || b.sa || ' ' || chr(2) || b.sb || ' ',
+                               chr(2) || b.sa || b.sb || ' ') AS seq, v.n
+                FROM {prev} v, b{i} b
+            )""")
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, sa || ' ' || sb AS pair, "
+        f"sa || sb AS merged, n FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return f"""
+        WITH wf AS MATERIALIZED (
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+            WHERE word <> '' GROUP BY word
+        ),
+        v0 AS MATERIALIZED (
+            SELECT string_agg(chr(2) || substr(word, CAST(r.range + 1 AS INT), 1)
+                              || ' ', '' ORDER BY r.range) AS seq, n
+            FROM wf, range(32) r WHERE r.range < length(word)
+            GROUP BY word, n
+        ),
+        {", ".join(steps)}
+        {finals}
+    """
+
+
 def build() -> dict:
     from raycells.text.analysis import LANG_MARKERS, STOPWORDS
 
@@ -2803,6 +2855,9 @@ def build() -> dict:
                    MIN(od), MAX(od)
             FROM d
         """,
+        # bpe_merges (q_bpe_merges): BPE tokenizer training — 8
+        # unrolled count→argmax→replace merge steps.
+        "bpe_merges": _bpe_sql(8),
         # embedding_profile (q_embedding_profile): per-dimension exact
         # quantized feature statistics (2^-20 — the shared recipe).
         "embedding_profile": """

@@ -7050,3 +7050,78 @@ def q_embedding_profile(sf_dir: str):
             for c in ("dim", "n", "sum_q", "min_q", "max_q", "n_pos", "sum_q2")
         }
     )
+
+
+def q_bpe_merges(sf_dir: str, k: int = 8):
+    """BPE tokenizer TRAINING (NEW round 5) — the byte-pair-encoding
+    merge loop every LLM tokenizer starts from: ``k`` merge steps over
+    the corpus word-frequency table. Each step counts adjacent symbol
+    pairs weighted by word frequency (positional pairs — overlaps
+    count), picks the (count DESC, pair ASC) argmax, and rewrites every
+    word by greedy left-to-right non-overlapping replacement (Python
+    ``str.replace`` ≡ DuckDB ``replace`` — the same greedy scan, which
+    is exactly what makes the two engines agree on 'a a a').
+
+    Shape at scale: this is how real BPE trainers run — the corpus
+    pass is ONE distributed word-count aggregate (per-batch np.unique
+    partials, one salted exchange); the merge loop then iterates on
+    the VOCABULARY-sized (word, freq) table, never on corpus rows
+    (driver-held here; at open-web vocab scale each count step is one
+    more tiny exchange over the same table). Oracle: k unrolled
+    count→argmax→replace CTE steps."""
+    ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["text"])
+
+    def word_counts(b: pa.Table) -> pa.Table:
+        _, flat, _ = ta._split(b["text"])
+        toks = flat.to_numpy(zero_copy_only=False)
+        toks = toks[np.char.str_len(toks.astype(str)) > 0]
+        vals, n = np.unique(toks, return_counts=True)
+        return pa.table(
+            {"word": pa.array(vals.astype(object), pa.string()),
+             "n": pa.array(n.astype(np.int64))}
+        )
+
+    wf = shuffle_mod.salted_aggregate(
+        ds.map_batches(word_counts, batch_format="pyarrow"),
+        key="word", sums=["n"], count_alias="_nb", salt=1,
+    ).to_pandas()
+    # Symbol sequences encoded as '\x02sym ' units: the \x02 start
+    # marker anchors every merge-pattern match to a symbol BOUNDARY —
+    # a plain space-separated form would false-match a pair (a, b)
+    # against a symbol merely ENDING in 'a' (e.g. 'xa b' ⊃ 'a b'); and
+    # each unit carrying its OWN trailing space lets the greedy
+    # non-overlapping replace take adjacent merges ('a b a b' → both).
+    def encode(word: str) -> str:
+        return "".join(f"\x02{c} " for c in word)
+
+    seqs = {encode(w): int(n) for w, n in zip(wf["word"], wf["sum_n"])}
+
+    out = {"step": [], "pair": [], "merged": [], "n": []}
+    for step in range(1, k + 1):  # k merge steps over the VOCAB table
+        counts: dict = {}
+        for seq, n in seqs.items():
+            syms = [u[:-1] for u in seq.split("\x02")[1:]]
+            for a, b in zip(syms, syms[1:]):  # positional pairs
+                counts[(a, b)] = counts.get((a, b), 0) + n
+        if not counts:
+            break
+        best_n = max(counts.values())
+        a, b = min(p for p, n in counts.items() if n == best_n)
+        out["step"].append(step)
+        out["pair"].append(f"{a} {b}")
+        out["merged"].append(a + b)
+        out["n"].append(best_n)
+        # distinct words stay distinct under merging (the concatenated
+        # content is invariant), so the dict comprehension is lossless
+        seqs = {
+            seq.replace(f"\x02{a} \x02{b} ", f"\x02{a}{b} "): n
+            for seq, n in seqs.items()
+        }
+    return pa.table(
+        {
+            "step": pa.array(np.array(out["step"], np.int64)),
+            "pair": pa.array(out["pair"], pa.string()),
+            "merged": pa.array(out["merged"], pa.string()),
+            "n": pa.array(np.array(out["n"], np.int64)),
+        }
+    )

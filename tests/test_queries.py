@@ -102,6 +102,7 @@ CHECKED = [
     "top_parts_by_brand",
     "customers_no_orders",
     "priority_revenue",
+    "bpe_merges",
     "embedding_profile",
     "fuzzy_token_match",
     "cusum_daily",
@@ -293,6 +294,37 @@ def test_fuzzy_match_adversarial_vocab(ray_session, tmp_path, contract):
     pairs = set(zip(got["probe"], got["word"]))
     assert ("a", "ba") in pairs  # probe of 'ab' matches 'ba' at dist 1
     assert ("aa", "aaa") in pairs and ("aa", "aa") in pairs
+
+
+def test_bpe_merges_boundary_anchor(ray_session, tmp_path, contract):
+    """The '\\x02sym ' encoding must anchor merges to symbol boundaries:
+    with corpus 'xab×2 xa×3 ab×2', step 1 merges (x,a) n=5, step 2
+    merges (a,b) n=2 (tie with (xa,b), lexicographic min wins) — and
+    that merge must NOT touch the [xa, b] sequences (a naive
+    space-separated replace would corrupt 'xa b' ⊃ 'a b' → 'xab'),
+    leaving step 3 = (xa,b) n=2. Hand-computed expectation + oracle
+    equality."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    queries, sqls = contract
+    docs = pa.table(
+        {"doc_id": [0], "text": ["xab xab xa xa xa ab ab"]}
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    con2 = duckdb.connect()
+    con2.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    got = _norm(_to_df(queries["bpe_merges"](str(tmp_path))))
+    want = _norm(con2.sql(sqls["bpe_merges"]).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    rows = _to_df(queries["bpe_merges"](str(tmp_path)))
+    rows = rows.sort_values("step").reset_index(drop=True)
+    assert list(rows["pair"]) == ["x a", "a b", "xa b"]
+    assert list(rows["merged"]) == ["xa", "ab", "xab"]
+    assert list(rows["n"]) == [5, 2, 2]
 
 
 def test_contamination_overlap_drop_rule(ray_session, tmp_path):
