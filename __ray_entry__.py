@@ -177,8 +177,10 @@ oracles in raycells/pipelines/oracles.py):
   statistics — the feature-store drift report, map-side only), and
   bpe_merges (BPE tokenizer training: one distributed word-count
   exchange + k boundary-anchored merge steps over the vocabulary
-  table; oracle = k unrolled count→argmax→replace CTEs).
-  EVERY driver
+  table; oracle = k unrolled count→argmax→replace CTEs), and
+  event_transitions (Markov user-journey transition matrix with
+  exact ppm out-edge shares — one user-bucket exchange, types²
+  partials). EVERY driver
   query hash-matches
   DuckDB, and ALL BUT ONE also run in the sf0.001 pytest replica
   (band_tile_stats is the single gate-only row — its 28M-cell SQL
@@ -225,7 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     sits in the first eight entries, then the round-3 additions, then
     the long-green tail. After the round-4 oracle rewrites the FULL
     gate costs ~58 s at sf0.01 (41 s Ray + 17 s DuckDB), so one
-    snapshot should now hold all 133. ALL queries hash-match DuckDB
+    snapshot should now hold all 134. ALL queries hash-match DuckDB
     locally at sf0.01 (the timed replica of the gate)."""
     from raycells.pipelines import queries as q
 
@@ -234,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (a) never driver-hash-checked (VERDICT r02 item #1) — first.
         # minhash_pairs precedes dedup_clusters so the cluster query
         # reuses the in-process verified-pair table.
+        "event_transitions": q.q_event_transitions,  # NEW round 5 (Markov journeys)
         "bpe_merges": q.q_bpe_merges,  # NEW round 5 (BPE tokenizer training)
         "embedding_profile": q.q_embedding_profile,  # NEW round 5 (feature-store stats)
         "fuzzy_token_match": q.q_fuzzy_token_match,  # NEW round 5 (SymSpell lev<=1 join)

@@ -2855,6 +2855,31 @@ def build() -> dict:
                    MIN(od), MAX(od)
             FROM d
         """,
+        # event_transitions (q_event_transitions): Markov transition
+        # counts under the (ts, event_id) order + exact ppm share of
+        # the source state's outgoing edges.
+        "event_transitions": """
+            WITH s AS (
+                SELECT CAST(user_id AS BIGINT) AS u, event_type,
+                       LAG(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_type
+                FROM events
+            ),
+            tr AS (
+                SELECT prev_type, event_type AS next_type,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM s WHERE prev_type IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            tot AS (
+                SELECT prev_type, CAST(SUM(n) AS BIGINT) AS out_n
+                FROM tr GROUP BY 1
+            )
+            SELECT tr.prev_type, tr.next_type, tr.n,
+                   CAST(tr.n * 1000000 // tot.out_n AS BIGINT) AS share_ppm
+            FROM tr JOIN tot USING (prev_type)
+        """,
         # bpe_merges (q_bpe_merges): BPE tokenizer training — 8
         # unrolled count→argmax→replace merge steps.
         "bpe_merges": _bpe_sql(8),

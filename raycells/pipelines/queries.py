@@ -7125,3 +7125,85 @@ def q_bpe_merges(sf_dir: str, k: int = 8):
             "n": pa.array(np.array(out["n"], np.int64)),
         }
     )
+
+
+def q_event_transitions(sf_dir: str):
+    """Markov TRANSITION matrix mining (NEW round 5) — the user-journey
+    analysis: counts of consecutive (prev event_type → next event_type)
+    steps within each user's timeline under the deterministic
+    (ts, event_id) order, plus each pair's share of its source state's
+    outgoing edges in exact parts-per-million (n·10⁶ // out_total).
+
+    Shape at scale: the user_gaps window shape — ONE coarse-bucket
+    exchange on hash(user_id) co-locates each user's events; per bucket
+    one vectorized lexsort + shifted comparison yields every
+    transition, collapsed to ≤ types² partial rows per bucket; the
+    driver folds the types²-bounded matrix (never row-scale)."""
+    from raycells.engine.shuffle import add_bucket
+
+    ds = _read(
+        sf_dir, "events", SMALL_TABLE_BLOCKS,
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        us = (
+            b["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "event_type": b["event_type"],
+                "ts_us": pa.array(us),
+            }
+        )
+
+    def transitions(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        e = g["event_id"].to_numpy(zero_copy_only=False)
+        t = g["ts_us"].to_numpy(zero_copy_only=False)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, t, u))
+        u, et = u[order], et[order]
+        same = u[1:] == u[:-1]
+        df = pd.DataFrame(
+            {"prev_type": et[:-1][same], "next_type": et[1:][same]}
+        )
+        part = (
+            df.groupby(["prev_type", "next_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        part["n"] = part["n"].astype(np.int64)
+        return shuffle_mod.from_pandas_clean(part)
+
+    nb = shuffle_mod.scaled_buckets()  # driver-side, once per pipeline
+    parts = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .map_batches(
+            lambda b, nb=nb: add_bucket(b, "user_id", nb),
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(transitions, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = (
+        parts.groupby(["prev_type", "next_type"], sort=False, as_index=False)["n"]
+        .sum()
+    )
+    out_tot = out.groupby("prev_type")["n"].transform("sum")
+    out["share_ppm"] = (
+        out["n"].to_numpy(np.int64) * np.int64(1_000_000)
+    ) // out_tot.to_numpy(np.int64)
+    return pa.table(
+        {
+            "prev_type": pa.array(out["prev_type"], pa.string()),
+            "next_type": pa.array(out["next_type"], pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64)),
+            "share_ppm": pa.array(out["share_ppm"].to_numpy(np.int64)),
+        }
+    )
