@@ -6641,9 +6641,11 @@ def q_value_ntiles(sf_dir: str):
         want = ray.get(need_ref)
         et, x, key = keyed(b)
         rng = bidx(x)
-        keep = np.fromiter(
-            ((e, int(r)) in want for e, r in zip(et, rng)), bool, len(et)
-        )
+        # vectorized membership: |want| ≤ types × 3 (constant), so the
+        # loop is over TARGETS, never over rows
+        keep = np.zeros(len(et), bool)
+        for e, r in want:
+            keep |= (et == e) & (rng == r)
         return pa.table(
             {
                 "event_type": pa.array(et[keep]),
