@@ -243,7 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_daily": q.q_cusum_daily,  # NEW round 5 (sequential change detection)
         "value_ntiles": q.q_value_ntiles,  # NEW round 5 (distributed NTILE)
         "column_profile": q.q_column_profile,  # NEW round 5 (data-quality profile)
-        "ordered_funnel": q.q_ordered_funnel,  # NEW round 5 (sequence conversion)  # NEW round 5 (sequence conversion)
+        "ordered_funnel": q.q_ordered_funnel,  # NEW round 5 (sequence conversion)
         "mosaic_blend": q.q_mosaic_blend,  # NEW round 5 (multi-tile raster combine)
         "aspect_octants": q.q_aspect_octants,  # NEW round 5 (terrain aspect classes)
         "event_ohlc": q.q_event_ohlc,  # NEW round 5 (time-bar OHLC)

@@ -443,16 +443,19 @@ def synth_band_horn(
     cols = c0 + np.arange(w)
     gx = np.zeros((len(s), h * w), dtype=np.int64)
     gy = np.zeros((len(s), h * w), dtype=np.int64)
-    for (dy, dx), wt in _HORN_GX.items():
+    # the 4 corner taps appear in BOTH weight dicts — decode each of
+    # the 8 unique offsets ONCE and accumulate into both gradients
+    for dy, dx in sorted(set(_HORN_GX) | set(_HORN_GY)):
         yy = np.clip(rows + dy, 0, TILE_H - 1)
         xx = np.clip(cols + dx, 0, TILE_W - 1)
         i = (yy[:, None] * TILE_W + xx[None, :]).reshape(1, -1)
-        gx += wt * _band_values_at(s, i, band)
-    for (dy, dx), wt in _HORN_GY.items():
-        yy = np.clip(rows + dy, 0, TILE_H - 1)
-        xx = np.clip(cols + dx, 0, TILE_W - 1)
-        i = (yy[:, None] * TILE_W + xx[None, :]).reshape(1, -1)
-        gy += wt * _band_values_at(s, i, band)
+        v = _band_values_at(s, i, band)
+        wx = _HORN_GX.get((dy, dx))
+        if wx:
+            gx += wx * v
+        wy = _HORN_GY.get((dy, dx))
+        if wy:
+            gy += wy * v
     return gx, gy
 
 

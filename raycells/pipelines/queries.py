@@ -6085,6 +6085,18 @@ def q_pmi_collocations(sf_dir: str, min_count: int = 3, k: int = 30):
     uni_map = dict(zip(uni["tok"], uni["sum_n"].astype(np.int64)))
 
     cand = big[big["sum_n"] >= min_count].copy()
+    if not len(cand):  # expand=True on an empty Series yields 0 columns
+        return pa.table(
+            {
+                "tok_a": pa.array([], pa.string()),
+                "tok_b": pa.array([], pa.string()),
+                "n_pair": pa.array([], pa.int64()),
+                "n_a": pa.array([], pa.int64()),
+                "n_b": pa.array([], pa.int64()),
+                "pmi_e6": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
     toks = cand["bigram"].str.split(" ", n=1, expand=True)
     n_xy = cand["sum_n"].to_numpy(np.int64)
     n_a = toks[0].map(uni_map).to_numpy(np.int64)
@@ -6136,9 +6148,11 @@ def q_lexical_search(sf_dir: str, k: int = 10):
     the term table in the closure, computes tf per doc with one
     bincount over the token parent index per term, and streams
     (query, doc, score) into grouped_topk — only per-batch top-k
-    survivors cross the exchange. int64 bound: idf_e6·44·tf·T < 2^63
-    holds to ~10¹² total tokens at df ≥ N/10³; beyond that, rescore
-    in bigints (the pmi_collocations pattern)."""
+    survivors cross the exchange. int64 bound: the product
+    idf_e6·44·tf·T is guarded PER BATCH — when it could reach 2^62
+    (rare terms on large corpora: idf_e6 ≤ 10⁶·D/df), the affected
+    term's hit rows rescore through Python bigints, so rankings never
+    silently wrap (numpy would; the SQL BIGINT throws)."""
     from raycells.engine.joins import grouped_topk
 
     terms = sorted({t for _, ts in _SEARCH_QUERIES for t in ts})
@@ -6194,9 +6208,20 @@ def q_lexical_search(sf_dir: str, k: int = 10):
                     continue
                 tf = tfs[t]
                 idf_e6 = D * 1_000_000 // df
-                num = 44 * tf * T
-                den = 20 * tf * T + 6 * T + 18 * dl * D
-                s += np.where(tf > 0, idf_e6 * num // den, 0)
+                tf_max = int(tf.max()) if tf.size else 0
+                if idf_e6 * 44 * tf_max * T < 1 << 62:
+                    num = 44 * tf * T
+                    den = 20 * tf * T + 6 * T + 18 * dl * D
+                    s += np.where(tf > 0, idf_e6 * num // den, 0)
+                else:
+                    # bigint fallback on the term's HIT rows only —
+                    # numpy int64 would wrap silently here
+                    for i in np.flatnonzero(tf > 0):
+                        tfi, dli = int(tf[i]), int(dl[i])
+                        s[i] += (
+                            idf_e6 * (44 * tfi * T)
+                            // (20 * tfi * T + 6 * T + 18 * dli * D)
+                        )
             hit = s > 0
             out_q.append(np.full(int(hit.sum()), qid, dtype=object))
             out_d.append(doc_id[hit])
@@ -6722,20 +6747,23 @@ def q_column_profile(sf_dir: str):
             "o_orderdate")
     ds = _read(sf_dir, "orders", SMALL_TABLE_BLOCKS, columns=list(COLS)).materialize()
 
-    def as_strings(b: pa.Table) -> dict:
+    INT_COLS = ("o_orderkey", "o_custkey")
+
+    def as_strings(b: pa.Table, cols=COLS) -> dict:
+        """String view of ``cols`` only — the stats pass skips the int
+        columns' astype('U') (it folds their extrema numerically; only
+        the distinct pass needs every column as strings)."""
         out = {}
-        for c in COLS:
+        for c in cols:
             if c == "o_orderdate":
                 out[c] = pc.strftime(b[c], format="%Y-%m-%d").to_numpy(
                     zero_copy_only=False
                 )
-            elif c in ("o_orderkey", "o_custkey"):
+            elif c in INT_COLS:
                 out[c] = b[c].to_numpy(zero_copy_only=False).astype("U")
             else:
                 out[c] = b[c].to_numpy(zero_copy_only=False)
         return out
-
-    INT_COLS = ("o_orderkey", "o_custkey")
 
     def stat_partials(b: pa.Table) -> pa.Table:
         # int columns fold their extrema NUMERICALLY (a string fold
@@ -6743,7 +6771,7 @@ def q_column_profile(sf_dir: str):
         # string (binary collation == DuckDB MIN/MAX on ASCII;
         # '%Y-%m-%d' sorts chronologically). None/NaN on the unused
         # side — the pandas fold skips them.
-        vals = as_strings(b)
+        vals = as_strings(b, [c for c in COLS if c not in INT_COLS])
         rows = {"col": [], "n_nonnull": [], "n_null": [],
                 "min_i": [], "max_i": [], "min_s": [], "max_s": []}
         for c in COLS:  # constant column loop, vectorized inside

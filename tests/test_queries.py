@@ -297,6 +297,27 @@ def test_fuzzy_match_adversarial_vocab(ray_session, tmp_path, contract):
     assert ("aa", "aaa") in pairs and ("aa", "aa") in pairs
 
 
+def test_pmi_collocations_no_candidates(ray_session, tmp_path, contract):
+    """When no bigram reaches min_count the engine must return a TYPED
+    empty table matching the oracle (str.split(expand=True) on an empty
+    Series used to yield a 0-column frame and crash)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    queries, sqls = contract
+    docs = pa.table({"doc_id": [0, 1], "text": ["a b c d e", "f g h i j"]})
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    con2 = duckdb.connect()
+    con2.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    got = _norm(_to_df(queries["pmi_collocations"](str(tmp_path))))
+    want = _norm(con2.sql(sqls["pmi_collocations"]).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want) == 0
+
+
 def test_bpe_merges_boundary_anchor(ray_session, tmp_path, contract):
     """The '\\x02sym ' encoding must anchor merges to symbol boundaries:
     with corpus 'xab×2 xa×3 ab×2', step 1 merges (x,a) n=5, step 2

@@ -1,7 +1,7 @@
 """Local replica of the driver's correctness gate: run queries()[name]
 and oracle_sql()[name] at sf0.01, compare rows/schema/value-hash.
 
-    python tools/check_parity.py [name ...]   # default: all 120
+    python tools/check_parity.py [name ...]   # default: every registered query
     python tools/check_parity.py --json OUT.json [name ...]
                                  # also write a gate-style JSON artifact
 """
