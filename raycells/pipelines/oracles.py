@@ -2622,6 +2622,80 @@ def _horn_sql() -> str:
     """
 
 
+def _join_size_sql(w: int = 16) -> str:
+    """CMS inner-product join-size estimate (q_join_size_estimate):
+    per sketch row r, bucket(k) = murmur64(k XOR r·φ64) mod w over the
+    RAW integer key (no polynomial hashing — the keys are ints), dot_r
+    = Σ_bucket counterA·counterB, paired with the exact join size and
+    the est ≥ true flag. Same murmur chain the cms_heavy_hitters
+    oracle pins."""
+    c1 = 0xFF51AFD7ED558CCD
+    c2 = 0xC4CEB9FE1A85EC53
+    phi = 0x9E3779B97F4A7C15
+    parts = [
+        """
+        WITH ea AS MATERIALIZED (
+            SELECT CAST(user_id AS BIGINT) AS k,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        ),
+        ob AS MATERIALIZED (
+            SELECT CAST(o_custkey AS BIGINT) AS k,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1
+        ),
+        keys AS MATERIALIZED (
+            SELECT k, CAST(k AS UBIGINT) AS th
+            FROM (SELECT k FROM ea UNION SELECT k FROM ob)
+        )"""
+    ]
+    for r in range(4):
+        salt = (phi * r) % (1 << 64)
+        x0 = "th" if salt == 0 else f"xor(th, CAST('{salt}' AS UBIGINT))"
+        parts.append(
+            f"""
+        , j{r}a AS (SELECT k, {x0} AS h FROM keys),
+        j{r}b AS (SELECT k, xor(h, h >> 33) AS h FROM j{r}a),
+        j{r}c AS (SELECT k, {_mulmod64('h', c1)} AS h FROM j{r}b),
+        j{r}d AS (SELECT k, xor(h, h >> 33) AS h FROM j{r}c),
+        j{r}e AS (SELECT k, {_mulmod64('h', c2)} AS h FROM j{r}d),
+        jb{r} AS (
+            SELECT k, CAST({r} AS BIGINT) AS r,
+                   CAST(xor(h, h >> 33) % {w} AS BIGINT) AS bucket
+            FROM j{r}e
+        )"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM jb{r}" for r in range(4))
+    parts.append(
+        f"""
+        , bks AS MATERIALIZED ({union}),
+        ca AS (
+            SELECT b.r, b.bucket, CAST(SUM(e.n) AS BIGINT) AS c
+            FROM bks b JOIN ea e ON e.k = b.k GROUP BY 1, 2
+        ),
+        cb AS (
+            SELECT b.r, b.bucket, CAST(SUM(o.n) AS BIGINT) AS c
+            FROM bks b JOIN ob o ON o.k = b.k GROUP BY 1, 2
+        ),
+        dots AS (
+            SELECT ca.r,
+                   CAST(SUM(CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS dot
+            FROM ca JOIN cb ON cb.r = ca.r AND cb.bucket = ca.bucket
+            GROUP BY ca.r
+        ),
+        tru AS (
+            SELECT CAST(SUM(CAST(e.n AS HUGEINT) * o.n) AS BIGINT) AS true_n
+            FROM ea e JOIN ob o ON o.k = e.k
+        )
+        SELECT d.r, d.dot, tru.true_n,
+               CAST(CASE WHEN d.dot >= tru.true_n THEN 1 ELSE 0 END
+                    AS BIGINT) AS upper_ok
+        FROM dots d CROSS JOIN tru
+        """
+    )
+    return "".join(parts)
+
+
 def _bpe_sql(k: int = 8) -> str:
     """BPE merge-loop oracle (q_bpe_merges): k unrolled
     count→argmax→replace steps over the word-frequency table. Symbol
@@ -2855,6 +2929,9 @@ def build() -> dict:
                    MIN(od), MAX(od)
             FROM d
         """,
+        # join_size_estimate (q_join_size_estimate): CMS inner-product
+        # join-cardinality estimate vs the exact size.
+        "join_size_estimate": _join_size_sql(16),
         # event_transitions (q_event_transitions): Markov transition
         # counts under the (ts, event_id) order + exact ppm share of
         # the source state's outgoing edges.

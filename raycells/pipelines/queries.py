@@ -7237,3 +7237,84 @@ def q_event_transitions(sf_dir: str):
             "share_ppm": pa.array(out["share_ppm"].to_numpy(np.int64)),
         }
     )
+
+
+def q_join_size_estimate(sf_dir: str):
+    """JOIN-SIZE ESTIMATION via count-min sketch inner products (NEW
+    round 5) — the query-planning primitive: |events ⋈ orders| on
+    (user_id = o_custkey) estimated as min over sketch rows r of
+    ⟨cmsA[r], cmsB[r]⟩, paired with the EXACT size so the gate pins
+    both the estimator arithmetic and the est ≥ true upper-bound law
+    (w = 16 keeps every row in the collision regime). One output row
+    per sketch row: (r, dot, true_n, upper_ok).
+
+    Shape at scale: each side folds into ONE (4, w) counter matrix
+    (per-batch blobs, single-task merge — keys never move; the
+    cms_heavy_hitters shape); the exact size co-partitions the two
+    per-key count aggregates through hash_join and folds the bounded
+    product stream. int64 bound: dot ≤ |A|·|B| — beyond ~3×10⁹ rows a
+    side, fold the dots in Python bigints (SQL side already sums in
+    HUGEINT)."""
+    import ray
+
+    from raycells.engine.joins import hash_join
+    from raycells.sim.sketch import CMS_D, cms_build
+
+    W = 16
+    # each side feeds BOTH the sketch pass and the exact count pass
+    ev = _read(sf_dir, "events", SMALL_TABLE_BLOCKS, columns=["user_id"]).materialize()
+    od = _read(sf_dir, "orders", SMALL_TABLE_BLOCKS, columns=["o_custkey"]).materialize()
+
+    ca = cms_build(
+        ev,
+        lambda b: b["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64),
+        w=W,
+    )
+    cb = cms_build(
+        od,
+        lambda b: b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.uint64),
+        w=W,
+    )
+    A, B = ray.get(ca), ray.get(cb)
+    dots = (A * B).sum(axis=1).astype(np.int64)
+
+    def keyed(col):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table({"k": pc.cast(b[col], pa.int64())})
+
+        return fn
+
+    na = shuffle_mod.salted_aggregate(
+        ev.map_batches(keyed("user_id"), batch_format="pyarrow"),
+        key="k", count_alias="n_a", salt=1,
+    )
+    nb = shuffle_mod.salted_aggregate(
+        od.map_batches(keyed("o_custkey"), batch_format="pyarrow"),
+        key="k", count_alias="n_b", salt=1,
+    )
+    joined = hash_join(
+        na, nb, key_left="k", key_right="k",
+        keep_left=["n_a"], keep_right=["n_b"],
+    )
+    prods = joined.map_batches(
+        lambda b: pa.table(
+            {
+                "p": pa.array(
+                    (
+                        b["n_a"].to_numpy(zero_copy_only=False)
+                        * b["n_b"].to_numpy(zero_copy_only=False)
+                    ).astype(np.int64)
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    true_n = int(prods["p"].sum())
+    return pa.table(
+        {
+            "r": pa.array(np.arange(CMS_D, dtype=np.int64)),
+            "dot": pa.array(dots),
+            "true_n": pa.array(np.full(CMS_D, true_n, np.int64)),
+            "upper_ok": pa.array((dots >= true_n).astype(np.int64)),
+        }
+    )
