@@ -7296,19 +7296,16 @@ def q_join_size_estimate(sf_dir: str):
         na, nb, key_left="k", key_right="k",
         keep_left=["n_a"], keep_right=["n_b"],
     )
-    prods = joined.map_batches(
-        lambda b: pa.table(
-            {
-                "p": pa.array(
-                    (
-                        b["n_a"].to_numpy(zero_copy_only=False)
-                        * b["n_b"].to_numpy(zero_copy_only=False)
-                    ).astype(np.int64)
-                )
-            }
-        ),
-        batch_format="pyarrow",
-    ).to_pandas()
+    def prod_partial(b: pa.Table) -> pa.Table:
+        # map-side fold: ONE partial row per batch reaches the driver,
+        # not one row per join key (key cardinality is unbounded)
+        p = (
+            b["n_a"].to_numpy(zero_copy_only=False)
+            * b["n_b"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.table({"p": pa.array([int(p.sum())], pa.int64())})
+
+    prods = joined.map_batches(prod_partial, batch_format="pyarrow").to_pandas()
     true_n = int(prods["p"].sum())
     return pa.table(
         {
