@@ -2622,6 +2622,28 @@ def _horn_sql() -> str:
     """
 
 
+# brute-force cosine top-k over the embeddings (q_knn_embeddings);
+# also spliced into the ann_recall_eval oracle as the exact side
+_KNN_EMB_SQL = """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings WHERE vec_id < 3
+            ),
+            sims AS (
+                SELECT q.query_id, e.vec_id,
+                       FLOOR(list_cosine_similarity(q.qe, e.embedding) * 1000000 + 0.5) / 1000000 AS sim
+                FROM embeddings e CROSS JOIN q
+            ),
+            ranked AS (
+                SELECT query_id, vec_id,
+                       CAST(ROW_NUMBER() OVER
+                            (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+                FROM sims
+            )
+            SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 10
+        """
+
+
 def _join_size_sql(w: int = 16) -> str:
     """CMS inner-product join-size estimate (q_join_size_estimate):
     per sketch row r, bucket(k) = murmur64(k XOR r·φ64) mod w over the
@@ -2932,6 +2954,29 @@ def build() -> dict:
         # join_size_estimate (q_join_size_estimate): CMS inner-product
         # join-cardinality estimate vs the exact size.
         "join_size_estimate": _join_size_sql(16),
+        # ann_recall_eval (q_ann_recall_eval): recall@10 of the LSH ANN
+        # vs exact brute force — both chains spliced as subqueries, so
+        # the eval inherits their pinned determinism.
+        "ann_recall_eval": f"""
+            WITH ann AS MATERIALIZED (
+                SELECT query_id, vec_id FROM ({_ann_lsh_sql()}) t
+            ),
+            ex AS MATERIALIZED (
+                SELECT query_id, vec_id FROM ({_KNN_EMB_SQL}) t
+            ),
+            hits AS (
+                SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+                FROM ann a JOIN ex e USING (query_id, vec_id)
+                GROUP BY 1
+            )
+            SELECT q.query_id,
+                   COALESCE(h.n_hit, 0) AS n_hit,
+                   CAST(10 AS BIGINT) AS k,
+                   CAST(COALESCE(h.n_hit, 0) * 1000000 // 10 AS BIGINT)
+                       AS recall_e6
+            FROM (SELECT DISTINCT query_id FROM ex) q
+            LEFT JOIN hits h ON h.query_id = q.query_id
+        """,
         # event_transitions (q_event_transitions): Markov transition
         # counts under the (ts, event_id) order + exact ppm share of
         # the source state's outgoing edges.
@@ -4857,24 +4902,7 @@ FROM per p LEFT JOIN newh n USING (shard)
             WHERE c_acctbal < 0
             GROUP BY c_nationkey
         """,
-        "knn_embeddings": """
-            WITH q AS (
-                SELECT vec_id AS query_id, embedding AS qe
-                FROM embeddings WHERE vec_id < 3
-            ),
-            sims AS (
-                SELECT q.query_id, e.vec_id,
-                       FLOOR(list_cosine_similarity(q.qe, e.embedding) * 1000000 + 0.5) / 1000000 AS sim
-                FROM embeddings e CROSS JOIN q
-            ),
-            ranked AS (
-                SELECT query_id, vec_id,
-                       CAST(ROW_NUMBER() OVER
-                            (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
-                FROM sims
-            )
-            SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 10
-        """,
+        "knn_embeddings": _KNN_EMB_SQL,
     }
     # source-format-independence rows share the parquet-view oracle:
     # the engine reads CSV shards, the SQL reads the parquet view —

@@ -7315,3 +7315,31 @@ def q_join_size_estimate(sf_dir: str):
             "upper_ok": pa.array((dots >= true_n).astype(np.int64)),
         }
     )
+
+
+def q_ann_recall_eval(sf_dir: str):
+    """ANN quality EVALUATION (NEW round 5) — recall@10 of the sign-LSH
+    index against exact brute force, the metric every ANN deployment
+    tracks: per query, |approx top-10 ∩ exact top-10| and its exact e6
+    fraction. Composes the two existing distributed retrieval
+    pipelines; the overlap join runs on their (queries × k)-sized
+    results — driver traffic is bounded by the k-row lists, never the
+    corpus. The oracle splices both pinned SQL chains as subqueries,
+    so the eval inherits their determinism."""
+    ann = q_ann_lsh(sf_dir).to_pandas()
+    ex = q_knn_embeddings(sf_dir).to_pandas()
+    hits = (
+        ann.merge(ex, on=["query_id", "vec_id"])
+        .groupby("query_id")
+        .size()
+    )
+    qids = np.sort(ex["query_id"].unique())
+    n_hit = hits.reindex(qids).fillna(0).to_numpy(np.int64)
+    return pa.table(
+        {
+            "query_id": pa.array(qids.astype(np.int64)),
+            "n_hit": pa.array(n_hit),
+            "k": pa.array(np.full(len(qids), 10, np.int64)),
+            "recall_e6": pa.array(n_hit * np.int64(1_000_000) // np.int64(10)),
+        }
+    )
