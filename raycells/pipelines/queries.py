@@ -6887,7 +6887,9 @@ def q_fuzzy_token_match(sf_dir: str):
     candidate join must reproduce it EXACTLY (recall 1.0)."""
     from raycells.engine.shuffle import add_bucket
 
-    W = 16  # max token width for the char matrices (fixture max is 8)
+    W = 16  # baseline char-matrix width (fixture max is 8); the verify
+    # WIDENS per candidate batch rather than raising on long tokens —
+    # the chunk_docs length-cap lesson (VERDICT r4 #1)
 
     ds = _read(sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["text"])
 
@@ -6974,9 +6976,12 @@ def q_fuzzy_token_match(sf_dir: str):
                 {"probe": pa.array([], pa.string()),
                  "word": pa.array([], pa.string())}
             )
-        ok = ta.lev1_pairs_mask(
-            cand["word_x"].to_numpy(), cand["word_y"].to_numpy(), width=W
+        wx, wy = cand["word_x"].to_numpy(), cand["word_y"].to_numpy()
+        wmax = max(
+            int(np.char.str_len(wx.astype(str)).max()),
+            int(np.char.str_len(wy.astype(str)).max()),
         )
+        ok = ta.lev1_pairs_mask(wx, wy, width=max(W, wmax))
         return pa.table(
             {
                 "probe": pa.array(cand["word_x"].to_numpy()[ok], pa.string()),

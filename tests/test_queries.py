@@ -279,7 +279,12 @@ def test_fuzzy_match_adversarial_vocab(ray_session, tmp_path, contract):
     import pyarrow.parquet as pq
 
     queries, sqls = contract
-    vocab = "ab ba aba aa aaa axxb ayyb xyz xz hello hullo help x helo"
+    # the two 40-char words sit past the 16-char baseline width: the
+    # verify must WIDEN (they differ at distance 1), not raise
+    vocab = (
+        "ab ba aba aa aaa axxb ayyb xyz xz hello hullo help x helo "
+        + "q" * 40 + " " + "q" * 39 + "r"
+    )
     docs = pa.table({"doc_id": [0], "text": [vocab]})
     pq.write_table(docs, str(tmp_path / "documents.parquet"))
     con2 = duckdb.connect()

@@ -607,3 +607,16 @@ def test_lev1_pairs_mask_property():
         assert (got == want).all(), list(zip(A, B, got, want))
 
     check()
+
+
+def test_fuzzy_match_long_tokens(tmp_path):
+    """Tokens longer than the 16-char baseline width must widen the
+    verify matrices, not raise (the chunk_docs length-cap lesson)."""
+    import numpy as np
+
+    from raycells.text.analysis import lev1_pairs_mask
+
+    a = np.array(["x" * 40, "y" * 40], dtype=object)
+    b = np.array(["x" * 39 + "z", "y" * 41], dtype=object)
+    got = lev1_pairs_mask(a, b, width=41)
+    assert got.tolist() == [True, True]
