@@ -93,14 +93,22 @@ def process_fragment(frag_path: str, frag_out: str, level: int = 8) -> dict:
     }
 
 
-def _sink_job(job, input_dir, out_dir, sink_sub, build, params=None) -> dict:
+def _sink_job(
+    job, input_dir, out_dir, sink_sub, build, params=None, extra_sinks=None
+) -> dict:
     """Shared manifested-sink job skeleton: ``build(sink_dir)`` streams
     its output to ``out/<sink_sub>/*.parquet`` and returns the
     ``sink_to_parquet``-style summary; ONE manifest row publishes
     completion + counts via atomic rename. Re-running with the manifest
-    present is a no-op — but only after verifying the sink's parquet
+    present is a no-op — but only after verifying (a) the sink's parquet
     file count still matches (a deleted/partially-lost sink would
-    otherwise report skipped with stale counts forever — ADVICE r4)."""
+    otherwise report skipped with stale counts forever — ADVICE r4),
+    (b) the manifest's recorded INPUT and PARAMS equal this call's (a
+    re-run over a different corpus or threshold must recompute, not
+    return the old results with a success status), and (c) every
+    ``extra_sinks`` entry ({manifest_key: subdir}) still matches its
+    recorded file count (a multi-sink job's secondary output can be
+    lost independently)."""
     man_path = os.path.join(out_dir, "manifest", f"{job}.json")
     sink_dir = os.path.join(out_dir, sink_sub)
     if os.path.exists(man_path):
@@ -111,7 +119,19 @@ def _sink_job(job, input_dir, out_dir, sink_sub, build, params=None) -> dict:
             entry = None  # torn manifest → recompute
         if entry is not None:
             n_on_disk = len(glob.glob(os.path.join(sink_dir, "*.parquet")))
-            if n_on_disk == entry.get("n_files"):
+            ok = (
+                n_on_disk == entry.get("n_files")
+                and entry.get("input") == input_dir
+                and all(entry.get(k) == v for k, v in (params or {}).items())
+            )
+            for key, sub in (extra_sinks or {}).items():
+                if not ok:
+                    break
+                got = len(
+                    glob.glob(os.path.join(out_dir, sub, "*.parquet"))
+                )
+                ok = got == (entry.get(key) or {}).get("n_files")
+            if ok:
                 return {"done": [], "skipped": [job], "manifest": entry}
     os.makedirs(os.path.dirname(man_path), exist_ok=True)
     t0 = time.perf_counter()
@@ -233,20 +253,16 @@ def run_chunk_dedup_job(docs_dir: str, out_dir: str) -> dict:
     → generic winner reduction streamed to ``out/chunks/*.parquet``
     (VERDICT r4 #2 — duplicated-chunk winners are corpus-scale on a
     boilerplate-heavy crawl; they never concat on the driver)."""
-    from raycells.engine import shuffle as shuffle_mod
+    from raycells.engine import stages
     from raycells.text.analysis import chunk_fingerprints
 
     def build(sink_dir):
         chunks = _docs_text(docs_dir).map_batches(
-            lambda b: chunk_fingerprints(b, id_col="doc_key").select(
-                ["chunk_hash", "doc_key", "chunk_idx"]
-            ),
+            lambda b: chunk_fingerprints(b, id_col="doc_key"),
             batch_format="pyarrow",
         )
-        return shuffle_mod.exact_dedup_winners(
-            chunks, key="chunk_hash", tie_cols=("doc_key", "chunk_idx"),
-            sink_dir=sink_dir,
-        )
+        # the SAME reduction definition the q_chunk_dedup gate query runs
+        return stages.chunk_dedup_winners(chunks, sink_dir=sink_dir)
 
     return _sink_job("chunk_dedup", docs_dir, out_dir, "chunks", build)
 
@@ -256,19 +272,13 @@ def run_media_dedup_job(docs_dir: str, out_dir: str) -> dict:
     decode→content-hash per media span → generic winner reduction
     (one row per DISTINCT content + copy count) streamed to
     ``out/media/*.parquet``."""
-    from raycells.engine import shuffle as shuffle_mod, stages
+    from raycells.engine import stages
     from raycells.io import docsource
 
     def build(sink_dir):
         ex = pl.explode_stage(docsource.read_documents_media(docs_dir))
-        hashed = ex.map_batches(
-            lambda b: stages.band_content_hash(b, band=4),
-            batch_format="pyarrow",
-        )
-        return shuffle_mod.exact_dedup_winners(
-            hashed, key="content_hash", tie_cols=("doc_id", "span_idx"),
-            sink_dir=sink_dir, dups_only=False,
-        )
+        # the SAME pipeline definition the q_media_dedup gate query runs
+        return stages.media_dedup_winners(ex, sink_dir=sink_dir)
 
     return _sink_job("media_dedup", docs_dir, out_dir, "media", build)
 
@@ -282,8 +292,8 @@ def run_stats_dedup_job(docs_dir: str, out_dir: str) -> dict:
     the salted per-cell aggregate (``out/cells/*.parquet``) and the
     winner reduction (``out/media_sd/*.parquet``). At 100 TB the decode
     dominates; running stats and dedup as separate jobs would double
-    it. The skip path re-verifies the winner sink's file count (the
-    ADVICE r4 rule); the cells dir is rebuilt with it."""
+    it. The skip path re-verifies BOTH sinks' file counts (the ADVICE
+    r4 rule, extended: a lost cells dir alone must trigger a rebuild)."""
     from raycells.engine import shuffle as shuffle_mod, stages
     from raycells.engine.checkpoint import sink_to_parquet
     from raycells.io import docsource
@@ -321,7 +331,10 @@ def run_stats_dedup_job(docs_dir: str, out_dir: str) -> dict:
         )
         return {**winners, "cells": cell_sum}
 
-    return _sink_job("stats_dedup", docs_dir, out_dir, "media_sd", build)
+    return _sink_job(
+        "stats_dedup", docs_dir, out_dir, "media_sd", build,
+        extra_sinks={"cells": "cells"},  # the skip path re-verifies BOTH
+    )
 
 
 def run_span_dedup_job(docs_dir: str, out_dir: str) -> dict:

@@ -608,3 +608,36 @@ def broadcast_task(cls, ref, *args):
 def pip_join_task(footprints_ref):
     """Task-stage broadcast PIP join (see ``broadcast_task``)."""
     return broadcast_task(PIPJoiner, footprints_ref)
+
+
+def media_dedup_winners(exploded_ds, sink_dir=None, dups_only=False):
+    """Shared decode→content-hash→winner reduction used by BOTH the
+    ``q_media_dedup`` gate query and ``driver --mode media-dedup`` —
+    one definition so the hash band, tie columns, and dups_only flag
+    can never diverge between the gate and the production sink."""
+    from raycells.engine import shuffle as shuffle_mod
+
+    hashed = exploded_ds.map_batches(
+        lambda b: band_content_hash(b, band=4), batch_format="pyarrow"
+    )
+    return shuffle_mod.exact_dedup_winners(
+        hashed, key="content_hash", tie_cols=("doc_id", "span_idx"),
+        sink_dir=sink_dir, dups_only=dups_only,
+    )
+
+
+def chunk_dedup_winners(chunks_ds, sink_dir=None):
+    """Shared chunk-fingerprint winner reduction used by BOTH the
+    ``q_chunk_dedup`` gate query and ``driver --mode chunk-dedup``:
+    projects the (chunk_hash, doc_key, chunk_idx) triple and runs the
+    generic exact-dedup reduction (duplicated contents only)."""
+    from raycells.engine import shuffle as shuffle_mod
+
+    sel = chunks_ds.map_batches(
+        lambda b: b.select(["chunk_hash", "doc_key", "chunk_idx"]),
+        batch_format="pyarrow",
+    )
+    return shuffle_mod.exact_dedup_winners(
+        sel, key="chunk_hash", tie_cols=("doc_key", "chunk_idx"),
+        sink_dir=sink_dir,
+    )

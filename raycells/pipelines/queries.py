@@ -3468,14 +3468,9 @@ def q_chunk_dedup(sf_dir: str, sink_dir: str | None = None):
     chunk_idx) canonical occurrence. With ``sink_dir`` the winners
     STREAM to partitioned parquet (summary dict back) — the 100-TB
     path; the collect path stays output-sized for the gate."""
-    chunks = q_chunk_docs(sf_dir).map_batches(
-        lambda b: b.select(["chunk_hash", "doc_key", "chunk_idx"]),
-        batch_format="pyarrow",
-    )
-    out = shuffle_mod.exact_dedup_winners(
-        chunks, key="chunk_hash", tie_cols=("doc_key", "chunk_idx"),
-        sink_dir=sink_dir,
-    )
+    # shared pipeline body (engine/stages.chunk_dedup_winners): the
+    # driver's --mode chunk-dedup sink runs the SAME definition
+    out = stages.chunk_dedup_winners(q_chunk_docs(sf_dir), sink_dir=sink_dir)
     if sink_dir is not None or out is not None:
         return out
     return pa.table(
@@ -3678,7 +3673,10 @@ def q_range_partition(sf_dir: str, n_parts: int = 16, sample_mod: int = 97):
             }
         )
 
-    narrow = ds.map_batches(cents, batch_format="pyarrow")
+    narrow = ds.map_batches(
+        cents, batch_format="pyarrow"
+    ).materialize()  # the splitter sample AND the assign pass read this
+    # — without it the lineitem scan + cents kernel would run twice
 
     def sample_keys(b: pa.Table) -> pa.Table:
         ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
@@ -4172,13 +4170,10 @@ def q_media_dedup(sf_dir: str, sink_dir: str | None = None):
     decodes ONCE instead: ``stages.decode_stats(b, emit="stats_hash")``
     emits this same content_hash next to the tile stats (VERDICT r4
     #3). With ``sink_dir`` the winners stream to partitioned parquet."""
-    ds = _exploded(sf_dir)
-    hashed = ds.map_batches(
-        lambda b: stages.band_content_hash(b, band=4), batch_format="pyarrow"
-    )
-    out = shuffle_mod.exact_dedup_winners(
-        hashed, key="content_hash", tie_cols=("doc_id", "span_idx"),
-        sink_dir=sink_dir, dups_only=False,  # one row per DISTINCT content
+    # shared pipeline body (engine/stages.media_dedup_winners): the
+    # driver's --mode media-dedup sink runs the SAME definition
+    out = stages.media_dedup_winners(
+        _exploded(sf_dir), sink_dir=sink_dir, dups_only=False,
     )
     if sink_dir is not None or out is not None:
         return out

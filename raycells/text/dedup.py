@@ -1390,11 +1390,14 @@ def dup_window_rows(ds, id_col="doc_id", col="text", w=None, s=None,
 
     def windows(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy(zero_copy_only=False)
+        id_type = b.schema.field(id_col).type  # typed even when ri is
+        # empty: pa.array on an empty object slice would infer NULL and
+        # break block-schema stability on string-id corpora
         ri, pos, h = ta.strided_window_fps(b[col].to_pylist(), w, s)
         return pa.table(
             {
                 "wh": pa.array(h.view(np.int64), pa.int64()),
-                id_col: pa.array(ids[ri]),
+                id_col: pa.array(ids[ri], id_type),
                 "p": pa.array(pos, pa.int64()),
             }
         )

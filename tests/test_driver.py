@@ -497,3 +497,28 @@ def test_pack_job_assignments_roll_up_to_gate_bins(docs_dir, tmp_path, ray_sessi
 
     rerun = driver.run_pack_job(docs_dir, out)
     assert rerun["skipped"] == ["pack"] and rerun["done"] == []
+
+
+def test_sink_job_skip_path_guards(docs_dir, tmp_path, ray_session):
+    """The manifest no-op must NOT fire when (a) the job's params
+    change, or (b) a multi-sink job's SECONDARY sink was lost — both
+    must recompute instead of returning stale results (review r5)."""
+    import glob as _glob
+    import shutil
+
+    out = str(tmp_path / "guard_out")
+    res = driver.run_dedup_job(docs_dir, out, threshold=0.5)
+    assert res["done"] == ["dedup_pairs"]
+    # same params → no-op; different threshold → recompute
+    assert driver.run_dedup_job(docs_dir, out, threshold=0.5)["skipped"]
+    res3 = driver.run_dedup_job(docs_dir, out, threshold=0.9)
+    assert res3["done"] == ["dedup_pairs"], "param change must recompute"
+
+    out2 = str(tmp_path / "sd_guard")
+    r1 = driver.run_stats_dedup_job(docs_dir, out2)
+    assert r1["done"] == ["stats_dedup"]
+    assert driver.run_stats_dedup_job(docs_dir, out2)["skipped"]
+    shutil.rmtree(os.path.join(out2, "cells"))  # lose the SECONDARY sink
+    r2 = driver.run_stats_dedup_job(docs_dir, out2)
+    assert r2["done"] == ["stats_dedup"], "lost cells sink must rebuild"
+    assert _glob.glob(os.path.join(out2, "cells", "*.parquet"))
