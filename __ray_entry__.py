@@ -182,8 +182,10 @@ oracles in raycells/pipelines/oracles.py):
   exact ppm out-edge shares — one user-bucket exchange, types²
   partials), join_size_estimate (CMS inner-product join
   cardinality vs the exact size — the query-planning primitive, est ≥
-  true pinned in-gate), and ann_recall_eval (recall@10 of the LSH ANN
-  vs exact brute force — both pinned chains spliced in the oracle).
+  true pinned in-gate), ann_recall_eval (recall@10 of the LSH ANN
+  vs exact brute force — both pinned chains spliced in the oracle),
+  and cell_value_hist (per-cell 8-bin value histograms — the
+  distributional zonal layer, associative pre-binned partials).
   EVERY driver
   query hash-matches
   DuckDB, and ALL BUT ONE also run in the sf0.001 pytest replica
@@ -231,7 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     sits in the first eight entries, then the round-3 additions, then
     the long-green tail. After the round-4 oracle rewrites the FULL
     gate costs ~58 s at sf0.01 (41 s Ray + 17 s DuckDB), so one
-    snapshot should now hold all 136. ALL queries hash-match DuckDB
+    snapshot should now hold all 137. ALL queries hash-match DuckDB
     locally at sf0.01 (the timed replica of the gate)."""
     from raycells.pipelines import queries as q
 
@@ -240,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (a) never driver-hash-checked (VERDICT r02 item #1) — first.
         # minhash_pairs precedes dedup_clusters so the cluster query
         # reuses the in-process verified-pair table.
+        "cell_value_hist": q.q_cell_value_hist,  # NEW round 5 (zonal histogram)
         "ann_recall_eval": q.q_ann_recall_eval,  # NEW round 5 (retrieval eval)
         "join_size_estimate": q.q_join_size_estimate,  # NEW round 5 (CMS join planning)
         "event_transitions": q.q_event_transitions,  # NEW round 5 (Markov journeys)

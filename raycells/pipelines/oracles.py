@@ -3072,6 +3072,60 @@ def build() -> dict:
             LEFT JOIN np ON np.u = fc.u
             LEFT JOIN cv ON cv.u = fc.u
         """,
+        # cell_value_hist (q_cell_value_hist): per-grid-cell 8-bin value
+        # histogram over the member tiles' 8×8 band-4 windows; bin =
+        # ((v−1)·8) // 65520 exact, nodata counted separately.
+        "cell_value_hist": _MEDIA + """
+            , mh AS (
+                SELECT seed,
+                       (seed * 2654435761) % 65520 AS sh, seed % 33 AS s33,
+                       CAST(floor((CASE WHEN seed % 10 < 6 THEN
+                                (CASE seed % 3 WHEN 0 THEN 40.7 WHEN 1 THEN 48.85 ELSE 35.7 END)
+                                + ((seed * 57) % 2000 - 1000) / 1000.0
+                            ELSE ((seed * 7919) % 170000) / 1000.0 - 85.0 END
+                            + 90.0) / 0.25) * 1440
+                          + floor((CASE WHEN seed % 10 < 6 THEN
+                                (CASE seed % 3 WHEN 0 THEN -74.0 WHEN 1 THEN 2.35 ELSE 139.7 END)
+                                + ((seed * 31) % 2000 - 1000) / 1000.0
+                            ELSE ((seed * 9973) % 360000) / 1000.0 - 180.0 END
+                            + 180.0) / 0.25) AS BIGINT) AS grid_cell
+                FROM media
+            ),
+            tapc AS MATERIALIZED (
+                SELECT ((rr.range * 64 + cc.range) * 7) % 33 AS m7,
+                       (((rr.range * 64 + cc.range) + 404) * 40503) % 65520 AS mhh
+                FROM range(8) rr, range(8) cc
+            ),
+            px AS (
+                SELECT m.grid_cell,
+                       (CASE WHEN (m.s33 + t.m7) % 33 = 0 THEN 0
+                        ELSE 1 + (m.sh + t.mhh) % 65520 END) AS v
+                FROM mh m, tapc t
+            ),
+            binned AS (
+                SELECT grid_cell,
+                       CASE WHEN v = 0 THEN 8
+                            ELSE LEAST((v - 1) * 8 // 65520, 7) END AS b
+                FROM px
+            ),
+            nt AS (
+                SELECT grid_cell, CAST(COUNT(*) AS BIGINT) AS n_tiles
+                FROM mh GROUP BY grid_cell
+            )
+            SELECT b.grid_cell,
+                   CAST(SUM(CASE WHEN b.b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+                   CAST(SUM(CASE WHEN b.b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+                   CAST(SUM(CASE WHEN b.b = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+                   CAST(SUM(CASE WHEN b.b = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3,
+                   CAST(SUM(CASE WHEN b.b = 4 THEN 1 ELSE 0 END) AS BIGINT) AS h4,
+                   CAST(SUM(CASE WHEN b.b = 5 THEN 1 ELSE 0 END) AS BIGINT) AS h5,
+                   CAST(SUM(CASE WHEN b.b = 6 THEN 1 ELSE 0 END) AS BIGINT) AS h6,
+                   CAST(SUM(CASE WHEN b.b = 7 THEN 1 ELSE 0 END) AS BIGINT) AS h7,
+                   CAST(SUM(CASE WHEN b.b = 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_nodata,
+                   nt.n_tiles
+            FROM binned b JOIN nt USING (grid_cell)
+            GROUP BY b.grid_cell, nt.n_tiles
+        """,
         # event_ohlc (q_event_ohlc): time-bar aggregation — per
         # (event_type, day) open/high/low/close in exact cents; first /
         # last by the deterministic (ts, event_id) order.

@@ -7343,3 +7343,66 @@ def q_ann_recall_eval(sf_dir: str):
             "recall_e6": pa.array(n_hit * np.int64(1_000_000) // np.int64(10)),
         }
     )
+
+
+def q_cell_value_hist(sf_dir: str):
+    """Per-cell VALUE-DISTRIBUTION histogram (NEW round 5) — the
+    map-algebra layer the min/max/sum zonal family can't answer
+    (classing, contrast maps, anomaly screens): every grid cell's
+    8-bin histogram of band-4 values over the member tiles' 8×8
+    windows, nodata (the 0 sentinel) counted separately. Bin = exact
+    integer ((v − 1)·8) // 65520 over the value domain 1..65520 —
+    identical floor both engines.
+
+    Shape at scale: per batch one vectorized bincount collapses each
+    tile's 64 pixels into 9 int64 columns, pre-aggregated per cell
+    (histogram addition is associative — the mosaic_blend pattern), so
+    the exchange moves one 80-B partial row per (batch, cell); a
+    coarse-bucket map_groups finishes the sums."""
+    from raycells.geo import cellid
+    from raycells.io import tilestore
+
+    WINDOW, WSIZE = (0, 0), (8, 8)
+    hcols = [f"h{j}" for j in range(8)]
+
+    def tile_hists(b: pa.Table) -> pa.Table:
+        seeds = tilestore.seed_of_refs(b["media_ref"])
+        v = tilestore.synth_band_window(seeds, 4, WINDOW, WSIZE, WSIZE).astype(
+            np.int64
+        )
+        nod = (v == 0).sum(axis=1).astype(np.int64)
+        bins = np.clip((v - 1) * 8 // 65520, 0, 7)
+        bins[v == 0] = 8  # park nodata in a 9th slot, dropped below
+        counts = np.stack(
+            [(bins == j).sum(axis=1).astype(np.int64) for j in range(8)],
+            axis=1,
+        )
+        lon, lat = tilestore.centroids(seeds)
+        df = pd.DataFrame(counts, columns=hcols)
+        df["n_nodata"] = nod
+        df["grid_cell"] = cellid.grid_cell(lon, lat)
+        g = df.groupby("grid_cell", sort=False)
+        part = g.sum()
+        part["n_tiles"] = g.size()
+        return shuffle_mod.from_pandas_clean(part.reset_index())
+
+    def combine(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        out = (
+            df.groupby("grid_cell", sort=False)[hcols + ["n_nodata", "n_tiles"]]
+            .sum()
+            .reset_index()
+        )
+        return shuffle_mod.from_pandas_clean(out)
+
+    nb = shuffle_mod.scaled_buckets()  # driver-side, once per pipeline
+    return (
+        _exploded(sf_dir)
+        .map_batches(tile_hists, batch_format="pyarrow")
+        .map_batches(
+            lambda b, nb=nb: shuffle_mod.add_bucket(b, "grid_cell", nb),
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(combine, batch_format="pyarrow")
+    )
