@@ -184,9 +184,10 @@ oracles in raycells/pipelines/oracles.py):
   cardinality vs the exact size — the query-planning primitive, est ≥
   true pinned in-gate), ann_recall_eval (recall@10 of the LSH ANN
   vs exact brute force — both pinned chains spliced in the oracle),
-  and cell_value_hist (per-cell 8-bin value histograms — the
-  distributional zonal layer, associative pre-binned partials).
-  EVERY driver
+  cell_value_hist (per-cell 8-bin value histograms — the
+  distributional zonal layer, associative pre-binned partials), and
+  log_compaction (CDC upsert snapshot: latest record per key under
+  the (ts, id) order, streaming key-sized output). EVERY driver
   query hash-matches
   DuckDB, and ALL BUT ONE also run in the sf0.001 pytest replica
   (band_tile_stats is the single gate-only row — its 28M-cell SQL
@@ -233,7 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     sits in the first eight entries, then the round-3 additions, then
     the long-green tail. After the round-4 oracle rewrites the FULL
     gate costs ~58 s at sf0.01 (41 s Ray + 17 s DuckDB), so one
-    snapshot should now hold all 137. ALL queries hash-match DuckDB
+    snapshot should now hold all 138. ALL queries hash-match DuckDB
     locally at sf0.01 (the timed replica of the gate)."""
     from raycells.pipelines import queries as q
 
@@ -242,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (a) never driver-hash-checked (VERDICT r02 item #1) — first.
         # minhash_pairs precedes dedup_clusters so the cluster query
         # reuses the in-process verified-pair table.
+        "log_compaction": q.q_log_compaction,  # NEW round 5 (CDC upsert snapshot)
         "cell_value_hist": q.q_cell_value_hist,  # NEW round 5 (zonal histogram)
         "ann_recall_eval": q.q_ann_recall_eval,  # NEW round 5 (retrieval eval)
         "join_size_estimate": q.q_join_size_estimate,  # NEW round 5 (CMS join planning)

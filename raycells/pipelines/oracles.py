@@ -3045,6 +3045,27 @@ def build() -> dict:
                    CAST(levenshtein(p.probe, v.word) AS BIGINT) AS dist
             FROM pr p JOIN wv v ON levenshtein(p.probe, v.word) <= 1
         """,
+        # log_compaction (q_log_compaction): latest record per user_id
+        # under the (ts, event_id) order + the change count.
+        "log_compaction": """
+            WITH t AS (
+                SELECT CAST(user_id AS BIGINT) AS user_id,
+                       CAST(event_id AS BIGINT) AS event_id,
+                       event_type, epoch_us(ts) AS ts_us,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
+                FROM events
+            ),
+            r AS (
+                SELECT *,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts_us DESC, event_id DESC) AS rn,
+                       CAST(COUNT(*) OVER (PARTITION BY user_id)
+                            AS BIGINT) AS n_changes
+                FROM t
+            )
+            SELECT user_id, event_type, ts_us, value_c, n_changes
+            FROM r WHERE rn = 1
+        """,
         # ordered_funnel (q_ordered_funnel): per-user click → purchase
         # sequence conversion with exact integer microsecond lag.
         "ordered_funnel": """

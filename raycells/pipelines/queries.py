@@ -7406,3 +7406,81 @@ def q_cell_value_hist(sf_dir: str):
         .groupby("_bucket")
         .map_groups(combine, batch_format="pyarrow")
     )
+
+
+def q_log_compaction(sf_dir: str):
+    """LOG COMPACTION / CDC upsert snapshot (NEW round 5) — the
+    latest-record-per-key reduction every change-capture pipeline runs
+    (Kafka compacted topics, Iceberg upserts): treating events as a
+    change log keyed by user_id, emit each user's LATEST record under
+    the deterministic (ts, event_id) order — its type, exact cent
+    value, timestamp (µs) and the user's change count.
+
+    Shape at scale: latest-per-key is an associative argmax, but the
+    snapshot is KEY-cardinality-sized, so it must stream — ONE
+    hash(user) coarse-bucket exchange co-locates each key's changes
+    and a per-bucket vectorized lexsort takes the last row per key;
+    output flows out of the buckets without touching the driver."""
+    from raycells.engine.shuffle import add_bucket
+
+    ds = _read(
+        sf_dir, "events", SMALL_TABLE_BLOCKS,
+        columns=["event_id", "user_id", "event_type", "ts", "value"],
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        us = (
+            b["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "event_type": b["event_type"],
+                "ts_us": pa.array(us),
+                "value_c": pa.array(
+                    _half_up(
+                        b["value"].to_numpy(zero_copy_only=False) * 100
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    def compact(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        e = g["event_id"].to_numpy(zero_copy_only=False)
+        t = g["ts_us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, t, u))  # (user, ts, event_id) ascending
+        u_s = u[order]
+        last = np.flatnonzero(
+            np.concatenate([u_s[1:] != u_s[:-1], [True]])
+        )  # last row of each user run == its latest change
+        counts = np.diff(np.concatenate([[0], last + 1])).astype(np.int64)
+        pick = order[last]
+        return pa.table(
+            {
+                "user_id": pa.array(u[pick]),
+                "event_type": pa.array(
+                    g["event_type"].to_numpy(zero_copy_only=False)[pick],
+                    pa.string(),
+                ),
+                "ts_us": pa.array(t[pick]),
+                "value_c": pa.array(
+                    g["value_c"].to_numpy(zero_copy_only=False)[pick]
+                ),
+                "n_changes": pa.array(counts),
+            }
+        )
+
+    nb = shuffle_mod.scaled_buckets()  # driver-side, once per pipeline
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .map_batches(
+            lambda b, nb=nb: add_bucket(b, "user_id", nb),
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(compact, batch_format="pyarrow")
+    )

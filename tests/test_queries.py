@@ -102,6 +102,7 @@ CHECKED = [
     "top_parts_by_brand",
     "customers_no_orders",
     "priority_revenue",
+    "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
     "join_size_estimate",
