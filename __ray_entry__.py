@@ -187,7 +187,8 @@ oracles in raycells/pipelines/oracles.py):
   cell_value_hist (per-cell 8-bin value histograms — the
   distributional zonal layer, associative pre-binned partials), and
   log_compaction (CDC upsert snapshot: latest record per key under
-  the (ts, id) order, streaming key-sized output). EVERY driver
+  the (ts, id) order, streaming key-sized output), and gap_fill
+  (sparse→dense calendar densification, zero-filled grid). EVERY driver
   query hash-matches
   DuckDB, and ALL BUT ONE also run in the sf0.001 pytest replica
   (band_tile_stats is the single gate-only row — its 28M-cell SQL
@@ -234,7 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     sits in the first eight entries, then the round-3 additions, then
     the long-green tail. After the round-4 oracle rewrites the FULL
     gate costs ~58 s at sf0.01 (41 s Ray + 17 s DuckDB), so one
-    snapshot should now hold all 138. ALL queries hash-match DuckDB
+    snapshot should now hold all 139. ALL queries hash-match DuckDB
     locally at sf0.01 (the timed replica of the gate)."""
     from raycells.pipelines import queries as q
 
@@ -243,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (a) never driver-hash-checked (VERDICT r02 item #1) — first.
         # minhash_pairs precedes dedup_clusters so the cluster query
         # reuses the in-process verified-pair table.
+        "gap_fill": q.q_gap_fill,  # NEW round 5 (calendar densification)
         "log_compaction": q.q_log_compaction,  # NEW round 5 (CDC upsert snapshot)
         "cell_value_hist": q.q_cell_value_hist,  # NEW round 5 (zonal histogram)
         "ann_recall_eval": q.q_ann_recall_eval,  # NEW round 5 (retrieval eval)

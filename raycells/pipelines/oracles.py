@@ -3045,6 +3045,39 @@ def build() -> dict:
                    CAST(levenshtein(p.probe, v.word) AS BIGINT) AS dist
             FROM pr p JOIN wv v ON levenshtein(p.probe, v.word) <= 1
         """,
+        # gap_fill (q_gap_fill): the (type, day) rollup densified over
+        # the full calendar × type grid, zero-filled.
+        "gap_fill": """
+            WITH daily AS (
+                SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                       CAST(COUNT(*) AS BIGINT) AS n_events,
+                       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                            AS BIGINT) AS sum_c
+                FROM events GROUP BY 1, 2
+            ),
+            bounds AS (
+                SELECT CAST(MIN(day) AS DATE) AS d0,
+                       CAST(MAX(day) AS DATE) AS d1
+                FROM daily
+            ),
+            cal AS (
+                SELECT strftime(CAST(u.d AS DATE), '%Y-%m-%d') AS day
+                FROM bounds,
+                     unnest(generate_series(bounds.d0, bounds.d1,
+                                            INTERVAL 1 DAY)) AS u(d)
+            ),
+            grid AS (
+                SELECT t.event_type, c.day
+                FROM (SELECT DISTINCT event_type FROM daily) t
+                CROSS JOIN cal c
+            )
+            SELECT g.event_type, g.day,
+                   COALESCE(d.n_events, 0) AS n_events,
+                   COALESCE(d.sum_c, 0) AS sum_c,
+                   CAST(CASE WHEN d.n_events IS NOT NULL THEN 1 ELSE 0 END
+                        AS BIGINT) AS had_events
+            FROM grid g LEFT JOIN daily d USING (event_type, day)
+        """,
         # log_compaction (q_log_compaction): latest record per user_id
         # under the (ts, event_id) order + the change count.
         "log_compaction": """

@@ -7484,3 +7484,67 @@ def q_log_compaction(sf_dir: str):
         .groupby("_bucket")
         .map_groups(compact, batch_format="pyarrow")
     )
+
+
+def q_gap_fill(sf_dir: str):
+    """Calendar GAP-FILL densification (NEW round 5) — the sparse→dense
+    reshape every reporting/feature pipeline needs before windowed
+    models: the per-(event_type, day) rollup re-emitted over the FULL
+    dense calendar (global min..max day) × type grid, zero-filled where
+    no events landed, with a per-row had_events flag.
+
+    Shape at scale: the rollup is the events_daily fold (O(blocks ×
+    bars) partials, no exchange); the dense grid is bounded by the
+    CALENDAR × types — never by event rows — so the driver-side
+    densification is O(days × types) however big the corpus. Day
+    strings compare lexicographically == chronologically."""
+    import datetime as _dt
+
+    ds = _read(
+        sf_dir, "events", SMALL_TABLE_BLOCKS, columns=["ts", "event_type", "value"]
+    )
+
+    def daily(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(zero_copy_only=False),
+                "day": pc.strftime(b["ts"], format="%Y-%m-%d").to_numpy(
+                    zero_copy_only=False
+                ),
+                "x": _half_up(
+                    b["value"].to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64),
+            }
+        )
+        part = df.groupby(["event_type", "day"], sort=False).agg(
+            n_events=("x", "size"), sum_c=("x", "sum")
+        ).reset_index()
+        return shuffle_mod.from_pandas_clean(part)
+
+    bars = (
+        ds.map_batches(daily, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["event_type", "day"], sort=False, as_index=False)
+        .sum()
+    )
+    d0 = _dt.date.fromisoformat(bars["day"].min())
+    d1 = _dt.date.fromisoformat(bars["day"].max())
+    days = [
+        (d0 + _dt.timedelta(days=i)).isoformat()
+        for i in range((d1 - d0).days + 1)
+    ]
+    types = sorted(bars["event_type"].unique())
+    dense = pd.MultiIndex.from_product(
+        [types, days], names=["event_type", "day"]
+    ).to_frame(index=False)
+    out = dense.merge(bars, on=["event_type", "day"], how="left")
+    n = out["n_events"].fillna(0).to_numpy(np.int64)
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "day": pa.array(out["day"], pa.string()),
+            "n_events": pa.array(n),
+            "sum_c": pa.array(out["sum_c"].fillna(0).to_numpy(np.int64)),
+            "had_events": pa.array((n > 0).astype(np.int64)),
+        }
+    )

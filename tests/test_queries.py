@@ -102,6 +102,7 @@ CHECKED = [
     "top_parts_by_brand",
     "customers_no_orders",
     "priority_revenue",
+    "gap_fill",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
