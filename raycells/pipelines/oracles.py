@@ -3078,6 +3078,51 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # morans_i (q_morans_i): queen-contiguity global Moran's I of
+        # tile density over the 4° supercell rollup (gx>>4, gy>>4).
+        # Deviations are kept integral by scaling through n
+        # (d = n·x − Σx); num/den are exact HUGEINT sums narrowed to
+        # BIGINT; the float Moran value is the identical IEEE tree both
+        # sides ((n·num)/(s0·den) with each int64→double cast exact-
+        # rounded).
+        "morans_i": _BAND_STATS + _GRID
+        + """
+            , cells AS (
+                SELECT grid_cell, CAST(COUNT(*) AS BIGINT) AS n_tiles
+                FROM gridded GROUP BY grid_cell
+            ),
+            sup AS MATERIALIZED (
+                SELECT (grid_cell % 1440) // 16 AS sgx,
+                       (grid_cell // 1440) // 16 AS sgy,
+                       CAST(SUM(n_tiles) AS BIGINT) AS x
+                FROM cells GROUP BY 1, 2
+            ),
+            tot AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+                FROM sup
+            ),
+            dev AS MATERIALIZED (
+                SELECT sgx, sgy, CAST(t.n * x - t.s AS HUGEINT) AS d
+                FROM sup, tot t
+            ),
+            pairs AS (
+                SELECT CAST(SUM(a.d * b.d) AS BIGINT) AS num,
+                       CAST(COUNT(*) AS BIGINT) AS s0
+                FROM dev a JOIN dev b
+                  ON b.sgx BETWEEN a.sgx - 1 AND a.sgx + 1
+                 AND b.sgy BETWEEN a.sgy - 1 AND a.sgy + 1
+                 AND NOT (a.sgx = b.sgx AND a.sgy = b.sgy)
+            ),
+            dd AS (
+                SELECT CAST(SUM(d * d) AS BIGINT) AS den FROM dev
+            )
+            SELECT t.n AS n_super, p.s0, p.num, dd.den,
+                   CASE WHEN dd.den = 0 OR p.s0 = 0 THEN 0.0
+                        ELSE (CAST(t.n AS DOUBLE) * CAST(p.num AS DOUBLE))
+                             / (CAST(p.s0 AS DOUBLE) * CAST(dd.den AS DOUBLE))
+                   END AS moran
+            FROM tot t, pairs p, dd
+        """,
         # log_compaction (q_log_compaction): latest record per user_id
         # under the (ts, event_id) order + the change count.
         "log_compaction": """

@@ -103,6 +103,7 @@ CHECKED = [
     "customers_no_orders",
     "priority_revenue",
     "gap_fill",
+    "morans_i",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
