@@ -3078,6 +3078,55 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # hexbin_density (q_hexbin_density): hex binning via nearest
+        # center of the two offset rectangular lattices (centered-rect
+        # lattice → hexagonal Voronoi cells); pure integer floor
+        # division + squared-distance compare on the shifted e3 grid,
+        # ties → the axis-aligned lattice (tag 0).
+        "hexbin_density": _MEDIA + """
+            , pts AS (
+                SELECT (CASE WHEN seed % 10 < 6 THEN
+                          (CASE seed % 3 WHEN 0 THEN -74000
+                                WHEN 1 THEN 2350 ELSE 139700 END)
+                          + (seed * 31) % 2000 - 1000
+                        ELSE (seed * 9973) % 360000 - 180000 END) + 180000 AS x,
+                       (CASE WHEN seed % 10 < 6 THEN
+                          (CASE seed % 3 WHEN 0 THEN 40700
+                                WHEN 1 THEN 48850 ELSE 35700 END)
+                          + (seed * 57) % 2000 - 1000
+                        ELSE (seed * 7919) % 170000 - 85000 END) + 90000 AS y
+                FROM media
+            ),
+            cand AS (
+                SELECT x, y,
+                       (x + 150) // 300 AS ia, (y + 100) // 200 AS ja,
+                       x // 300 AS ib, y // 200 AS jb
+                FROM pts
+            ),
+            hexed AS (
+                SELECT x, y, ia, ja, ib, jb,
+                       CASE WHEN (x - 300 * ia) * (x - 300 * ia)
+                                 + (y - 200 * ja) * (y - 200 * ja)
+                              <= (x - (300 * ib + 150)) * (x - (300 * ib + 150))
+                                 + (y - (200 * jb + 100)) * (y - (200 * jb + 100))
+                            THEN 0 ELSE 1 END AS tag
+                FROM cand
+            ),
+            keyed AS (
+                SELECT CAST(tag AS BIGINT) AS tag,
+                       CAST(CASE WHEN tag = 0 THEN ia ELSE ib END AS BIGINT) AS hi,
+                       CAST(CASE WHEN tag = 0 THEN ja ELSE jb END AS BIGINT) AS hj,
+                       x, y
+                FROM hexed
+            )
+            SELECT tag, hi, hj,
+                   300 * hi + tag * 150 - 180000 AS cx_e3,
+                   200 * hj + tag * 100 - 90000 AS cy_e3,
+                   CAST(COUNT(*) AS BIGINT) AS n_points,
+                   CAST(SUM(x) - COUNT(*) * 180000 AS BIGINT) AS sum_x_e3,
+                   CAST(SUM(y) - COUNT(*) * 90000 AS BIGINT) AS sum_y_e3
+            FROM keyed GROUP BY tag, hi, hj
+        """,
         # morans_i (q_morans_i): queen-contiguity global Moran's I of
         # tile density over the 4° supercell rollup (gx>>4, gy>>4).
         # Deviations are kept integral by scaling through n

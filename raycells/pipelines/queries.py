@@ -7633,3 +7633,80 @@ def q_morans_i(sf_dir: str):
             "moran": pa.array([moran], pa.float64()),
         }
     )
+
+
+def q_hexbin_density(sf_dir: str):
+    """HEXAGONAL spatial binning (NEW round 5) — the H3-style hex
+    density surface every geo-visual/analytics stack wants: tile
+    centroids binned to the nearest center of a honeycomb lattice (two
+    offset rectangular lattices, W=300 × H=200 milli-degrees — the
+    centered-rectangular lattice whose Voronoi cells ARE hexagons),
+    with per-hex counts and exact integer position sums.
+
+    Exactness: coordinates are the tilestore's e3 integers shifted
+    non-negative, the nearest-center rule is pure integer floor
+    division + squared-distance compare (ties → the axis-aligned
+    lattice), so every output column is int64 and hashes cross-engine.
+
+    Shape at scale: per-point hex assignment is map-side arithmetic;
+    the only exchange is the salted two-stage aggregate on the hex key
+    (hot city hexes pre-split by the doc-hash salt), so rows moved =
+    O(blocks × occupied hexes), never points."""
+    from raycells.io import tilestore
+
+    W, H = 300, 200
+
+    def assign(b: pa.Table) -> pa.Table:
+        seeds = tilestore.seed_of_refs(b["media_ref"])
+        xe, ye = tilestore.centroids_e3(seeds)
+        x, y = xe + 180000, ye + 90000  # non-negative: floor == trunc
+        ia, ja = (x + W // 2) // W, (y + H // 2) // H
+        ib, jb = x // W, y // H
+        dxa, dya = x - W * ia, y - H * ja
+        dxb, dyb = x - (W * ib + W // 2), y - (H * jb + H // 2)
+        use_a = dxa * dxa + dya * dya <= dxb * dxb + dyb * dyb
+        tag = np.where(use_a, 0, 1).astype(np.int64)
+        hi = np.where(use_a, ia, ib)
+        hj = np.where(use_a, ja, jb)
+        hexkey = (tag << 40) + (hi << 20) + hj
+        return pa.table(
+            {
+                "hexkey": pa.array(hexkey),
+                "x": pa.array(x),
+                "y": pa.array(y),
+                "doc_id": b["doc_id"],
+            }
+        )
+
+    agg = shuffle_mod.salted_aggregate(
+        _exploded(sf_dir).map_batches(assign, batch_format="pyarrow"),
+        key="hexkey",
+        sums=("x", "y"),
+        count_alias="n_points",
+        salt_col="doc_id",
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        hexkey = b["hexkey"].to_numpy(zero_copy_only=False)
+        n = b["n_points"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tag = hexkey >> 40
+        hi = (hexkey >> 20) & ((1 << 20) - 1)
+        hj = hexkey & ((1 << 20) - 1)
+        return pa.table(
+            {
+                "tag": pa.array(tag),
+                "hi": pa.array(hi),
+                "hj": pa.array(hj),
+                "cx_e3": pa.array(W * hi + tag * (W // 2) - 180000),
+                "cy_e3": pa.array(H * hj + tag * (H // 2) - 90000),
+                "n_points": pa.array(n),
+                "sum_x_e3": pa.array(
+                    b["sum_x"].to_numpy(zero_copy_only=False) - n * 180000
+                ),
+                "sum_y_e3": pa.array(
+                    b["sum_y"].to_numpy(zero_copy_only=False) - n * 90000
+                ),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

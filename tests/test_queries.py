@@ -104,6 +104,7 @@ CHECKED = [
     "priority_revenue",
     "gap_fill",
     "morans_i",
+    "hexbin_density",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
