@@ -3078,6 +3078,18 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # copurchase_pairs (q_copurchase_pairs): market-basket pair
+        # mining — part pairs co-ordered in >= 2 distinct orders.
+        "copurchase_pairs": """
+            WITH lp AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            )
+            SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM lp a JOIN lp b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        """,
         # hexbin_density (q_hexbin_density): hex binning via nearest
         # center of the two offset rectangular lattices (centered-rect
         # lattice → hexagonal Voronoi cells); pure integer floor

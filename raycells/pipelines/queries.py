@@ -7710,3 +7710,85 @@ def q_hexbin_density(sf_dir: str):
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_copurchase_pairs(sf_dir: str):
+    """Frequent CO-PURCHASE pair mining (NEW round 5) — the
+    market-basket primitive (recommendation candidates, association
+    rules): part pairs ordered together in ≥ 2 distinct orders.
+
+    Shape at scale: exchange 1 co-locates the (order, part) rows by a
+    coarse ORDER bucket (baskets are small — TPC-H orders hold ≤ 7
+    lines — so per-bucket pair expansion is bounded by Σ k²/2, never a
+    cross product); pair generation is a k_max-pass VECTORIZED
+    diagonal-offset scan over the bucket-sorted array (no per-order
+    Python loop); exchange 2 moves only per-bucket PARTIAL pair counts
+    through the salted aggregate, so bytes shuffled are O(buckets ×
+    distinct pairs), and the HAVING ≥ 2 filter runs post-merge."""
+    # exchange-heavy two-hop plan: pin the read width (CLAUDE.md —
+    # every all-to-all pays per-block fixed cost, so more input blocks
+    # make this SLOWER, not faster)
+    ds = _read(
+        sf_dir, "lineitem", SMALL_TABLE_BLOCKS,
+        columns=["l_orderkey", "l_partkey"],
+    )
+
+    def pairs(g: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o": g["l_orderkey"].to_numpy(zero_copy_only=False),
+                "p": g["l_partkey"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates().sort_values(["o", "p"], kind="stable")
+        o = df["o"].to_numpy(np.int64)
+        p = df["p"].to_numpy(np.int64)
+        outs = []
+        d = 1
+        while True:
+            same = o[:-d] == o[d:] if d < o.size else np.zeros(0, bool)
+            if not same.any():
+                break
+            outs.append((p[:-d][same], p[d:][same]))
+            d += 1
+        if not outs:
+            return pa.table(
+                {"pairkey": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        p1 = np.concatenate([a for a, _ in outs])
+        p2 = np.concatenate([b for _, b in outs])
+        part = (
+            pd.DataFrame({"pairkey": (p1 << np.int64(32)) + p2})
+            .groupby("pairkey", sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        part["n"] = part["n"].astype(np.int64)
+        return shuffle_mod.from_pandas_clean(part)
+
+    nb = shuffle_mod.scaled_buckets()
+    partials = (
+        ds.map_batches(
+            lambda b, n=nb: shuffle_mod.add_bucket(b, "l_orderkey", n),
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(pairs, batch_format="pyarrow")
+    )
+    agg = shuffle_mod.salted_aggregate(
+        partials, key="pairkey", sums=("n",), count_alias="_nparts",
+        salt_col="pairkey",
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = b["sum_n"].to_numpy(zero_copy_only=False)
+        keep = n >= 2
+        k = b["pairkey"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "p1": pa.array(k >> np.int64(32)),
+                "p2": pa.array(k & np.int64((1 << 32) - 1)),
+                "n_orders": pa.array(n[keep]),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

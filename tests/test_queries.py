@@ -105,6 +105,7 @@ CHECKED = [
     "gap_fill",
     "morans_i",
     "hexbin_density",
+    "copurchase_pairs",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
