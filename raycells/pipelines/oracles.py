@@ -2770,6 +2770,46 @@ def _bpe_sql(k: int = 8) -> str:
     """
 
 
+def _pagerank_sql(iters: int = 5) -> str:
+    """Unrolled integer-PageRank iterations (q_pagerank_parts): rank
+    scale 10^12, damping 85/100 via floor division of non-negative
+    ints — contributions are rank // deg per neighbor, so every rank is
+    an exact BIGINT. MATERIALIZED per-iteration CTEs (CLAUDE.md:
+    chained CTEs re-expand exponentially if inlined)."""
+    parts = [
+        """
+        WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+            FROM lp a JOIN lp b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        ),
+        dg AS MATERIALIZED (
+            SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY s
+        ),
+        r0 AS MATERIALIZED (
+            SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM dg
+        )"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+        r{t} AS MATERIALIZED (
+            SELECT e.d AS node,
+                   CAST(150000000000
+                        + (85 * SUM(r.rank // g.deg)) // 100 AS BIGINT) AS rank
+            FROM e JOIN r{t - 1} r ON r.node = e.s JOIN dg g ON g.node = e.s
+            GROUP BY e.d
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT g.node AS p_partkey, r.rank, g.deg
+        FROM r{iters} r JOIN dg g ON g.node = r.node"""
+    )
+    return "".join(parts)
+
+
 def build() -> dict:
     from raycells.text.analysis import LANG_MARKERS, STOPWORDS
 
@@ -3078,6 +3118,9 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # pagerank_parts (q_pagerank_parts): 5 exact-integer damped
+        # power iterations over the undirected co-purchase edge set.
+        "pagerank_parts": _pagerank_sql(),
         # copurchase_pairs (q_copurchase_pairs): market-basket pair
         # mining — part pairs co-ordered in >= 2 distinct orders.
         "copurchase_pairs": """

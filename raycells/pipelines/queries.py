@@ -7725,9 +7725,35 @@ def q_copurchase_pairs(sf_dir: str):
     Python loop); exchange 2 moves only per-bucket PARTIAL pair counts
     through the salted aggregate, so bytes shuffled are O(buckets ×
     distinct pairs), and the HAVING ≥ 2 filter runs post-merge."""
-    # exchange-heavy two-hop plan: pin the read width (CLAUDE.md —
-    # every all-to-all pays per-block fixed cost, so more input blocks
-    # make this SLOWER, not faster)
+    agg = shuffle_mod.salted_aggregate(
+        _order_pair_partials(sf_dir), key="pairkey", sums=("n",),
+        count_alias="_nparts", salt_col="pairkey",
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = b["sum_n"].to_numpy(zero_copy_only=False)
+        keep = n >= 2
+        k = b["pairkey"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "p1": pa.array(k >> np.int64(32)),
+                "p2": pa.array(k & np.int64((1 << 32) - 1)),
+                "n_orders": pa.array(n[keep]),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def _order_pair_partials(sf_dir: str):
+    """Per-bucket PARTIAL co-purchase pair counts (pairkey, n) — the
+    shared stage-1 of copurchase_pairs and pagerank_parts. Exchange 1
+    co-locates (order, part) rows by a coarse ORDER bucket; pair
+    generation is a k_max-pass vectorized diagonal-offset scan over the
+    bucket-sorted array (baskets hold ≤ 7 lines, so the expansion is
+    bounded by Σ k²/2 — no per-order Python loop anywhere). The read
+    width is pinned (CLAUDE.md — all-to-alls pay per-block fixed cost,
+    so more input blocks make the exchange slower, not faster)."""
     ds = _read(
         sf_dir, "lineitem", SMALL_TABLE_BLOCKS,
         columns=["l_orderkey", "l_partkey"],
@@ -7774,21 +7800,100 @@ def q_copurchase_pairs(sf_dir: str):
         .groupby("_bucket")
         .map_groups(pairs, batch_format="pyarrow")
     )
-    agg = shuffle_mod.salted_aggregate(
-        partials, key="pairkey", sums=("n",), count_alias="_nparts",
-        salt_col="pairkey",
+    return partials
+
+
+def q_pagerank_parts(sf_dir: str):
+    """Integer PAGERANK over the co-purchase graph (NEW round 5) — the
+    canonical iterative graph-analytics operator (influence/centrality
+    over an item graph): 5 damped power iterations, d = 0.85, over the
+    undirected distinct co-purchase edge set, in EXACT integer
+    arithmetic (rank scale 10^12; per-neighbor contribution is
+    rank // deg, damping is (85·Σ) // 100 — floor division of
+    non-negative ints, identical both engines) so ranks hash
+    cross-engine with no float accumulation anywhere.
+
+    Shape at scale: the edge set is built by the shared bucketed pair
+    expansion + one salted dedup aggregate, then MATERIALIZED once;
+    each iteration is a single map pass over the edge blocks — the
+    node-sized (id, contrib) vector rides the task closure (nodes ≤
+    part-table size, never edge- or lineitem-sized), per-batch partial
+    destination sums come back as (node, part_sum) rows, and the driver
+    folds O(blocks × nodes) partials. No per-iteration exchange at all.
+    int64 bound: 85 · Σ contrib ≤ 85 · n_nodes · max_rank — guarded;
+    coarsen SCALE before n_nodes · 10^12 nears 2^63."""
+    SCALE = 10**12
+    BASE = 15 * SCALE // 100
+
+    dedup = shuffle_mod.salted_aggregate(
+        _order_pair_partials(sf_dir), key="pairkey", sums=(),
+        count_alias="_n", salt_col="pairkey",
     )
 
-    def finalize(b: pa.Table) -> pa.Table:
-        n = b["sum_n"].to_numpy(zero_copy_only=False)
-        keep = n >= 2
-        k = b["pairkey"].to_numpy(zero_copy_only=False)[keep]
+    def both_dirs(b: pa.Table) -> pa.Table:
+        k = b["pairkey"].to_numpy(zero_copy_only=False)
+        p1, p2 = k >> np.int64(32), k & np.int64((1 << 32) - 1)
         return pa.table(
             {
-                "p1": pa.array(k >> np.int64(32)),
-                "p2": pa.array(k & np.int64((1 << 32) - 1)),
-                "n_orders": pa.array(n[keep]),
+                "s": pa.array(np.concatenate([p1, p2])),
+                "d": pa.array(np.concatenate([p2, p1])),
             }
         )
 
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    edges = dedup.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def deg_part(b: pa.Table) -> pa.Table:
+        part = (
+            pd.DataFrame({"s": b["s"].to_numpy(zero_copy_only=False)})
+            .groupby("s", sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        part["n"] = part["n"].astype(np.int64)
+        return shuffle_mod.from_pandas_clean(part)
+
+    degs = (
+        edges.map_batches(deg_part, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("s", sort=False, as_index=False)["n"]
+        .sum()
+        .sort_values("s", kind="stable")
+    )
+    nodes = degs["s"].to_numpy(np.int64)
+    deg = degs["n"].to_numpy(np.int64)
+    rank = np.full(nodes.size, SCALE, np.int64)
+    if nodes.size and 85 * nodes.size * SCALE >= 2**62:  # pragma: no cover
+        raise OverflowError("pagerank_parts: shrink SCALE for this node count")
+
+    for _ in range(5):
+        contrib = rank // deg
+
+        def pass_t(b: pa.Table, nd=nodes, co=contrib) -> pa.Table:
+            s = b["s"].to_numpy(zero_copy_only=False)
+            dcol = b["d"].to_numpy(zero_copy_only=False)
+            i_s = np.searchsorted(nd, s)
+            i_d = np.searchsorted(nd, dcol)
+            acc = np.zeros(nd.size, np.int64)
+            np.add.at(acc, i_d, co[i_s])
+            nz = np.nonzero(acc)[0]
+            return pa.table(
+                {"node": pa.array(nd[nz]), "part": pa.array(acc[nz])}
+            )
+
+        incoming = (
+            edges.map_batches(pass_t, batch_format="pyarrow")
+            .to_pandas()
+            .groupby("node", sort=False)["part"]
+            .sum()
+            .reindex(nodes, fill_value=0)
+            .to_numpy(np.int64)
+        )
+        rank = BASE + (85 * incoming) // 100
+
+    return pa.table(
+        {
+            "p_partkey": pa.array(nodes),
+            "rank": pa.array(rank),
+            "deg": pa.array(deg),
+        }
+    )

@@ -106,6 +106,7 @@ CHECKED = [
     "morans_i",
     "hexbin_density",
     "copurchase_pairs",
+    "pagerank_parts",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
