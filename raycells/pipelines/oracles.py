@@ -3118,6 +3118,23 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # pareto_front (q_pareto_front): skyline — parts not dominated
+        # on (min price cents, max size); both-axes ties co-survive.
+        "pareto_front": """
+            WITH p AS (
+                SELECT p_partkey,
+                       CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                           AS price_c,
+                       CAST(p_size AS BIGINT) AS p_size
+                FROM part
+            )
+            SELECT p_partkey, price_c, p_size FROM p a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM p b
+                WHERE b.price_c <= a.price_c AND b.p_size >= a.p_size
+                  AND (b.price_c < a.price_c OR b.p_size > a.p_size)
+            )
+        """,
         # pagerank_parts (q_pagerank_parts): 5 exact-integer damped
         # power iterations over the undirected co-purchase edge set.
         "pagerank_parts": _pagerank_sql(),

@@ -7897,3 +7897,60 @@ def q_pagerank_parts(sf_dir: str):
             "deg": pa.array(deg),
         }
     )
+
+
+def q_pareto_front(sf_dir: str):
+    """SKYLINE / Pareto-front selection (NEW round 5) — the
+    multi-objective curation primitive (pick items no other item beats
+    on ALL criteria: cheaper-and-bigger here, higher-quality-and-shorter
+    in a data-curation pass): parts not dominated on (minimize
+    retail-price cents, maximize size). Ties on both axes co-survive.
+
+    Shape at scale: the skyline operator is embarrassingly mergeable —
+    each block computes its LOCAL skyline with a vectorized sorted
+    cummax scan (skyline(union) ⊆ union(skylines), standard BNL
+    property), the driver unions only the tiny per-block fronts and
+    re-runs the same scan; no exchange, no all-pairs dominance test
+    anywhere. Price is exact integer cents (_half_up both sides)."""
+    ds = _read(
+        sf_dir, "part", SMALL_TABLE_BLOCKS,
+        columns=["p_partkey", "p_retailprice", "p_size"],
+    )
+
+    def skyline(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["price_c", "p_size"], ascending=[True, False], kind="stable"
+        )
+        price = df["price_c"].to_numpy(np.int64)
+        size = df["p_size"].to_numpy(np.int64)
+        # per-price max size (first row of each price after the sort)
+        new_p = np.ones(price.size, bool)
+        new_p[1:] = price[1:] != price[:-1]
+        lvl = np.cumsum(new_p) - 1
+        m = size[new_p]  # max size at each price level
+        running = np.maximum.accumulate(m)
+        prev = np.empty_like(running)
+        prev[0] = np.iinfo(np.int64).min
+        prev[1:] = running[:-1]
+        lvl_live = m > prev
+        keep = lvl_live[lvl] & (size == m[lvl])
+        return df[keep]
+
+    def local(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "p_partkey": b["p_partkey"].to_numpy(zero_copy_only=False),
+                "price_c": _half_up(
+                    b["p_retailprice"].to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64),
+                "p_size": b["p_size"].to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                ),
+            }
+        )
+        return shuffle_mod.from_pandas_clean(skyline(df))
+
+    fronts = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    return shuffle_mod.from_pandas_clean(
+        skyline(fronts)[["p_partkey", "price_c", "p_size"]]
+    )

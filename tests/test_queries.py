@@ -107,6 +107,7 @@ CHECKED = [
     "hexbin_density",
     "copurchase_pairs",
     "pagerank_parts",
+    "pareto_front",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
