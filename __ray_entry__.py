@@ -249,6 +249,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_pairs": q.q_copurchase_pairs,  # NEW round 5 (market basket)
         "pagerank_parts": q.q_pagerank_parts,  # NEW round 5 (iterative graph)
         "pareto_front": q.q_pareto_front,  # NEW round 5 (skyline selection)
+        "trend_by_type": q.q_trend_by_type,  # NEW round 5 (grouped OLS slope)
+        "seasonality_profile": q.q_seasonality_profile,  # NEW round 5 (dow×hour)
         "gap_fill": q.q_gap_fill,  # NEW round 5 (calendar densification)
         "log_compaction": q.q_log_compaction,  # NEW round 5 (CDC upsert snapshot)
         "cell_value_hist": q.q_cell_value_hist,  # NEW round 5 (zonal histogram)

@@ -3118,6 +3118,45 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # trend_by_type (q_trend_by_type): per-type OLS slope of daily
+        # counts vs absolute epoch day — exact integer normal-equation
+        # terms, one IEEE division for the slope.
+        "trend_by_type": """
+            WITH daily AS (
+                SELECT event_type,
+                       epoch_us(ts) // 86400000000 AS day,
+                       CAST(COUNT(*) AS BIGINT) AS y
+                FROM events GROUP BY 1, 2
+            ),
+            m AS (
+                SELECT event_type,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(day) AS BIGINT) AS sx,
+                       CAST(SUM(y) AS BIGINT) AS sy,
+                       CAST(SUM(day * y) AS BIGINT) AS sxy,
+                       CAST(SUM(day * day) AS BIGINT) AS sxx
+                FROM daily GROUP BY event_type
+            )
+            SELECT event_type, n AS n_days,
+                   n * sxy - sx * sy AS num,
+                   n * sxx - sx * sx AS den,
+                   CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                        ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                             / CAST(n * sxx - sx * sx AS DOUBLE)
+                   END AS slope
+            FROM m
+        """,
+        # seasonality_profile (q_seasonality_profile): (type, dow, hour)
+        # activity matrix in pure integer epoch arithmetic (dow 0=Mon).
+        "seasonality_profile": """
+            SELECT event_type,
+                   (epoch_us(ts) // 86400000000 + 3) % 7 AS dow,
+                   (epoch_us(ts) // 3600000000) % 24 AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_c
+            FROM events GROUP BY 1, 2, 3
+        """,
         # pareto_front (q_pareto_front): skyline — parts not dominated
         # on (min price cents, max size); both-axes ties co-survive.
         "pareto_front": """

@@ -7954,3 +7954,130 @@ def q_pareto_front(sf_dir: str):
     return shuffle_mod.from_pandas_clean(
         skyline(fronts)[["p_partkey", "price_c", "p_size"]]
     )
+
+
+def q_trend_by_type(sf_dir: str):
+    """Per-group OLS TREND estimation (NEW round 5) — the grouped
+    linear-regression reduce feature pipelines run over time series
+    (drift detection, burn-rate forecasting): the least-squares slope
+    of daily event counts vs epoch-day per event_type, emitted as the
+    EXACT integer normal-equation terms (num = n·Σxy − Σx·Σy,
+    den = n·Σx² − (Σx)²) plus the slope as ONE identical IEEE division.
+
+    Shape at scale: the daily rollup is a map-side partial fold
+    (O(blocks × types × days) partial rows, no exchange); the per-type
+    regression folds the day-sized series on the driver — bounded by
+    the CALENDAR, never by events. Day indexes are absolute epoch days
+    (non-negative ints), so every moment term is exact int64."""
+    ds = _read(
+        sf_dir, "events", SMALL_TABLE_BLOCKS, columns=["ts", "event_type"]
+    )
+
+    def daily(b: pa.Table) -> pa.Table:
+        day = b["ts"].to_numpy(zero_copy_only=False).view(np.int64) // np.int64(
+            86_400_000_000
+        )
+        part = (
+            pd.DataFrame(
+                {
+                    "event_type": b["event_type"].to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "day": day,
+                }
+            )
+            .groupby(["event_type", "day"], sort=False)
+            .size()
+            .reset_index(name="y")
+        )
+        part["y"] = part["y"].astype(np.int64)
+        return shuffle_mod.from_pandas_clean(part)
+
+    bars = (
+        ds.map_batches(daily, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["event_type", "day"], sort=False, as_index=False)["y"]
+        .sum()
+    )
+    rows = []
+    for etype, g in bars.groupby("event_type", sort=True):
+        x = g["day"].to_numpy(np.int64)
+        y = g["y"].to_numpy(np.int64)
+        n = np.int64(x.size)
+        sx, sy = x.sum(), y.sum()
+        sxy = np.sum(x * y)
+        sxx = np.sum(x * x)
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        rows.append(
+            (
+                etype,
+                int(n),
+                int(num),
+                int(den),
+                0.0 if den == 0 else float(num) / float(den),
+            )
+        )
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "n_days": pa.array([r[1] for r in rows], pa.int64()),
+            "num": pa.array([r[2] for r in rows], pa.int64()),
+            "den": pa.array([r[3] for r in rows], pa.int64()),
+            "slope": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+
+
+def q_seasonality_profile(sf_dir: str):
+    """Weekly SEASONALITY profile (NEW round 5) — the (day-of-week ×
+    hour) activity matrix capacity planning and anomaly baselining
+    read: per (event_type, dow, hour) counts and exact value cents.
+    Both calendar coordinates are PURE integer epoch arithmetic
+    (dow = (epoch_day + 3) % 7 with 0 = Monday; hour = epoch-hours
+    % 24) — no engine timezone/weekday convention can diverge.
+
+    Shape at scale: one map-side partial fold; output bounded by
+    types × 168 cells regardless of corpus size."""
+    ds = _read(
+        sf_dir, "events", SMALL_TABLE_BLOCKS,
+        columns=["ts", "event_type", "value"],
+    )
+
+    def cells(b: pa.Table) -> pa.Table:
+        us = b["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        part = (
+            pd.DataFrame(
+                {
+                    "event_type": b["event_type"].to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "dow": (us // np.int64(86_400_000_000) + 3) % 7,
+                    "hour": (us // np.int64(3_600_000_000)) % 24,
+                    "x": _half_up(
+                        b["value"].to_numpy(zero_copy_only=False) * 100
+                    ).astype(np.int64),
+                }
+            )
+            .groupby(["event_type", "dow", "hour"], sort=False)
+            .agg(n_events=("x", "size"), sum_c=("x", "sum"))
+            .reset_index()
+        )
+        part["n_events"] = part["n_events"].astype(np.int64)
+        return shuffle_mod.from_pandas_clean(part)
+
+    out = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["event_type", "dow", "hour"], sort=False, as_index=False)
+        .sum()
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "dow": pa.array(out["dow"].to_numpy(np.int64)),
+            "hour": pa.array(out["hour"].to_numpy(np.int64)),
+            "n_events": pa.array(out["n_events"].to_numpy(np.int64)),
+            "sum_c": pa.array(out["sum_c"].to_numpy(np.int64)),
+        }
+    )

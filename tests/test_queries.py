@@ -108,6 +108,8 @@ CHECKED = [
     "copurchase_pairs",
     "pagerank_parts",
     "pareto_front",
+    "trend_by_type",
+    "seasonality_profile",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
