@@ -3118,6 +3118,42 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # mad_outliers (q_mad_outliers): robust |x−med| > 5·MAD screen;
+        # med/MAD are LOWER weighted medians (rank (n+1)//2) — exact
+        # integers, so the rank-pick value is deterministic under ties.
+        "mad_outliers": """
+            WITH t AS (
+                SELECT event_id, event_type,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+                FROM events
+            ),
+            med AS (
+                SELECT event_type, x AS med FROM (
+                    SELECT event_type, x,
+                           ROW_NUMBER() OVER (PARTITION BY event_type
+                                              ORDER BY x) AS rn,
+                           COUNT(*) OVER (PARTITION BY event_type) AS cnt
+                    FROM t
+                ) WHERE rn = (cnt + 1) // 2
+            ),
+            ad AS (
+                SELECT t.event_id, t.event_type, t.x, m.med,
+                       ABS(t.x - m.med) AS adev
+                FROM t JOIN med m USING (event_type)
+            ),
+            mad AS (
+                SELECT event_type, adev AS mad FROM (
+                    SELECT event_type, adev,
+                           ROW_NUMBER() OVER (PARTITION BY event_type
+                                              ORDER BY adev) AS rn,
+                           COUNT(*) OVER (PARTITION BY event_type) AS cnt
+                    FROM ad
+                ) WHERE rn = (cnt + 1) // 2
+            )
+            SELECT a.event_id, a.event_type, a.x, a.med, m.mad
+            FROM ad a JOIN mad m USING (event_type)
+            WHERE a.adev > 5 * m.mad
+        """,
         # trend_by_type (q_trend_by_type): per-type OLS slope of daily
         # counts vs absolute epoch day — exact integer normal-equation
         # terms, one IEEE division for the slope.

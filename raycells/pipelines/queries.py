@@ -8081,3 +8081,85 @@ def q_seasonality_profile(sf_dir: str):
             "sum_c": pa.array(out["sum_c"].to_numpy(np.int64)),
         }
     )
+
+
+def q_mad_outliers(sf_dir: str):
+    """Robust MAD outlier detection (NEW round 5) — the
+    median/median-absolute-deviation screen quality pipelines prefer
+    over mean/stddev (value_outliers) because a contaminated tail can't
+    drag the threshold: rows with |x − median| > 5·MAD per event_type,
+    on exact integer cents.
+
+    Shape at scale: pass 1 folds the per-(type, cents) COUNT histogram
+    (O(blocks × types × distinct cents) partial rows, no exchange —
+    the quantiles_qty pattern); BOTH robust statistics come off that
+    one histogram on the driver (the |x − med| histogram is a
+    permutation of the value histogram, so MAD needs no second scan);
+    pass 2 is a stateless broadcast filter that re-streams the events
+    and emits only the flagged rows."""
+    ds = _read(
+        sf_dir, "events", SMALL_TABLE_BLOCKS,
+        columns=["event_id", "event_type", "value"],
+    )
+
+    def counts(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(zero_copy_only=False),
+                "x": _half_up(
+                    b["value"].to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64),
+            }
+        )
+        out = (
+            df.groupby(["event_type", "x"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return shuffle_mod.from_pandas_clean(out)
+
+    hist = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["event_type", "x"], sort=False, as_index=False)["n"]
+        .sum()
+    )
+
+    def wmedian(vals: np.ndarray, wts: np.ndarray) -> int:
+        order = np.argsort(vals, kind="stable")
+        cum = wts[order].cumsum()
+        k = (int(cum[-1]) + 1) // 2
+        return int(vals[order][np.searchsorted(cum, k)])
+
+    stats = {}
+    for etype, g in hist.groupby("event_type", sort=False):
+        v = g["x"].to_numpy(np.int64)
+        w = g["n"].to_numpy(np.int64)
+        med = wmedian(v, w)
+        mad = wmedian(np.abs(v - med), w)
+        stats[etype] = (med, mad)
+
+    def flag(b: pa.Table, st=stats) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        x = _half_up(b["value"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        s = pd.Series(et)
+        meds = s.map({k: v[0] for k, v in st.items()}).to_numpy(np.int64)
+        mads = s.map({k: v[1] for k, v in st.items()}).to_numpy(np.int64)
+        keep = np.abs(x - meds) > 5 * mads
+        return pa.table(
+            {
+                "event_id": pa.array(
+                    b["event_id"].to_numpy(zero_copy_only=False)[keep]
+                ),
+                "event_type": pa.array(et[keep], pa.string()),
+                "x": pa.array(x[keep]),
+                "med": pa.array(meds[keep]),
+                "mad": pa.array(mads[keep]),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")

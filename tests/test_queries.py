@@ -110,6 +110,7 @@ CHECKED = [
     "pareto_front",
     "trend_by_type",
     "seasonality_profile",
+    "mad_outliers",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
