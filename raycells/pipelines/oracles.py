@@ -3118,6 +3118,23 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # interval_join (q_interval_join): per-error-event count/value
+        # of same-user events in the following 1-hour window (strict
+        # start, inclusive end), in exact integer µs / cents.
+        "interval_join": """
+            WITH t AS (
+                SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+                FROM events
+            )
+            SELECT a.event_id, a.user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_follow,
+                   CAST(SUM(b.c) AS BIGINT) AS sum_follow_c
+            FROM t a JOIN t b ON a.user_id = b.user_id
+             AND a.event_type = 'error'
+             AND b.ts_us > a.ts_us AND b.ts_us <= a.ts_us + 3600000000
+            GROUP BY 1, 2
+        """,
         # mad_outliers (q_mad_outliers): robust |x−med| > 5·MAD screen;
         # med/MAD are LOWER weighted medians (rank (n+1)//2) — exact
         # integers, so the rank-pick value is deterministic under ties.

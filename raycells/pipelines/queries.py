@@ -8163,3 +8163,69 @@ def q_mad_outliers(sf_dir: str):
         )
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def q_interval_join(sf_dir: str):
+    """Temporal INTERVAL join (NEW round 5) — the time-range join shape
+    (asof/sessionize don't cover it): for every 'error' event, the
+    count and value cents of SAME-USER events inside the following
+    1-hour window (strictly after, inclusive end). The incident-impact
+    / triggered-activity query every event-analytics stack runs.
+
+    Shape at scale: ONE coarse user-bucket exchange co-locates each
+    user's timeline; inside a bucket the window probe is fully
+    vectorized — rows sort once by a composite (dense-user, rebased-ts)
+    int64 key, every error's window resolves via two searchsorted
+    calls, and the value sum is a prefix-sum difference (no per-error
+    loop, no pair materialization — output is error-sized). Key bound:
+    distinct-users-per-bucket × time-span-µs must stay < 2^63 — at a
+    decade-scale corpus drop the key to ms precision or raise the
+    bucket count (guarded)."""
+    W = np.int64(3_600_000_000)  # 1 hour in µs
+    ds = _read(
+        sf_dir, "events", SMALL_TABLE_BLOCKS,
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def probe(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        user = g["user_id"].to_numpy(zero_copy_only=False)
+        cents = _half_up(
+            g["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        uu, uid = np.unique(user, return_inverse=True)
+        ts_rel = ts - ts.min()
+        span = np.int64(int(ts_rel.max()) + int(W) + 2)
+        if uu.size and uu.size * int(span) >= 2**63:  # pragma: no cover
+            raise OverflowError("interval_join key overflow: add buckets")
+        key = uid.astype(np.int64) * span + ts_rel
+        order = np.argsort(key, kind="stable")
+        skey = key[order]
+        csum = np.concatenate([[0], np.cumsum(cents[order])])
+        err = et == "error"
+        qk = key[err]
+        lo = np.searchsorted(skey, qk, side="right")
+        hi = np.searchsorted(skey, qk + W, side="right")
+        n_follow = (hi - lo).astype(np.int64)
+        sum_c = csum[hi] - csum[lo]
+        keep = n_follow >= 1
+        return pa.table(
+            {
+                "event_id": pa.array(eid[err][keep]),
+                "user_id": pa.array(user[err][keep]),
+                "n_follow": pa.array(n_follow[keep]),
+                "sum_follow_c": pa.array(sum_c[keep]),
+            }
+        )
+
+    nb = shuffle_mod.scaled_buckets()
+    return (
+        ds.map_batches(
+            lambda b, n=nb: shuffle_mod.add_bucket(b, "user_id", n),
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(probe, batch_format="pyarrow")
+    )

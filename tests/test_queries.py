@@ -111,6 +111,7 @@ CHECKED = [
     "trend_by_type",
     "seasonality_profile",
     "mad_outliers",
+    "interval_join",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
