@@ -3118,6 +3118,19 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # order_baskets (q_order_baskets): grouped collect_list — the
+        # sorted comma-joined distinct-part basket per order with ≥ 5
+        # items.
+        "order_baskets": """
+            WITH lp AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            )
+            SELECT l_orderkey AS o_orderkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   string_agg(CAST(l_partkey AS VARCHAR), ','
+                              ORDER BY l_partkey) AS basket
+            FROM lp GROUP BY l_orderkey HAVING COUNT(*) >= 5
+        """,
         # interval_join (q_interval_join): per-error-event count/value
         # of same-user events in the following 1-hour window (strict
         # start, inclusive end), in exact integer µs / cents.

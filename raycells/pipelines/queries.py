@@ -8229,3 +8229,56 @@ def q_interval_join(sf_dir: str):
         .groupby("_bucket")
         .map_groups(probe, batch_format="pyarrow")
     )
+
+
+def q_order_baskets(sf_dir: str):
+    """Grouped COLLECT_LIST export (NEW round 5) — the list-aggregation
+    shape (features-per-entity, basket export, training-example
+    assembly): per order with ≥ 5 distinct parts, the sorted
+    comma-joined partkey basket string plus the item count.
+
+    Shape at scale: one coarse ORDER-bucket exchange co-locates basket
+    rows (the key is high-cardinality, so this is the bucketed
+    map_groups pattern — one vectorized pandas pass per bucket, never a
+    Ray per-group Aggregate); the join-to-string runs on int-sorted
+    arrays so the basket is deterministic."""
+    ds = _read(
+        sf_dir, "lineitem", SMALL_TABLE_BLOCKS,
+        columns=["l_orderkey", "l_partkey"],
+    )
+
+    def collect(g: pa.Table) -> pa.Table:
+        df = (
+            pd.DataFrame(
+                {
+                    "o": g["l_orderkey"].to_numpy(zero_copy_only=False),
+                    "p": g["l_partkey"].to_numpy(zero_copy_only=False),
+                }
+            )
+            .drop_duplicates()
+            .sort_values(["o", "p"], kind="stable")
+        )
+        sizes = df.groupby("o", sort=False)["p"].size()
+        keep = sizes[sizes >= 5].index
+        df = df[df["o"].isin(keep)]
+        out = (
+            df.assign(p_str=df["p"].astype(str))
+            .groupby("o", sort=False)["p_str"]
+            .agg(",".join)
+            .reset_index(name="basket")
+        )
+        out["n_items"] = sizes[sizes >= 5].reindex(out["o"]).to_numpy(np.int64)
+        out = out.rename(columns={"o": "o_orderkey"})
+        return shuffle_mod.from_pandas_clean(
+            out[["o_orderkey", "n_items", "basket"]]
+        )
+
+    nb = shuffle_mod.scaled_buckets()
+    return (
+        ds.map_batches(
+            lambda b, n=nb: shuffle_mod.add_bucket(b, "l_orderkey", n),
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(collect, batch_format="pyarrow")
+    )

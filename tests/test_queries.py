@@ -112,6 +112,7 @@ CHECKED = [
     "seasonality_profile",
     "mad_outliers",
     "interval_join",
+    "order_baskets",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
