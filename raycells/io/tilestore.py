@@ -883,6 +883,54 @@ def synth_ndvi_stats(seeds: np.ndarray, red_band: int = 4, nir_band: int = 5) ->
     return {"n_valid": n_valid, "ndvi_min": ndvi_min, "ndvi_max": ndvi_max}
 
 
+def synth_band_delta_stats(
+    seeds: np.ndarray, band_a: int, band_b: int
+) -> Dict[str, np.ndarray]:
+    """Fused TWO-band decode → per-tile integer DELTA stats (band_b −
+    band_a over valid cells): one chunked pass computes both bands from
+    the shared seed arithmetic (the nodata mask is band-independent, so
+    one mask serves both), reusing the 2 MB scratch buffers — never a
+    second full decode scan. Sum/min/max are exact int64 (|delta| <
+    VAL_MOD, ≤ 4096 terms). Every tile has valid cells (the sentinel
+    mask hits ~1/33 of cells), so no empty-fold sentinel can leak."""
+    s = np.asarray(seeds, dtype=np.int64)
+    N = len(s)
+    n = TILE_N
+    imul_a = _imul_cache(n, band_a * 101)
+    imul_b = _imul_cache(n, band_b * 101)
+    i7 = _i7_cache(n)
+    va = _scratch("i64", n, np.int64)
+    vb = _scratch("i64b", n, np.int64)
+    msk = _scratch("i64c", n, np.int64)
+    valid = _scratch("bool", n, np.bool_)
+    valid_c = np.empty(N, dtype=np.int64)
+    sum_d = np.empty(N, dtype=np.int64)
+    min_d = np.empty(N, dtype=np.int64)
+    max_d = np.empty(N, dtype=np.int64)
+    for lo in range(0, N, _CHUNK):
+        g = min(_CHUNK, N - lo)
+        ss = s[lo : lo + g][:, None]
+        np.add(ss * MUL_A, imul_a, out=va[:g])
+        np.mod(va[:g], VAL_MOD, out=va[:g])
+        np.add(ss * MUL_A, imul_b, out=vb[:g])
+        np.mod(vb[:g], VAL_MOD, out=vb[:g])
+        np.subtract(vb[:g], va[:g], out=vb[:g])  # the +1 offsets cancel
+        np.add(ss, i7, out=msk[:g])
+        np.mod(msk[:g], MASK_MOD, out=msk[:g])
+        np.not_equal(msk[:g], 0, out=valid[:g])
+        d, m = vb[:g], valid[:g]
+        valid_c[lo : lo + g] = m.sum(axis=1)
+        sum_d[lo : lo + g] = np.where(m, d, 0).sum(axis=1)
+        min_d[lo : lo + g] = np.where(m, d, np.int64(1 << 40)).min(axis=1)
+        max_d[lo : lo + g] = np.where(m, d, np.int64(-(1 << 40))).max(axis=1)
+    return {
+        "valid_count": valid_c,
+        "sum_delta": sum_d,
+        "min_delta": min_d,
+        "max_delta": max_d,
+    }
+
+
 def tile_schema() -> pa.Schema:
     """Arrow schema for decoded erased tiles crossing stage boundaries
     (SURVEY.md §7.3: binary payload + dtype tag + shape keeps the buffer in

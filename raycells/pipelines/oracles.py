@@ -3118,6 +3118,50 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # cell_band_delta (q_cell_band_delta): per-cell rollup of the
+        # per-tile band-7 − band-4 integer delta stats — the +1 value
+        # offsets cancel, so the delta is the difference of the hoisted
+        # (sh + mh_band) % 65520 terms; the nodata mask is
+        # band-independent and every tile has valid cells (~1/33
+        # sentinel rate), so no empty-fold NULL can appear.
+        "cell_band_delta": _MEDIA + """
+            , mh AS (
+                SELECT doc_id, span_idx, seed,
+                       (seed * 2654435761) % 65520 AS sh, seed % 33 AS s33
+                FROM media
+            ),
+            dhelp AS MATERIALIZED (
+                SELECT (CAST(range AS BIGINT) * 7) % 33 AS m7,
+                       ((CAST(range AS BIGINT) + 404) * 40503) % 65520 AS mha,
+                       ((CAST(range AS BIGINT) + 707) * 40503) % 65520 AS mhb
+                FROM range(4096)
+            ),
+            vals AS (
+                SELECT m.doc_id, m.span_idx, m.seed,
+                       (m.s33 + c.m7) % 33 <> 0 AS ok,
+                       ((m.sh + c.mhb) % 65520)
+                           - ((m.sh + c.mha) % 65520) AS d
+                FROM mh m, dhelp c
+            ),
+            tile_stats AS (
+                SELECT doc_id, span_idx, seed,
+                       CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+                           AS valid_count,
+                       CAST(SUM(CASE WHEN ok THEN d ELSE 0 END) AS BIGINT)
+                           AS sum_delta,
+                       MIN(d) FILTER (WHERE ok) AS min_delta,
+                       MAX(d) FILTER (WHERE ok) AS max_delta
+                FROM vals GROUP BY doc_id, span_idx, seed
+            )
+        """ + _GRID + """
+            SELECT grid_cell,
+                   CAST(COUNT(*) AS BIGINT) AS n_tiles,
+                   CAST(SUM(valid_count) AS BIGINT) AS sum_valid_count,
+                   CAST(SUM(sum_delta) AS BIGINT) AS sum_sum_delta,
+                   CAST(MIN(min_delta) AS BIGINT) AS min_min_delta,
+                   CAST(MAX(max_delta) AS BIGINT) AS max_max_delta
+            FROM gridded GROUP BY grid_cell
+        """,
         # order_baskets (q_order_baskets): grouped collect_list — the
         # sorted comma-joined distinct-part basket per order with ≥ 5
         # items.

@@ -8282,3 +8282,45 @@ def q_order_baskets(sf_dir: str):
         .groupby("_bucket")
         .map_groups(collect, batch_format="pyarrow")
     )
+
+
+def q_cell_band_delta(sf_dir: str):
+    """Cross-BAND map algebra / change detection (NEW round 5) — the
+    two-epoch (or two-sensor) raster differencing every monitoring
+    pipeline runs: per-tile band-7 − band-4 delta stats from ONE fused
+    two-band decode (the nodata mask is band-independent, so a single
+    chunked LCG pass feeds both bands — never a second decode scan),
+    rolled up per grid cell through the salted aggregate.
+
+    All-integer columns (|delta| < 65520, ≤ 4096 terms per tile) →
+    exact DuckDB oracle via the twin inline ihelp expressions."""
+    from raycells.geo import cellid
+    from raycells.io import tilestore
+
+    def delta(b: pa.Table) -> pa.Table:
+        seeds = tilestore.seed_of_refs(b["media_ref"])
+        st = tilestore.synth_band_delta_stats(seeds, 4, 7)
+        lon, lat = tilestore.centroids(seeds)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "grid_cell": pa.array(
+                    cellid.grid_cell(lon, lat), pa.int64()
+                ),
+                "valid_count": pa.array(st["valid_count"], pa.int64()),
+                "sum_delta": pa.array(st["sum_delta"], pa.int64()),
+                "min_delta": pa.array(st["min_delta"], pa.int64()),
+                "max_delta": pa.array(st["max_delta"], pa.int64()),
+            }
+        )
+
+    tiles = _exploded(sf_dir).map_batches(delta, batch_format="pyarrow")
+    return shuffle_mod.salted_aggregate(
+        tiles,
+        key="grid_cell",
+        sums=("valid_count", "sum_delta"),
+        mins=("min_delta",),
+        maxs=("max_delta",),
+        count_alias="n_tiles",
+        salt_col="doc_id",
+    )

@@ -113,6 +113,7 @@ CHECKED = [
     "mad_outliers",
     "interval_join",
     "order_baskets",
+    "cell_band_delta",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
