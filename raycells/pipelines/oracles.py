@@ -3118,6 +3118,59 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # zonal_histogram (q_zonal_histogram): per-footprint 8-bin value
+        # histogram over contained tiles' 8×8 windows — PIP hits (bbox
+        # prejoin, exact parity) ⋈ the per-tile window histogram.
+        "zonal_histogram": _MEDIA + _GEO_PTS + _PIP_HITS + """
+            , tapc AS MATERIALIZED (
+                SELECT ((rr.range * 64 + cc.range) * 7) % 33 AS m7,
+                       (((rr.range * 64 + cc.range) + 404) * 40503) % 65520
+                           AS mhh
+                FROM range(8) rr, range(8) cc
+            ),
+            tile_px AS (
+                SELECT g.doc_id, g.span_idx,
+                       (CASE WHEN ((g.seed % 33) + t.m7) % 33 = 0 THEN 0
+                        ELSE 1 + (((g.seed * 2654435761) % 65520) + t.mhh)
+                                 % 65520 END) AS v
+                FROM geo g, tapc t
+            ),
+            hist AS (
+                SELECT doc_id, span_idx,
+                       CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_nodata,
+                       CAST(SUM(CASE WHEN v > 0 AND LEAST((v - 1) * 8 // 65520, 7) = 0
+                                THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+                       CAST(SUM(CASE WHEN v > 0 AND LEAST((v - 1) * 8 // 65520, 7) = 1
+                                THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+                       CAST(SUM(CASE WHEN v > 0 AND LEAST((v - 1) * 8 // 65520, 7) = 2
+                                THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+                       CAST(SUM(CASE WHEN v > 0 AND LEAST((v - 1) * 8 // 65520, 7) = 3
+                                THEN 1 ELSE 0 END) AS BIGINT) AS h3,
+                       CAST(SUM(CASE WHEN v > 0 AND LEAST((v - 1) * 8 // 65520, 7) = 4
+                                THEN 1 ELSE 0 END) AS BIGINT) AS h4,
+                       CAST(SUM(CASE WHEN v > 0 AND LEAST((v - 1) * 8 // 65520, 7) = 5
+                                THEN 1 ELSE 0 END) AS BIGINT) AS h5,
+                       CAST(SUM(CASE WHEN v > 0 AND LEAST((v - 1) * 8 // 65520, 7) = 6
+                                THEN 1 ELSE 0 END) AS BIGINT) AS h6,
+                       CAST(SUM(CASE WHEN v > 0 AND LEAST((v - 1) * 8 // 65520, 7) = 7
+                                THEN 1 ELSE 0 END) AS BIGINT) AS h7
+                FROM tile_px GROUP BY doc_id, span_idx
+            )
+            SELECT p.footprint_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tiles,
+                   CAST(SUM(h.h0) AS BIGINT) AS sum_h0,
+                   CAST(SUM(h.h1) AS BIGINT) AS sum_h1,
+                   CAST(SUM(h.h2) AS BIGINT) AS sum_h2,
+                   CAST(SUM(h.h3) AS BIGINT) AS sum_h3,
+                   CAST(SUM(h.h4) AS BIGINT) AS sum_h4,
+                   CAST(SUM(h.h5) AS BIGINT) AS sum_h5,
+                   CAST(SUM(h.h6) AS BIGINT) AS sum_h6,
+                   CAST(SUM(h.h7) AS BIGINT) AS sum_h7,
+                   CAST(SUM(h.n_nodata) AS BIGINT) AS sum_n_nodata
+            FROM pip_hits p JOIN hist h USING (doc_id, span_idx)
+            GROUP BY p.footprint_id
+        """,
         # cell_band_delta (q_cell_band_delta): per-cell rollup of the
         # per-tile band-7 − band-4 integer delta stats — the +1 value
         # offsets cancel, so the delta is the difference of the hoisted

@@ -8324,3 +8324,61 @@ def q_cell_band_delta(sf_dir: str):
         count_alias="n_tiles",
         salt_col="doc_id",
     )
+
+
+def q_zonal_histogram(sf_dir: str):
+    """ZONAL HISTOGRAM (NEW round 5) — per-footprint value-distribution
+    histograms, the zone-level companion of cell_value_hist (land-cover
+    class mixes, per-region contrast profiles): each footprint's 8-bin
+    histogram of band-4 values over the contained tiles' 8×8 windows,
+    nodata counted separately.
+
+    Shape at scale: the per-tile histogram collapses 64 pixels into 9
+    int64 columns map-side; the broadcast PIP task stage tags tiles
+    with their containing footprints (rings ray.put once, memoized per
+    worker); ONE salted aggregate sums per-zone — histogram rows, never
+    pixels, cross the exchange."""
+    from raycells.geo import cellid  # noqa: F401  (parity with hist kin)
+    from raycells.io import tilestore
+
+    WINDOW, WSIZE = (0, 0), (8, 8)
+    hcols = [f"h{j}" for j in range(8)]
+
+    def tile_hists(b: pa.Table) -> pa.Table:
+        seeds = tilestore.seed_of_refs(b["media_ref"])
+        v = tilestore.synth_band_window(seeds, 4, WINDOW, WSIZE, WSIZE).astype(
+            np.int64
+        )
+        nod = (v == 0).sum(axis=1).astype(np.int64)
+        bins = np.clip((v - 1) * 8 // 65520, 0, 7)
+        bins[v == 0] = 8
+        cols = {
+            hc: (bins == j).sum(axis=1).astype(np.int64)
+            for j, hc in enumerate(hcols)
+        }
+        lon, lat = tilestore.centroids(seeds)
+        t = {"doc_id": b["doc_id"]}
+        t.update({k: pa.array(vv) for k, vv in cols.items()})
+        t["n_nodata"] = pa.array(nod)
+        t["lon"] = pa.array(lon, pa.float64())
+        t["lat"] = pa.array(lat, pa.float64())
+        return pa.table(t)
+
+    hists = _exploded(sf_dir).map_batches(tile_hists, batch_format="pyarrow")
+    joined = pl.join_stage(hists)
+    agg = shuffle_mod.salted_aggregate(
+        joined,
+        key="footprint_id",
+        sums=tuple(hcols) + ("n_nodata",),
+        count_alias="n_tiles",
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        out = {"footprint_id": t["footprint_id"],
+               "n_tiles": pc.cast(t["n_tiles"], pa.int64())}
+        for hc in hcols:
+            out[f"sum_{hc}"] = pc.cast(t[f"sum_{hc}"], pa.int64())
+        out["sum_n_nodata"] = pc.cast(t["sum_n_nodata"], pa.int64())
+        return pa.table(out)
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

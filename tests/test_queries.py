@@ -114,6 +114,7 @@ CHECKED = [
     "interval_join",
     "order_baskets",
     "cell_band_delta",
+    "zonal_histogram",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
