@@ -3118,6 +3118,46 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # near_boundary_tiles (q_near_boundary_tiles): tiles within
+        # 0.05° of a footprint's ring boundary — exact point-to-segment
+        # distance with the division-free interior case
+        # (cross² ≤ ε²·|v|²); the ε-expanded bbox prejoin is exact
+        # (L∞ ball ⊇ L2 ball). Branch structure mirrors the numpy
+        # np.where tree term for term.
+        "near_boundary_tiles": _MEDIA + _GEO_PTS + f"""
+            , cand AS (
+                SELECT g.doc_id, g.span_idx, g.lon, g.lat, bb.footprint_id
+                FROM geo g JOIN read_parquet('{BBOX_PARQUET}') bb
+                  ON g.lon >= bb.minx - 0.05 AND g.lon <= bb.maxx + 0.05
+                 AND g.lat >= bb.miny - 0.05 AND g.lat <= bb.maxy + 0.05
+            ),
+            near AS (
+                SELECT c.doc_id, c.span_idx, c.footprint_id
+                FROM cand c JOIN read_parquet('{EDGES_PARQUET}') e
+                     USING (footprint_id)
+                WHERE CASE
+                  WHEN (c.lon - e.x1) * (e.x2 - e.x1)
+                       + (c.lat - e.y1) * (e.y2 - e.y1) <= 0
+                    THEN (c.lon - e.x1) * (c.lon - e.x1)
+                         + (c.lat - e.y1) * (c.lat - e.y1) <= 0.0025
+                  WHEN (c.lon - e.x1) * (e.x2 - e.x1)
+                       + (c.lat - e.y1) * (e.y2 - e.y1)
+                       >= (e.x2 - e.x1) * (e.x2 - e.x1)
+                          + (e.y2 - e.y1) * (e.y2 - e.y1)
+                    THEN (c.lon - e.x2) * (c.lon - e.x2)
+                         + (c.lat - e.y2) * (c.lat - e.y2) <= 0.0025
+                  ELSE ((c.lon - e.x1) * (e.y2 - e.y1)
+                        - (c.lat - e.y1) * (e.x2 - e.x1))
+                       * ((c.lon - e.x1) * (e.y2 - e.y1)
+                          - (c.lat - e.y1) * (e.x2 - e.x1))
+                       <= 0.0025 * ((e.x2 - e.x1) * (e.x2 - e.x1)
+                                    + (e.y2 - e.y1) * (e.y2 - e.y1))
+                END
+                GROUP BY c.doc_id, c.span_idx, c.footprint_id
+            )
+            SELECT footprint_id, CAST(COUNT(*) AS BIGINT) AS n_near_tiles
+            FROM near GROUP BY footprint_id
+        """,
         # zonal_histogram (q_zonal_histogram): per-footprint 8-bin value
         # histogram over contained tiles' 8×8 windows — PIP hits (bbox
         # prejoin, exact parity) ⋈ the per-tile window histogram.

@@ -8382,3 +8382,114 @@ def q_zonal_histogram(sf_dir: str):
         return pa.table(out)
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+class _NearBoundary:
+    """Broadcast task stage for q_near_boundary_tiles: per batch, count
+    tile centroids within EPS of each footprint's RING BOUNDARY (exact
+    point-to-segment distance, division-free: the interior-projection
+    case compares cross² ≤ EPS²·|v|² — identical IEEE expression trees
+    in SQL). Rings ride one ray.put; bboxes expand by EPS (L∞ ⊇ L2, so
+    the prefilter is exact)."""
+
+    EPS = 0.05
+    EPS2 = 0.0025
+
+    def __init__(self, footprints_ref):
+        from raycells.engine.stages import polygon_bbox
+
+        fps = stages._broadcast_memo(footprints_ref) if hasattr(
+            footprints_ref, "hex"
+        ) else footprints_ref
+        self.fps = fps
+        self.bboxes = np.array([polygon_bbox(r) for _, _, r in fps])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        ids, ns = [], []
+        E = self.EPS
+        for f, (fid, _cat, ring) in enumerate(self.fps):
+            bb = self.bboxes[f]
+            cand = np.nonzero(
+                (lon >= bb[0] - E) & (lon <= bb[2] + E)
+                & (lat >= bb[1] - E) & (lat <= bb[3] + E)
+            )[0]
+            if cand.size == 0:
+                continue
+            px, py = lon[cand][:, None], lat[cand][:, None]
+            nxt = np.roll(ring, -1, axis=0)
+            x1, y1 = ring[:, 0][None, :], ring[:, 1][None, :]
+            x2, y2 = nxt[:, 0][None, :], nxt[:, 1][None, :]
+            vx, vy = x2 - x1, y2 - y1
+            wx, wy = px - x1, py - y1
+            c1 = wx * vx + wy * vy
+            c2 = vx * vx + vy * vy
+            cross = wx * vy - wy * vx
+            near = np.where(
+                c1 <= 0,
+                wx * wx + wy * wy <= self.EPS2,
+                np.where(
+                    c1 >= c2,
+                    (px - x2) * (px - x2) + (py - y2) * (py - y2)
+                    <= self.EPS2,
+                    cross * cross <= self.EPS2 * c2,
+                ),
+            )
+            n = int(near.any(axis=1).sum())
+            if n:
+                ids.append(fid)
+                ns.append(n)
+        return pa.table(
+            {
+                "footprint_id": pa.array(ids, pa.string()),
+                "n": pa.array(np.asarray(ns, np.int64)),
+            }
+        )
+
+
+def q_near_boundary_tiles(sf_dir: str):
+    """BUFFER / boundary-proximity join (NEW round 5) — the
+    distance-to-boundary analysis PIP can't answer (edge-effect zones,
+    setback compliance, shoreline buffers): per footprint, the number
+    of tiles whose centroid lies within 0.05° of the footprint's RING
+    boundary (inside or outside — distance is to the boundary curve).
+
+    Shape at scale: rings broadcast once (ray.put + per-worker memo);
+    per batch the point-to-segment test is a vectorized (points ×
+    edges) matrix per bbox-surviving footprint — division-free exact
+    float compares (cross² ≤ ε²·|v|²) so the SQL oracle matches
+    branch-for-branch; the fold is O(blocks × footprints) partial
+    count rows on the driver."""
+    import ray
+
+    from raycells.io import footprints as fp_mod
+    from raycells.io import tilestore
+
+    def pts(b: pa.Table) -> pa.Table:
+        seeds = tilestore.seed_of_refs(b["media_ref"])
+        lon, lat = tilestore.centroids(seeds)
+        return pa.table(
+            {
+                "lon": pa.array(lon, pa.float64()),
+                "lat": pa.array(lat, pa.float64()),
+            }
+        )
+
+    fps = fp_mod.rings_as_numpy(fp_mod.generate_footprints())
+    ref = ray.put(fps)
+    parts = (
+        _exploded(sf_dir)
+        .map_batches(pts, batch_format="pyarrow")
+        .map_batches(stages.broadcast_task(_NearBoundary, ref),
+                     batch_format="pyarrow")
+        .to_pandas()
+        .groupby("footprint_id", sort=False, as_index=False)["n"]
+        .sum()
+    )
+    return pa.table(
+        {
+            "footprint_id": pa.array(parts["footprint_id"], pa.string()),
+            "n_near_tiles": pa.array(parts["n"].to_numpy(np.int64)),
+        }
+    )

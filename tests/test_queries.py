@@ -115,6 +115,7 @@ CHECKED = [
     "order_baskets",
     "cell_band_delta",
     "zonal_histogram",
+    "near_boundary_tiles",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
