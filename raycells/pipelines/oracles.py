@@ -3118,6 +3118,53 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # type_corr_matrix (q_type_corr_matrix): pairwise Pearson over
+        # zero-filled per-type daily count series; exact int moments,
+        # corr = num / sqrt(den1·den2) (libm sqrt parity, CLAUDE.md).
+        "type_corr_matrix": """
+            WITH daily AS (
+                SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                       CAST(COUNT(*) AS BIGINT) AS y
+                FROM events GROUP BY 1, 2
+            ),
+            bounds AS (
+                SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily
+            ),
+            cal AS (
+                SELECT d0 + CAST(r.range AS BIGINT) AS day
+                FROM bounds, range(0, 100000) r
+                WHERE d0 + r.range <= d1
+            ),
+            dense AS MATERIALIZED (
+                SELECT t.event_type, c.day, COALESCE(d.y, 0) AS y
+                FROM (SELECT DISTINCT event_type FROM daily) t
+                CROSS JOIN cal c
+                LEFT JOIN daily d USING (event_type, day)
+            ),
+            p AS (
+                SELECT a.event_type AS t1, b.event_type AS t2,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(a.y) AS BIGINT) AS sx,
+                       CAST(SUM(b.y) AS BIGINT) AS sy,
+                       CAST(SUM(a.y * b.y) AS BIGINT) AS sxy,
+                       CAST(SUM(a.y * a.y) AS BIGINT) AS sxx,
+                       CAST(SUM(b.y * b.y) AS BIGINT) AS syy
+                FROM dense a JOIN dense b
+                  ON a.day = b.day AND a.event_type < b.event_type
+                GROUP BY 1, 2
+            )
+            SELECT t1, t2, n AS n_days,
+                   n * sxy - sx * sy AS num,
+                   n * sxx - sx * sx AS den1,
+                   n * syy - sy * sy AS den2,
+                   CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                        THEN 0.0
+                        ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                    * CAST(n * syy - sy * sy AS DOUBLE))
+                   END AS corr
+            FROM p
+        """,
         # near_boundary_tiles (q_near_boundary_tiles): tiles within
         # 0.05° of a footprint's ring boundary — exact point-to-segment
         # distance with the division-free interior case

@@ -8493,3 +8493,86 @@ def q_near_boundary_tiles(sf_dir: str):
             "n_near_tiles": pa.array(parts["n"].to_numpy(np.int64)),
         }
     )
+
+
+def q_type_corr_matrix(sf_dir: str):
+    """Cross-series CORRELATION MATRIX (NEW round 5) — the pairwise
+    Pearson matrix over per-type daily event-count series (metric
+    co-movement, redundancy screens before feature selection). Series
+    are aligned on the FULL dense calendar (zero-filled), so every pair
+    sees the same n_days; all normal-equation moments are exact int64
+    and the correlation is num / sqrt(den1·den2) — one sqrt + one
+    division of exactly-converted doubles (libm sqrt is bit-identical
+    numpy vs DuckDB on this platform, CLAUDE.md).
+
+    Shape at scale: the daily rollup is the map-side partial fold; the
+    pairwise pass folds a (days × types) matrix bounded by the calendar
+    on the driver — never by events."""
+    ds = _read(
+        sf_dir, "events", SMALL_TABLE_BLOCKS, columns=["ts", "event_type"]
+    )
+
+    def daily(b: pa.Table) -> pa.Table:
+        day = b["ts"].to_numpy(zero_copy_only=False).view(np.int64) // np.int64(
+            86_400_000_000
+        )
+        part = (
+            pd.DataFrame(
+                {
+                    "event_type": b["event_type"].to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "day": day,
+                }
+            )
+            .groupby(["event_type", "day"], sort=False)
+            .size()
+            .reset_index(name="y")
+        )
+        part["y"] = part["y"].astype(np.int64)
+        return shuffle_mod.from_pandas_clean(part)
+
+    bars = (
+        ds.map_batches(daily, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["event_type", "day"], sort=False, as_index=False)["y"]
+        .sum()
+    )
+    days = np.arange(bars["day"].min(), bars["day"].max() + 1)
+    types = sorted(bars["event_type"].unique())
+    mat = (
+        bars.pivot(index="day", columns="event_type", values="y")
+        .reindex(days)
+        .fillna(0)
+        .astype(np.int64)[types]
+        .to_numpy()
+    )
+    n = np.int64(mat.shape[0])
+    rows = []
+    for i in range(len(types)):
+        for j in range(i + 1, len(types)):
+            xa, xb = mat[:, i], mat[:, j]
+            sx, sy = xa.sum(), xb.sum()
+            num = n * np.sum(xa * xb) - sx * sy
+            den1 = n * np.sum(xa * xa) - sx * sx
+            den2 = n * np.sum(xb * xb) - sy * sy
+            corr = (
+                0.0
+                if den1 == 0 or den2 == 0
+                else float(num) / np.sqrt(float(den1) * float(den2))
+            )
+            rows.append(
+                (types[i], types[j], int(n), int(num), int(den1), int(den2),
+                 float(corr))
+            )
+    return pa.table(
+        {
+            "t1": pa.array([r[0] for r in rows], pa.string()),
+            "t2": pa.array([r[1] for r in rows], pa.string()),
+            "n_days": pa.array([r[2] for r in rows], pa.int64()),
+            "num": pa.array([r[3] for r in rows], pa.int64()),
+            "den1": pa.array([r[4] for r in rows], pa.int64()),
+            "den2": pa.array([r[5] for r in rows], pa.int64()),
+            "corr": pa.array([r[6] for r in rows], pa.float64()),
+        }
+    )

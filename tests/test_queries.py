@@ -116,6 +116,7 @@ CHECKED = [
     "cell_band_delta",
     "zonal_histogram",
     "near_boundary_tiles",
+    "type_corr_matrix",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
