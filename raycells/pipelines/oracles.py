@@ -3118,6 +3118,45 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # contiguous_regions (q_contiguous_regions): rook-adjacency
+        # connected components of occupied cells — recursive min-label
+        # propagation (the dedup_clusters recipe, numeric ids);
+        # singletons seed themselves.
+        "contiguous_regions": _BAND_STATS + _GRID + """
+            , cells AS MATERIALIZED (
+                SELECT grid_cell FROM gridded GROUP BY grid_cell
+            ),
+            e0 AS (
+                SELECT a.grid_cell AS src, b.grid_cell AS dst
+                FROM cells a JOIN cells b ON b.grid_cell = a.grid_cell + 1
+                WHERE (a.grid_cell % 1440) + 1 < 1440
+                UNION ALL
+                SELECT a.grid_cell AS src, b.grid_cell AS dst
+                FROM cells a JOIN cells b ON b.grid_cell = a.grid_cell + 1440
+            ),
+            edges AS MATERIALIZED (
+                SELECT src, dst FROM e0
+                UNION
+                SELECT dst AS src, src AS dst FROM e0
+            ),
+            reach AS (
+                WITH RECURSIVE r(id, lbl) AS (
+                    SELECT grid_cell, grid_cell FROM cells
+                    UNION
+                    SELECT e.dst AS id, r.lbl
+                    FROM r JOIN edges e ON e.src = r.id
+                    WHERE r.lbl < e.dst
+                )
+                SELECT id, MIN(lbl) AS region_root FROM r GROUP BY id
+            ),
+            sized AS (
+                SELECT region_root,
+                       CAST(COUNT(*) AS BIGINT) AS region_cells
+                FROM reach GROUP BY region_root
+            )
+            SELECT r.id AS grid_cell, r.region_root, s.region_cells
+            FROM reach r JOIN sized s USING (region_root)
+        """,
         # type_corr_matrix (q_type_corr_matrix): pairwise Pearson over
         # zero-filled per-type daily count series; exact int moments,
         # corr = num / sqrt(den1·den2) (libm sqrt parity, CLAUDE.md).

@@ -117,6 +117,7 @@ CHECKED = [
     "zonal_histogram",
     "near_boundary_tiles",
     "type_corr_matrix",
+    "contiguous_regions",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
