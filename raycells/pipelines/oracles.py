@@ -3118,6 +3118,35 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # priority_sample (q_priority_sample): weighted sampling via
+        # murmur64(doc_id) >> 16 // weight priority keys, 100 smallest
+        # win; key < 2^48 so it rides BIGINT exactly.
+        "priority_sample": f"""
+            WITH keys AS (
+                SELECT doc_id, GREATEST(CAST(n_chars AS BIGINT), 1) AS w,
+                       CAST(doc_id AS UBIGINT) AS k
+                FROM documents
+            ),
+            h1 AS (SELECT doc_id, w, xor(k, k >> 33) AS h FROM keys),
+            h2 AS (SELECT doc_id, w,
+                          {_mulmod64('h', 0xFF51AFD7ED558CCD)} AS h FROM h1),
+            h3 AS (SELECT doc_id, w, xor(h, h >> 33) AS h FROM h2),
+            h4 AS (SELECT doc_id, w,
+                          {_mulmod64('h', 0xC4CEB9FE1A85EC53)} AS h FROM h3),
+            h5 AS (SELECT doc_id, w, xor(h, h >> 33) AS h FROM h4),
+            scored AS (
+                SELECT doc_id, w,
+                       CAST((h >> 16) // CAST(w AS UBIGINT) AS BIGINT) AS key
+                FROM h5
+            ),
+            ranked AS (
+                SELECT doc_id, w, key,
+                       ROW_NUMBER() OVER (ORDER BY key, doc_id) AS rn
+                FROM scored
+            )
+            SELECT CAST(rn AS BIGINT) AS rank, doc_id, w, key
+            FROM ranked WHERE rn <= 100
+        """,
         # contiguous_regions (q_contiguous_regions): rook-adjacency
         # connected components of occupied cells — recursive min-label
         # propagation (the dedup_clusters recipe, numeric ids);

@@ -8667,3 +8667,53 @@ def q_contiguous_regions(sf_dir: str):
             "region_cells": pa.array(lab["region_cells"].to_numpy(np.int64)),
         }
     )
+
+
+def q_priority_sample(sf_dir: str):
+    """Deterministic WEIGHTED sampling without replacement (NEW round
+    5) — priority sampling with hash-derived pseudo-randomness (the
+    RNG-free convention every sampling operator here uses): each doc
+    gets priority key = murmur64(doc_id) >> 16 // weight (weight =
+    n_chars, so longer docs are proportionally likelier), and the 100
+    SMALLEST keys win. Fully reproducible across engines, partitions
+    and re-runs — no RNG state anywhere.
+
+    Shape at scale: per-block partial top-K (np.lexsort survivors only)
+    → the driver merges O(blocks × K) rows. The >> 16 keeps the key
+    < 2^48, so it rides int64 exactly (CLAUDE.md uint64 rule)."""
+    from raycells.sim.hll import _hash64
+
+    K = 100
+    ds = _read(
+        sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["doc_id", "n_chars"]
+    )
+
+    def part(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.maximum(
+            b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64), 1
+        )
+        h = _hash64(did)
+        key = ((h >> np.uint64(16)) // w.astype(np.uint64)).astype(np.int64)
+        order = np.lexsort((did, key))[:K]
+        return pa.table(
+            {
+                "doc_id": pa.array(did[order]),
+                "w": pa.array(w[order]),
+                "key": pa.array(key[order]),
+            }
+        )
+
+    pool = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    did = pool["doc_id"].to_numpy(np.int64)
+    w = pool["w"].to_numpy(np.int64)
+    key = pool["key"].to_numpy(np.int64)
+    order = np.lexsort((did, key))[:K]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, order.size + 1, dtype=np.int64)),
+            "doc_id": pa.array(did[order]),
+            "w": pa.array(w[order]),
+            "key": pa.array(key[order]),
+        }
+    )

@@ -118,6 +118,7 @@ CHECKED = [
     "near_boundary_tiles",
     "type_corr_matrix",
     "contiguous_regions",
+    "priority_sample",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
