@@ -3118,6 +3118,24 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # minmax_scale (q_minmax_scale): per-type fixed-point [0, 1e6]
+        # min-max normalization — pure integer floor division.
+        "minmax_scale": """
+            WITH t AS (
+                SELECT event_id, event_type,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+                FROM events
+            ),
+            lim AS (
+                SELECT event_type, MIN(x) AS mn, MAX(x) AS mx
+                FROM t GROUP BY event_type
+            )
+            SELECT t.event_id, t.event_type, t.x,
+                   CASE WHEN l.mx - l.mn > 0
+                        THEN (t.x - l.mn) * 1000000 // (l.mx - l.mn)
+                        ELSE 0 END AS norm_e6
+            FROM t JOIN lim l USING (event_type)
+        """,
         # priority_sample (q_priority_sample): weighted sampling via
         # murmur64(doc_id) >> 16 // weight priority keys, 100 smallest
         # win; key < 2^48 so it rides BIGINT exactly.

@@ -8717,3 +8717,65 @@ def q_priority_sample(sf_dir: str):
             "key": pa.array(key[order]),
         }
     )
+
+
+def q_minmax_scale(sf_dir: str):
+    """Grouped MIN-MAX feature scaling (NEW round 5) — the
+    normalization export every feature store runs before training:
+    each event's value rescaled to fixed-point [0, 1e6] within its
+    event_type ((x − min)·10⁶ // (max − min), exact integers — no float
+    division anywhere, so every row hashes cross-engine).
+
+    Shape at scale: pass 1 folds per-type min/max (O(blocks × types)
+    partials); pass 2 re-streams events through a stateless broadcast
+    map. Output is row-sized but streams — no driver materialization
+    of the data pass (the gate collects it, production would
+    write_parquet)."""
+    ds = _read(
+        sf_dir, "events", SMALL_TABLE_BLOCKS,
+        columns=["event_id", "event_type", "value"],
+    )
+
+    def mm(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(zero_copy_only=False),
+                "x": _half_up(
+                    b["value"].to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64),
+            }
+        )
+        part = df.groupby("event_type", sort=False).agg(
+            mn=("x", "min"), mx=("x", "max")
+        ).reset_index()
+        return shuffle_mod.from_pandas_clean(part)
+
+    lim = (
+        ds.map_batches(mm, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("event_type", sort=False)
+        .agg(mn=("mn", "min"), mx=("mx", "max"))
+    )
+    mins = lim["mn"].to_dict()
+    maxs = lim["mx"].to_dict()
+
+    def scale(b: pa.Table, mns=mins, mxs=maxs) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        x = _half_up(b["value"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        s = pd.Series(et)
+        mn = s.map(mns).to_numpy(np.int64)
+        mx = s.map(mxs).to_numpy(np.int64)
+        rng = mx - mn
+        norm = np.where(rng > 0, (x - mn) * 1_000_000 // np.maximum(rng, 1), 0)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "event_type": pa.array(et, pa.string()),
+                "x": pa.array(x),
+                "norm_e6": pa.array(norm.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(scale, batch_format="pyarrow")

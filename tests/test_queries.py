@@ -119,6 +119,7 @@ CHECKED = [
     "type_corr_matrix",
     "contiguous_regions",
     "priority_sample",
+    "minmax_scale",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
