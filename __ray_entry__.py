@@ -261,6 +261,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contiguous_regions": q.q_contiguous_regions,  # NEW round 5 (region label)
         "priority_sample": q.q_priority_sample,  # NEW round 5 (weighted sampling)
         "minmax_scale": q.q_minmax_scale,  # NEW round 5 (feature normalization)
+        "audience_hhi": q.q_audience_hhi,  # NEW round 5 (concentration index)
+        "rfm_segments": q.q_rfm_segments,  # NEW round 5 (RFM quartile coding)
         "gap_fill": q.q_gap_fill,  # NEW round 5 (calendar densification)
         "log_compaction": q.q_log_compaction,  # NEW round 5 (CDC upsert snapshot)
         "cell_value_hist": q.q_cell_value_hist,  # NEW round 5 (zonal histogram)

@@ -3118,6 +3118,57 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # audience_hhi (q_audience_hhi): Herfindahl concentration of
+        # per-user activity per type; exact integer num/den + one
+        # IEEE division.
+        "audience_hhi": """
+            WITH cu AS (
+                SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2
+            ),
+            agg AS (
+                SELECT event_type,
+                       CAST(SUM(c) AS BIGINT) AS n_events,
+                       CAST(COUNT(*) AS BIGINT) AS n_users,
+                       CAST(SUM(c * c) AS BIGINT) AS hhi_num
+                FROM cu GROUP BY event_type
+            )
+            SELECT event_type, n_events, n_users, hhi_num,
+                   CASE WHEN n_events = 0 THEN 0.0
+                        ELSE CAST(hhi_num AS DOUBLE)
+                             / (CAST(n_events AS DOUBLE)
+                                * CAST(n_events AS DOUBLE))
+                   END AS hhi
+            FROM agg
+        """,
+        # rfm_segments (q_rfm_segments): recency/frequency/monetary
+        # quartiles via the exact integer rule (rank−1)·4 // n + 1,
+        # rank ordered by (metric, user_id).
+        "rfm_segments": """
+            WITH u AS (
+                SELECT user_id, MAX(epoch_us(ts)) AS last_us,
+                       CAST(COUNT(*) AS BIGINT) AS freq,
+                       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                            AS BIGINT) AS mon_c
+                FROM events GROUP BY user_id
+            ),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
+            ranked AS (
+                SELECT u.user_id, u.last_us, u.freq, u.mon_c,
+                       (ROW_NUMBER() OVER (ORDER BY last_us, user_id) - 1)
+                           * 4 // nn.n + 1 AS r,
+                       (ROW_NUMBER() OVER (ORDER BY freq, user_id) - 1)
+                           * 4 // nn.n + 1 AS f,
+                       (ROW_NUMBER() OVER (ORDER BY mon_c, user_id) - 1)
+                           * 4 // nn.n + 1 AS m
+                FROM u, nn
+            )
+            SELECT user_id, last_us, freq, mon_c,
+                   CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+                   CAST(m AS BIGINT) AS m,
+                   CAST(r * 100 + f * 10 + m AS BIGINT) AS segment
+            FROM ranked
+        """,
         # minmax_scale (q_minmax_scale): per-type fixed-point [0, 1e6]
         # min-max normalization — pure integer floor division.
         "minmax_scale": """

@@ -8779,3 +8779,128 @@ def q_minmax_scale(sf_dir: str):
         )
 
     return ds.map_batches(scale, batch_format="pyarrow")
+
+
+def q_audience_hhi(sf_dir: str):
+    """Audience CONCENTRATION index (NEW round 5) — the
+    Herfindahl-Hirschman diversity measure (is an event type driven by
+    a few power users or a broad base?): per event_type, HHI =
+    Σ c_u² / (Σ c_u)² over per-user activity counts, emitted as exact
+    integer numerator/denominator plus ONE IEEE division.
+
+    Shape at scale: per-batch (type, user) count partials fold on the
+    driver at O(blocks × types × users-per-block) — then a
+    vector-sized squared sum. The same fold the surprisal/tfidf family
+    uses; no exchange."""
+    ds = _read(
+        sf_dir, "events", SMALL_TABLE_BLOCKS, columns=["event_type", "user_id"]
+    )
+
+    def counts(b: pa.Table) -> pa.Table:
+        part = (
+            pd.DataFrame(
+                {
+                    "event_type": b["event_type"].to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby(["event_type", "user_id"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        part["c"] = part["c"].astype(np.int64)
+        return shuffle_mod.from_pandas_clean(part)
+
+    cu = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["event_type", "user_id"], sort=False, as_index=False)["c"]
+        .sum()
+    )
+    rows = []
+    for etype, g in cu.groupby("event_type", sort=True):
+        c = g["c"].to_numpy(np.int64)
+        n = int(c.sum())
+        num = int(np.sum(c * c))
+        rows.append(
+            (etype, n, int(c.size), num,
+             0.0 if n == 0 else float(num) / (float(n) * float(n)))
+        )
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "n_events": pa.array([r[1] for r in rows], pa.int64()),
+            "n_users": pa.array([r[2] for r in rows], pa.int64()),
+            "hhi_num": pa.array([r[3] for r in rows], pa.int64()),
+            "hhi": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+
+
+def q_rfm_segments(sf_dir: str):
+    """RFM SEGMENTATION (NEW round 5) — the classic
+    recency/frequency/monetary quartile coding growth teams cut users
+    by: per user, last-activity timestamp, event count, and value
+    cents, each ranked into quartiles via the exact integer rule
+    (rank−1)·4 // n + 1 (rank ordered by metric then user_id — fully
+    deterministic, no percentile floats), composed into the 3-digit
+    segment code.
+
+    Shape at scale: the per-user rollup folds O(blocks × users)
+    partials; the quartile coding sorts the USER-sized vector on the
+    driver (users ≪ events). Recency ranks most-recent = quartile 4."""
+    ds = _read(
+        sf_dir, "events", SMALL_TABLE_BLOCKS,
+        columns=["user_id", "ts", "value"],
+    )
+
+    def part(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+                "ts_us": b["ts"].to_numpy(zero_copy_only=False).view(np.int64),
+                "c": _half_up(
+                    b["value"].to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64),
+            }
+        )
+        out = df.groupby("user_id", sort=False).agg(
+            last_us=("ts_us", "max"), freq=("ts_us", "size"), mon_c=("c", "sum")
+        ).reset_index()
+        out["freq"] = out["freq"].astype(np.int64)
+        return shuffle_mod.from_pandas_clean(out)
+
+    u = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("user_id", sort=False)
+        .agg(last_us=("last_us", "max"), freq=("freq", "sum"),
+             mon_c=("mon_c", "sum"))
+        .reset_index()
+    )
+    n = len(u)
+    uid = u["user_id"].to_numpy(np.int64)
+
+    def quartile(metric: np.ndarray) -> np.ndarray:
+        order = np.lexsort((uid, metric))
+        rank = np.empty(n, np.int64)
+        rank[order] = np.arange(n, dtype=np.int64)  # 0-based rank
+        return rank * 4 // n + 1
+
+    r = quartile(u["last_us"].to_numpy(np.int64))
+    f = quartile(u["freq"].to_numpy(np.int64))
+    m = quartile(u["mon_c"].to_numpy(np.int64))
+    return pa.table(
+        {
+            "user_id": pa.array(uid),
+            "last_us": pa.array(u["last_us"].to_numpy(np.int64)),
+            "freq": pa.array(u["freq"].to_numpy(np.int64)),
+            "mon_c": pa.array(u["mon_c"].to_numpy(np.int64)),
+            "r": pa.array(r),
+            "f": pa.array(f),
+            "m": pa.array(m),
+            "segment": pa.array(r * 100 + f * 10 + m),
+        }
+    )

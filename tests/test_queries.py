@@ -120,6 +120,8 @@ CHECKED = [
     "contiguous_regions",
     "priority_sample",
     "minmax_scale",
+    "audience_hhi",
+    "rfm_segments",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
