@@ -438,3 +438,65 @@ def test_incremental_dedup_zero_collision_shard(ray_session, tmp_path):
         "doc_key", "chunk_idx", "chunk_hash", "n_base_copies",
     ]
     assert str(schema.types[3]) == "int64"
+
+
+def test_pareto_front_matches_bruteforce():
+    """Skyline via the sorted-cummax scan == O(n²) dominance test on a
+    crafted set with both-axes ties, same-price chains, and duplicates."""
+    import numpy as np
+    import pandas as pd
+
+    pts = pd.DataFrame(
+        {
+            "p_partkey": np.arange(12, dtype=np.int64),
+            "price_c": np.array(
+                [5, 5, 5, 7, 7, 3, 3, 10, 1, 1, 2, 2], dtype=np.int64
+            ),
+            "p_size": np.array(
+                [10, 10, 4, 10, 12, 8, 2, 12, 1, 1, 9, 1], dtype=np.int64
+            ),
+        }
+    )
+
+    # reuse the inner scan by rebuilding it the way q_pareto_front does
+    def brute(df):
+        keep = []
+        for i in range(len(df)):
+            a = df.iloc[i]
+            dominated = False
+            for j in range(len(df)):
+                if i == j:
+                    continue
+                b = df.iloc[j]
+                if (
+                    b.price_c <= a.price_c
+                    and b.p_size >= a.p_size
+                    and (b.price_c < a.price_c or b.p_size > a.p_size)
+                ):
+                    dominated = True
+                    break
+            if not dominated:
+                keep.append(int(a.p_partkey))
+        return sorted(keep)
+
+    # extract the module-level scan from the closure by re-deriving it:
+    # run the same algorithm inline (mirrors q_pareto_front.skyline)
+    def scan(df):
+        df = df.sort_values(
+            ["price_c", "p_size"], ascending=[True, False], kind="stable"
+        )
+        price = df["price_c"].to_numpy(np.int64)
+        size = df["p_size"].to_numpy(np.int64)
+        new_p = np.ones(price.size, bool)
+        new_p[1:] = price[1:] != price[:-1]
+        lvl = np.cumsum(new_p) - 1
+        m = size[new_p]
+        running = np.maximum.accumulate(m)
+        prev = np.empty_like(running)
+        prev[0] = np.iinfo(np.int64).min
+        prev[1:] = running[:-1]
+        lvl_live = m > prev
+        keep = lvl_live[lvl] & (size == m[lvl])
+        return sorted(df[keep]["p_partkey"].tolist())
+
+    assert scan(pts) == brute(pts)

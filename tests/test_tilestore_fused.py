@@ -167,3 +167,25 @@ def test_tile_stats_grouped_matches_scalar_fold_random():
             g = got[col][i].as_py()
             assert (g == want) or (np.isnan(g) and np.isnan(want)), (i, ctname, col)
         assert got["valid_count"][i].as_py() == int(m.sum()), (i, ctname)
+
+
+def test_band_delta_stats_matches_full_decode():
+    """synth_band_delta_stats == the naive two full decodes + numpy
+    reductions (exact integers, band-independent mask)."""
+    from raycells.io import tilestore
+
+    seeds = np.array([0, 1, 7, 101, 9999, 123457], dtype=np.int64)
+    got = tilestore.synth_band_delta_stats(seeds, 4, 7)
+    va = tilestore.synth_band_values(seeds, 4).astype(np.int64)
+    vb = tilestore.synth_band_values(seeds, 7).astype(np.int64)
+    m = va != 0
+    assert np.array_equal(m, vb != 0)  # mask is band-independent
+    d = vb - va
+    assert np.array_equal(got["valid_count"], m.sum(axis=1))
+    assert np.array_equal(got["sum_delta"], np.where(m, d, 0).sum(axis=1))
+    assert np.array_equal(
+        got["min_delta"], np.where(m, d, np.int64(1 << 40)).min(axis=1)
+    )
+    assert np.array_equal(
+        got["max_delta"], np.where(m, d, np.int64(-(1 << 40))).max(axis=1)
+    )
