@@ -2770,6 +2770,81 @@ def _bpe_sql(k: int = 8) -> str:
     """
 
 
+def _lttb_sql(B: int = 10) -> str:
+    """Unrolled LTTB selection (q_lttb_downsample): B MATERIALIZED CTE
+    steps, each picking the interior-bucket point with the largest
+    count-cleared triangle area vs the previous selection and the next
+    bucket's average (ties → earliest day). Requires n > B + 2 per type
+    (30 calendar days here)."""
+    head = f"""
+        WITH daily AS (
+            SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        base AS MATERIALIZED (
+            SELECT event_type, day, y,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                           ORDER BY day) - 1 AS BIGINT) AS r,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS n
+            FROM daily
+        ),
+        interior AS MATERIALIZED (
+            SELECT event_type, day, y, (r - 1) * {B} // (n - 2) AS bucket
+            FROM base WHERE r >= 1 AND r <= n - 2
+        ),
+        lastpt AS MATERIALIZED (
+            SELECT event_type, day, y FROM base WHERE r = n - 1
+        ),
+        bavg AS (
+            SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS cn,
+                   CAST(SUM(day) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy
+            FROM interior GROUP BY 1, 2
+        ),
+        anchor AS MATERIALIZED (
+            SELECT event_type, bucket - 1 AS bucket, cn, sx, sy
+            FROM bavg WHERE bucket >= 1
+            UNION ALL
+            SELECT event_type, {B - 1}, CAST(1 AS BIGINT), day, y
+            FROM lastpt
+        ),
+        s0 AS MATERIALIZED (
+            SELECT event_type, day, y FROM base WHERE r = 0
+        )"""
+    steps = []
+    for i in range(B):
+        steps.append(
+            f""",
+        s{i + 1} AS MATERIALIZED (
+            SELECT event_type, day, y FROM (
+                SELECT c.event_type, c.day, c.y,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c.event_type
+                           ORDER BY abs((p.day * a.cn - a.sx) * (c.y - p.y)
+                                        - (p.day - c.day)
+                                          * (a.sy - p.y * a.cn)) DESC,
+                                    c.day ASC) AS rn
+                FROM interior c
+                JOIN s{i} p USING (event_type)
+                JOIN anchor a ON a.event_type = c.event_type
+                             AND a.bucket = {i}
+                WHERE c.bucket = {i}
+            ) WHERE rn = 1
+        )"""
+        )
+    tails = [
+        f"SELECT event_type, CAST({i} AS BIGINT) AS pos, day, y FROM s{i}"
+        for i in range(B + 1)
+    ]
+    tails.append(
+        f"SELECT event_type, CAST({B + 1} AS BIGINT) AS pos, day, y FROM lastpt"
+    )
+    return head + "".join(steps) + "\n" + "\nUNION ALL\n".join(tails)
+
+
 def _pagerank_sql(iters: int = 5) -> str:
     """Unrolled integer-PageRank iterations (q_pagerank_parts): rank
     scale 10^12, damping 85/100 via floor division of non-negative
@@ -3118,6 +3193,9 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # lttb_downsample (q_lttb_downsample): largest-triangle-three-
+        # buckets decimation, 10 unrolled selection steps.
+        "lttb_downsample": _lttb_sql(),
         # audience_hhi (q_audience_hhi): Herfindahl concentration of
         # per-user activity per type; exact integer num/den + one
         # IEEE division.

@@ -8904,3 +8904,96 @@ def q_rfm_segments(sf_dir: str):
             "segment": pa.array(r * 100 + f * 10 + m),
         }
     )
+
+
+def q_lttb_downsample(sf_dir: str):
+    """LTTB time-series DOWNSAMPLING (NEW round 5) — the
+    largest-triangle-three-buckets visual decimation dashboards run
+    before plotting: each event_type's daily cents series reduced to
+    first + 10 + last points, every interior bucket contributing the
+    point with the LARGEST triangle area against the previously
+    selected point and the next bucket's average.
+
+    Exactness: the integer-variant — bucket of interior rank r is
+    (r−1)·B // (n−2); the area comparison is multiplied through by the
+    next bucket's count (A = |(x_p·c − Σx)(y_c − y_p) − (x_p − x_c)(Σy
+    − y_p·c)|, exact int64), ties to the earliest day — so the
+    sequential selection is bit-reproducible (10 unrolled MATERIALIZED
+    CTE steps in SQL, the bpe_merges pattern).
+
+    Shape at scale: the distributed stage is the daily fold; the
+    inherently sequential selection runs on the calendar-bounded bar
+    table (the cusum_daily precedent)."""
+    B = 10
+    ds = _read(
+        sf_dir, "events", SMALL_TABLE_BLOCKS,
+        columns=["ts", "event_type", "value"],
+    )
+
+    def daily(b: pa.Table) -> pa.Table:
+        part = (
+            pd.DataFrame(
+                {
+                    "event_type": b["event_type"].to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "day": b["ts"].to_numpy(zero_copy_only=False).view(
+                        np.int64
+                    )
+                    // np.int64(86_400_000_000),
+                    "c": _half_up(
+                        b["value"].to_numpy(zero_copy_only=False) * 100
+                    ).astype(np.int64),
+                }
+            )
+            .groupby(["event_type", "day"], sort=False)["c"]
+            .sum()
+            .reset_index(name="y")
+        )
+        return shuffle_mod.from_pandas_clean(part)
+
+    bars = (
+        ds.map_batches(daily, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["event_type", "day"], sort=False, as_index=False)["y"]
+        .sum()
+    )
+    out_rows = []
+    for etype, g in bars.groupby("event_type", sort=True):
+        g = g.sort_values("day")
+        x = g["day"].to_numpy(np.int64)
+        y = g["y"].to_numpy(np.int64)
+        n = x.size
+        if n <= B + 2:
+            sel = np.arange(n)
+        else:
+            r = np.arange(1, n - 1)
+            bucket = (r - 1) * B // (n - 2)
+            sel = [0]
+            for i in range(B):
+                cand = r[bucket == i]
+                if i < B - 1:
+                    nxt = r[bucket == i + 1]
+                    cn = np.int64(nxt.size)
+                    sx, sy = x[nxt].sum(), y[nxt].sum()
+                else:
+                    cn, sx, sy = np.int64(1), x[n - 1], y[n - 1]
+                p = sel[-1]
+                area = np.abs(
+                    (x[p] * cn - sx) * (y[cand] - y[p])
+                    - (x[p] - x[cand]) * (sy - y[p] * cn)
+                )
+                best = cand[np.lexsort((x[cand], -area))[0]]
+                sel.append(int(best))
+            sel.append(n - 1)
+            sel = np.asarray(sel)
+        for k, idx in enumerate(sel):
+            out_rows.append((etype, k, int(x[idx]), int(y[idx])))
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in out_rows], pa.string()),
+            "pos": pa.array([r[1] for r in out_rows], pa.int64()),
+            "day": pa.array([r[2] for r in out_rows], pa.int64()),
+            "y": pa.array([r[3] for r in out_rows], pa.int64()),
+        }
+    )

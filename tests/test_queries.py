@@ -122,6 +122,7 @@ CHECKED = [
     "minmax_scale",
     "audience_hhi",
     "rfm_segments",
+    "lttb_downsample",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
