@@ -264,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audience_hhi": q.q_audience_hhi,  # NEW round 5 (concentration index)
         "rfm_segments": q.q_rfm_segments,  # NEW round 5 (RFM quartile coding)
         "lttb_downsample": q.q_lttb_downsample,  # NEW round 5 (LTTB decimation)
+        "triangle_count": q.q_triangle_count,  # NEW round 5 (graph triangles)
         "gap_fill": q.q_gap_fill,  # NEW round 5 (calendar densification)
         "log_compaction": q.q_log_compaction,  # NEW round 5 (CDC upsert snapshot)
         "cell_value_hist": q.q_cell_value_hist,  # NEW round 5 (zonal histogram)

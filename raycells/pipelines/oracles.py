@@ -3193,6 +3193,32 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # triangle_count (q_triangle_count): per-node co-purchase
+        # triangles via the ordered 3-way edge self-join; each triangle
+        # credits all three vertices.
+        "triangle_count": """
+            WITH lp AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            e AS MATERIALIZED (
+                SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                FROM lp a JOIN lp b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+            ),
+            tri AS MATERIALIZED (
+                SELECT ab.u, ab.v, bc.v AS w
+                FROM e ab JOIN e bc ON bc.u = ab.v
+                JOIN e ac ON ac.u = ab.u AND ac.v = bc.v
+            ),
+            verts AS (
+                SELECT u AS node FROM tri
+                UNION ALL SELECT v FROM tri
+                UNION ALL SELECT w FROM tri
+            )
+            SELECT node AS p_partkey, CAST(COUNT(*) AS BIGINT) AS triangles
+            FROM verts GROUP BY node
+        """,
         # lttb_downsample (q_lttb_downsample): largest-triangle-three-
         # buckets decimation, 10 unrolled selection steps.
         "lttb_downsample": _lttb_sql(),

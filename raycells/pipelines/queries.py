@@ -8997,3 +8997,82 @@ def q_lttb_downsample(sf_dir: str):
             "y": pa.array([r[3] for r in out_rows], pa.int64()),
         }
     )
+
+
+def q_triangle_count(sf_dir: str):
+    """Per-node TRIANGLE counting (NEW round 5) — the graph-analytics
+    clustering primitive (community strength, spam/bot rings): for each
+    part, the number of co-purchase triangles through it.
+
+    Method: broadcast BITSET adjacency (n × ⌈n/64⌉ uint64, built once —
+    the bitset itself is the size bound, n²/8 bytes, so collecting the
+    smaller edge list to build it costs less than the broadcast it
+    feeds; ~50 MB at 20k nodes, document-bounded like IVF's sample
+    bound) + a distributed per-edge scan: common(s, d) =
+    popcount(bits[s] & bits[d]) in 2 MB SWAR chunks
+    (text/dedup._popcount64), each directed edge crediting its source,
+    and triangles(x) = Σ_incident common // 2 (each triangle at x is
+    seen from both its x-edges). Partials fold O(blocks × nodes)."""
+    import ray
+
+    from raycells.text.dedup import _popcount64
+
+    dedup = shuffle_mod.salted_aggregate(
+        _order_pair_partials(sf_dir), key="pairkey", sums=(),
+        count_alias="_n", salt_col="pairkey",
+    )
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        k = b["pairkey"].to_numpy(zero_copy_only=False)
+        p1, p2 = k >> np.int64(32), k & np.int64((1 << 32) - 1)
+        return pa.table(
+            {
+                "s": pa.array(np.concatenate([p1, p2])),
+                "d": pa.array(np.concatenate([p2, p1])),
+            }
+        )
+
+    edges = dedup.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    epd = edges.to_pandas()
+    s = epd["s"].to_numpy(np.int64)
+    d = epd["d"].to_numpy(np.int64)
+    nodes = np.unique(s)
+    n = nodes.size
+    w = (n + 63) // 64
+    bits = np.zeros((n, w), np.uint64)
+    i_s = np.searchsorted(nodes, s)
+    i_d = np.searchsorted(nodes, d)
+    np.bitwise_or.at(
+        bits, (i_s, i_d // 64), np.uint64(1) << (i_d % 64).astype(np.uint64)
+    )
+    ref = ray.put((nodes, bits))
+
+    def scan(b: pa.Table, r=ref) -> pa.Table:
+        nd, bt = stages._broadcast_memo(r)
+        ss = np.searchsorted(nd, b["s"].to_numpy(zero_copy_only=False))
+        dd = np.searchsorted(nd, b["d"].to_numpy(zero_copy_only=False))
+        acc = np.zeros(nd.size, np.int64)
+        CH = max(1, (2 << 20) // (bt.shape[1] * 8 * 2))  # ~2 MB working set
+        for lo in range(0, ss.size, CH):
+            hi = min(lo + CH, ss.size)
+            common = _popcount64(
+                np.bitwise_and(bt[ss[lo:hi]], bt[dd[lo:hi]])
+            ).sum(axis=1, dtype=np.int64)
+            np.add.at(acc, ss[lo:hi], common)
+        nz = np.nonzero(acc)[0]
+        return pa.table({"node": pa.array(nd[nz]), "part": pa.array(acc[nz])})
+
+    folded = (
+        edges.map_batches(scan, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("node", sort=False)["part"]
+        .sum()
+    )
+    tri = (folded // 2).astype(np.int64)
+    tri = tri[tri > 0]
+    return pa.table(
+        {
+            "p_partkey": pa.array(tri.index.to_numpy(np.int64)),
+            "triangles": pa.array(tri.to_numpy(np.int64)),
+        }
+    )

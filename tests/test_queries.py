@@ -123,6 +123,7 @@ CHECKED = [
     "audience_hhi",
     "rfm_segments",
     "lttb_downsample",
+    "triangle_count",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
