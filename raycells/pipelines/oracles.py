@@ -3193,6 +3193,76 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # hist_equalize (q_hist_equalize): global-CDF histogram
+        # equalization of the 8×8 windows, per-cell stats of the
+        # remapped raster; e(v) = (cdf−cdf_min)·65519 // (T−cdf_min)+1,
+        # all integer.
+        "hist_equalize": _MEDIA + """
+            , mh AS (
+                SELECT seed,
+                       (seed * 2654435761) % 65520 AS sh, seed % 33 AS s33,
+                       CAST(floor((CASE WHEN seed % 10 < 6 THEN
+                                (CASE seed % 3 WHEN 0 THEN 40.7 WHEN 1 THEN 48.85 ELSE 35.7 END)
+                                + ((seed * 57) % 2000 - 1000) / 1000.0
+                            ELSE ((seed * 7919) % 170000) / 1000.0 - 85.0 END
+                            + 90.0) / 0.25) * 1440
+                          + floor((CASE WHEN seed % 10 < 6 THEN
+                                (CASE seed % 3 WHEN 0 THEN -74.0 WHEN 1 THEN 2.35 ELSE 139.7 END)
+                                + ((seed * 31) % 2000 - 1000) / 1000.0
+                            ELSE ((seed * 9973) % 360000) / 1000.0 - 180.0 END
+                            + 180.0) / 0.25) AS BIGINT) AS grid_cell
+                FROM media
+            ),
+            tapc AS MATERIALIZED (
+                SELECT ((rr.range * 64 + cc.range) * 7) % 33 AS m7,
+                       (((rr.range * 64 + cc.range) + 404) * 40503) % 65520
+                           AS mhh
+                FROM range(8) rr, range(8) cc
+            ),
+            px AS (
+                SELECT m.grid_cell,
+                       (CASE WHEN (m.s33 + t.m7) % 33 = 0 THEN 0
+                        ELSE 1 + (m.sh + t.mhh) % 65520 END) AS v
+                FROM mh m, tapc t
+            ),
+            hist AS MATERIALIZED (
+                SELECT v, CAST(COUNT(*) AS BIGINT) AS c
+                FROM px WHERE v > 0 GROUP BY v
+            ),
+            cdf AS MATERIALIZED (
+                SELECT v, SUM(c) OVER (ORDER BY v) AS cdf FROM hist
+            ),
+            tot AS (SELECT MAX(cdf) AS T, MIN(cdf) AS cmin FROM cdf),
+            map AS MATERIALIZED (
+                SELECT v,
+                       CAST(CASE WHEN t.T > t.cmin
+                                 THEN (cdf - t.cmin) * 65519
+                                      // (t.T - t.cmin) + 1
+                                 ELSE 1 END AS BIGINT) AS e
+                FROM cdf, tot t
+            ),
+            epx AS (
+                SELECT p.grid_cell, p.v, COALESCE(m.e, 0) AS e
+                FROM px p LEFT JOIN map m ON m.v = p.v
+            ),
+            nt AS (
+                SELECT grid_cell, CAST(COUNT(*) AS BIGINT) AS n_tiles
+                FROM mh GROUP BY grid_cell
+            )
+            SELECT x.grid_cell, nt.n_tiles,
+                   CAST(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS sum_valid_px,
+                   CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS sum_nodata_px,
+                   CAST(SUM(CASE WHEN v > 0 THEN e ELSE 0 END) AS BIGINT)
+                       AS sum_eq_sum,
+                   CAST(MIN(CASE WHEN v > 0 THEN e END) AS BIGINT)
+                       AS min_eq_min,
+                   CAST(MAX(CASE WHEN v > 0 THEN e END) AS BIGINT)
+                       AS max_eq_max
+            FROM epx x JOIN nt USING (grid_cell)
+            GROUP BY x.grid_cell, nt.n_tiles
+        """,
         # triangle_count (q_triangle_count): per-node co-purchase
         # triangles via the ordered 3-way edge self-join; each triangle
         # credits all three vertices.

@@ -9076,3 +9076,82 @@ def q_triangle_count(sf_dir: str):
             "triangles": pa.array(tri.to_numpy(np.int64)),
         }
     )
+
+
+def q_hist_equalize(sf_dir: str):
+    """Histogram EQUALIZATION (NEW round 5) — the classic raster
+    contrast-enhancement remap (and the normalization step image
+    training pipelines run): band-4 window pixels remapped through the
+    GLOBAL value CDF (e(v) = (cdf(v) − cdf_min)·65519 // (T − cdf_min)
+    + 1 — pure integer), then per-cell stats of the equalized raster.
+
+    Shape at scale: pass 1 folds per-batch (value, count) partials into
+    the 65520-bounded global histogram (value-domain-bounded, never
+    pixel-bounded); the remap LUT broadcasts once via ray.put; pass 2
+    re-streams tiles, remaps the 8×8 windows vectorized, and rolls up
+    per grid cell through the salted aggregate."""
+    import ray
+
+    from raycells.geo import cellid
+    from raycells.io import tilestore
+
+    WINDOW, WSIZE = (0, 0), (8, 8)
+
+    def vhist(b: pa.Table) -> pa.Table:
+        seeds = tilestore.seed_of_refs(b["media_ref"])
+        v = tilestore.synth_band_window(seeds, 4, WINDOW, WSIZE, WSIZE).ravel()
+        v = v[v > 0].astype(np.int64)
+        vals, cnts = np.unique(v, return_counts=True)
+        return pa.table(
+            {"v": pa.array(vals), "c": pa.array(cnts.astype(np.int64))}
+        )
+
+    hist = (
+        _exploded(sf_dir)
+        .map_batches(vhist, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("v", sort=True)["c"]
+        .sum()
+    )
+    vals = hist.index.to_numpy(np.int64)
+    cdf = hist.to_numpy(np.int64).cumsum()
+    T, cmin = int(cdf[-1]), int(cdf[0])
+    lut = np.zeros(65521, np.int64)
+    lut[vals] = (
+        (cdf - cmin) * 65519 // max(T - cmin, 1) + 1 if T > cmin
+        else np.ones(vals.size, np.int64)
+    )
+    ref = ray.put(lut)
+
+    def remap(b: pa.Table, r=ref) -> pa.Table:
+        lt = stages._broadcast_memo(r)
+        seeds = tilestore.seed_of_refs(b["media_ref"])
+        v = tilestore.synth_band_window(seeds, 4, WINDOW, WSIZE, WSIZE).astype(
+            np.int64
+        )
+        ok = v > 0
+        e = lt[v]
+        lon, lat = tilestore.centroids(seeds)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "grid_cell": pa.array(cellid.grid_cell(lon, lat), pa.int64()),
+                "valid_px": pa.array(ok.sum(axis=1).astype(np.int64)),
+                "nodata_px": pa.array((~ok).sum(axis=1).astype(np.int64)),
+                "eq_sum": pa.array(np.where(ok, e, 0).sum(axis=1)),
+                "eq_min": pa.array(
+                    np.where(ok, e, np.int64(1 << 40)).min(axis=1)
+                ),
+                "eq_max": pa.array(np.where(ok, e, np.int64(-1)).max(axis=1)),
+            }
+        )
+
+    return shuffle_mod.salted_aggregate(
+        _exploded(sf_dir).map_batches(remap, batch_format="pyarrow"),
+        key="grid_cell",
+        sums=("valid_px", "nodata_px", "eq_sum"),
+        mins=("eq_min",),
+        maxs=("eq_max",),
+        count_alias="n_tiles",
+        salt_col="doc_id",
+    )

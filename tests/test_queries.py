@@ -124,6 +124,7 @@ CHECKED = [
     "rfm_segments",
     "lttb_downsample",
     "triangle_count",
+    "hist_equalize",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
