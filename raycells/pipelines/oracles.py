@@ -3193,6 +3193,33 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # containment_pairs (q_containment_pairs): one-sided chunk
+        # containment (≥ 50% of A's distinct fingerprints in B), with
+        # the >100-doc boilerplate fingerprint cap mirrored.
+        "containment_pairs": f"""
+            WITH ch AS ({_chunk_docs_sql()}),
+            d AS (SELECT DISTINCT doc_key, chunk_hash FROM ch),
+            hs AS (
+                SELECT chunk_hash FROM d
+                GROUP BY 1 HAVING COUNT(*) BETWEEN 2 AND 100
+            ),
+            dd AS (SELECT d.* FROM d JOIN hs USING (chunk_hash)),
+            sz AS (
+                SELECT doc_key, CAST(COUNT(*) AS BIGINT) AS n
+                FROM d GROUP BY 1
+            ),
+            inter AS (
+                SELECT a.doc_key AS doc_a, b.doc_key AS doc_b,
+                       CAST(COUNT(*) AS BIGINT) AS n_common
+                FROM dd a JOIN dd b
+                  ON a.chunk_hash = b.chunk_hash
+                 AND a.doc_key <> b.doc_key
+                GROUP BY 1, 2
+            )
+            SELECT i.doc_a, i.doc_b, s.n AS n_a, i.n_common
+            FROM inter i JOIN sz s ON s.doc_key = i.doc_a
+            WHERE 2 * i.n_common >= s.n
+        """,
         # hist_equalize (q_hist_equalize): global-CDF histogram
         # equalization of the 8×8 windows, per-cell stats of the
         # remapped raster; e(v) = (cdf−cdf_min)·65519 // (T−cdf_min)+1,

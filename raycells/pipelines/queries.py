@@ -9155,3 +9155,99 @@ def q_hist_equalize(sf_dir: str):
         count_alias="n_tiles",
         salt_col="doc_id",
     )
+
+
+def q_containment_pairs(sf_dir: str):
+    """CONTAINMENT (quote/superset) detection (NEW round 5) — the
+    one-sided near-dup relation symmetric Jaccard misses: doc A is
+    "contained" in doc B when ≥ 50% of A's DISTINCT chunk fingerprints
+    also occur in B (catches quoting, excerpt pages, doc-inside-doc
+    boilerplate). Ordered pairs, both directions evaluated.
+
+    Shape at scale: one coarse exchange on the chunk hash co-locates
+    equal fingerprints (per-bucket (doc, hash) dedup IS global —
+    hash → one bucket); fingerprints shared by > 100 docs are dropped
+    as boilerplate BEFORE pair expansion (the skew guard — a hash in k
+    docs costs k² pair rows), mirrored in the oracle; per-doc distinct
+    sizes fold from the same exchange. Driver folds candidate-pair- and
+    doc-sized partials only."""
+    DF_CAP = 100
+    chunks = q_chunk_docs(sf_dir)
+
+    def proj(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "doc_key": b["doc_key"].to_numpy(zero_copy_only=False),
+                "chunk_hash": b["chunk_hash"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        return shuffle_mod.from_pandas_clean(df)
+
+    def bucket_pass(g: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "doc_key": g["doc_key"].to_numpy(zero_copy_only=False),
+                "chunk_hash": g["chunk_hash"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        sizes = df.groupby("doc_key", sort=False).size().reset_index(name="n")
+        out_kind = [np.zeros(len(sizes), np.int64)]
+        out_a = [sizes["doc_key"].to_numpy(object)]
+        out_b = [np.full(len(sizes), "", object)]
+        out_n = [sizes["n"].to_numpy(np.int64)]
+        hsz = df.groupby("chunk_hash", sort=False).size()
+        keep = hsz[(hsz >= 2) & (hsz <= DF_CAP)].index
+        dd = df[df["chunk_hash"].isin(keep)]
+        if len(dd):
+            pairs = dd.merge(dd, on="chunk_hash", suffixes=("_a", "_b"))
+            pairs = pairs[pairs["doc_key_a"] != pairs["doc_key_b"]]
+            pc = (
+                pairs.groupby(["doc_key_a", "doc_key_b"], sort=False)
+                .size()
+                .reset_index(name="m")
+            )
+            out_kind.append(np.ones(len(pc), np.int64))
+            out_a.append(pc["doc_key_a"].to_numpy(object))
+            out_b.append(pc["doc_key_b"].to_numpy(object))
+            out_n.append(pc["m"].to_numpy(np.int64))
+        return pa.table(
+            {
+                "kind": pa.array(np.concatenate(out_kind)),
+                "a": pa.array(np.concatenate(out_a), pa.string()),
+                "b": pa.array(np.concatenate(out_b), pa.string()),
+                "cnt": pa.array(np.concatenate(out_n)),
+            }
+        )
+
+    nb = shuffle_mod.scaled_buckets()
+    folded = (
+        chunks.map_batches(proj, batch_format="pyarrow")
+        .map_batches(
+            lambda b, n=nb: shuffle_mod.add_bucket(b, "chunk_hash", n),
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(bucket_pass, batch_format="pyarrow")
+        .to_pandas()
+    )
+    sizes = (
+        folded[folded["kind"] == 0]
+        .groupby("a", sort=False)["cnt"]
+        .sum()
+    )
+    pairs = (
+        folded[folded["kind"] == 1]
+        .groupby(["a", "b"], sort=False, as_index=False)["cnt"]
+        .sum()
+    )
+    n_a = sizes.reindex(pairs["a"]).to_numpy(np.int64)
+    m = pairs["cnt"].to_numpy(np.int64)
+    keep = 2 * m >= n_a
+    return pa.table(
+        {
+            "doc_a": pa.array(pairs["a"].to_numpy(object)[keep], pa.string()),
+            "doc_b": pa.array(pairs["b"].to_numpy(object)[keep], pa.string()),
+            "n_a": pa.array(n_a[keep]),
+            "n_common": pa.array(m[keep]),
+        }
+    )

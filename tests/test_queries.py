@@ -125,6 +125,7 @@ CHECKED = [
     "lttb_downsample",
     "triangle_count",
     "hist_equalize",
+    "containment_pairs",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
