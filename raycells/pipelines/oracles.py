@@ -3193,6 +3193,43 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # semivariogram (q_semivariogram): γ-terms at axis lags 1..4
+        # over occupied-cell tile counts; exact integer pair sums.
+        "semivariogram": _BAND_STATS + _GRID + """
+            , cells AS MATERIALIZED (
+                SELECT grid_cell, CAST(COUNT(*) AS BIGINT) AS z
+                FROM gridded GROUP BY 1
+            ),
+            c2 AS MATERIALIZED (
+                SELECT CAST(grid_cell % 1440 AS BIGINT) AS gx,
+                       CAST(grid_cell // 1440 AS BIGINT) AS gy, z
+                FROM cells
+            ),
+            lags AS (SELECT CAST(range + 1 AS BIGINT) AS lag FROM range(4)),
+            agg AS (
+                SELECT 'x' AS axis, l.lag,
+                       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                       CAST(SUM((a.z - b.z) * (a.z - b.z)) AS BIGINT)
+                           AS sum_sq
+                FROM lags l
+                JOIN c2 a ON TRUE
+                JOIN c2 b ON b.gx = a.gx + l.lag AND b.gy = a.gy
+                GROUP BY 1, 2
+                UNION ALL
+                SELECT 'y' AS axis, l.lag,
+                       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                       CAST(SUM((a.z - b.z) * (a.z - b.z)) AS BIGINT)
+                           AS sum_sq
+                FROM lags l
+                JOIN c2 a ON TRUE
+                JOIN c2 b ON b.gy = a.gy + l.lag AND b.gx = a.gx
+                GROUP BY 1, 2
+            )
+            SELECT axis, lag, n_pairs, sum_sq,
+                   CAST(sum_sq AS DOUBLE)
+                       / (2.0 * CAST(n_pairs AS DOUBLE)) AS gamma
+            FROM agg
+        """,
         # containment_pairs (q_containment_pairs): one-sided chunk
         # containment (≥ 50% of A's distinct fingerprints in B), with
         # the >100-doc boilerplate fingerprint cap mirrored.

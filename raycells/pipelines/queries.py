@@ -9251,3 +9251,63 @@ def q_containment_pairs(sf_dir: str):
             "n_common": pa.array(m[keep]),
         }
     )
+
+
+def q_semivariogram(sf_dir: str):
+    """Experimental SEMIVARIOGRAM (NEW round 5) — the geostatistics
+    spatial-structure curve kriging and spatial ML start from: for lags
+    h = 1..4 along both grid axes, γ-terms Σ (z_i − z_j)² and pair
+    counts over occupied-cell pairs at exactly that offset (z = tiles
+    per cell). Emits exact integer (lag, axis, n_pairs, sum_sq) — the
+    float γ = sum_sq / (2·n_pairs) is ONE IEEE division.
+
+    Shape at scale: neighbor pairs at fixed offsets resolve with the
+    same sorted-key searchsorted used by morans_i over the CELL-sized
+    aggregate — the heavy stage is the distributed cell rollup; the
+    lag scan is O(lags × cells) on cell-sized arrays."""
+    from raycells.geo import cellid
+
+    NX = cellid.GRID_NX
+    base = (
+        _cell_base_agg(sf_dir)
+        .map_batches(
+            lambda b: b.select(["grid_cell", "n_tiles"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .groupby("grid_cell", sort=True, as_index=False)["n_tiles"]
+        .sum()
+    )
+    gc = base["grid_cell"].to_numpy(np.int64)
+    z = base["n_tiles"].to_numpy(np.int64)
+    gx, gy = gc % NX, gc // NX
+    key = gy * np.int64(1 << 20) + gx
+    order = np.argsort(key, kind="stable")
+    skey, sz = key[order], z[order]
+    rows = []
+    for axis, (dx, dy) in (("x", (1, 0)), ("y", (0, 1))):
+        for lag in range(1, 5):
+            nk = (gy + dy * lag) * np.int64(1 << 20) + (gx + dx * lag)
+            pos = np.searchsorted(skey, nk)
+            pos_c = np.minimum(pos, skey.size - 1)
+            hit = skey[pos_c] == nk
+            ii = np.nonzero(hit)[0]
+            jj = pos_c[ii]
+            d = z[ii] - sz[jj]
+            n_pairs = int(ii.size)
+            if n_pairs == 0:  # mirror the oracle's inner-join semantics
+                continue
+            ssq = int(np.sum(d.astype(object) * d.astype(object)))
+            rows.append(
+                (axis, lag, n_pairs, ssq,
+                 float(ssq) / (2.0 * float(n_pairs)))
+            )
+    return pa.table(
+        {
+            "axis": pa.array([r[0] for r in rows], pa.string()),
+            "lag": pa.array([r[1] for r in rows], pa.int64()),
+            "n_pairs": pa.array([r[2] for r in rows], pa.int64()),
+            "sum_sq": pa.array([r[3] for r in rows], pa.int64()),
+            "gamma": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )

@@ -126,6 +126,7 @@ CHECKED = [
     "triangle_count",
     "hist_equalize",
     "containment_pairs",
+    "semivariogram",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
