@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hist_equalize": q.q_hist_equalize,  # NEW round 5 (CDF contrast remap)
         "containment_pairs": q.q_containment_pairs,  # NEW round 5 (quote detect)
         "semivariogram": q.q_semivariogram,  # NEW round 5 (spatial structure)
+        "attribution_last_touch": q.q_attribution_last_touch,  # NEW round 5
         "gap_fill": q.q_gap_fill,  # NEW round 5 (calendar densification)
         "log_compaction": q.q_log_compaction,  # NEW round 5 (CDC upsert snapshot)
         "cell_value_hist": q.q_cell_value_hist,  # NEW round 5 (zonal histogram)

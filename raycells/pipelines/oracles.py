@@ -3193,6 +3193,31 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # attribution_last_touch (q_attribution_last_touch): purchases
+        # attributed to the latest same-user click/view in a 7-day
+        # strict-before lookback; ties → larger event_id.
+        "attribution_last_touch": """
+            WITH t AS (
+                SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+                FROM events
+            ),
+            pur AS (SELECT * FROM t WHERE event_type = 'purchase'),
+            src AS (SELECT * FROM t WHERE event_type IN ('click', 'view')),
+            cand AS (
+                SELECT p.event_id, p.user_id, p.ts_us,
+                       s.event_id AS s_id, s.event_type AS s_type,
+                       s.ts_us AS s_ts,
+                       ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                          ORDER BY s.ts_us DESC,
+                                                   s.event_id DESC) AS rn
+                FROM pur p JOIN src s ON s.user_id = p.user_id
+                 AND s.ts_us < p.ts_us
+                 AND s.ts_us >= p.ts_us - 604800000000
+            )
+            SELECT event_id, user_id, s_id AS src_event_id,
+                   s_type AS src_type, ts_us - s_ts AS lag_us
+            FROM cand WHERE rn = 1
+        """,
         # semivariogram (q_semivariogram): γ-terms at axis lags 1..4
         # over occupied-cell tile counts; exact integer pair sums.
         "semivariogram": _BAND_STATS + _GRID + """

@@ -9311,3 +9311,67 @@ def q_semivariogram(sf_dir: str):
             "gamma": pa.array([r[4] for r in rows], pa.float64()),
         }
     )
+
+
+def q_attribution_last_touch(sf_dir: str):
+    """LAST-TOUCH attribution (NEW round 5) — the marketing-analytics
+    join (asof with a type-filtered build side): every purchase
+    attributed to the user's most recent click/view STRICTLY before it
+    within a 7-day lookback; ties on timestamp break to the larger
+    event_id. Exact integer µs lags.
+
+    Shape at scale: the interval_join machinery — one user-bucket
+    exchange, in-bucket composite (dense-user, rebased-ts) key sorted
+    with event_id as the secondary order, ONE searchsorted per
+    purchase picks the predecessor (equal keys sort the max event_id
+    last, so idx−1 IS the tie rule); the ≤ 7-day check implies
+    same-user because the key span exceeds any in-window lag."""
+    LOOKBACK = np.int64(7 * 86_400_000_000)
+    ds = _read(
+        sf_dir, "events", SMALL_TABLE_BLOCKS,
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def probe(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        user = g["user_id"].to_numpy(zero_copy_only=False)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        uu, uid = np.unique(user, return_inverse=True)
+        ts_rel = ts - ts.min()
+        span = np.int64(int(ts_rel.max()) + int(LOOKBACK) + 2)
+        if uu.size and uu.size * int(span) >= 2**63:  # pragma: no cover
+            raise OverflowError("attribution key overflow: add buckets")
+        key = uid.astype(np.int64) * span + ts_rel
+        is_src = (et == "click") | (et == "view")
+        is_pur = et == "purchase"
+        skey = key[is_src]
+        seid = eid[is_src]
+        setype = et[is_src]
+        order = np.lexsort((seid, skey))
+        skey, seid, setype = skey[order], seid[order], setype[order]
+        qk = key[is_pur]
+        idx = np.searchsorted(skey, qk, side="left") - 1
+        ok = idx >= 0
+        idx_c = np.maximum(idx, 0)
+        lag = qk - skey[idx_c]
+        ok &= lag <= LOOKBACK
+        return pa.table(
+            {
+                "event_id": pa.array(eid[is_pur][ok]),
+                "user_id": pa.array(user[is_pur][ok]),
+                "src_event_id": pa.array(seid[idx_c[ok]]),
+                "src_type": pa.array(setype[idx_c[ok]], pa.string()),
+                "lag_us": pa.array(lag[ok]),
+            }
+        )
+
+    nb = shuffle_mod.scaled_buckets()
+    return (
+        ds.map_batches(
+            lambda b, n=nb: shuffle_mod.add_bucket(b, "user_id", n),
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(probe, batch_format="pyarrow")
+    )

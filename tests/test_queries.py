@@ -127,6 +127,7 @@ CHECKED = [
     "hist_equalize",
     "containment_pairs",
     "semivariogram",
+    "attribution_last_touch",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
