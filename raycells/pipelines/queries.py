@@ -9010,9 +9010,10 @@ def q_triangle_count(sf_dir: str):
     feeds; ~50 MB at 20k nodes, document-bounded like IVF's sample
     bound) + a distributed per-edge scan: common(s, d) =
     popcount(bits[s] & bits[d]) in 2 MB SWAR chunks
-    (text/dedup._popcount64), each directed edge crediting its source,
-    and triangles(x) = Σ_incident common // 2 (each triangle at x is
-    seen from both its x-edges). Partials fold O(blocks × nodes)."""
+    (text/dedup._popcount64), each undirected edge scanned once
+    crediting both endpoints, and triangles(x) = Σ_incident common // 2
+    (each triangle at x is seen from both its x-edges). Partials fold
+    O(blocks × nodes)."""
     import ray
 
     from raycells.text.dedup import _popcount64
@@ -9022,21 +9023,24 @@ def q_triangle_count(sf_dir: str):
         count_alias="_n", salt_col="pairkey",
     )
 
-    def both_dirs(b: pa.Table) -> pa.Table:
+    def split(b: pa.Table) -> pa.Table:
         k = b["pairkey"].to_numpy(zero_copy_only=False)
-        p1, p2 = k >> np.int64(32), k & np.int64((1 << 32) - 1)
         return pa.table(
             {
-                "s": pa.array(np.concatenate([p1, p2])),
-                "d": pa.array(np.concatenate([p2, p1])),
+                "s": pa.array(k >> np.int64(32)),
+                "d": pa.array(k & np.int64((1 << 32) - 1)),
             }
         )
 
-    edges = dedup.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    # UNDIRECTED edges only: each (u < v) edge is AND-popcounted once
+    # and credits BOTH endpoints — half the scan arithmetic of the
+    # both-directions form (each triangle at x is still seen from both
+    # its x-edges, so the //2 below is unchanged)
+    edges = dedup.map_batches(split, batch_format="pyarrow").materialize()
     epd = edges.to_pandas()
     s = epd["s"].to_numpy(np.int64)
     d = epd["d"].to_numpy(np.int64)
-    nodes = np.unique(s)
+    nodes = np.unique(np.concatenate([s, d]))
     n = nodes.size
     w = (n + 63) // 64
     bits = np.zeros((n, w), np.uint64)
@@ -9044,6 +9048,9 @@ def q_triangle_count(sf_dir: str):
     i_d = np.searchsorted(nodes, d)
     np.bitwise_or.at(
         bits, (i_s, i_d // 64), np.uint64(1) << (i_d % 64).astype(np.uint64)
+    )
+    np.bitwise_or.at(
+        bits, (i_d, i_s // 64), np.uint64(1) << (i_s % 64).astype(np.uint64)
     )
     ref = ray.put((nodes, bits))
 
@@ -9059,6 +9066,7 @@ def q_triangle_count(sf_dir: str):
                 np.bitwise_and(bt[ss[lo:hi]], bt[dd[lo:hi]])
             ).sum(axis=1, dtype=np.int64)
             np.add.at(acc, ss[lo:hi], common)
+            np.add.at(acc, dd[lo:hi], common)
         nz = np.nonzero(acc)[0]
         return pa.table({"node": pa.array(nd[nz]), "part": pa.array(acc[nz])})
 
