@@ -269,6 +269,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": q.q_containment_pairs,  # NEW round 5 (quote detect)
         "semivariogram": q.q_semivariogram,  # NEW round 5 (spatial structure)
         "attribution_last_touch": q.q_attribution_last_touch,  # NEW round 5
+        "journey_trigrams": q.q_journey_trigrams,  # NEW round 5 (path mining)
+        "rolling_wau": q.q_rolling_wau,  # NEW round 5 (windowed distinct)
+        "snapshot_diff": q.q_snapshot_diff,  # NEW round 5 (CDC reconciliation)
         "gap_fill": q.q_gap_fill,  # NEW round 5 (calendar densification)
         "log_compaction": q.q_log_compaction,  # NEW round 5 (CDC upsert snapshot)
         "cell_value_hist": q.q_cell_value_hist,  # NEW round 5 (zonal histogram)

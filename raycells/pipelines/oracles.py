@@ -3193,6 +3193,66 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # journey_trigrams (q_journey_trigrams): consecutive type
+        # triples per user under (ts, event_id) order, n >= 5.
+        "journey_trigrams": """
+            WITH t AS (
+                SELECT user_id, event_type,
+                       LEAD(event_type, 1) OVER w AS t2,
+                       LEAD(event_type, 2) OVER w AS t3,
+                       LEAD(user_id, 2) OVER w AS u3
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT event_type AS t1, t2, t3,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM t WHERE t3 IS NOT NULL
+            GROUP BY 1, 2, 3 HAVING COUNT(*) >= 5
+        """,
+        # rolling_wau (q_rolling_wau): trailing-7-day distinct users
+        # per observed-calendar day + same-day DAU.
+        "rolling_wau": """
+            WITH du AS (
+                SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+                FROM events
+            ),
+            cal AS (
+                SELECT MIN(day) + CAST(r.range AS BIGINT) AS day
+                FROM du, range(0, 100000) r
+                GROUP BY r.range
+                HAVING MIN(day) + r.range <= MAX(day)
+            )
+            SELECT c.day,
+                   (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM du
+                    WHERE du.day BETWEEN c.day - 6 AND c.day) AS wau,
+                   (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM du
+                    WHERE du.day = c.day) AS dau
+            FROM cal c
+        """,
+        # snapshot_diff (q_snapshot_diff): CDC reconciliation between
+        # documents and the deterministic next snapshot; texts compare
+        # directly in SQL (the Ray side compares rolling-hash
+        # fingerprints — a pure function of the text).
+        "snapshot_diff": """
+            WITH a AS (SELECT doc_id, text FROM documents),
+            b AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 3
+                            THEN text || chr(10) || '[rev2]'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 11 <> 5
+                UNION ALL
+                SELECT doc_id + 100000,
+                       'new doc ' || CAST(doc_id AS VARCHAR)
+                FROM documents WHERE doc_id % 13 = 1
+            )
+            SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                   CASE WHEN a.doc_id IS NULL THEN 'added'
+                        WHEN b.doc_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+            WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.text <> b.text
+        """,
         # attribution_last_touch (q_attribution_last_touch): purchases
         # attributed to the latest same-user click/view in a 7-day
         # strict-before lookback; ties → larger event_id.

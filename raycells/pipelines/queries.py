@@ -9383,3 +9383,193 @@ def q_attribution_last_touch(sf_dir: str):
         .groupby("_bucket")
         .map_groups(probe, batch_format="pyarrow")
     )
+
+
+def q_journey_trigrams(sf_dir: str):
+    """3-step JOURNEY mining (NEW round 5) — the sankey/path-analysis
+    extension of event_transitions: per-user consecutive event-type
+    TRIPLES under the deterministic (ts, event_id) order, counted
+    corpus-wide (n ≥ 5 to keep signal).
+
+    Shape at scale: the user-bucket exchange co-locates timelines; each
+    bucket lexsorts once and two shifted comparisons collapse to
+    ≤ types³ partial rows; the driver folds the types³-bounded cube."""
+    ds = _read(
+        sf_dir, "events", SMALL_TABLE_BLOCKS,
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def tri(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        user = g["user_id"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, user))
+        u, t = user[order], et[order]
+        same2 = u[:-2] == u[2:]
+        part = (
+            pd.DataFrame(
+                {
+                    "t1": t[:-2][same2],
+                    "t2": t[1:-1][same2],
+                    "t3": t[2:][same2],
+                }
+            )
+            .groupby(["t1", "t2", "t3"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        part["n"] = part["n"].astype(np.int64)
+        return shuffle_mod.from_pandas_clean(part)
+
+    nb = shuffle_mod.scaled_buckets()
+    folded = (
+        ds.map_batches(
+            lambda b, n=nb: shuffle_mod.add_bucket(b, "user_id", n),
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(tri, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["t1", "t2", "t3"], sort=False, as_index=False)["n"]
+        .sum()
+    )
+    folded = folded[folded["n"] >= 5]
+    return pa.table(
+        {
+            "t1": pa.array(folded["t1"], pa.string()),
+            "t2": pa.array(folded["t2"], pa.string()),
+            "t3": pa.array(folded["t3"], pa.string()),
+            "n": pa.array(folded["n"].to_numpy(np.int64)),
+        }
+    )
+
+
+def q_rolling_wau(sf_dir: str):
+    """Rolling 7-day ACTIVE USERS (NEW round 5) — the windowed COUNT
+    DISTINCT the sum-based rolling family can't answer (WAU per day,
+    inclusive trailing week over the observed calendar).
+
+    Shape at scale: the distributed stage folds DISTINCT (day, user)
+    pairs (per-batch dedup partials — bounded by DAU × days, never by
+    events); the window distinct runs on that pair table per calendar
+    day. Exact integers throughout."""
+    ds = _read(
+        sf_dir, "events", SMALL_TABLE_BLOCKS, columns=["ts", "user_id"]
+    )
+
+    def pairs(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "day": b["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+                // np.int64(86_400_000_000),
+                "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        return shuffle_mod.from_pandas_clean(df)
+
+    du = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    days = np.arange(du["day"].min(), du["day"].max() + 1)
+    d = du["day"].to_numpy(np.int64)
+    u = du["user_id"].to_numpy(np.int64)
+    rows = []
+    for day in days:
+        m = (d >= day - 6) & (d <= day)
+        rows.append((int(day), int(np.unique(u[m]).size),
+                     int(np.unique(u[d == day]).size)))
+    return pa.table(
+        {
+            "day": pa.array([r[0] for r in rows], pa.int64()),
+            "wau": pa.array([r[1] for r in rows], pa.int64()),
+            "dau": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def q_snapshot_diff(sf_dir: str):
+    """SNAPSHOT DIFF / CDC reconciliation (NEW round 5) — the
+    table-compare every ingestion pipeline runs between two dataset
+    versions: documents vs a deterministic "next snapshot" (docs with
+    doc_id % 7 == 3 get '\\n[rev2]' appended; doc_id % 11 == 5 are
+    deleted; synthetic new docs doc_id+100000 appear for doc_id % 13 ==
+    1), classified per key into added / removed / changed / unchanged
+    by comparing content FINGERPRINTS, never the texts.
+
+    Shape at scale: both sides project to (key, fingerprint) map-side
+    (the rolling-hash kernel), co-partition through ONE coarse-bucket
+    exchange, and each bucket emits bounded class counts; the driver
+    folds O(buckets × 4) rows. Output: per-class counts + the exact
+    changed/added/removed key lists (output-sized)."""
+    base = _read(
+        sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["doc_id", "text"]
+    )
+
+    def fp_a(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "fp": pa.array(
+                    ta.fingerprint64(b["text"].to_pylist()).view(np.int64)
+                ),
+                "side": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        )
+
+    def fp_b(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        txt = b["text"].to_numpy(zero_copy_only=False)
+        keep = did % 11 != 5
+        did2, txt2 = did[keep], txt[keep]
+        mod = did2 % 7 == 3
+        txt2 = np.where(mod, np.char.add(txt2.astype(str), "\n[rev2]"), txt2)
+        new = did[did % 13 == 1]
+        did_out = np.concatenate([did2, new + 100000])
+        txt_out = list(txt2) + ["new doc %d" % k for k in new]
+        return pa.table(
+            {
+                "doc_id": pa.array(did_out),
+                "fp": pa.array(ta.fingerprint64(txt_out).view(np.int64)),
+                "side": pa.array(np.ones(did_out.size, np.int64)),
+            }
+        )
+
+    both = base.map_batches(fp_a, batch_format="pyarrow").union(
+        base.map_batches(fp_b, batch_format="pyarrow")
+    )
+
+    def classify(g: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(zero_copy_only=False),
+                "fp": g["fp"].to_numpy(zero_copy_only=False),
+                "side": g["side"].to_numpy(zero_copy_only=False),
+            }
+        )
+        w = df.pivot_table(
+            index="doc_id", columns="side", values="fp", aggfunc="first"
+        )
+        a = w[0] if 0 in w.columns else pd.Series(index=w.index, dtype="float64")
+        b = w[1] if 1 in w.columns else pd.Series(index=w.index, dtype="float64")
+        status = np.where(
+            a.isna(), "added",
+            np.where(b.isna(), "removed",
+                     np.where(a == b, "unchanged", "changed")),
+        )
+        out = pd.DataFrame({"doc_id": w.index.to_numpy(np.int64),
+                            "status": status})
+        out = out[out["status"] != "unchanged"]
+        return shuffle_mod.from_pandas_clean(out.reset_index(drop=True))
+
+    nb = shuffle_mod.scaled_buckets()
+    return (
+        both.map_batches(
+            lambda b, n=nb: shuffle_mod.add_bucket(b, "doc_id", n),
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(classify, batch_format="pyarrow")
+    )

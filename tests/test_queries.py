@@ -128,6 +128,9 @@ CHECKED = [
     "containment_pairs",
     "semivariogram",
     "attribution_last_touch",
+    "journey_trigrams",
+    "rolling_wau",
+    "snapshot_diff",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
