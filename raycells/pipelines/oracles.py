@@ -3193,6 +3193,45 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # survival_table (q_survival_table): KM inputs per day — first
+        # activity → first ≥ $150 purchase, right-censored at the
+        # global max timestamp.
+        "survival_table": """
+            WITH t AS (
+                SELECT user_id, epoch_us(ts) AS ts_us, event_type,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+                FROM events
+            ),
+            g AS (SELECT MAX(ts_us) AS tmax FROM t),
+            u AS (
+                SELECT user_id, MIN(ts_us) AS t0,
+                       MIN(CASE WHEN event_type = 'purchase' AND c >= 15000
+                                THEN ts_us END) AS tp
+                FROM t GROUP BY 1
+            ),
+            d AS (
+                SELECT user_id,
+                       CASE WHEN tp IS NOT NULL
+                            THEN (tp - t0) // 86400000000 END AS ed,
+                       (g.tmax - t0) // 86400000000 AS cd
+                FROM u, g
+            ),
+            cal AS (
+                SELECT CAST(r.range AS BIGINT) AS day
+                FROM range(0, 100000) r,
+                     (SELECT MAX(COALESCE(ed, cd)) AS md FROM d) m
+                WHERE r.range <= m.md
+            )
+            SELECT c.day,
+                   CAST(SUM(CASE WHEN (d.ed IS NOT NULL AND d.ed >= c.day)
+                                   OR (d.ed IS NULL AND d.cd >= c.day)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_at_risk,
+                   CAST(SUM(CASE WHEN d.ed = c.day THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_events,
+                   CAST(SUM(CASE WHEN d.ed IS NULL AND d.cd = c.day
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_censored
+            FROM cal c, d GROUP BY c.day
+        """,
         # journey_trigrams (q_journey_trigrams): consecutive type
         # triples per user under (ts, event_id) order, n >= 5.
         "journey_trigrams": """

@@ -9573,3 +9573,91 @@ def q_snapshot_diff(sf_dir: str):
         .groupby("_bucket")
         .map_groups(classify, batch_format="pyarrow")
     )
+
+
+def q_survival_table(sf_dir: str):
+    """Kaplan-Meier SURVIVAL TABLE (NEW round 5) — time-to-conversion
+    analysis with right-censoring (the retention/latency curve product
+    teams fit): per user, days from first activity to the first BIG
+    purchase (≥ $150); users who never convert are censored at the
+    global observation end. Emits the exact integer KM inputs per day
+    (n_at_risk, n_events, n_censored) — the estimator's float product
+    is order-dependent, so the hashable table IS the contract.
+
+    Shape at scale: one per-user partial fold (O(blocks × users)) plus
+    a scalar max-ts fold; the day table is calendar-bounded."""
+    THR = 15000
+    DAY = np.int64(86_400_000_000)
+    ds = _read(
+        sf_dir, "events", SMALL_TABLE_BLOCKS,
+        columns=["ts", "user_id", "event_type", "value"],
+    )
+
+    def part(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        cents = _half_up(
+            b["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        conv = (et == "purchase") & (cents >= THR)
+        df = pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+                "t0": ts,
+                "tp": np.where(conv, ts, np.int64(1 << 62)),
+            }
+        )
+        out = df.groupby("user_id", sort=False).agg(
+            t0=("t0", "min"), tp=("tp", "min")
+        ).reset_index()
+        return shuffle_mod.from_pandas_clean(out)
+
+    u = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("user_id", sort=False)
+        .agg(t0=("t0", "min"), tp=("tp", "min"))
+    )
+    # global observation end from the same fold inputs (max event ts)
+    tmax = int(
+        ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "m": pa.array(
+                        [b["ts"].to_numpy(zero_copy_only=False)
+                         .view(np.int64).max()]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["m"]
+        .max()
+    )
+    t0 = u["t0"].to_numpy(np.int64)
+    tp = u["tp"].to_numpy(np.int64)
+    converted = tp < np.int64(1 << 62)
+    ed = np.where(converted, (tp - t0) // DAY, np.int64(-1))
+    cd = (tmax - t0) // DAY
+    md = int(max(ed.max(initial=0), cd.max(initial=0)))
+    rows = []
+    for d in range(md + 1):
+        at_risk = int(
+            np.sum(np.where(converted, ed >= d, cd >= d))
+        )
+        rows.append(
+            (
+                d,
+                at_risk,
+                int(np.sum(converted & (ed == d))),
+                int(np.sum(~converted & (cd == d))),
+            )
+        )
+    return pa.table(
+        {
+            "day": pa.array([r[0] for r in rows], pa.int64()),
+            "n_at_risk": pa.array([r[1] for r in rows], pa.int64()),
+            "n_events": pa.array([r[2] for r in rows], pa.int64()),
+            "n_censored": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )

@@ -131,6 +131,7 @@ CHECKED = [
     "journey_trigrams",
     "rolling_wau",
     "snapshot_diff",
+    "survival_table",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
