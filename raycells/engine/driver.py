@@ -415,6 +415,48 @@ def run_paragraph_dedup_job(docs_dir: str, out_dir: str) -> dict:
     return _sink_job("paragraph_dedup", docs_dir, out_dir, "paragraphs", build)
 
 
+def run_diff_job(docs_dir: str, out_dir: str, docs_dir_b: str = None) -> dict:
+    """Corpus SNAPSHOT DIFF over the span-sequence invariant
+    (BASELINE.json input_hint): per-doc md5 span-sequence digests of
+    TWO corpus versions co-partition through one key exchange and the
+    added/removed/changed rows stream to ``out/diff/*.parquet`` — the
+    "did the pipeline change any document?" reconciliation job, using
+    the same digest the span-equality gate checks. With no ``-b`` dir
+    the corpus diffs against itself (an empty diff — the identity
+    check)."""
+    import numpy as np
+
+    from raycells.engine import stages
+    from raycells.io import docsource
+
+    b_dir = docs_dir_b or docs_dir
+
+    def build(sink_dir):
+        import pyarrow as paa
+
+        def digests(dir_, side):
+            def tag(b):
+                t = docsource.span_digests_md5(b)
+                return t.append_column(
+                    "side",
+                    paa.array(np.full(t.num_rows, side, np.int64)),
+                )
+
+            return docsource.read_documents(dir_).map_batches(
+                tag, batch_format="pyarrow"
+            )
+
+        both = digests(docs_dir, 0).union(digests(b_dir, 1))
+        return stages.diff_classify(
+            both, key_col="doc_id", fp_col="digest", sink_dir=sink_dir
+        )
+
+    return _sink_job(
+        "snapshot_diff", docs_dir, out_dir, "diff", build,
+        params={"input_b": b_dir},
+    )
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--docs-dir", required=True)
@@ -424,7 +466,8 @@ def main():
     ap.add_argument(
         "--mode",
         choices=["flagship", "dedup", "chunk-dedup", "media-dedup",
-                 "stats-dedup", "span-dedup", "paragraph-dedup", "pack"],
+                 "stats-dedup", "span-dedup", "paragraph-dedup", "pack",
+                 "diff"],
         default="flagship",
         help="flagship = per-fragment cell aggregate; dedup = whole-corpus "
              "near-dup pair sink (out/pairs/*.parquet); chunk-dedup = "
@@ -436,6 +479,12 @@ def main():
              "C4-style per-doc cleaning manifest (out/paragraphs/); "
              "pack = multimodal sequence-packing assignment table "
              "(out/pack/). Each publishes one manifest row.",
+    )
+    ap.add_argument(
+        "--docs-dir-b", default=None,
+        help="with --mode diff: the NEXT corpus snapshot to compare "
+             "against --docs-dir (omitted = self-diff, an empty "
+             "identity check)",
     )
     ap.add_argument(
         "--clusters", action="store_true",
@@ -455,7 +504,7 @@ def main():
         )
     if args.mode in (
         "dedup", "chunk-dedup", "media-dedup", "stats-dedup", "span-dedup",
-        "paragraph-dedup", "pack",
+        "paragraph-dedup", "pack", "diff",
     ):
         job = {
             "dedup": run_dedup_job,
@@ -465,8 +514,11 @@ def main():
             "span-dedup": run_span_dedup_job,
             "paragraph-dedup": run_paragraph_dedup_job,
             "pack": run_pack_job,
-        }[args.mode]
-        summary = job(args.docs_dir, args.out)
+        }[args.mode] if args.mode != "diff" else None
+        if args.mode == "diff":
+            summary = run_diff_job(args.docs_dir, args.out, args.docs_dir_b)
+        else:
+            summary = job(args.docs_dir, args.out)
         line = {
             "done": summary["done"],
             "skipped": summary["skipped"],

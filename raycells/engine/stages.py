@@ -641,3 +641,54 @@ def chunk_dedup_winners(chunks_ds, sink_dir=None):
         sel, key="chunk_hash", tie_cols=("doc_key", "chunk_idx"),
         sink_dir=sink_dir,
     )
+
+
+def diff_classify(both_ds, key_col: str = "doc_id", fp_col: str = "fp",
+                  sink_dir=None):
+    """Generic SNAPSHOT-DIFF reduction shared by the q_snapshot_diff
+    gate query and ``driver --mode diff``: a union of two fingerprinted
+    sides (``side`` 0 = base, 1 = next) co-partitions by key through
+    ONE coarse-bucket exchange; each bucket classifies its keys into
+    added / removed / changed (unchanged rows are dropped in the
+    reducer, so the output — and the optional parquet sink — is
+    DIFF-sized, never corpus-sized)."""
+    import pandas as pd
+
+    from raycells.engine import shuffle as shuffle_mod
+
+    def classify(g: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                key_col: g[key_col].to_numpy(zero_copy_only=False),
+                "fp": g[fp_col].to_numpy(zero_copy_only=False),
+                "side": g["side"].to_numpy(zero_copy_only=False),
+            }
+        )
+        w = df.pivot_table(
+            index=key_col, columns="side", values="fp", aggfunc="first"
+        )
+        a = w[0] if 0 in w.columns else pd.Series(index=w.index, dtype=object)
+        b = w[1] if 1 in w.columns else pd.Series(index=w.index, dtype=object)
+        status = np.where(
+            a.isna(), "added",
+            np.where(b.isna(), "removed",
+                     np.where(a == b, "unchanged", "changed")),
+        )
+        out = pd.DataFrame({key_col: w.index.to_numpy(), "status": status})
+        out = out[out["status"] != "unchanged"]
+        return shuffle_mod.from_pandas_clean(out.reset_index(drop=True))
+
+    nb = shuffle_mod.scaled_buckets()
+    out = (
+        both_ds.map_batches(
+            lambda b, n=nb: shuffle_mod.add_bucket(b, key_col, n),
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(classify, batch_format="pyarrow")
+    )
+    if sink_dir is not None:
+        from raycells.engine.checkpoint import sink_to_parquet
+
+        return sink_to_parquet(out, sink_dir)
+    return out

@@ -9541,38 +9541,9 @@ def q_snapshot_diff(sf_dir: str):
         base.map_batches(fp_b, batch_format="pyarrow")
     )
 
-    def classify(g: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {
-                "doc_id": g["doc_id"].to_numpy(zero_copy_only=False),
-                "fp": g["fp"].to_numpy(zero_copy_only=False),
-                "side": g["side"].to_numpy(zero_copy_only=False),
-            }
-        )
-        w = df.pivot_table(
-            index="doc_id", columns="side", values="fp", aggfunc="first"
-        )
-        a = w[0] if 0 in w.columns else pd.Series(index=w.index, dtype="float64")
-        b = w[1] if 1 in w.columns else pd.Series(index=w.index, dtype="float64")
-        status = np.where(
-            a.isna(), "added",
-            np.where(b.isna(), "removed",
-                     np.where(a == b, "unchanged", "changed")),
-        )
-        out = pd.DataFrame({"doc_id": w.index.to_numpy(np.int64),
-                            "status": status})
-        out = out[out["status"] != "unchanged"]
-        return shuffle_mod.from_pandas_clean(out.reset_index(drop=True))
-
-    nb = shuffle_mod.scaled_buckets()
-    return (
-        both.map_batches(
-            lambda b, n=nb: shuffle_mod.add_bucket(b, "doc_id", n),
-            batch_format="pyarrow",
-        )
-        .groupby("_bucket")
-        .map_groups(classify, batch_format="pyarrow")
-    )
+    # shared reduction (engine/stages.diff_classify): the driver's
+    # --mode diff sink runs the SAME definition
+    return stages.diff_classify(both, key_col="doc_id", fp_col="fp")
 
 
 def q_survival_table(sf_dir: str):

@@ -522,3 +522,54 @@ def test_sink_job_skip_path_guards(docs_dir, tmp_path, ray_session):
     r2 = driver.run_stats_dedup_job(docs_dir, out2)
     assert r2["done"] == ["stats_dedup"], "lost cells sink must rebuild"
     assert _glob.glob(os.path.join(out2, "cells", "*.parquet"))
+
+
+def test_diff_job_identity_and_real_diff(ray_session, tmp_path):
+    """--mode diff: self-diff is empty; a snapshot with one doc removed,
+    one modified (span text changed), and one added classifies exactly."""
+    import glob as _glob
+    import json
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raycells.engine.driver import run_diff_job
+    from raycells.engine import pipeline as pl
+
+    docs_dir = pl.docs_dir_for_sf("/root/testdata/sf0.001")
+    out1 = str(tmp_path / "self")
+    s = run_diff_job(docs_dir, out1)
+    assert s["manifest"]["n_rows"] == 0  # identity check
+
+    # build snapshot B: copy fragments, then rewrite fragment 0 with the
+    # first doc dropped, the second doc's first span text changed, and a
+    # brand-new doc appended
+    b_dir = str(tmp_path / "b")
+    os.makedirs(b_dir)
+    frags = sorted(_glob.glob(os.path.join(docs_dir, "*.parquet")))
+    for f in frags[1:]:
+        shutil.copy(f, os.path.join(b_dir, os.path.basename(f)))
+    t = pq.read_table(frags[0])
+    removed_key = t["doc_id"][0].as_py()
+    changed_key = t["doc_id"][1].as_py()
+    rows = t.slice(1).to_pylist()
+    rows[0]["spans"][0]["text"] = rows[0]["spans"][0]["text"] + " EDITED"
+    new_doc = dict(rows[-1])
+    new_doc = {**new_doc, "doc_id": "doc-added-00001"}
+    rows.append(new_doc)
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=t.schema),
+        os.path.join(b_dir, os.path.basename(frags[0])),
+    )
+    out2 = str(tmp_path / "real")
+    s2 = run_diff_job(docs_dir, out2, b_dir)
+    dt = pq.read_table(os.path.join(out2, "diff")).to_pandas()
+    by = dt.groupby("status")["doc_id"].apply(set).to_dict()
+    assert by["removed"] == {removed_key}
+    assert by["changed"] == {changed_key}
+    assert by["added"] == {"doc-added-00001"}
+    # re-run is a manifest no-op
+    s3 = run_diff_job(docs_dir, out2, b_dir)
+    assert s3["skipped"] == ["snapshot_diff"]
