@@ -273,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_wau": q.q_rolling_wau,  # NEW round 5 (windowed distinct)
         "snapshot_diff": q.q_snapshot_diff,  # NEW round 5 (CDC reconciliation)
         "survival_table": q.q_survival_table,  # NEW round 5 (KM analysis)
+        "demand_features": q.q_demand_features,  # NEW round 5 (lag features)
         "gap_fill": q.q_gap_fill,  # NEW round 5 (calendar densification)
         "log_compaction": q.q_log_compaction,  # NEW round 5 (CDC upsert snapshot)
         "cell_value_hist": q.q_cell_value_hist,  # NEW round 5 (zonal histogram)

@@ -3193,6 +3193,22 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # demand_features (q_demand_features): per-(part, month) qty
+        # rollup with lag-1/lag-2 features over observed months.
+        "demand_features": """
+            WITH m AS (
+                SELECT l_partkey,
+                       CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1
+                            AS BIGINT) AS month,
+                       CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                            AS BIGINT) AS qty
+                FROM lineitem GROUP BY 1, 2
+            )
+            SELECT l_partkey, month, qty,
+                   COALESCE(LAG(qty, 1) OVER w, -1) AS lag1,
+                   COALESCE(LAG(qty, 2) OVER w, -1) AS lag2
+            FROM m WINDOW w AS (PARTITION BY l_partkey ORDER BY month)
+        """,
         # survival_table (q_survival_table): KM inputs per day — first
         # activity → first ≥ $150 purchase, right-censored at the
         # global max timestamp.

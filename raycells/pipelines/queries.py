@@ -9632,3 +9632,89 @@ def q_survival_table(sf_dir: str):
             "n_censored": pa.array([r[3] for r in rows], pa.int64()),
         }
     )
+
+
+def q_demand_features(sf_dir: str):
+    """LAG-FEATURE engineering export (NEW round 5) — the supervised-ML
+    feature prep every demand-forecasting pipeline runs: per (part,
+    ship-month) quantity rollup with lag-1 and lag-2 month features
+    over each part's OBSERVED month sequence (LAG over the sorted
+    per-key series, -1 when absent).
+
+    Shape at scale: month rollup = map-side partials through one salted
+    aggregate; the lag shift co-locates each part's months via ONE
+    coarse part-bucket exchange and runs a vectorized same-key shifted
+    compare per bucket (no per-part loop)."""
+    ds = _read(
+        sf_dir, "lineitem", SMALL_TABLE_BLOCKS,
+        columns=["l_partkey", "l_shipdate", "l_quantity"],
+    )
+
+    def monthly(b: pa.Table) -> pa.Table:
+        ts = b["l_shipdate"].to_numpy(zero_copy_only=False)
+        month = (
+            pd.DatetimeIndex(ts).year.to_numpy(np.int64) * 12
+            + pd.DatetimeIndex(ts).month.to_numpy(np.int64) - 1
+        )
+        part = (
+            pd.DataFrame(
+                {
+                    "l_partkey": b["l_partkey"].to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "month": month,
+                    "qty": _half_up(
+                        b["l_quantity"].to_numpy(zero_copy_only=False)
+                    ).astype(np.int64),
+                }
+            )
+            .groupby(["l_partkey", "month"], sort=False)["qty"]
+            .sum()
+            .reset_index()
+        )
+        return shuffle_mod.from_pandas_clean(part)
+
+    # one exchange total: the part-bucket groupby both finishes the
+    # month rollup (all of a part's partial rows co-locate, so the
+    # per-bucket sum IS the global sum) and provides the lag ordering
+    partials = ds.map_batches(monthly, batch_format="pyarrow")
+
+    def lag(g: pa.Table) -> pa.Table:
+        df = (
+            pd.DataFrame(
+                {
+                    "l_partkey": g["l_partkey"].to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "month": g["month"].to_numpy(zero_copy_only=False),
+                    "qty": g["qty"].to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby(["l_partkey", "month"], sort=False, as_index=False)[
+                "qty"
+            ]
+            .sum()
+            .sort_values(["l_partkey", "month"], kind="stable")
+        )
+        k = df["l_partkey"].to_numpy(np.int64)
+        q = df["qty"].to_numpy(np.int64)
+        lag1 = np.full(k.size, -1, np.int64)
+        lag2 = np.full(k.size, -1, np.int64)
+        if k.size > 1:
+            same1 = k[1:] == k[:-1]
+            lag1[1:][same1] = q[:-1][same1]
+        if k.size > 2:
+            same2 = k[2:] == k[:-2]
+            lag2[2:][same2] = q[:-2][same2]
+        out = df.assign(lag1=lag1, lag2=lag2)
+        return shuffle_mod.from_pandas_clean(out)
+
+    nb = shuffle_mod.scaled_buckets()
+    return (
+        partials.map_batches(
+            lambda b, n=nb: shuffle_mod.add_bucket(b, "l_partkey", n),
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(lag, batch_format="pyarrow")
+    )

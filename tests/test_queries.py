@@ -132,6 +132,7 @@ CHECKED = [
     "rolling_wau",
     "snapshot_diff",
     "survival_table",
+    "demand_features",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
