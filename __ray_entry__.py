@@ -274,6 +274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": q.q_snapshot_diff,  # NEW round 5 (CDC reconciliation)
         "survival_table": q.q_survival_table,  # NEW round 5 (KM analysis)
         "demand_features": q.q_demand_features,  # NEW round 5 (lag features)
+        "idw_interpolate": q.q_idw_interpolate,  # NEW round 5 (IDW surface)
         "gap_fill": q.q_gap_fill,  # NEW round 5 (calendar densification)
         "log_compaction": q.q_log_compaction,  # NEW round 5 (CDC upsert snapshot)
         "cell_value_hist": q.q_cell_value_hist,  # NEW round 5 (zonal histogram)

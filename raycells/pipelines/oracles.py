@@ -3193,6 +3193,47 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # idw_interpolate (q_idw_interpolate): Shepard IDW at the city
+        # centers with integer-quantized weights 10⁸ // max(d², 1).
+        "idw_interpolate": _BAND_STATS + """
+            , pts AS (
+                SELECT t.sum_val // GREATEST(t.valid_count, 1) AS mv,
+                       CASE WHEN seed % 10 < 6 THEN
+                            (CASE seed % 3 WHEN 0 THEN -74000
+                                  WHEN 1 THEN 2350 ELSE 139700 END)
+                            + (seed * 31) % 2000 - 1000
+                       ELSE (seed * 9973) % 360000 - 180000 END AS xe,
+                       CASE WHEN seed % 10 < 6 THEN
+                            (CASE seed % 3 WHEN 0 THEN 40700
+                                  WHEN 1 THEN 48850 ELSE 35700 END)
+                            + (seed * 57) % 2000 - 1000
+                       ELSE (seed * 7919) % 170000 - 85000 END AS ye
+                FROM tile_stats t
+            ),
+            q AS (
+                SELECT * FROM (VALUES (0, -74000, 40700), (1, 2350, 48850),
+                                      (2, 139700, 35700)) t(query_id, qx, qy)
+            ),
+            cand AS (
+                SELECT q.query_id,
+                       100000000 // GREATEST(
+                           (p.xe - q.qx) * (p.xe - q.qx)
+                           + (p.ye - q.qy) * (p.ye - q.qy), 1) AS w,
+                       p.mv
+                FROM pts p JOIN q
+                  ON (p.xe - q.qx) * (p.xe - q.qx)
+                     + (p.ye - q.qy) * (p.ye - q.qy) <= 250000
+            )
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tiles,
+                   CAST(SUM(w) AS BIGINT) AS sw,
+                   CAST(SUM(w * mv) AS BIGINT) AS swv,
+                   CASE WHEN SUM(w) > 0
+                        THEN CAST(CAST(SUM(w * mv) AS BIGINT) AS DOUBLE)
+                             / CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE)
+                        ELSE 0.0 END AS idw
+            FROM cand GROUP BY query_id
+        """,
         # demand_features (q_demand_features): per-(part, month) qty
         # rollup with lag-1/lag-2 features over observed months.
         "demand_features": """

@@ -9718,3 +9718,68 @@ def q_demand_features(sf_dir: str):
         .groupby("_bucket")
         .map_groups(lag, batch_format="pyarrow")
     )
+
+
+def q_idw_interpolate(sf_dir: str):
+    """IDW spatial INTERPOLATION (NEW round 5) — inverse-distance-
+    weighted surface estimation at query points (the gap-filling /
+    sensor-fusion primitive): at each of the 3 city centers, the
+    IDW estimate of tile MEAN band-4 value over tiles within 0.5°,
+    with integer-quantized weights w = 10⁸ // max(d², 1) (exact-int
+    Shepard weights in e3 coordinate units — no float division until
+    the single final IEEE divide of two exact sums).
+
+    Shape at scale: a pure map-side pass (query points are constants in
+    the stage), O(blocks × queries) partial rows to the driver."""
+    from raycells.io import tilestore
+
+    R2 = 500 * 500
+    W0 = 100_000_000
+    QPTS = [  # e3 milli-degrees (the knn_tiles query points)
+        (0, -74000, 40700),
+        (1, 2350, 48850),
+        (2, 139700, 35700),
+    ]
+
+    def part(b: pa.Table) -> pa.Table:
+        seeds = tilestore.seed_of_refs(b["media_ref"])
+        st = tilestore.synth_band_stats(seeds, 4)
+        mean_v = st["sum_val"] // np.maximum(st["valid_count"], 1)
+        x, y = tilestore.centroids_e3(seeds)
+        rows = {"query_id": [], "n": [], "sw": [], "swv": []}
+        for qid, qx, qy in QPTS:
+            d2 = (x - qx) * (x - qx) + (y - qy) * (y - qy)
+            m = d2 <= R2
+            w = W0 // np.maximum(d2[m], 1)
+            rows["query_id"].append(qid)
+            rows["n"].append(int(m.sum()))
+            rows["sw"].append(int(w.sum()))
+            rows["swv"].append(int(np.sum(w * mean_v[m])))
+        return pa.table(
+            {
+                "query_id": pa.array(rows["query_id"], pa.int64()),
+                "n": pa.array(rows["n"], pa.int64()),
+                "sw": pa.array(rows["sw"], pa.int64()),
+                "swv": pa.array(rows["swv"], pa.int64()),
+            }
+        )
+
+    f = (
+        _exploded(sf_dir)
+        .map_batches(part, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("query_id", sort=True)
+        .sum()
+    )
+    sw = f["sw"].to_numpy(np.int64)
+    swv = f["swv"].to_numpy(np.int64)
+    idw = np.where(sw > 0, swv.astype(np.float64) / sw.astype(np.float64), 0.0)
+    return pa.table(
+        {
+            "query_id": pa.array(f.index.to_numpy(np.int64)),
+            "n_tiles": pa.array(f["n"].to_numpy(np.int64)),
+            "sw": pa.array(sw),
+            "swv": pa.array(swv),
+            "idw": pa.array(idw, pa.float64()),
+        }
+    )

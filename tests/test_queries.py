@@ -133,6 +133,7 @@ CHECKED = [
     "snapshot_diff",
     "survival_table",
     "demand_features",
+    "idw_interpolate",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
