@@ -275,6 +275,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "survival_table": q.q_survival_table,  # NEW round 5 (KM analysis)
         "demand_features": q.q_demand_features,  # NEW round 5 (lag features)
         "idw_interpolate": q.q_idw_interpolate,  # NEW round 5 (IDW surface)
+        "weighted_median": q.q_weighted_median,  # NEW round 5 (weighted rank)
+        "modal_value": q.q_modal_value,  # NEW round 5 (grouped MODE)
         "gap_fill": q.q_gap_fill,  # NEW round 5 (calendar densification)
         "log_compaction": q.q_log_compaction,  # NEW round 5 (CDC upsert snapshot)
         "cell_value_hist": q.q_cell_value_hist,  # NEW round 5 (zonal histogram)

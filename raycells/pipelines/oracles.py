@@ -3193,6 +3193,47 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # weighted_median (q_weighted_median): smallest qty whose
+        # cumulative price weight reaches ceil(W/2), exact cents.
+        "weighted_median": """
+            WITH h AS (
+                SELECT l_returnflag,
+                       CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+                       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS w
+                FROM lineitem GROUP BY 1, 2
+            ),
+            c AS (
+                SELECT l_returnflag, qty,
+                       SUM(w) OVER (PARTITION BY l_returnflag
+                                    ORDER BY qty) AS cum,
+                       SUM(w) OVER (PARTITION BY l_returnflag) AS W
+                FROM h
+            )
+            SELECT l_returnflag,
+                   CAST(MIN(qty) AS BIGINT) AS wmedian_qty,
+                   CAST(ANY_VALUE(W) AS BIGINT) AS total_w
+            FROM c WHERE cum >= (W + 1) // 2
+            GROUP BY l_returnflag
+        """,
+        # modal_value (q_modal_value): most frequent cents per type,
+        # ties to the smallest value.
+        "modal_value": """
+            WITH h AS (
+                SELECT event_type,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT event_type, x, n,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY n DESC, x ASC) AS rn
+                FROM h
+            )
+            SELECT event_type, x AS mode_c, n AS mode_n
+            FROM r WHERE rn = 1
+        """,
         # idw_interpolate (q_idw_interpolate): Shepard IDW at the city
         # centers with integer-quantized weights 10⁸ // max(d², 1).
         "idw_interpolate": _BAND_STATS + """

@@ -9783,3 +9783,116 @@ def q_idw_interpolate(sf_dir: str):
             "idw": pa.array(idw, pa.float64()),
         }
     )
+
+
+def q_weighted_median(sf_dir: str):
+    """WEIGHTED median (NEW round 5) — the revenue-weighted center the
+    plain quantile family can't answer ("the quantity at which half the
+    SPEND sits"): per returnflag, the smallest quantity whose
+    cumulative extended-price weight reaches ceil(W/2), on exact
+    integer cents.
+
+    Shape at scale: one (flag, qty) weight-histogram fold (domain-
+    bounded partials, no exchange — the quantiles_qty pattern), then a
+    cumulative rank pick per group on the driver."""
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def wh(b: pa.Table) -> pa.Table:
+        part = (
+            pd.DataFrame(
+                {
+                    "l_returnflag": b["l_returnflag"].to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "qty": _half_up(
+                        b["l_quantity"].to_numpy(zero_copy_only=False)
+                    ).astype(np.int64),
+                    "w": _half_up(
+                        b["l_extendedprice"].to_numpy(zero_copy_only=False)
+                        * 100
+                    ).astype(np.int64),
+                }
+            )
+            .groupby(["l_returnflag", "qty"], sort=False)["w"]
+            .sum()
+            .reset_index()
+        )
+        return shuffle_mod.from_pandas_clean(part)
+
+    hist = (
+        ds.map_batches(wh, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["l_returnflag", "qty"], sort=False, as_index=False)["w"]
+        .sum()
+    )
+    rows = []
+    for flag, g in hist.groupby("l_returnflag", sort=True):
+        g = g.sort_values("qty")
+        cum = g["w"].cumsum().to_numpy(np.int64)
+        W = int(cum[-1])
+        k = (W + 1) // 2
+        i = int(np.searchsorted(cum, k))
+        rows.append((flag, int(g["qty"].to_numpy()[i]), W))
+    return pa.table(
+        {
+            "l_returnflag": pa.array([r[0] for r in rows], pa.string()),
+            "wmedian_qty": pa.array([r[1] for r in rows], pa.int64()),
+            "total_w": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def q_modal_value(sf_dir: str):
+    """Grouped MODE (NEW round 5) — the most frequent value cents per
+    event_type (ties → the smallest value), the categorical-center
+    aggregate mean/median families miss.
+
+    Shape at scale: the same (type, cents) count-histogram fold as
+    mad_outliers (domain-bounded partials, no exchange); the argmax
+    runs per group on the driver."""
+    ds = _read(
+        sf_dir, "events", SMALL_TABLE_BLOCKS, columns=["event_type", "value"]
+    )
+
+    def counts(b: pa.Table) -> pa.Table:
+        part = (
+            pd.DataFrame(
+                {
+                    "event_type": b["event_type"].to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "x": _half_up(
+                        b["value"].to_numpy(zero_copy_only=False) * 100
+                    ).astype(np.int64),
+                }
+            )
+            .groupby(["event_type", "x"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        part["n"] = part["n"].astype(np.int64)
+        return shuffle_mod.from_pandas_clean(part)
+
+    hist = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["event_type", "x"], sort=False, as_index=False)["n"]
+        .sum()
+    )
+    rows = []
+    for etype, g in hist.groupby("event_type", sort=True):
+        order = np.lexsort((g["x"].to_numpy(), -g["n"].to_numpy()))[0]
+        rows.append(
+            (etype, int(g["x"].to_numpy()[order]),
+             int(g["n"].to_numpy()[order]))
+        )
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "mode_c": pa.array([r[1] for r in rows], pa.int64()),
+            "mode_n": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )

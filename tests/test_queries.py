@@ -134,6 +134,8 @@ CHECKED = [
     "survival_table",
     "demand_features",
     "idw_interpolate",
+    "weighted_median",
+    "modal_value",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
