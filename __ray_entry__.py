@@ -277,6 +277,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idw_interpolate": q.q_idw_interpolate,  # NEW round 5 (IDW surface)
         "weighted_median": q.q_weighted_median,  # NEW round 5 (weighted rank)
         "modal_value": q.q_modal_value,  # NEW round 5 (grouped MODE)
+        "theilsen_trend": q.q_theilsen_trend,  # NEW round 5 (robust slope)
+        "segment_momentum": q.q_segment_momentum,  # NEW round 5 (MoM deltas)
         "gap_fill": q.q_gap_fill,  # NEW round 5 (calendar densification)
         "log_compaction": q.q_log_compaction,  # NEW round 5 (CDC upsert snapshot)
         "cell_value_hist": q.q_cell_value_hist,  # NEW round 5 (zonal histogram)

@@ -3193,6 +3193,52 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # theilsen_trend (q_theilsen_trend): lower-median pairwise
+        # slope per type under the (slope double, dy, dx) order.
+        "theilsen_trend": """
+            WITH daily AS (
+                SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                       CAST(COUNT(*) AS BIGINT) AS y
+                FROM events GROUP BY 1, 2
+            ),
+            pr AS (
+                SELECT a.event_type,
+                       b.y - a.y AS dy, b.day - a.day AS dx,
+                       CAST(b.y - a.y AS DOUBLE) / CAST(b.day - a.day
+                                                        AS DOUBLE) AS slope
+                FROM daily a JOIN daily b
+                  ON a.event_type = b.event_type AND b.day > a.day
+            ),
+            r AS (
+                SELECT event_type, dy, dx, slope,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY slope, dy, dx) AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS np
+                FROM pr
+            )
+            SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+                   dy AS med_dy, dx AS med_dx, slope
+            FROM r WHERE rn = (np + 1) // 2
+        """,
+        # segment_momentum (q_segment_momentum): (segment, month)
+        # revenue cents + LAG delta over observed months.
+        "segment_momentum": """
+            WITH bars AS (
+                SELECT c.c_mktsegment,
+                       CAST(year(o.o_orderdate) * 12
+                            + month(o.o_orderdate) - 1 AS BIGINT) AS month,
+                       CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS rev_c
+                FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+                GROUP BY 1, 2
+            )
+            SELECT c_mktsegment, month, rev_c,
+                   COALESCE(LAG(rev_c) OVER w, -1) AS prev_c,
+                   CASE WHEN LAG(rev_c) OVER w IS NULL THEN 0
+                        ELSE rev_c - LAG(rev_c) OVER w END AS delta_c
+            FROM bars
+            WINDOW w AS (PARTITION BY c_mktsegment ORDER BY month)
+        """,
         # weighted_median (q_weighted_median): smallest qty whose
         # cumulative price weight reaches ceil(W/2), exact cents.
         "weighted_median": """

@@ -9896,3 +9896,149 @@ def q_modal_value(sf_dir: str):
             "mode_n": pa.array([r[2] for r in rows], pa.int64()),
         }
     )
+
+
+def q_theilsen_trend(sf_dir: str):
+    """THEIL-SEN robust trend (NEW round 5) — the median-of-pairwise-
+    slopes estimator (breakdown point 29%, immune to outlier days the
+    OLS trend_by_type bends toward): per event_type, the LOWER-median
+    pairwise slope of daily counts, selected under the deterministic
+    (slope, dy, dx) order (slope = dy/dx is the identical IEEE double
+    both engines; ties break on the exact integer pair).
+
+    Shape at scale: the distributed stage is the daily fold; pairwise
+    slopes are calendar-bounded (days² per type), generated and ranked
+    on the driver."""
+    ds = _read(
+        sf_dir, "events", SMALL_TABLE_BLOCKS, columns=["ts", "event_type"]
+    )
+
+    def daily(b: pa.Table) -> pa.Table:
+        part = (
+            pd.DataFrame(
+                {
+                    "event_type": b["event_type"].to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "day": b["ts"].to_numpy(zero_copy_only=False).view(
+                        np.int64
+                    )
+                    // np.int64(86_400_000_000),
+                }
+            )
+            .groupby(["event_type", "day"], sort=False)
+            .size()
+            .reset_index(name="y")
+        )
+        part["y"] = part["y"].astype(np.int64)
+        return shuffle_mod.from_pandas_clean(part)
+
+    bars = (
+        ds.map_batches(daily, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["event_type", "day"], sort=False, as_index=False)["y"]
+        .sum()
+    )
+    rows = []
+    for etype, g in bars.groupby("event_type", sort=True):
+        g = g.sort_values("day")
+        x = g["day"].to_numpy(np.int64)
+        y = g["y"].to_numpy(np.int64)
+        i, j = np.triu_indices(x.size, k=1)
+        dy = y[j] - y[i]
+        dx = x[j] - x[i]
+        slope = dy.astype(np.float64) / dx.astype(np.float64)
+        order = np.lexsort((dx, dy, slope))
+        k = (order.size + 1) // 2 - 1
+        sel = order[k]
+        rows.append(
+            (etype, int(order.size), int(dy[sel]), int(dx[sel]),
+             float(slope[sel]))
+        )
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "n_pairs": pa.array([r[1] for r in rows], pa.int64()),
+            "med_dy": pa.array([r[2] for r in rows], pa.int64()),
+            "med_dx": pa.array([r[3] for r in rows], pa.int64()),
+            "slope": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+
+
+def q_segment_momentum(sf_dir: str):
+    """Segment MOMENTUM (NEW round 5) — month-over-month revenue deltas
+    per market segment: orders broadcast-joined to the customer
+    dimension, (segment, month) exact-cents rollup, LAG delta over each
+    segment's observed months.
+
+    Shape at scale: the customer side broadcasts once (dimension
+    table); the rollup folds map-side partials; the month window runs
+    on the (segments × months)-bounded bar table."""
+    import ray
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    seg_of = dict(
+        zip(
+            cust["c_custkey"].to_numpy(zero_copy_only=False),
+            cust["c_mktsegment"].to_numpy(zero_copy_only=False),
+        )
+    )
+    ref = ray.put(seg_of)
+    ds = _read(
+        sf_dir, "orders", SMALL_TABLE_BLOCKS,
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def part(b: pa.Table, r=ref) -> pa.Table:
+        so = stages._broadcast_memo(r)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        ts = pd.DatetimeIndex(
+            b["o_orderdate"].to_numpy(zero_copy_only=False)
+        )
+        out = (
+            pd.DataFrame(
+                {
+                    "c_mktsegment": pd.Series(ck).map(so),
+                    "month": ts.year.to_numpy(np.int64) * 12
+                    + ts.month.to_numpy(np.int64) - 1,
+                    "rev": _half_up(
+                        b["o_totalprice"].to_numpy(zero_copy_only=False)
+                        * 100
+                    ).astype(np.int64),
+                }
+            )
+            .groupby(["c_mktsegment", "month"], sort=False)["rev"]
+            .sum()
+            .reset_index()
+        )
+        return shuffle_mod.from_pandas_clean(out)
+
+    bars = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["c_mktsegment", "month"], sort=False, as_index=False)[
+            "rev"
+        ]
+        .sum()
+        .sort_values(["c_mktsegment", "month"], kind="stable")
+    )
+    seg = bars["c_mktsegment"].to_numpy(object)
+    rev = bars["rev"].to_numpy(np.int64)
+    prev = np.full(rev.size, -1, np.int64)
+    if rev.size > 1:
+        same = seg[1:] == seg[:-1]
+        prev[1:][same] = rev[:-1][same]
+    delta = np.where(prev >= 0, rev - prev, 0)
+    return pa.table(
+        {
+            "c_mktsegment": pa.array(seg, pa.string()),
+            "month": pa.array(bars["month"].to_numpy(np.int64)),
+            "rev_c": pa.array(rev),
+            "prev_c": pa.array(prev),
+            "delta_c": pa.array(delta.astype(np.int64)),
+        }
+    )

@@ -136,6 +136,8 @@ CHECKED = [
     "idw_interpolate",
     "weighted_median",
     "modal_value",
+    "theilsen_trend",
+    "segment_momentum",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
