@@ -279,6 +279,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "modal_value": q.q_modal_value,  # NEW round 5 (grouped MODE)
         "theilsen_trend": q.q_theilsen_trend,  # NEW round 5 (robust slope)
         "segment_momentum": q.q_segment_momentum,  # NEW round 5 (MoM deltas)
+        "fk_integrity": q.q_fk_integrity,  # NEW round 5 (referential audit)
+        "ab_test_zscore": q.q_ab_test_zscore,  # NEW round 5 (experimentation)
         "gap_fill": q.q_gap_fill,  # NEW round 5 (calendar densification)
         "log_compaction": q.q_log_compaction,  # NEW round 5 (CDC upsert snapshot)
         "cell_value_hist": q.q_cell_value_hist,  # NEW round 5 (zonal histogram)

@@ -3193,6 +3193,62 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # fk_integrity (q_fk_integrity): orphan + coverage audit per
+        # FK edge via LEFT JOIN null counts.
+        "fk_integrity": """
+            SELECT 'orders.o_custkey->customer' AS fk,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL)
+                        AS BIGINT) AS n_orphan_rows,
+                   CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT)
+                       AS n_distinct_fk,
+                   (SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT)
+                    FROM customer) AS n_parent_keys
+            FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+            UNION ALL
+            SELECT 'lineitem.l_orderkey->orders' AS fk,
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) FILTER (WHERE oo.o_orderkey IS NULL)
+                        AS BIGINT),
+                   CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT),
+                   (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT)
+                    FROM orders)
+            FROM lineitem l LEFT JOIN orders oo
+              ON oo.o_orderkey = l.l_orderkey
+        """,
+        # ab_test_zscore (q_ab_test_zscore): two-proportion pooled z
+        # over the hash arm split; mirrored IEEE tree (sqrt parity).
+        "ab_test_zscore": """
+            WITH u AS (
+                SELECT user_id,
+                       MAX(CASE WHEN event_type = 'purchase'
+                                 AND CAST(floor(value * 100 + 0.5)
+                                          AS BIGINT) >= 15000
+                                THEN 1 ELSE 0 END) AS conv
+                FROM events GROUP BY 1
+            ),
+            s AS (
+                SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN conv
+                                     ELSE 0 END) AS BIGINT) AS x1,
+                       CAST(COUNT(*) FILTER (WHERE user_id % 2 = 0)
+                            AS BIGINT) AS n1,
+                       CAST(SUM(CASE WHEN user_id % 2 = 1 THEN conv
+                                     ELSE 0 END) AS BIGINT) AS x2,
+                       CAST(COUNT(*) FILTER (WHERE user_id % 2 = 1)
+                            AS BIGINT) AS n2
+                FROM u
+            )
+            SELECT x1, n1, x2, n2,
+                   (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                    - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                   / sqrt((CAST(x1 + x2 AS DOUBLE)
+                           / CAST(n1 + n2 AS DOUBLE))
+                          * (1.0 - CAST(x1 + x2 AS DOUBLE)
+                                   / CAST(n1 + n2 AS DOUBLE))
+                          * (1.0 / CAST(n1 AS DOUBLE)
+                             + 1.0 / CAST(n2 AS DOUBLE))) AS z
+            FROM s
+        """,
         # theilsen_trend (q_theilsen_trend): lower-median pairwise
         # slope per type under the (slope double, dy, dx) order.
         "theilsen_trend": """

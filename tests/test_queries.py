@@ -138,6 +138,8 @@ CHECKED = [
     "modal_value",
     "theilsen_trend",
     "segment_momentum",
+    "fk_integrity",
+    "ab_test_zscore",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
