@@ -3193,6 +3193,22 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # rate_limit_audit (q_rate_limit_audit): max anchored 10-min
+        # window count per user (window [t, t+600s), anchor included).
+        "rate_limit_audit": """
+            WITH t AS (
+                SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+            ),
+            w AS (
+                SELECT a.user_id, a.event_id, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM t a JOIN t b ON b.user_id = a.user_id
+                 AND b.ts_us >= a.ts_us AND b.ts_us < a.ts_us + 600000000
+                GROUP BY 1, 2
+            )
+            SELECT user_id, CAST(MAX(cnt) AS BIGINT) AS max_burst,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM w GROUP BY user_id
+        """,
         # fk_integrity (q_fk_integrity): orphan + coverage audit per
         # FK edge via LEFT JOIN null counts.
         "fk_integrity": """

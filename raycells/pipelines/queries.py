@@ -10187,3 +10187,53 @@ def q_ab_test_zscore(sf_dir: str):
             "z": pa.array([float(z)], pa.float64()),
         }
     )
+
+
+def q_rate_limit_audit(sf_dir: str):
+    """RATE-LIMIT / burst audit (NEW round 5) — the abuse-detection
+    window scan: per user, the MAXIMUM number of events inside any
+    event-anchored 10-minute window ([t, t+600s), every event an
+    anchor), plus total events. The "would this user trip a 100/10min
+    limiter" question, answered exactly.
+
+    Shape at scale: one user-bucket exchange; per bucket the anchored
+    window counts are ONE vectorized searchsorted over the composite
+    (dense-user, rebased-ts) key — no per-event loop, no pair rows."""
+    W = np.int64(600_000_000)
+    ds = _read(
+        sf_dir, "events", SMALL_TABLE_BLOCKS, columns=["ts", "user_id"]
+    )
+
+    def probe(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        user = g["user_id"].to_numpy(zero_copy_only=False)
+        uu, uid = np.unique(user, return_inverse=True)
+        ts_rel = ts - ts.min()
+        span = np.int64(int(ts_rel.max()) + int(W) + 2)
+        key = uid.astype(np.int64) * span + ts_rel
+        skey = np.sort(key)
+        hi = np.searchsorted(skey, skey + W, side="left")
+        lo = np.arange(skey.size)
+        cnt = (hi - lo).astype(np.int64)
+        suid = uid[np.argsort(key, kind="stable")]
+        out = (
+            pd.DataFrame({"uid": suid, "cnt": cnt})
+            .groupby("uid", sort=False)
+            .agg(max_burst=("cnt", "max"), n_events=("cnt", "size"))
+            .reset_index()
+        )
+        out["user_id"] = uu[out["uid"].to_numpy()]
+        out = out[["user_id", "max_burst", "n_events"]]
+        out["max_burst"] = out["max_burst"].astype(np.int64)
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return shuffle_mod.from_pandas_clean(out)
+
+    nb = shuffle_mod.scaled_buckets()
+    return (
+        ds.map_batches(
+            lambda b, n=nb: shuffle_mod.add_bucket(b, "user_id", n),
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(probe, batch_format="pyarrow")
+    )

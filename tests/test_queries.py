@@ -140,6 +140,7 @@ CHECKED = [
     "segment_momentum",
     "fk_integrity",
     "ab_test_zscore",
+    "rate_limit_audit",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
