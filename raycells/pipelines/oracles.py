@@ -3193,6 +3193,29 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # footprint_grid_cover (q_footprint_grid_cover): bbox → covered
+        # 0.25° cell fan, count per cell (bounded range + filter per
+        # the CLAUDE.md range() recipe; max bbox span ≈ 25 cells).
+        "footprint_grid_cover": f"""
+            WITH fp AS (
+                SELECT footprint_id,
+                       CAST(floor((minx + 180.0) / 0.25) AS BIGINT) AS gx0,
+                       CAST(floor((maxx + 180.0) / 0.25) AS BIGINT) AS gx1,
+                       CAST(floor((miny + 90.0) / 0.25) AS BIGINT) AS gy0,
+                       CAST(floor((maxy + 90.0) / 0.25) AS BIGINT) AS gy1
+                FROM read_parquet('{BBOX_PARQUET}')
+            ),
+            cover AS (
+                SELECT f.footprint_id,
+                       (f.gy0 + CAST(ry.range AS BIGINT)) * 1440
+                           + f.gx0 + CAST(rx.range AS BIGINT) AS grid_cell
+                FROM fp f, range(0, 40) rx, range(0, 40) ry
+                WHERE f.gx0 + rx.range <= f.gx1
+                  AND f.gy0 + ry.range <= f.gy1
+            )
+            SELECT grid_cell, CAST(COUNT(*) AS BIGINT) AS n_footprints
+            FROM cover GROUP BY grid_cell
+        """,
         # rate_limit_audit (q_rate_limit_audit): max anchored 10-min
         # window count per user (window [t, t+600s), anchor included).
         "rate_limit_audit": """

@@ -10237,3 +10237,65 @@ def q_rate_limit_audit(sf_dir: str):
         .groupby("_bucket")
         .map_groups(probe, batch_format="pyarrow")
     )
+
+
+def q_footprint_grid_cover(sf_dir: str):
+    """Polygon GRID COVERAGE (NEW round 5) — the polygon-side density
+    surface (how many footprint extents overlap each 0.25° cell): every
+    footprint bbox fans to its covered cell range, one aggregate per
+    cell. The vector-side counterpart of the tile density grid, and the
+    exact cover-fan the large-large cell-cover join relies on.
+
+    Shape at scale: the fan is bounded by Σ bbox areas in cells (never
+    by the raster); one salted aggregate finishes. Cell ids use the
+    same float-floor expression tree as the tile grid (proven
+    cross-engine)."""
+    import ray.data as rd
+
+    from raycells.io import footprints as fp_mod
+
+    path = fp_mod.ensure_bbox_parquet()
+    bb = rd.read_parquet(path).map_batches(
+        _strip_schema_metadata, batch_format="pyarrow"
+    )
+
+    def fan(b: pa.Table) -> pa.Table:
+        minx = b["minx"].to_numpy(zero_copy_only=False)
+        maxx = b["maxx"].to_numpy(zero_copy_only=False)
+        miny = b["miny"].to_numpy(zero_copy_only=False)
+        maxy = b["maxy"].to_numpy(zero_copy_only=False)
+        gx0 = np.floor((minx + 180.0) / 0.25).astype(np.int64)
+        gx1 = np.floor((maxx + 180.0) / 0.25).astype(np.int64)
+        gy0 = np.floor((miny + 90.0) / 0.25).astype(np.int64)
+        gy1 = np.floor((maxy + 90.0) / 0.25).astype(np.int64)
+        cells = []
+        for i in range(gx0.size):
+            xs = np.arange(gx0[i], gx1[i] + 1)
+            ys = np.arange(gy0[i], gy1[i] + 1)
+            cells.append(
+                (ys[:, None] * np.int64(1440) + xs[None, :]).ravel()
+            )
+        flat = np.concatenate(cells) if cells else np.array([], np.int64)
+        return pa.table(
+            {
+                "grid_cell": pa.array(flat),
+                "one": pa.array(np.ones(flat.size, np.int64)),
+            }
+        )
+
+    agg = shuffle_mod.salted_aggregate(
+        bb.map_batches(fan, batch_format="pyarrow"),
+        key="grid_cell",
+        sums=(),
+        count_alias="n_footprints",
+        salt_col="grid_cell",
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "grid_cell": t["grid_cell"],
+                "n_footprints": pc.cast(t["n_footprints"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -141,6 +141,7 @@ CHECKED = [
     "fk_integrity",
     "ab_test_zscore",
     "rate_limit_audit",
+    "footprint_grid_cover",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
