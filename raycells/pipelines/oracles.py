@@ -3193,6 +3193,61 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # key_skew_report (q_key_skew_report): per-key count
+        # distribution summary for candidate shuffle keys.
+        "key_skew_report": """
+            WITH c1 AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n
+                FROM orders GROUP BY o_custkey
+            ),
+            c2 AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n
+                FROM lineitem GROUP BY l_partkey
+            ),
+            c3 AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n
+                FROM lineitem GROUP BY l_suppkey
+            ),
+            s1 AS (
+                SELECT 'orders.o_custkey' AS key,
+                       CAST(SUM(n) AS BIGINT) AS n_rows,
+                       CAST(COUNT(*) AS BIGINT) AS n_keys,
+                       CAST(MAX(n) AS BIGINT) AS max_cnt,
+                       (SELECT n FROM (
+                            SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS rn,
+                                   COUNT(*) OVER () AS t
+                            FROM c1)
+                        WHERE rn = CAST(ceil(0.99 * t) AS BIGINT)) AS p99_cnt,
+                       CAST(SUM(n * n) AS BIGINT) AS sumsq
+                FROM c1
+            ),
+            s2 AS (
+                SELECT 'lineitem.l_partkey' AS key,
+                       CAST(SUM(n) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+                       CAST(MAX(n) AS BIGINT),
+                       (SELECT n FROM (
+                            SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS rn,
+                                   COUNT(*) OVER () AS t
+                            FROM c2)
+                        WHERE rn = CAST(ceil(0.99 * t) AS BIGINT)),
+                       CAST(SUM(n * n) AS BIGINT)
+                FROM c2
+            ),
+            s3 AS (
+                SELECT 'lineitem.l_suppkey' AS key,
+                       CAST(SUM(n) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+                       CAST(MAX(n) AS BIGINT),
+                       (SELECT n FROM (
+                            SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS rn,
+                                   COUNT(*) OVER () AS t
+                            FROM c3)
+                        WHERE rn = CAST(ceil(0.99 * t) AS BIGINT)),
+                       CAST(SUM(n * n) AS BIGINT)
+                FROM c3
+            )
+            SELECT * FROM s1 UNION ALL SELECT * FROM s2
+            UNION ALL SELECT * FROM s3
+        """,
         # footprint_grid_cover (q_footprint_grid_cover): bbox → covered
         # 0.25° cell fan, count per cell (bounded range + filter per
         # the CLAUDE.md range() recipe; max bbox span ≈ 25 cells).

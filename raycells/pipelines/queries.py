@@ -10299,3 +10299,65 @@ def q_footprint_grid_cover(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+def q_key_skew_report(sf_dir: str):
+    """KEY-SKEW report (NEW round 5) — the pre-shuffle diagnostic this
+    engine's own salting decisions depend on (CLAUDE.md: skewed keys
+    hurt; salt hot keys): for candidate shuffle keys, the per-key count
+    distribution summarized as n_rows / n_keys / max key count / exact
+    p99 key count (rank ceil(0.99·n), the quantile_disc convention) /
+    Σ count² (the collision mass a hash exchange would move).
+
+    Shape at scale: per-key counts fold through per-batch partials
+    (key-cardinality-bounded — these are the keys one would GROUP BY
+    anyway); the distribution summary ranks the key-sized vector."""
+    specs = [
+        ("orders.o_custkey", "orders", "o_custkey"),
+        ("lineitem.l_partkey", "lineitem", "l_partkey"),
+        ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+    ]
+    rows = []
+    for name, table, col in specs:
+        ds = _read(sf_dir, table, SMALL_TABLE_BLOCKS, columns=[col])
+
+        def part(b: pa.Table, c=col) -> pa.Table:
+            out = (
+                pd.DataFrame({"k": b[c].to_numpy(zero_copy_only=False)})
+                .groupby("k", sort=False)
+                .size()
+                .reset_index(name="n")
+            )
+            out["n"] = out["n"].astype(np.int64)
+            return shuffle_mod.from_pandas_clean(out)
+
+        cnt = (
+            ds.map_batches(part, batch_format="pyarrow")
+            .to_pandas()
+            .groupby("k", sort=False)["n"]
+            .sum()
+            .to_numpy(np.int64)
+        )
+        cnt_sorted = np.sort(cnt)
+        nk = cnt.size
+        p99 = int(cnt_sorted[int(np.ceil(0.99 * nk)) - 1])
+        rows.append(
+            (
+                name,
+                int(cnt.sum()),
+                nk,
+                int(cnt.max()),
+                p99,
+                int(np.sum(cnt * cnt)),
+            )
+        )
+    return pa.table(
+        {
+            "key": pa.array([r[0] for r in rows], pa.string()),
+            "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+            "n_keys": pa.array([r[2] for r in rows], pa.int64()),
+            "max_cnt": pa.array([r[3] for r in rows], pa.int64()),
+            "p99_cnt": pa.array([r[4] for r in rows], pa.int64()),
+            "sumsq": pa.array([r[5] for r in rows], pa.int64()),
+        }
+    )

@@ -142,6 +142,7 @@ CHECKED = [
     "ab_test_zscore",
     "rate_limit_audit",
     "footprint_grid_cover",
+    "key_skew_report",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
