@@ -3193,6 +3193,28 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # ann_filtered (q_ann_filtered): label-constrained cosine
+        # top-10 (pre-filter semantics), e6-quantized sim order.
+        "ann_filtered": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe, label
+                FROM embeddings WHERE vec_id < 3
+            ),
+            sims AS (
+                SELECT q.query_id, e.vec_id,
+                       FLOOR(list_cosine_similarity(q.qe, e.embedding)
+                             * 1000000 + 0.5) / 1000000 AS sim
+                FROM embeddings e JOIN q ON e.label = q.label
+            ),
+            ranked AS (
+                SELECT query_id, vec_id,
+                       CAST(ROW_NUMBER() OVER
+                            (PARTITION BY query_id
+                             ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+                FROM sims
+            )
+            SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 10
+        """,
         # key_skew_report (q_key_skew_report): per-key count
         # distribution summary for candidate shuffle keys.
         "key_skew_report": """

@@ -10361,3 +10361,50 @@ def q_key_skew_report(sf_dir: str):
             "sumsq": pa.array([r[5] for r in rows], pa.int64()),
         }
     )
+
+
+def q_ann_filtered(sf_dir: str):
+    """FILTERED vector retrieval (NEW round 5) — the
+    metadata-constrained ANN shape every production vector store serves
+    ("nearest neighbors WHERE label = X"): cosine top-10 per query
+    restricted to candidates sharing the query's label. Filtering
+    happens IN the scan (pre-filter — the correct recall-1.0 semantics,
+    vs post-filtering a larger unfiltered top-k).
+
+    Shape at scale: one label-filtered pass per distinct query label
+    (labels partition the candidate stream map-side; the broadcast
+    top-k machinery is the knn_embeddings kernel unchanged)."""
+    q = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+        filters=[("vec_id", "<", 3)],
+    )
+    qids = q["vec_id"].to_numpy(zero_copy_only=False)
+    qlab = q["label"].to_numpy(zero_copy_only=False)
+    qmat = np.asarray(q["embedding"].to_pylist(), dtype=np.float64)
+    ds = _read(
+        sf_dir, "embeddings", SMALL_TABLE_BLOCKS,
+        columns=["vec_id", "embedding", "label"],
+    )
+    outs = []
+    for lab in np.unique(qlab):
+        sel = qlab == lab
+        filtered = ds.map_batches(
+            lambda b, L=int(lab): b.filter(
+                pc.equal(b["label"], pa.scalar(L, b["label"].type))
+            ),
+            batch_format="pyarrow",
+        )
+        t = topk_cosine(
+            filtered, qmat[sel], qids[sel], k=EMB_K, col="embedding",
+            id_col="vec_id",
+        )
+        outs.append(t.select(["query_id", "vec_id", "rank"]))
+    t = pa.concat_tables(outs)
+    return pa.table(
+        {
+            "query_id": pc.cast(t["query_id"], pa.int64()),
+            "vec_id": pc.cast(t["vec_id"], pa.int64()),
+            "rank": t["rank"],
+        }
+    )

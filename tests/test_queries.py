@@ -143,6 +143,7 @@ CHECKED = [
     "rate_limit_audit",
     "footprint_grid_cover",
     "key_skew_report",
+    "ann_filtered",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
