@@ -285,6 +285,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "footprint_grid_cover": q.q_footprint_grid_cover,  # NEW round 5
         "key_skew_report": q.q_key_skew_report,  # NEW round 5 (shuffle diag)
         "ann_filtered": q.q_ann_filtered,  # NEW round 5 (filtered retrieval)
+        "benford_audit": q.q_benford_audit,  # NEW round 5 (digit-law audit)
+        "pareto_8020": q.q_pareto_8020,  # NEW round 5 (concentration curve)
         "gap_fill": q.q_gap_fill,  # NEW round 5 (calendar densification)
         "log_compaction": q.q_log_compaction,  # NEW round 5 (CDC upsert snapshot)
         "cell_value_hist": q.q_cell_value_hist,  # NEW round 5 (zonal histogram)

@@ -3193,6 +3193,36 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # benford_audit (q_benford_audit): leading-digit counts of
+        # order-total cents per priority.
+        "benford_audit": """
+            SELECT o_orderpriority,
+                   CAST(SUBSTR(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+                                         AS BIGINT) AS VARCHAR), 1, 1)
+                        AS BIGINT) AS digit,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1, 2
+        """,
+        # pareto_8020 (q_pareto_8020): revenue-rank deciles via the
+        # exact NTILE rule under (rev DESC, custkey) order.
+        "pareto_8020": """
+            WITH u AS (
+                SELECT o_custkey,
+                       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS rev
+                FROM orders GROUP BY 1
+            ),
+            r AS (
+                SELECT rev,
+                       (ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey)
+                        - 1) * 10 // (SELECT COUNT(*) FROM u) AS decile
+                FROM u
+            )
+            SELECT CAST(decile AS BIGINT) AS decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(rev) AS BIGINT) AS rev_c
+            FROM r GROUP BY decile
+        """,
         # ann_filtered (q_ann_filtered): label-constrained cosine
         # top-10 (pre-filter semantics), e6-quantized sim order.
         "ann_filtered": """

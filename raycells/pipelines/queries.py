@@ -10408,3 +10408,112 @@ def q_ann_filtered(sf_dir: str):
             "rank": t["rank"],
         }
     )
+
+
+def q_benford_audit(sf_dir: str):
+    """BENFORD first-digit audit (NEW round 5) — the fraud/anomaly
+    screen auditors run over monetary columns: the leading-digit
+    distribution of order totals (cents) per order priority, exact
+    counts (a Benford-conforming column shows ~30% ones; a fabricated
+    one doesn't).
+
+    Shape at scale: leading-digit extraction is a vectorized string
+    head (identical SUBSTR semantics both engines — cents are positive
+    ints, no sign/zero edge); counts fold as O(blocks × 9 × priorities)
+    partials."""
+    ds = _read(
+        sf_dir, "orders", SMALL_TABLE_BLOCKS,
+        columns=["o_orderpriority", "o_totalprice"],
+    )
+
+    def digits(b: pa.Table) -> pa.Table:
+        cents = _half_up(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        d = cents.astype("U1").astype(np.int64)  # leading digit
+        part = (
+            pd.DataFrame(
+                {
+                    "o_orderpriority": b["o_orderpriority"].to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "digit": d,
+                }
+            )
+            .groupby(["o_orderpriority", "digit"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        part["n"] = part["n"].astype(np.int64)
+        return shuffle_mod.from_pandas_clean(part)
+
+    out = (
+        ds.map_batches(digits, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["o_orderpriority", "digit"], sort=False, as_index=False)[
+            "n"
+        ]
+        .sum()
+    )
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(out["o_orderpriority"], pa.string()),
+            "digit": pa.array(out["digit"].to_numpy(np.int64)),
+            "n": pa.array(out["n"].to_numpy(np.int64)),
+        }
+    )
+
+
+def q_pareto_8020(sf_dir: str):
+    """REVENUE CONCENTRATION curve (NEW round 5) — the 80/20 analysis:
+    customers ranked by total order revenue (desc, custkey tie), split
+    into 10 rank deciles via the exact NTILE rule (rank−1)·10 // n,
+    each decile's exact revenue cents and customer count. The "top 10%
+    of customers carry X% of revenue" table.
+
+    Shape at scale: per-customer revenue folds O(blocks × customers)
+    partials; the decile split ranks the CUSTOMER-sized vector."""
+    ds = _read(
+        sf_dir, "orders", SMALL_TABLE_BLOCKS,
+        columns=["o_custkey", "o_totalprice"],
+    )
+
+    def part(b: pa.Table) -> pa.Table:
+        out = (
+            pd.DataFrame(
+                {
+                    "o_custkey": b["o_custkey"].to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "rev": _half_up(
+                        b["o_totalprice"].to_numpy(zero_copy_only=False)
+                        * 100
+                    ).astype(np.int64),
+                }
+            )
+            .groupby("o_custkey", sort=False)["rev"]
+            .sum()
+            .reset_index()
+        )
+        return shuffle_mod.from_pandas_clean(out)
+
+    u = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("o_custkey", sort=False)["rev"]
+        .sum()
+    )
+    ck = u.index.to_numpy(np.int64)
+    rev = u.to_numpy(np.int64)
+    order = np.lexsort((ck, -rev))
+    rank = np.arange(order.size, dtype=np.int64)
+    decile = rank * 10 // order.size
+    df = pd.DataFrame({"decile": decile, "rev": rev[order]})
+    agg = df.groupby("decile", sort=True)["rev"].agg(["sum", "size"])
+    return pa.table(
+        {
+            "decile": pa.array(agg.index.to_numpy(np.int64)),
+            "n_customers": pa.array(agg["size"].to_numpy(np.int64)),
+            "rev_c": pa.array(agg["sum"].to_numpy(np.int64)),
+        }
+    )

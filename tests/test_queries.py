@@ -144,6 +144,8 @@ CHECKED = [
     "footprint_grid_cover",
     "key_skew_report",
     "ann_filtered",
+    "benford_audit",
+    "pareto_8020",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
