@@ -3193,6 +3193,23 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # cf_candidates (q_cf_candidates): customer pairs sharing >= 6
+        # distinct parts; parts with > 200 buyers dropped (skew guard).
+        "cf_candidates": """
+            WITH cp AS (
+                SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
+                FROM lineitem l JOIN orders o
+                  ON o.o_orderkey = l.l_orderkey
+            ),
+            pf AS (
+                SELECT pk FROM cp GROUP BY pk HAVING COUNT(*) <= 200
+            ),
+            cp2 AS (SELECT cp.* FROM cp JOIN pf USING (pk))
+            SELECT a.ck AS c1, b.ck AS c2,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM cp2 a JOIN cp2 b ON a.pk = b.pk AND a.ck < b.ck
+            GROUP BY 1, 2 HAVING COUNT(*) >= 6
+        """,
         # benford_audit (q_benford_audit): leading-digit counts of
         # order-total cents per priority.
         "benford_audit": """

@@ -10517,3 +10517,113 @@ def q_pareto_8020(sf_dir: str):
             "rev_c": pa.array(agg["sum"].to_numpy(np.int64)),
         }
     )
+
+
+def q_cf_candidates(sf_dir: str):
+    """Collaborative-filtering CANDIDATE pairs (NEW round 5) — the
+    user-user similarity blocking step recommenders run: customer pairs
+    sharing ≥ 6 distinct purchased parts (the bipartite
+    customer→part projection of the order graph).
+
+    Shape at scale: the order→customer map broadcasts once (order-key
+    dimension); distinct (customer, part) incidences co-locate by a
+    PART bucket (per-bucket dedup IS global — pk → one bucket); parts
+    bought by > 200 customers are dropped before the k² pair expansion
+    (the boilerplate/skew guard, oracle-mirrored); per-bucket partial
+    pair counts ride ONE salted aggregate; the ≥ 6 filter runs
+    post-merge."""
+    import ray
+
+    DF_CAP = 200
+    THR = 6
+    om = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+    )
+    cust_of = dict(
+        zip(
+            om["o_orderkey"].to_numpy(zero_copy_only=False),
+            om["o_custkey"].to_numpy(zero_copy_only=False),
+        )
+    )
+    ref = ray.put(cust_of)
+    ds = _read(
+        sf_dir, "lineitem", SMALL_TABLE_BLOCKS,
+        columns=["l_orderkey", "l_partkey"],
+    )
+
+    def incid(b: pa.Table, r=ref) -> pa.Table:
+        co = stages._broadcast_memo(r)
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "ck": pd.Series(ok).map(co).to_numpy(np.int64),
+                "pk": b["l_partkey"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        return shuffle_mod.from_pandas_clean(df)
+
+    def pairs(g: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "ck": g["ck"].to_numpy(zero_copy_only=False),
+                "pk": g["pk"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates().sort_values(["pk", "ck"], kind="stable")
+        sizes = df.groupby("pk", sort=False)["ck"].size()
+        keep = sizes[sizes <= DF_CAP].index
+        df = df[df["pk"].isin(keep)]
+        pk = df["pk"].to_numpy(np.int64)
+        ck = df["ck"].to_numpy(np.int64)
+        outs = []
+        d = 1
+        while True:
+            same = pk[:-d] == pk[d:] if d < pk.size else np.zeros(0, bool)
+            if not same.any():
+                break
+            outs.append((ck[:-d][same], ck[d:][same]))
+            d += 1
+        if not outs:
+            return pa.table(
+                {"pairkey": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        a = np.concatenate([x for x, _ in outs])
+        b2 = np.concatenate([y for _, y in outs])
+        part = (
+            pd.DataFrame({"pairkey": (a << np.int64(32)) + b2})
+            .groupby("pairkey", sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        part["n"] = part["n"].astype(np.int64)
+        return shuffle_mod.from_pandas_clean(part)
+
+    nb = shuffle_mod.scaled_buckets()
+    partials = (
+        ds.map_batches(incid, batch_format="pyarrow")
+        .map_batches(
+            lambda b, n=nb: shuffle_mod.add_bucket(b, "pk", n),
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(pairs, batch_format="pyarrow")
+    )
+    agg = shuffle_mod.salted_aggregate(
+        partials, key="pairkey", sums=("n",), count_alias="_np",
+        salt_col="pairkey",
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = b["sum_n"].to_numpy(zero_copy_only=False)
+        keep = n >= THR
+        k = b["pairkey"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "c1": pa.array(k >> np.int64(32)),
+                "c2": pa.array(k & np.int64((1 << 32) - 1)),
+                "n_shared": pa.array(n[keep]),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -146,6 +146,7 @@ CHECKED = [
     "ann_filtered",
     "benford_audit",
     "pareto_8020",
+    "cf_candidates",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
