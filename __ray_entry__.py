@@ -288,6 +288,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_audit": q.q_benford_audit,  # NEW round 5 (digit-law audit)
         "pareto_8020": q.q_pareto_8020,  # NEW round 5 (concentration curve)
         "cf_candidates": q.q_cf_candidates,  # NEW round 5 (recsys blocking)
+        "grid_rle": q.q_grid_rle,  # NEW round 5 (gaps-and-islands)
+        "seasonal_anomaly": q.q_seasonal_anomaly,  # NEW round 5 (baseline screen)
         "gap_fill": q.q_gap_fill,  # NEW round 5 (calendar densification)
         "log_compaction": q.q_log_compaction,  # NEW round 5 (CDC upsert snapshot)
         "cell_value_hist": q.q_cell_value_hist,  # NEW round 5 (zonal histogram)

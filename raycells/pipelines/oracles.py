@@ -3193,6 +3193,53 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # grid_rle (q_grid_rle): gaps-and-islands per grid row — runs
+        # via the gx − ROW_NUMBER() island key.
+        "grid_rle": _BAND_STATS + _GRID + """
+            , cells AS MATERIALIZED (
+                SELECT grid_cell FROM gridded GROUP BY grid_cell
+            ),
+            c2 AS (
+                SELECT CAST(grid_cell % 1440 AS BIGINT) AS gx,
+                       CAST(grid_cell // 1440 AS BIGINT) AS gy
+                FROM cells
+            ),
+            isl AS (
+                SELECT gy,
+                       gx - ROW_NUMBER() OVER (PARTITION BY gy
+                                               ORDER BY gx) AS island
+                FROM c2
+            ),
+            rl AS (
+                SELECT gy, island, CAST(COUNT(*) AS BIGINT) AS run_len
+                FROM isl GROUP BY gy, island
+            )
+            SELECT gy, CAST(COUNT(*) AS BIGINT) AS n_runs,
+                   CAST(MAX(run_len) AS BIGINT) AS max_run,
+                   CAST(SUM(run_len) AS BIGINT) AS n_cells
+            FROM rl GROUP BY gy
+        """,
+        # seasonal_anomaly (q_seasonal_anomaly): x > 3× the own
+        # (type, dow, hour) cell mean, cross-multiplied exact.
+        "seasonal_anomaly": """
+            WITH t AS (
+                SELECT event_id, event_type,
+                       (epoch_us(ts) // 86400000000 + 3) % 7 AS dow,
+                       (epoch_us(ts) // 3600000000) % 24 AS hour,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+                FROM events
+            ),
+            prof AS (
+                SELECT event_type, dow, hour,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(x) AS BIGINT) AS s
+                FROM t GROUP BY 1, 2, 3
+            )
+            SELECT t.event_id, t.event_type, t.x,
+                   p.n AS cell_n, p.s AS cell_sum
+            FROM t JOIN prof p USING (event_type, dow, hour)
+            WHERE p.n * t.x > 3 * p.s
+        """,
         # cf_candidates (q_cf_candidates): customer pairs sharing >= 6
         # distinct parts; parts with > 200 buyers dropped (skew guard).
         "cf_candidates": """

@@ -10646,3 +10646,128 @@ def q_cf_candidates(sf_dir: str):
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_grid_rle(sf_dir: str):
+    """Grid RUN-LENGTH profile (NEW round 5) — the gaps-and-islands
+    analysis over the occupied cell grid (how contiguous is coverage
+    per latitude row — the stat that sizes RLE compression and scanline
+    processing): per grid row gy, occupied-cell count, number of RUNS
+    (maximal consecutive-gx islands), and the longest run.
+
+    Shape at scale: from the distributed cell aggregate, run boundaries
+    are a vectorized consecutive-gx compare per row after ONE gy-bucket
+    co-location; all-integer output (SQL mirror: the classic
+    gx − ROW_NUMBER() island key)."""
+    from raycells.geo import cellid
+
+    NX = cellid.GRID_NX
+    base = _cell_base_agg(sf_dir)
+
+    def runs(g: pa.Table) -> pa.Table:
+        gc = np.sort(np.unique(g["grid_cell"].to_numpy(zero_copy_only=False)))
+        gx, gy = gc % NX, gc // NX
+        new_run = np.ones(gc.size, bool)
+        if gc.size > 1:
+            new_run[1:] = (gy[1:] != gy[:-1]) | (gx[1:] != gx[:-1] + 1)
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id)
+        run_gy = gy[new_run]
+        df = pd.DataFrame({"gy": run_gy, "rl": run_len})
+        out = df.groupby("gy", sort=False).agg(
+            n_runs=("rl", "size"), max_run=("rl", "max"), n_cells=("rl", "sum")
+        ).reset_index()
+        for c in ("n_runs", "max_run", "n_cells"):
+            out[c] = out[c].astype(np.int64)
+        return shuffle_mod.from_pandas_clean(out)
+
+    def bucket_gy(b: pa.Table, n: int) -> pa.Table:
+        gy = b["grid_cell"].to_numpy(zero_copy_only=False) // NX
+        return b.append_column(
+            "_bucket", pa.array((gy % n).astype(np.int64))
+        )
+
+    nb = shuffle_mod.scaled_buckets()
+    return (
+        base.map_batches(
+            lambda b, n=nb: bucket_gy(b, n), batch_format="pyarrow"
+        )
+        .groupby("_bucket")
+        .map_groups(runs, batch_format="pyarrow")
+    )
+
+
+def q_seasonal_anomaly(sf_dir: str):
+    """SEASONAL anomaly screen (NEW round 5) — events whose value is
+    > 3× their own (type, dow, hour) seasonal-cell MEAN, the
+    baseline-aware alternative to global z-scores (a Friday-evening
+    spike is judged against Friday evenings): cross-multiplied exact
+    predicate n_cell · x > 5 · sum_cell — no float mean anywhere.
+
+    Shape at scale: pass 1 is the seasonality_profile fold (bounded by
+    types × 168 cells); pass 2 re-streams events through a stateless
+    broadcast filter."""
+    ds = _read(
+        sf_dir, "events", SMALL_TABLE_BLOCKS,
+        columns=["event_id", "ts", "event_type", "value"],
+    )
+
+    def cells(b: pa.Table) -> pa.Table:
+        us = b["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        part = (
+            pd.DataFrame(
+                {
+                    "event_type": b["event_type"].to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "dow": (us // np.int64(86_400_000_000) + 3) % 7,
+                    "hour": (us // np.int64(3_600_000_000)) % 24,
+                    "x": _half_up(
+                        b["value"].to_numpy(zero_copy_only=False) * 100
+                    ).astype(np.int64),
+                }
+            )
+            .groupby(["event_type", "dow", "hour"], sort=False)["x"]
+            .agg(["size", "sum"])
+            .reset_index()
+        )
+        part.columns = ["event_type", "dow", "hour", "n", "s"]
+        part["n"] = part["n"].astype(np.int64)
+        return shuffle_mod.from_pandas_clean(part)
+
+    prof = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["event_type", "dow", "hour"], sort=False, as_index=False)
+        .sum()
+    )
+    def flag(b: pa.Table, pf=prof) -> pa.Table:
+        us = b["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        df = pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy(zero_copy_only=False),
+                "event_type": b["event_type"].to_numpy(
+                    zero_copy_only=False
+                ),
+                "dow": (us // np.int64(86_400_000_000) + 3) % 7,
+                "hour": (us // np.int64(3_600_000_000)) % 24,
+                "x": _half_up(
+                    b["value"].to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64),
+            }
+        ).merge(pf, on=["event_type", "dow", "hour"])
+        keep = df["n"].to_numpy(np.int64) * df["x"].to_numpy(np.int64) > (
+            3 * df["s"].to_numpy(np.int64)
+        )
+        out = df[keep]
+        return pa.table(
+            {
+                "event_id": pa.array(out["event_id"].to_numpy(np.int64)),
+                "event_type": pa.array(out["event_type"], pa.string()),
+                "x": pa.array(out["x"].to_numpy(np.int64)),
+                "cell_n": pa.array(out["n"].to_numpy(np.int64)),
+                "cell_sum": pa.array(out["s"].to_numpy(np.int64)),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")

@@ -147,6 +147,8 @@ CHECKED = [
     "benford_audit",
     "pareto_8020",
     "cf_candidates",
+    "grid_rle",
+    "seasonal_anomaly",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
