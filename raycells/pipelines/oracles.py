@@ -3193,6 +3193,51 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # knn_tiles_haversine (q_knn_tiles_haversine): spherical top-8
+        # per query under the monotone hav term — sin/cos/radians only
+        # (libm-parity-verified set), mirrored expression tree.
+        "knn_tiles_haversine": _MEDIA + """
+            , pts AS (SELECT DISTINCT seed FROM media),
+            geo AS (
+                SELECT seed,
+                       CASE WHEN seed % 10 < 6 THEN
+                            (CASE seed % 3 WHEN 0 THEN -74.0
+                                  WHEN 1 THEN 2.35 ELSE 139.7 END)
+                            + ((seed * 31) % 2000 - 1000) / 1000.0
+                       ELSE ((seed * 9973) % 360000) / 1000.0 - 180.0
+                       END AS lon,
+                       CASE WHEN seed % 10 < 6 THEN
+                            (CASE seed % 3 WHEN 0 THEN 40.7
+                                  WHEN 1 THEN 48.85 ELSE 35.7 END)
+                            + ((seed * 57) % 2000 - 1000) / 1000.0
+                       ELSE ((seed * 7919) % 170000) / 1000.0 - 85.0
+                       END AS lat
+                FROM pts
+            ),
+            q AS (
+                SELECT * FROM (VALUES (0, -74.0, 40.7), (1, 2.35, 48.85),
+                                      (2, 139.7, 35.7)) t(query_id, qlon, qlat)
+            ),
+            hv AS (
+                SELECT q.query_id, g.seed,
+                       sin((radians(g.lat) - radians(q.qlat)) / 2.0)
+                       * sin((radians(g.lat) - radians(q.qlat)) / 2.0)
+                       + cos(radians(q.qlat)) * cos(radians(g.lat))
+                         * (sin((radians(g.lon) - radians(q.qlon)) / 2.0)
+                            * sin((radians(g.lon) - radians(q.qlon)) / 2.0))
+                           AS hav
+                FROM geo g CROSS JOIN q
+            ),
+            ranked AS (
+                SELECT query_id, seed, hav,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                               ORDER BY hav, seed)
+                            AS BIGINT) AS rank
+                FROM hv
+            )
+            SELECT CAST(query_id AS BIGINT) AS query_id, rank, seed, hav
+            FROM ranked WHERE rank <= 8
+        """,
         # grid_rle (q_grid_rle): gaps-and-islands per grid row — runs
         # via the gx − ROW_NUMBER() island key.
         "grid_rle": _BAND_STATS + _GRID + """

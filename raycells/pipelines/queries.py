@@ -10771,3 +10771,64 @@ def q_seasonal_anomaly(sf_dir: str):
         )
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def q_knn_tiles_haversine(sf_dir: str):
+    """SPHERICAL kNN tile lookup (NEW round 5) — the great-circle
+    variant of knn_tiles: top-8 DISTINCT tiles per city query point
+    under the haversine ORDER (ranking by the hav term sin²(Δφ/2) +
+    cosφ₁·cosφ₂·sin²(Δλ/2), which is monotone in great-circle distance
+    — no asin/atan2 needed, so the whole key stays inside the
+    libm-parity-verified sin/cos/radians set, CLAUDE.md).
+
+    Shape at scale: per-batch distinct-seed hav to the 3 broadcast
+    queries → per-batch top-8 partials → driver merges O(blocks × 24)
+    candidate rows."""
+    from raycells.io import tilestore
+
+    QPTS = [(0, -74.0, 40.7), (1, 2.35, 48.85), (2, 139.7, 35.7)]
+    K = 8
+
+    def part(b: pa.Table) -> pa.Table:
+        seeds = np.unique(tilestore.seed_of_refs(b["media_ref"]))
+        lon, lat = tilestore.centroids(seeds)
+        rlon, rlat = np.radians(lon), np.radians(lat)
+        out = {"query_id": [], "seed": [], "hav": []}
+        for qid, qlon, qlat in QPTS:
+            rqlon, rqlat = np.radians(qlon), np.radians(qlat)
+            s1 = np.sin((rlat - rqlat) / 2.0)
+            s2 = np.sin((rlon - rqlon) / 2.0)
+            hav = s1 * s1 + np.cos(rqlat) * np.cos(rlat) * (s2 * s2)
+            top = np.lexsort((seeds, hav))[:K]
+            out["query_id"].append(np.full(top.size, qid, np.int64))
+            out["seed"].append(seeds[top])
+            out["hav"].append(hav[top])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out["query_id"])),
+                "seed": pa.array(np.concatenate(out["seed"])),
+                "hav": pa.array(np.concatenate(out["hav"]), pa.float64()),
+            }
+        )
+
+    cand = (
+        _exploded(sf_dir)
+        .map_batches(part, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates(["query_id", "seed"])
+    )
+    rows = []
+    for qid, g in cand.groupby("query_id", sort=True):
+        hv = g["hav"].to_numpy(np.float64)
+        sd = g["seed"].to_numpy(np.int64)
+        top = np.lexsort((sd, hv))[:K]
+        for r, i in enumerate(top, start=1):
+            rows.append((int(qid), r, int(sd[i]), float(hv[i])))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "rank": pa.array([r[1] for r in rows], pa.int64()),
+            "seed": pa.array([r[2] for r in rows], pa.int64()),
+            "hav": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )

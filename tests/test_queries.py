@@ -149,6 +149,7 @@ CHECKED = [
     "cf_candidates",
     "grid_rle",
     "seasonal_anomaly",
+    "knn_tiles_haversine",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
