@@ -291,6 +291,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grid_rle": q.q_grid_rle,  # NEW round 5 (gaps-and-islands)
         "seasonal_anomaly": q.q_seasonal_anomaly,  # NEW round 5 (baseline screen)
         "knn_tiles_haversine": q.q_knn_tiles_haversine,  # NEW round 5 (spherical)
+        "ttr_by_source": q.q_ttr_by_source,  # NEW round 5 (lexical diversity)
+        "top_copurchases": q.q_top_copurchases,  # NEW round 5 (also-bought)
         "gap_fill": q.q_gap_fill,  # NEW round 5 (calendar densification)
         "log_compaction": q.q_log_compaction,  # NEW round 5 (CDC upsert snapshot)
         "cell_value_hist": q.q_cell_value_hist,  # NEW round 5 (zonal histogram)

@@ -3193,6 +3193,52 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # ttr_by_source (q_ttr_by_source): type-token ratio inputs —
+        # tokens / distinct types / hapax per source.
+        "ttr_by_source": """
+            WITH tk AS (
+                SELECT source, unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ),
+            cnt AS (
+                SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n
+                FROM tk WHERE token <> '' GROUP BY 1, 2
+            )
+            SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_hapax
+            FROM cnt GROUP BY source
+        """,
+        # top_copurchases (q_top_copurchases): per-part top-3 partners
+        # by (n DESC, partner ASC) over pairs with >= 2 shared orders.
+        "top_copurchases": """
+            WITH lp AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            pc0 AS (
+                SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM lp a JOIN lp b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ),
+            fan AS (
+                SELECT p1 AS p_partkey, p2 AS partner, n FROM pc0
+                UNION ALL SELECT p2, p1, n FROM pc0
+            ),
+            r AS (
+                SELECT p_partkey, partner, n,
+                       ROW_NUMBER() OVER (PARTITION BY p_partkey
+                                          ORDER BY n DESC, partner ASC)
+                           AS rn
+                FROM fan
+            )
+            SELECT p_partkey, CAST(rn AS BIGINT) AS rank, partner,
+                   CAST(n AS BIGINT) AS n_orders
+            FROM r WHERE rn <= 3
+        """,
         # knn_tiles_haversine (q_knn_tiles_haversine): spherical top-8
         # per query under the monotone hav term — sin/cos/radians only
         # (libm-parity-verified set), mirrored expression tree.

@@ -10832,3 +10832,136 @@ def q_knn_tiles_haversine(sf_dir: str):
             "hav": pa.array([r[3] for r in rows], pa.float64()),
         }
     )
+
+
+def q_ttr_by_source(sf_dir: str):
+    """Lexical DIVERSITY report (NEW round 5) — type-token ratio inputs
+    per source (the corpus-quality stat next to token_stats): total
+    tokens, DISTINCT token types, and hapax legomena (once-only
+    tokens). All exact integers; TTR/hapax-rate derive trivially.
+
+    Shape at scale: per-batch (source, token) pre-dedup partials ride
+    ONE coarse token-bucket exchange (same (source, token) → same
+    bucket, so per-bucket distinct/count partials are globally
+    correct); the driver folds O(buckets × sources) rows. Total tokens
+    fold map-side separately (no exchange)."""
+    ds = _read(
+        sf_dir, "documents", SMALL_TABLE_BLOCKS, columns=["source", "text"]
+    )
+
+    def tok(b: pa.Table) -> pa.Table:
+        src = b["source"].to_numpy(zero_copy_only=False)
+        _, flat, parent = ta._split(b["text"])
+        toks = flat.to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"source": src[parent], "token": toks})
+        df = df[df["token"] != ""]
+        out = (
+            df.groupby(["source", "token"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return shuffle_mod.from_pandas_clean(out)
+
+    def fold(g: pa.Table) -> pa.Table:
+        df = (
+            pd.DataFrame(
+                {
+                    "source": g["source"].to_numpy(zero_copy_only=False),
+                    "token": g["token"].to_numpy(zero_copy_only=False),
+                    "n": g["n"].to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby(["source", "token"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        out = df.groupby("source", sort=False).agg(
+            n_tokens=("n", "sum"),
+            n_types=("n", "size"),
+            n_hapax=("n", lambda s: int((s == 1).sum())),
+        ).reset_index()
+        for c in ("n_tokens", "n_types", "n_hapax"):
+            out[c] = out[c].astype(np.int64)
+        return shuffle_mod.from_pandas_clean(out)
+
+    nb = shuffle_mod.scaled_buckets()
+    return (
+        ds.map_batches(tok, batch_format="pyarrow")
+        .map_batches(
+            lambda b, n=nb: shuffle_mod.add_bucket(b, "token", n),
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("source", sort=True, as_index=False)
+        .sum()
+        .pipe(
+            lambda df: pa.table(
+                {
+                    "source": pa.array(df["source"], pa.string()),
+                    "n_tokens": pa.array(df["n_tokens"].to_numpy(np.int64)),
+                    "n_types": pa.array(df["n_types"].to_numpy(np.int64)),
+                    "n_hapax": pa.array(df["n_hapax"].to_numpy(np.int64)),
+                }
+            )
+        )
+    )
+
+
+def q_top_copurchases(sf_dir: str):
+    """"Customers also bought" TOP-K (NEW round 5) — the per-item
+    recommendation list: each part's top-3 co-purchase partners by
+    (n_orders DESC, partner ASC), over the pair counts with ≥ 2
+    shared orders.
+
+    Shape at scale: the copurchase pair aggregate fans both directions
+    and runs through grouped_topk — only per-batch survivors cross the
+    ranking exchange."""
+    from raycells.engine.joins import grouped_topk
+
+    agg = shuffle_mod.salted_aggregate(
+        _order_pair_partials(sf_dir), key="pairkey", sums=("n",),
+        count_alias="_np", salt_col="pairkey",
+    )
+
+    def fan(b: pa.Table) -> pa.Table:
+        k = b["pairkey"].to_numpy(zero_copy_only=False)
+        n = b["sum_n"].to_numpy(zero_copy_only=False)
+        keep = n >= 2
+        k, n = k[keep], n[keep]
+        p1, p2 = k >> np.int64(32), k & np.int64((1 << 32) - 1)
+        return pa.table(
+            {
+                "p_partkey": pa.array(np.concatenate([p1, p2])),
+                "partner": pa.array(np.concatenate([p2, p1])),
+                # rank on (n DESC, partner ASC): encode partner into the
+                # order column so grouped_topk's single order key is
+                # enough — n ≤ 2^20 orders, partner < 2^32
+                "neg_partner": pa.array(
+                    -np.concatenate([p2, p1])
+                ),
+                "n_orders": pa.array(np.tile(n, 2)),
+            }
+        )
+
+    fanned = agg.map_batches(fan, batch_format="pyarrow")
+    out = grouped_topk(
+        fanned, "p_partkey", 3, order_col="n_orders",
+        tiebreak_col="neg_partner",
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"],
+                "rank": pc.cast(t["rank"], pa.int64()),
+                "partner": t["partner"],
+                "n_orders": pc.cast(t["n_orders"], pa.int64()),
+            }
+        )
+
+    if isinstance(out, pa.Table):
+        return finalize(out)
+    return out.map_batches(finalize, batch_format="pyarrow")

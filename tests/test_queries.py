@@ -150,6 +150,8 @@ CHECKED = [
     "grid_rle",
     "seasonal_anomaly",
     "knn_tiles_haversine",
+    "ttr_by_source",
+    "top_copurchases",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
