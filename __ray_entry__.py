@@ -293,6 +293,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_tiles_haversine": q.q_knn_tiles_haversine,  # NEW round 5 (spherical)
         "ttr_by_source": q.q_ttr_by_source,  # NEW round 5 (lexical diversity)
         "top_copurchases": q.q_top_copurchases,  # NEW round 5 (also-bought)
+        "tile_texture": q.q_tile_texture,  # NEW round 5 (entropy proxy)
+        "footprint_selectivity": q.q_footprint_selectivity,  # NEW round 5
         "gap_fill": q.q_gap_fill,  # NEW round 5 (calendar densification)
         "log_compaction": q.q_log_compaction,  # NEW round 5 (CDC upsert snapshot)
         "cell_value_hist": q.q_cell_value_hist,  # NEW round 5 (zonal histogram)

@@ -3193,6 +3193,59 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # tile_texture (q_tile_texture): distinct window values per
+        # tile, rolled up per cell.
+        "tile_texture": _MEDIA + """
+            , mh AS (
+                SELECT doc_id, span_idx, seed,
+                       (seed * 2654435761) % 65520 AS sh, seed % 33 AS s33,
+                       CAST(floor((CASE WHEN seed % 10 < 6 THEN
+                                (CASE seed % 3 WHEN 0 THEN 40.7 WHEN 1 THEN 48.85 ELSE 35.7 END)
+                                + ((seed * 57) % 2000 - 1000) / 1000.0
+                            ELSE ((seed * 7919) % 170000) / 1000.0 - 85.0 END
+                            + 90.0) / 0.25) * 1440
+                          + floor((CASE WHEN seed % 10 < 6 THEN
+                                (CASE seed % 3 WHEN 0 THEN -74.0 WHEN 1 THEN 2.35 ELSE 139.7 END)
+                                + ((seed * 31) % 2000 - 1000) / 1000.0
+                            ELSE ((seed * 9973) % 360000) / 1000.0 - 180.0 END
+                            + 180.0) / 0.25) AS BIGINT) AS grid_cell
+                FROM media
+            ),
+            tapc AS MATERIALIZED (
+                SELECT ((rr.range * 64 + cc.range) * 7) % 33 AS m7,
+                       (((rr.range * 64 + cc.range) + 404) * 40503) % 65520
+                           AS mhh
+                FROM range(8) rr, range(8) cc
+            ),
+            px AS (
+                SELECT m.doc_id, m.span_idx, m.grid_cell,
+                       (CASE WHEN (m.s33 + t.m7) % 33 = 0 THEN 0
+                        ELSE 1 + (m.sh + t.mhh) % 65520 END) AS v
+                FROM mh m, tapc t
+            ),
+            tile AS (
+                SELECT doc_id, span_idx, grid_cell,
+                       CAST(COUNT(DISTINCT v) AS BIGINT) AS nd
+                FROM px GROUP BY 1, 2, 3
+            )
+            SELECT grid_cell, CAST(COUNT(*) AS BIGINT) AS n_tiles,
+                   CAST(SUM(nd) AS BIGINT) AS sum_n_distinct,
+                   CAST(MIN(nd) AS BIGINT) AS min_n_distinct,
+                   CAST(MAX(nd) AS BIGINT) AS max_n_distinct
+            FROM tile GROUP BY grid_cell
+        """,
+        # footprint_selectivity (q_footprint_selectivity): bbox
+        # candidates vs exact PIP hits per footprint.
+        "footprint_selectivity": _MEDIA + _GEO_PTS + _PIP_HITS + """
+            SELECT b.footprint_id, b.n_bbox, COALESCE(e.n_exact, 0) AS n_exact
+            FROM (
+                SELECT footprint_id, CAST(COUNT(*) AS BIGINT) AS n_bbox
+                FROM cand_fp GROUP BY 1
+            ) b LEFT JOIN (
+                SELECT footprint_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+                FROM pip_hits GROUP BY 1
+            ) e USING (footprint_id)
+        """,
         # ttr_by_source (q_ttr_by_source): type-token ratio inputs —
         # tokens / distinct types / hapax per source.
         "ttr_by_source": """

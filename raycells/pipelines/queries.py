@@ -10965,3 +10965,129 @@ def q_top_copurchases(sf_dir: str):
     if isinstance(out, pa.Table):
         return finalize(out)
     return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_tile_texture(sf_dir: str):
+    """Tile TEXTURE complexity (NEW round 5) — the distinct-value
+    richness of each tile's 8×8 window rolled up per grid cell (a
+    cheap entropy proxy: flat water ≈ few distinct values, urban
+    clutter ≈ many). Exact integers (COUNT DISTINCT of LCG values).
+
+    Shape at scale: per-tile distinct counting is a vectorized
+    row-sort + boundary count on the (B, 64) window matrix — map-side
+    only; one salted per-cell rollup."""
+    from raycells.geo import cellid
+    from raycells.io import tilestore
+
+    WINDOW, WSIZE = (0, 0), (8, 8)
+
+    def texture(b: pa.Table) -> pa.Table:
+        seeds = tilestore.seed_of_refs(b["media_ref"])
+        v = tilestore.synth_band_window(seeds, 4, WINDOW, WSIZE, WSIZE).astype(
+            np.int64
+        )
+        sv = np.sort(v, axis=1)
+        distinct = 1 + (sv[:, 1:] != sv[:, :-1]).sum(axis=1)
+        lon, lat = tilestore.centroids(seeds)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "grid_cell": pa.array(cellid.grid_cell(lon, lat), pa.int64()),
+                "n_distinct": pa.array(distinct.astype(np.int64)),
+            }
+        )
+
+    return shuffle_mod.salted_aggregate(
+        _exploded(sf_dir).map_batches(texture, batch_format="pyarrow"),
+        key="grid_cell",
+        sums=("n_distinct",),
+        mins=("n_distinct",),
+        maxs=("n_distinct",),
+        count_alias="n_tiles",
+        salt_col="doc_id",
+    )
+
+
+def q_footprint_selectivity(sf_dir: str):
+    """Spatial-index SELECTIVITY diagnostics (NEW round 5) — per
+    footprint, bbox-candidate tile count vs exact PIP hit count: the
+    measured effectiveness of the bbox prejoin this engine's own PIP
+    oracles and joins rely on (n_exact / n_bbox = filter precision;
+    a low ratio flags skinny/concave shapes that deserve a finer
+    cover).
+
+    Shape at scale: ONE broadcast pass evaluates both predicates per
+    (batch × candidate footprint) — the exact test only runs on bbox
+    survivors, exactly like the production join; O(blocks ×
+    footprints) count partials fold on the driver."""
+    import ray
+
+    from raycells.geo.pip import points_in_polygon
+    from raycells.io import footprints as fp_mod
+    from raycells.io import tilestore
+
+    fps = fp_mod.rings_as_numpy(fp_mod.generate_footprints())
+    ref = ray.put(fps)
+
+    def pts(b: pa.Table) -> pa.Table:
+        seeds = tilestore.seed_of_refs(b["media_ref"])
+        lon, lat = tilestore.centroids(seeds)
+        return pa.table(
+            {
+                "lon": pa.array(lon, pa.float64()),
+                "lat": pa.array(lat, pa.float64()),
+            }
+        )
+
+    class _Selectivity:
+        def __init__(self, r):
+            from raycells.engine.stages import polygon_bbox
+
+            self.fps = stages._broadcast_memo(r) if hasattr(r, "hex") else r
+            self.bboxes = np.array(
+                [polygon_bbox(ring) for _, _, ring in self.fps]
+            )
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lon = batch["lon"].to_numpy(zero_copy_only=False)
+            lat = batch["lat"].to_numpy(zero_copy_only=False)
+            ids, nb, ne = [], [], []
+            for f, (fid, _cat, ring) in enumerate(self.fps):
+                bb = self.bboxes[f]
+                cand = np.nonzero(
+                    (lon >= bb[0]) & (lon <= bb[2])
+                    & (lat >= bb[1]) & (lat <= bb[3])
+                )[0]
+                if cand.size == 0:
+                    continue
+                hits = int(
+                    points_in_polygon(lon[cand], lat[cand], ring).sum()
+                )
+                ids.append(fid)
+                nb.append(int(cand.size))
+                ne.append(hits)
+            return pa.table(
+                {
+                    "footprint_id": pa.array(ids, pa.string()),
+                    "n_bbox": pa.array(np.asarray(nb, np.int64)),
+                    "n_exact": pa.array(np.asarray(ne, np.int64)),
+                }
+            )
+
+    f = (
+        _exploded(sf_dir)
+        .map_batches(pts, batch_format="pyarrow")
+        .map_batches(
+            stages.broadcast_task(_Selectivity, ref), batch_format="pyarrow"
+        )
+        .to_pandas()
+        .groupby("footprint_id", sort=True, as_index=False)
+        .sum()
+    )
+    return pa.table(
+        {
+            "footprint_id": pa.array(f["footprint_id"], pa.string()),
+            "n_bbox": pa.array(f["n_bbox"].to_numpy(np.int64)),
+            "n_exact": pa.array(f["n_exact"].to_numpy(np.int64)),
+        }
+    )

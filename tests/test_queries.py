@@ -152,6 +152,8 @@ CHECKED = [
     "knn_tiles_haversine",
     "ttr_by_source",
     "top_copurchases",
+    "tile_texture",
+    "footprint_selectivity",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
