@@ -295,6 +295,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_copurchases": q.q_top_copurchases,  # NEW round 5 (also-bought)
         "tile_texture": q.q_tile_texture,  # NEW round 5 (entropy proxy)
         "footprint_selectivity": q.q_footprint_selectivity,  # NEW round 5
+        "contour_cases": q.q_contour_cases,  # NEW round 5 (marching squares)
+        "morton_cells": q.q_morton_cells,  # NEW round 5 (Z-order curve)
         "gap_fill": q.q_gap_fill,  # NEW round 5 (calendar densification)
         "log_compaction": q.q_log_compaction,  # NEW round 5 (CDC upsert snapshot)
         "cell_value_hist": q.q_cell_value_hist,  # NEW round 5 (zonal histogram)

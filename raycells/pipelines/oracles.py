@@ -3193,6 +3193,92 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # contour_cases (q_contour_cases): marching-squares straddle
+        # census per 2×2 window block, per-cell rollup; all four
+        # corners computed inline from the closed-form value formula.
+        "contour_cases": _MEDIA + """
+            , mh AS (
+                SELECT doc_id, span_idx, seed,
+                       (seed * 2654435761) % 65520 AS sh, seed % 33 AS s33,
+                       CAST(floor((CASE WHEN seed % 10 < 6 THEN
+                                (CASE seed % 3 WHEN 0 THEN 40.7 WHEN 1 THEN 48.85 ELSE 35.7 END)
+                                + ((seed * 57) % 2000 - 1000) / 1000.0
+                            ELSE ((seed * 7919) % 170000) / 1000.0 - 85.0 END
+                            + 90.0) / 0.25) * 1440
+                          + floor((CASE WHEN seed % 10 < 6 THEN
+                                (CASE seed % 3 WHEN 0 THEN -74.0 WHEN 1 THEN 2.35 ELSE 139.7 END)
+                                + ((seed * 31) % 2000 - 1000) / 1000.0
+                            ELSE ((seed * 9973) % 360000) / 1000.0 - 180.0 END
+                            + 180.0) / 0.25) AS BIGINT) AS grid_cell
+                FROM media
+            ),
+            tapb AS MATERIALIZED (
+                SELECT ((rr.range * 64 + cc.range) * 7) % 33 AS m7a,
+                       (((rr.range * 64 + cc.range) + 404) * 40503) % 65520 AS mha,
+                       ((rr.range * 64 + cc.range + 1) * 7) % 33 AS m7b,
+                       (((rr.range * 64 + cc.range + 1) + 404) * 40503) % 65520 AS mhb,
+                       (((rr.range + 1) * 64 + cc.range) * 7) % 33 AS m7c,
+                       ((((rr.range + 1) * 64 + cc.range) + 404) * 40503) % 65520 AS mhc,
+                       (((rr.range + 1) * 64 + cc.range + 1) * 7) % 33 AS m7d,
+                       ((((rr.range + 1) * 64 + cc.range + 1) + 404) * 40503) % 65520 AS mhd
+                FROM range(7) rr, range(7) cc
+            ),
+            blocks AS (
+                SELECT m.doc_id, m.span_idx, m.grid_cell,
+                       (CASE WHEN (m.s33 + t.m7a) % 33 = 0 THEN 0
+                             ELSE 1 + (m.sh + t.mha) % 65520 END) > 32760 AS ca,
+                       (CASE WHEN (m.s33 + t.m7b) % 33 = 0 THEN 0
+                             ELSE 1 + (m.sh + t.mhb) % 65520 END) > 32760 AS cb,
+                       (CASE WHEN (m.s33 + t.m7c) % 33 = 0 THEN 0
+                             ELSE 1 + (m.sh + t.mhc) % 65520 END) > 32760 AS cc2,
+                       (CASE WHEN (m.s33 + t.m7d) % 33 = 0 THEN 0
+                             ELSE 1 + (m.sh + t.mhd) % 65520 END) > 32760 AS cd
+                FROM mh m, tapb t
+            ),
+            tile AS (
+                SELECT doc_id, span_idx, grid_cell,
+                       CAST(SUM(CASE WHEN NOT ((ca AND cb AND cc2 AND cd)
+                                     OR NOT (ca OR cb OR cc2 OR cd))
+                                THEN 1 ELSE 0 END) AS BIGINT) AS nc
+                FROM blocks GROUP BY 1, 2, 3
+            )
+            SELECT grid_cell, CAST(COUNT(*) AS BIGINT) AS n_tiles,
+                   CAST(SUM(nc) AS BIGINT) AS sum_n_crossing,
+                   CAST(MAX(nc) AS BIGINT) AS max_n_crossing
+            FROM tile GROUP BY grid_cell
+        """,
+        # morton_cells (q_morton_cells): level-12 Z-order keys by bit
+        # interleave of 4096-scaled integer coordinates.
+        "morton_cells": _MEDIA + """
+            , pts AS (
+                SELECT doc_id, span_idx,
+                       ((CASE WHEN seed % 10 < 6 THEN
+                            (CASE seed % 3 WHEN 0 THEN -74000
+                                  WHEN 1 THEN 2350 ELSE 139700 END)
+                            + (seed * 31) % 2000 - 1000
+                        ELSE (seed * 9973) % 360000 - 180000 END)
+                        + 180000) * 4096 // 360001 AS xi,
+                       ((CASE WHEN seed % 10 < 6 THEN
+                            (CASE seed % 3 WHEN 0 THEN 40700
+                                  WHEN 1 THEN 48850 ELSE 35700 END)
+                            + (seed * 57) % 2000 - 1000
+                        ELSE (seed * 7919) % 170000 - 85000 END)
+                        + 90000) * 4096 // 180001 AS yi
+                FROM media
+            ),
+            mk AS (
+                SELECT p.doc_id, p.span_idx,
+                       CAST(SUM((((p.xi >> CAST(k.range AS BIGINT)) & 1)
+                                 << (2 * CAST(k.range AS BIGINT)))
+                                + (((p.yi >> CAST(k.range AS BIGINT)) & 1)
+                                   << (2 * CAST(k.range AS BIGINT) + 1)))
+                            AS BIGINT) AS morton
+                FROM pts p, range(12) k
+                GROUP BY 1, 2
+            )
+            SELECT morton, CAST(COUNT(*) AS BIGINT) AS n_tiles
+            FROM mk GROUP BY morton
+        """,
         # tile_texture (q_tile_texture): distinct window values per
         # tile, rolled up per cell.
         "tile_texture": _MEDIA + """

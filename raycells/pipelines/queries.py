@@ -11091,3 +11091,100 @@ def q_footprint_selectivity(sf_dir: str):
             "n_exact": pa.array(f["n_exact"].to_numpy(np.int64)),
         }
     )
+
+
+def q_contour_cases(sf_dir: str):
+    """MARCHING-SQUARES contour census (NEW round 5) — the
+    raster→vector contouring primitive: per tile window, the count of
+    2×2 pixel blocks whose corners STRADDLE the threshold (marching-
+    squares cases 1..14 — exactly the blocks that emit contour
+    segments at T), rolled up per grid cell. The isoline-density
+    surface cartographers compute before vectorizing.
+
+    Shape at scale: block cases are one vectorized 4-corner compare
+    over the (B, 8, 8) window tensor — map-side; one salted per-cell
+    rollup; oracle computes each corner inline from the closed-form
+    value formula (the tile_convolve precedent)."""
+    from raycells.geo import cellid
+    from raycells.io import tilestore
+
+    T = 32760
+    WINDOW, WSIZE = (0, 0), (8, 8)
+
+    def cases(b: pa.Table) -> pa.Table:
+        seeds = tilestore.seed_of_refs(b["media_ref"])
+        v = tilestore.synth_band_window(
+            seeds, 4, WINDOW, WSIZE, WSIZE
+        ).astype(np.int64).reshape(-1, 8, 8)
+        gt = v > T
+        a = gt[:, :-1, :-1]
+        bq = gt[:, :-1, 1:]
+        c = gt[:, 1:, :-1]
+        d = gt[:, 1:, 1:]
+        allhi = a & bq & c & d
+        alllo = ~(a | bq | c | d)
+        crossing = (~(allhi | alllo)).sum(axis=(1, 2)).astype(np.int64)
+        lon, lat = tilestore.centroids(seeds)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "grid_cell": pa.array(cellid.grid_cell(lon, lat), pa.int64()),
+                "n_crossing": pa.array(crossing),
+            }
+        )
+
+    return shuffle_mod.salted_aggregate(
+        _exploded(sf_dir).map_batches(cases, batch_format="pyarrow"),
+        key="grid_cell",
+        sums=("n_crossing",),
+        maxs=("n_crossing",),
+        count_alias="n_tiles",
+        salt_col="doc_id",
+    )
+
+
+def q_morton_cells(sf_dir: str):
+    """Z-ORDER (Morton) cell encoding (NEW round 5) — the third
+    space-filling-curve family next to Hilbert and S2: tile centroids
+    keyed to a level-12 Morton code by bit-interleaving the 4096-wide
+    integer-scaled coordinates (pure integer arithmetic — exact
+    cross-engine, the quadkey/Bing-tile scheme), with per-curve-cell
+    tile counts.
+
+    Shape at scale: encoding is map-side bit arithmetic; ONE salted
+    aggregate on the curve key (Z-order's locality makes these keys
+    the natural range-partition export order)."""
+    from raycells.io import tilestore
+
+    def enc(b: pa.Table) -> pa.Table:
+        seeds = tilestore.seed_of_refs(b["media_ref"])
+        xe, ye = tilestore.centroids_e3(seeds)
+        xi = (xe + 180000) * 4096 // 360001
+        yi = (ye + 90000) * 4096 // 180001
+        m = np.zeros(xi.size, np.int64)
+        for k in range(12):
+            m |= ((xi >> k) & 1) << (2 * k)
+            m |= ((yi >> k) & 1) << (2 * k + 1)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "morton": pa.array(m),
+            }
+        )
+
+    agg = shuffle_mod.salted_aggregate(
+        _exploded(sf_dir).map_batches(enc, batch_format="pyarrow"),
+        key="morton",
+        sums=(),
+        count_alias="n_tiles",
+        salt_col="doc_id",
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "morton": t["morton"],
+                "n_tiles": pc.cast(t["n_tiles"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

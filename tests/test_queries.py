@@ -154,6 +154,8 @@ CHECKED = [
     "top_copurchases",
     "tile_texture",
     "footprint_selectivity",
+    "contour_cases",
+    "morton_cells",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
