@@ -188,7 +188,25 @@ oracles in raycells/pipelines/oracles.py):
   distributional zonal layer, associative pre-binned partials), and
   log_compaction (CDC upsert snapshot: latest record per key under
   the (ts, id) order, streaming key-sized output), and gap_fill
-  (sparse→dense calendar densification, zero-filled grid). EVERY driver
+  (sparse→dense calendar densification, zero-filled grid).
+- session-2 round-5 block (53 operators; full table in
+  IMPLEMENTATION.md "Session-2 round-5 block"): spatial statistics
+  (morans_i, semivariogram, hexbin_density, contiguous_regions,
+  grid_rle, idw_interpolate, morton_cells, knn_tiles_haversine,
+  contour_cases, tile_texture, cell_band_delta, zonal_histogram,
+  near_boundary_tiles, footprint_grid_cover, footprint_selectivity,
+  hist_equalize), graph analytics (copurchase_pairs, pagerank_parts,
+  triangle_count, cf_candidates, top_copurchases), curation/dedup
+  (containment_pairs, priority_sample, snapshot_diff + driver --mode
+  diff, ttr_by_source), robust/experimental statistics (mad_outliers,
+  theilsen_trend, type_corr_matrix, trend_by_type, weighted_median,
+  modal_value, audience_hhi, ab_test_zscore, survival_table,
+  benford_audit, pareto_8020, pareto_front, key_skew_report,
+  fk_integrity, lttb_downsample), temporal/windows (interval_join,
+  attribution_last_touch, journey_trigrams, rolling_wau,
+  rate_limit_audit, seasonal_anomaly, seasonality_profile,
+  segment_momentum, demand_features, rfm_segments,
+  minmax_scale, order_baskets, ann_filtered). EVERY driver
   query hash-matches
   DuckDB, and ALL BUT ONE also run in the sf0.001 pytest replica
   (band_tile_stats is the single gate-only row — its 28M-cell SQL
