@@ -534,3 +534,64 @@ def test_pareto_front_matches_bruteforce():
         return sorted(df[keep]["p_partkey"].tolist())
 
     assert scan(pts) == brute(pts)
+
+
+def test_interval_join_matches_bruteforce_on_crafted_ties():
+    """The composite-key searchsorted window (interval_join/attribution/
+    rate_limit machinery) vs an O(n²) scan on a fixture with equal
+    timestamps, window-boundary hits, and cross-user adjacency."""
+    import numpy as np
+
+    W = 100
+    # (user, ts) with duplicates, exact-boundary gaps, interleaved users
+    user = np.array([1, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3], np.int64)
+    ts = np.array([0, 0, 50, 150, 0, 100, 101, 5, 105, 105, 106], np.int64)
+    uu, uid = np.unique(user, return_inverse=True)
+    ts_rel = ts - ts.min()
+    span = np.int64(int(ts_rel.max()) + W + 2)
+    key = uid.astype(np.int64) * span + ts_rel
+    order = np.argsort(key, kind="stable")
+    skey = key[order]
+    # anchored count in (t, t+W] per row (the interval_join shape)
+    lo = np.searchsorted(skey, key, side="right")
+    hi = np.searchsorted(skey, key + W, side="right")
+    got = hi - lo
+    want = np.array(
+        [
+            int(((user == u) & (ts > t) & (ts <= t + W)).sum())
+            for u, t in zip(user, ts)
+        ]
+    )
+    assert np.array_equal(got, want)
+
+
+def test_hexbin_lattice_rule_is_true_nearest_center():
+    """The two-lattice floor-division assignment == brute-force nearest
+    honeycomb center (ties to lattice A) over a coordinate sweep."""
+    import numpy as np
+
+    W, H = 300, 200
+    xs, ys = np.meshgrid(np.arange(0, 1200, 7), np.arange(0, 800, 11))
+    x, y = xs.ravel().astype(np.int64), ys.ravel().astype(np.int64)
+    ia, ja = (x + W // 2) // W, (y + H // 2) // H
+    ib, jb = x // W, y // H
+    dxa, dya = x - W * ia, y - H * ja
+    dxb, dyb = x - (W * ib + W // 2), y - (H * jb + H // 2)
+    use_a = dxa * dxa + dya * dya <= dxb * dxb + dyb * dyb
+    cx = np.where(use_a, W * ia, W * ib + W // 2)
+    cy = np.where(use_a, H * ja, H * jb + H // 2)
+    # brute force over all candidate centers in range
+    Ai, Aj = np.meshgrid(np.arange(0, 6), np.arange(0, 6))
+    cand = [(int(i * W), int(j * H), 0) for i, j in zip(Ai.ravel(), Aj.ravel())]
+    cand += [(int(i * W + W // 2), int(j * H + H // 2), 1)
+             for i, j in zip(Ai.ravel(), Aj.ravel())]
+    cxs = np.array([c[0] for c in cand])
+    cys = np.array([c[1] for c in cand])
+    tags = np.array([c[2] for c in cand])
+    d2 = (x[:, None] - cxs[None, :]) ** 2 + (y[:, None] - cys[None, :]) ** 2
+    # tie rule: lattice A (tag 0) wins — order candidates A-first and argmin
+    order = np.lexsort((tags, np.zeros_like(tags)))
+    d2o = d2[:, order]
+    best = order[np.argmin(d2o, axis=1)]
+    assert np.array_equal(cx, cxs[best])
+    assert np.array_equal(cy, cys[best])
