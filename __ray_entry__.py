@@ -315,6 +315,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "footprint_selectivity": q.q_footprint_selectivity,  # NEW round 5
         "contour_cases": q.q_contour_cases,  # NEW round 5 (marching squares)
         "morton_cells": q.q_morton_cells,  # NEW round 5 (Z-order curve)
+        "fulfillment_lag": q.q_fulfillment_lag,  # NEW round 5 (SLA quantiles)
+        "sourcing_concentration": q.q_sourcing_concentration,  # NEW round 5
+        "vector_norm_audit": q.q_vector_norm_audit,  # NEW round 5 (vector QA)
         "gap_fill": q.q_gap_fill,  # NEW round 5 (calendar densification)
         "log_compaction": q.q_log_compaction,  # NEW round 5 (CDC upsert snapshot)
         "cell_value_hist": q.q_cell_value_hist,  # NEW round 5 (zonal histogram)

@@ -3193,6 +3193,86 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # fulfillment_lag (q_fulfillment_lag): order→last-ship lag days,
+        # exact p50/p90 per priority (rank ceil(q·n)).
+        "fulfillment_lag": """
+            WITH lm AS (
+                SELECT l_orderkey, MAX(epoch_us(l_shipdate)) AS ship_max
+                FROM lineitem GROUP BY 1
+            ),
+            j AS (
+                SELECT o.o_orderpriority,
+                       (lm.ship_max - epoch_us(o.o_orderdate))
+                           // 86400000000 AS lag
+                FROM orders o JOIN lm ON lm.l_orderkey = o.o_orderkey
+            ),
+            r AS (
+                SELECT o_orderpriority, lag,
+                       ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY lag) AS rn,
+                       CAST(COUNT(*) OVER (PARTITION BY o_orderpriority)
+                            AS BIGINT) AS cnt
+                FROM j
+            )
+            SELECT p50.o_orderpriority,
+                   p50.cnt AS n_orders,
+                   CAST(p50.lag AS BIGINT) AS p50_lag,
+                   CAST(p90.lag AS BIGINT) AS p90_lag
+            FROM (SELECT * FROM r
+                  WHERE rn = CAST(ceil(0.5 * cnt) AS BIGINT)) p50
+            JOIN (SELECT * FROM r
+                  WHERE rn = CAST(ceil(0.9 * cnt) AS BIGINT)) p90
+                 USING (o_orderpriority)
+        """,
+        # sourcing_concentration (q_sourcing_concentration): distinct
+        # suppliers + top-supplier ppm share per part.
+        "sourcing_concentration": """
+            WITH c AS (
+                SELECT l_partkey, l_suppkey, CAST(COUNT(*) AS BIGINT) AS n
+                FROM lineitem GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT l_partkey, l_suppkey, n,
+                       ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                          ORDER BY n DESC,
+                                                   l_suppkey ASC) AS rn,
+                       CAST(SUM(n) OVER (PARTITION BY l_partkey)
+                            AS BIGINT) AS total,
+                       CAST(COUNT(*) OVER (PARTITION BY l_partkey)
+                            AS BIGINT) AS ns
+                FROM c
+            )
+            SELECT l_partkey, ns AS n_suppliers, total AS n_lines,
+                   l_suppkey AS top_suppkey,
+                   n * 1000000 // total AS top_share_ppm
+            FROM r WHERE rn = 1
+        """,
+        # vector_norm_audit (q_vector_norm_audit): per-label exact
+        # quantized norm² stats + zero-vector count.
+        "vector_norm_audit": """
+            WITH comp AS (
+                SELECT vec_id, label, unnest(embedding) AS ev
+                FROM embeddings
+            ),
+            qv AS (
+                SELECT vec_id, label,
+                       CAST(floor(CAST(ev AS DOUBLE) * 1048576.0 + 0.5)
+                            AS BIGINT) AS e
+                FROM comp
+            ),
+            v AS (
+                SELECT vec_id, CAST(ANY_VALUE(label) AS BIGINT) AS label,
+                       CAST(SUM(e * e) AS BIGINT) AS norm2
+                FROM qv GROUP BY vec_id
+            )
+            SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(MIN(norm2) AS BIGINT) AS min_norm2,
+                   CAST(MAX(norm2) AS BIGINT) AS max_norm2,
+                   CAST(SUM(norm2) AS BIGINT) AS sum_norm2,
+                   CAST(SUM(CASE WHEN norm2 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_zero
+            FROM v GROUP BY label
+        """,
         # contour_cases (q_contour_cases): marching-squares straddle
         # census per 2×2 window block, per-cell rollup; all four
         # corners computed inline from the closed-form value formula.

@@ -11188,3 +11188,280 @@ def q_morton_cells(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+def q_fulfillment_lag(sf_dir: str):
+    """Order FULFILLMENT-LAG distribution (NEW round 5) — the ops/SLA
+    metric: days from order date to the LAST line-item shipment, exact
+    p50/p90 per order priority (rank ceil(q·n), the quantile_disc
+    convention).
+
+    Shape at scale: the per-order max-shipdate aggregate co-partitions
+    with orders through ONE coarse orderkey-bucket exchange (both
+    sides keyed identically — no broadcast of the fact table); the
+    per-priority lag histogram folds O(blocks × priorities × lag
+    domain) partials."""
+    li = _read(
+        sf_dir, "lineitem", SMALL_TABLE_BLOCKS,
+        columns=["l_orderkey", "l_shipdate"],
+    )
+    orders = _read(
+        sf_dir, "orders", SMALL_TABLE_BLOCKS,
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    DAY = np.int64(86_400_000_000)
+
+    def li_part(b: pa.Table) -> pa.Table:
+        out = (
+            pd.DataFrame(
+                {
+                    "key": b["l_orderkey"].to_numpy(zero_copy_only=False),
+                    "ship_us": b["l_shipdate"]
+                    .to_numpy(zero_copy_only=False)
+                    .view(np.int64),
+                }
+            )
+            .groupby("key", sort=False)["ship_us"]
+            .max()
+            .reset_index()
+        )
+        out["side"] = np.int64(0)
+        out["prio"] = ""
+        return shuffle_mod.from_pandas_clean(out)
+
+    def o_part(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b["o_orderkey"],
+                "ship_us": pa.array(
+                    b["o_orderdate"].to_numpy(zero_copy_only=False).view(
+                        np.int64
+                    )
+                ),
+                "side": pa.array(np.ones(b.num_rows, np.int64)),
+                "prio": b["o_orderpriority"],
+            }
+        )
+
+    both = li.map_batches(li_part, batch_format="pyarrow").union(
+        orders.map_batches(o_part, batch_format="pyarrow")
+    )
+
+    def lag_hist(g: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "key": g["key"].to_numpy(zero_copy_only=False),
+                "ship_us": g["ship_us"].to_numpy(zero_copy_only=False),
+                "side": g["side"].to_numpy(zero_copy_only=False),
+                "prio": g["prio"].to_numpy(zero_copy_only=False),
+            }
+        )
+        li_max = (
+            df[df["side"] == 0].groupby("key", sort=False)["ship_us"].max()
+        )
+        od = df[df["side"] == 1].set_index("key")
+        j = od.join(li_max.rename("ship_max"), how="inner")
+        lag = ((j["ship_max"] - j["ship_us"]) // DAY).astype(np.int64)
+        out = (
+            pd.DataFrame({"prio": j["prio"].to_numpy(object), "lag": lag})
+            .groupby(["prio", "lag"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return shuffle_mod.from_pandas_clean(out)
+
+    nb = shuffle_mod.scaled_buckets()
+    hist = (
+        both.map_batches(
+            lambda b, n=nb: shuffle_mod.add_bucket(b, "key", n),
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(lag_hist, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["prio", "lag"], sort=False, as_index=False)["n"]
+        .sum()
+    )
+    rows = []
+    for prio, g in hist.groupby("prio", sort=True):
+        g = g.sort_values("lag")
+        cum = g["n"].cumsum().to_numpy(np.int64)
+        total = int(cum[-1])
+        vals = g["lag"].to_numpy(np.int64)
+
+        def pick(q):
+            return int(vals[np.searchsorted(cum, int(np.ceil(q * total)))])
+
+        rows.append((prio, total, pick(0.5), pick(0.9)))
+    return pa.table(
+        {
+            "o_orderpriority": pa.array([r[0] for r in rows], pa.string()),
+            "n_orders": pa.array([r[1] for r in rows], pa.int64()),
+            "p50_lag": pa.array([r[2] for r in rows], pa.int64()),
+            "p90_lag": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+def q_sourcing_concentration(sf_dir: str):
+    """SOURCING concentration (NEW round 5) — supply-chain risk: per
+    part, the number of distinct suppliers and the top supplier's
+    line share in exact ppm (top_n·10⁶ // total), flagging
+    single-sourced parts.
+
+    Shape at scale: (part, supp) counts co-locate by ONE part-bucket
+    exchange (per-bucket counts are global — the pair key routes to
+    one bucket); per-bucket argmax emits one row per part."""
+    ds = _read(
+        sf_dir, "lineitem", SMALL_TABLE_BLOCKS,
+        columns=["l_partkey", "l_suppkey"],
+    )
+
+    def counts(b: pa.Table) -> pa.Table:
+        out = (
+            pd.DataFrame(
+                {
+                    "l_partkey": b["l_partkey"].to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "l_suppkey": b["l_suppkey"].to_numpy(
+                        zero_copy_only=False
+                    ),
+                }
+            )
+            .groupby(["l_partkey", "l_suppkey"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return shuffle_mod.from_pandas_clean(out)
+
+    def conc(g: pa.Table) -> pa.Table:
+        df = (
+            pd.DataFrame(
+                {
+                    "l_partkey": g["l_partkey"].to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "l_suppkey": g["l_suppkey"].to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "n": g["n"].to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby(["l_partkey", "l_suppkey"], sort=False)["n"]
+            .sum()
+            .reset_index()
+            .sort_values(
+                ["l_partkey", "n", "l_suppkey"],
+                ascending=[True, False, True],
+                kind="stable",
+            )
+        )
+        top = df.groupby("l_partkey", sort=False).first().reset_index()
+        agg = df.groupby("l_partkey", sort=False)["n"].agg(
+            ["sum", "size"]
+        ).reset_index()
+        out = top.merge(agg, on="l_partkey")
+        share = out["n"].to_numpy(np.int64) * 1_000_000 // out[
+            "sum"
+        ].to_numpy(np.int64)
+        res = pd.DataFrame(
+            {
+                "l_partkey": out["l_partkey"].to_numpy(np.int64),
+                "n_suppliers": out["size"].to_numpy(np.int64),
+                "n_lines": out["sum"].to_numpy(np.int64),
+                "top_suppkey": out["l_suppkey"].to_numpy(np.int64),
+                "top_share_ppm": share,
+            }
+        )
+        return shuffle_mod.from_pandas_clean(res)
+
+    nb = shuffle_mod.scaled_buckets()
+    return (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .map_batches(
+            lambda b, n=nb: shuffle_mod.add_bucket(b, "l_partkey", n),
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(conc, batch_format="pyarrow")
+    )
+
+
+def q_vector_norm_audit(sf_dir: str):
+    """Vector NORM audit (NEW round 5) — the embedding-table QA step
+    (un-normalized or zero vectors poison cosine retrieval): per label,
+    exact quantized norm² statistics (min / max / sum) and the
+    zero-vector count, all integers under the shared 2⁻²⁰ quantization.
+
+    Shape at scale: purely map-side row reductions, O(blocks × labels)
+    partials."""
+    ds = _read(
+        sf_dir, "embeddings", SMALL_TABLE_BLOCKS,
+        columns=["embedding", "label"],
+    )
+
+    def part(b: pa.Table) -> pa.Table:
+        col = b["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        n = b.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "min_norm2": pa.array([], pa.int64()),
+                    "max_norm2": pa.array([], pa.int64()),
+                    "sum_norm2": pa.array([], pa.int64()),
+                    "n_zero": pa.array([], pa.int64()),
+                }
+            )
+        dim = len(flat) // n
+        q = dd.quantize_embeddings(flat.reshape(n, dim))
+        norm2 = np.sum(q * q, axis=1)
+        df = pd.DataFrame(
+            {
+                "label": b["label"].to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                ),
+                "norm2": norm2,
+                "zero": (norm2 == 0).astype(np.int64),
+            }
+        )
+        out = df.groupby("label", sort=False).agg(
+            n=("norm2", "size"),
+            min_norm2=("norm2", "min"),
+            max_norm2=("norm2", "max"),
+            sum_norm2=("norm2", "sum"),
+            n_zero=("zero", "sum"),
+        ).reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        return shuffle_mod.from_pandas_clean(out)
+
+    f = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("label", sort=True)
+        .agg(
+            n=("n", "sum"),
+            min_norm2=("min_norm2", "min"),
+            max_norm2=("max_norm2", "max"),
+            sum_norm2=("sum_norm2", "sum"),
+            n_zero=("n_zero", "sum"),
+        )
+        .reset_index()
+    )
+    return pa.table(
+        {
+            "label": pa.array(f["label"].to_numpy(np.int64)),
+            "n": pa.array(f["n"].to_numpy(np.int64)),
+            "min_norm2": pa.array(f["min_norm2"].to_numpy(np.int64)),
+            "max_norm2": pa.array(f["max_norm2"].to_numpy(np.int64)),
+            "sum_norm2": pa.array(f["sum_norm2"].to_numpy(np.int64)),
+            "n_zero": pa.array(f["n_zero"].to_numpy(np.int64)),
+        }
+    )

@@ -156,6 +156,9 @@ CHECKED = [
     "footprint_selectivity",
     "contour_cases",
     "morton_cells",
+    "fulfillment_lag",
+    "sourcing_concentration",
+    "vector_norm_audit",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
