@@ -598,3 +598,54 @@ def test_hexbin_lattice_rule_is_true_nearest_center():
     best = order[np.argmin(d2o, axis=1)]
     assert np.array_equal(cx, cxs[best])
     assert np.array_equal(cy, cys[best])
+
+
+def test_morton_interleave_matches_reference():
+    """The shift-or Morton interleave == a per-bit reference build, and
+    adjacent coordinates differ only in low interleaved bits (the
+    locality property range partitioning relies on)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    xi = rng.integers(0, 4096, 500).astype(np.int64)
+    yi = rng.integers(0, 4096, 500).astype(np.int64)
+    m = np.zeros(xi.size, np.int64)
+    for k in range(12):
+        m |= ((xi >> k) & 1) << (2 * k)
+        m |= ((yi >> k) & 1) << (2 * k + 1)
+
+    def ref(x, y):
+        out = 0
+        for k in range(12):
+            out |= ((int(x) >> k) & 1) << (2 * k)
+            out |= ((int(y) >> k) & 1) << (2 * k + 1)
+        return out
+
+    assert all(int(a) == ref(x, y) for a, x, y in zip(m, xi, yi))
+    # locality: x+1 flips only bits at/below the carry run
+    m1 = np.zeros(xi.size, np.int64)
+    x1 = np.minimum(xi + 1, 4095)
+    for k in range(12):
+        m1 |= ((x1 >> k) & 1) << (2 * k)
+        m1 |= ((yi >> k) & 1) << (2 * k + 1)
+    same = xi < 4095
+    assert (m[same] != m1[same]).all()
+
+
+def test_weighted_median_rule_matches_bruteforce():
+    """The cumulative-weight rank pick == expanding every value by its
+    weight and taking the lower median, across odd/even totals."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for _ in range(50):
+        vals = np.sort(rng.integers(0, 20, rng.integers(1, 9)).astype(np.int64))
+        vals = np.unique(vals)
+        wts = rng.integers(1, 7, vals.size).astype(np.int64)
+        cum = wts.cumsum()
+        W = int(cum[-1])
+        k = (W + 1) // 2
+        got = int(vals[np.searchsorted(cum, k)])
+        expanded = np.repeat(vals, wts)
+        want = int(expanded[(W + 1) // 2 - 1])
+        assert got == want, (vals, wts)
