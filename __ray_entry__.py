@@ -319,6 +319,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulfillment_lag": q.q_fulfillment_lag,  # NEW round 5 (SLA quantiles)
         "sourcing_concentration": q.q_sourcing_concentration,  # NEW round 5
         "vector_norm_audit": q.q_vector_norm_audit,  # NEW round 5 (vector QA)
+        "brand_price_rank": q.q_brand_price_rank,  # NEW round 5 (percent rank)
+        "basket_size_hist": q.q_basket_size_hist,  # NEW round 5 (basket sizes)
         "gap_fill": q.q_gap_fill,  # NEW round 5 (calendar densification)
         "log_compaction": q.q_log_compaction,  # NEW round 5 (CDC upsert snapshot)
         "cell_value_hist": q.q_cell_value_hist,  # NEW round 5 (zonal histogram)

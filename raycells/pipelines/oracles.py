@@ -3193,6 +3193,38 @@ def build() -> dict:
                         AS BIGINT) AS had_events
             FROM grid g LEFT JOIN daily d USING (event_type, day)
         """,
+        # brand_price_rank (q_brand_price_rank): exact PERCENT_RANK
+        # within brand, (price, partkey) order.
+        "brand_price_rank": """
+            WITH p AS (
+                SELECT p_partkey, p_brand,
+                       CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                           AS price_c
+                FROM part
+            )
+            SELECT p_partkey, p_brand, price_c,
+                   CASE WHEN COUNT(*) OVER (PARTITION BY p_brand) > 1
+                        THEN (ROW_NUMBER() OVER (PARTITION BY p_brand
+                                                 ORDER BY price_c,
+                                                          p_partkey) - 1)
+                             * 1000000
+                             // (COUNT(*) OVER (PARTITION BY p_brand) - 1)
+                        ELSE 0 END AS prank_e6
+            FROM p
+        """,
+        # basket_size_hist (q_basket_size_hist): orders by distinct
+        # part count.
+        "basket_size_hist": """
+            WITH lp AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            s AS (
+                SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS bs
+                FROM lp GROUP BY 1
+            )
+            SELECT bs AS basket_size, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM s GROUP BY bs
+        """,
         # fulfillment_lag (q_fulfillment_lag): order→last-ship lag days,
         # exact p50/p90 per priority (rank ceil(q·n)).
         "fulfillment_lag": """

@@ -11465,3 +11465,100 @@ def q_vector_norm_audit(sf_dir: str):
             "n_zero": pa.array(f["n_zero"].to_numpy(np.int64)),
         }
     )
+
+
+def q_brand_price_rank(sf_dir: str):
+    """Within-group PERCENT-RANK export (NEW round 5) — each part's
+    price position inside its brand as the exact integer
+    (rank−1)·10⁶ // (n−1) (the SQL PERCENT_RANK() contract, ties
+    broken by partkey so every rank is deterministic).
+
+    Shape at scale: one brand-bucket exchange co-locates each brand,
+    per-bucket vectorized rank; brands are the natural partition."""
+    ds = _read(
+        sf_dir, "part", SMALL_TABLE_BLOCKS,
+        columns=["p_partkey", "p_brand", "p_retailprice"],
+    )
+
+    def rank(g: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "p_partkey": g["p_partkey"].to_numpy(zero_copy_only=False),
+                "p_brand": g["p_brand"].to_numpy(zero_copy_only=False),
+                "price_c": _half_up(
+                    g["p_retailprice"].to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64),
+            }
+        ).sort_values(["p_brand", "price_c", "p_partkey"], kind="stable")
+        b = df["p_brand"].to_numpy(object)
+        n = df.groupby("p_brand", sort=False)["p_partkey"].transform(
+            "size"
+        ).to_numpy(np.int64)
+        first = np.ones(len(df), bool)
+        first[1:] = b[1:] != b[:-1]
+        pos = np.arange(len(df), dtype=np.int64)
+        start = np.maximum.accumulate(np.where(first, pos, 0))
+        r = pos - start  # 0-based rank within brand
+        pr = np.where(n > 1, r * 1_000_000 // np.maximum(n - 1, 1), 0)
+        out = df.assign(prank_e6=pr.astype(np.int64))
+        return shuffle_mod.from_pandas_clean(
+            out[["p_partkey", "p_brand", "price_c", "prank_e6"]]
+        )
+
+    nb = shuffle_mod.scaled_buckets()
+    return (
+        ds.map_batches(
+            lambda b, n=nb: shuffle_mod.add_bucket(b, "p_brand", n),
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(rank, batch_format="pyarrow")
+    )
+
+
+def q_basket_size_hist(sf_dir: str):
+    """BASKET-SIZE distribution (NEW round 5) — orders by distinct-part
+    count, the shape recommenders and inventory planners read first.
+
+    Shape at scale: the per-order distinct count co-locates by ONE
+    order-bucket exchange (the copurchase stage-1 key), per-bucket
+    sizes collapse to a ≤ 7-row histogram partial per bucket, driver
+    folds O(buckets × sizes)."""
+    ds = _read(
+        sf_dir, "lineitem", SMALL_TABLE_BLOCKS,
+        columns=["l_orderkey", "l_partkey"],
+    )
+
+    def sizes(g: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o": g["l_orderkey"].to_numpy(zero_copy_only=False),
+                "p": g["l_partkey"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        s = df.groupby("o", sort=False).size()
+        out = s.value_counts().rename_axis("basket_size").reset_index(
+            name="n_orders"
+        )
+        out["basket_size"] = out["basket_size"].astype(np.int64)
+        out["n_orders"] = out["n_orders"].astype(np.int64)
+        return shuffle_mod.from_pandas_clean(out)
+
+    nb = shuffle_mod.scaled_buckets()
+    f = (
+        ds.map_batches(
+            lambda b, n=nb: shuffle_mod.add_bucket(b, "l_orderkey", n),
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(sizes, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("basket_size", sort=True, as_index=False)["n_orders"]
+        .sum()
+    )
+    return pa.table(
+        {
+            "basket_size": pa.array(f["basket_size"].to_numpy(np.int64)),
+            "n_orders": pa.array(f["n_orders"].to_numpy(np.int64)),
+        }
+    )

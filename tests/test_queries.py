@@ -159,6 +159,8 @@ CHECKED = [
     "fulfillment_lag",
     "sourcing_concentration",
     "vector_norm_audit",
+    "brand_price_rank",
+    "basket_size_hist",
     "log_compaction",
     "cell_value_hist",
     "ann_recall_eval",
