@@ -189,7 +189,7 @@ oracles in raycells/pipelines/oracles.py):
   log_compaction (CDC upsert snapshot: latest record per key under
   the (ts, id) order, streaming key-sized output), and gap_fill
   (sparse→dense calendar densification, zero-filled grid).
-- session-2 round-5 block (56 operators; full table in
+- session-2 round-5 block (58 operators; full table in
   IMPLEMENTATION.md "Session-2 round-5 block"): spatial statistics
   (morans_i, semivariogram, hexbin_density, contiguous_regions,
   grid_rle, idw_interpolate, morton_cells, knn_tiles_haversine,
@@ -207,7 +207,8 @@ oracles in raycells/pipelines/oracles.py):
   rate_limit_audit, seasonal_anomaly, seasonality_profile,
   segment_momentum, demand_features, rfm_segments,
   minmax_scale, order_baskets, ann_filtered, fulfillment_lag,
-  sourcing_concentration, vector_norm_audit). EVERY driver
+  sourcing_concentration, vector_norm_audit, brand_price_rank,
+  basket_size_hist). EVERY driver
   query hash-matches
   DuckDB, and ALL BUT ONE also run in the sf0.001 pytest replica
   (band_tile_stats is the single gate-only row — its 28M-cell SQL
@@ -254,7 +255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     sits in the first eight entries, then the round-3 additions, then
     the long-green tail. After the round-4 oracle rewrites the FULL
     gate costs ~58 s at sf0.01 (41 s Ray + 17 s DuckDB), so one
-    snapshot should now hold all 195. ALL queries hash-match DuckDB
+    snapshot should now hold all 197. ALL queries hash-match DuckDB
     locally at sf0.01 (the timed replica of the gate)."""
     from raycells.pipelines import queries as q
 
